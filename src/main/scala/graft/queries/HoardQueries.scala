@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.Time
+import graft.operators.{AsOf, Dedup, GapFill, Rollup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** H1–H6: the reference's storage semantics (SURVEY §2.2) as declared
+  * queries on the `events` table (series ≅ user_id/event_type,
+  * seq ≅ event_id, `now` pinned to 2026-01-01 — never wall clock,
+  * the reference's tests rotted exactly because of `unixTime()` at
+  * `src/hoard.coffee:28`).
+  *
+  * Oracle conventions (SURVEY §2.4): total ORDER BY, ROUND(x, 6) on
+  * doubles, interval outputs as UTC strings named `bucket`, identical
+  * column names on both sides.
+  */
+object HoardQueries {
+
+  private val Now = "TIMESTAMP '2026-01-01 00:00:00'"
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Hourly last-write-wins dedup per user (contract §2.2.2). */
+  private def hourlyByUser(s: SparkSession, dir: String): DataFrame =
+    Dedup.lastWriteWins(ev(s, dir),
+      Seq(col("user_id"), Time.align(col("ts"), 3600).as("bucket")),
+      col("event_id"), Seq("value" -> col("value")))
+
+  /** Hourly last-write-wins dedup per event_type (denser series, used by
+    * the rollup cascade so the xff gate passes and rejects mixed).
+    */
+  private def hourlyByType(s: SparkSession, dir: String): DataFrame =
+    Dedup.lastWriteWins(ev(s, dir),
+      Seq(col("event_type"), Time.align(col("ts"), 3600).as("bucket")),
+      col("event_id"), Seq("value" -> col("value")))
+
+  private def dailyByType(s: SparkSession, dir: String): DataFrame =
+    Rollup.downsample(hourlyByType(s, dir), "event_type", "bucket", "value",
+      finerStep = 3600, coarserStep = 86400, xff = 0.5)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h1_lww" -> ((s, dir) => {
+      hourlyByUser(s, dir)
+        .select(col("user_id"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    "h2_rollup" -> ((s, dir) => {
+      dailyByType(s, dir)
+        .select(col("event_type"), col("bucket").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h3_gapfill" -> ((s, dir) => {
+      val hourly = hourlyByUser(s, dir)
+      val users = ev(s, dir).select("user_id").distinct()
+      GapFill.densify(hourly, users, "user_id", "bucket", Seq("value"),
+          fromInterval = 1704412800L, // 2024-01-05 00:00:00 UTC
+          toInterval = 1704585600L,   // 2024-01-07 00:00:00 UTC (exclusive)
+          step = 3600)
+        .select(col("user_id"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    "h4_cascade" -> ((s, dir) => {
+      // weekly = mean of daily means (cascade §2.2.8), ISO week start,
+      // xff-gated at expected 7 days per week
+      dailyByType(s, dir)
+        .groupBy(col("event_type"), date_trunc("week", col("bucket")).as("bucket"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known").cast("double") / lit(7.0) >= lit(0.5))
+        .select(col("event_type"), col("bucket").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"), col("known"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h5_retention" -> ((s, dir) => {
+      // retention clamp: keep (now - 730 days, now]; too-old rows dropped
+      // silently like updateMany (§2.2.5/6)
+      ev(s, dir)
+        .where(col("ts") > expr(s"$Now - INTERVAL 730 DAY") &&
+          col("ts") <= expr(Now))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    "h6_asof" -> ((s, dir) => {
+      AsOf.latestAtOrBefore(ev(s, dir), "user_id", "ts", "event_id", "value",
+          expr("TIMESTAMP '2024-01-15 12:00:00'"))
+        .select(col("user_id"), round(col("value"), 6).as("value"),
+          date_trunc("second", col("ts")).cast("string").as("asof_ts"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "h1_lww" ->
+      """SELECT user_id, CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+        | ROUND(arg_max(value, event_id), 6) AS value
+        |FROM events GROUP BY user_id, date_trunc('hour', ts)
+        |ORDER BY user_id, bucket""".stripMargin,
+
+    "h2_rollup" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(date_trunc('day', h) AS VARCHAR) AS bucket,
+        |       ROUND(AVG(v), 6) AS value
+        |FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |HAVING CAST(COUNT(v) AS DOUBLE) / 24 >= 0.5
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h3_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |spine AS (
+        |  SELECT user_id, g AS h
+        |  FROM users CROSS JOIN generate_series(
+        |    TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-06 23:00:00',
+        |    INTERVAL 1 HOUR) AS t(g))
+        |SELECT s.user_id, CAST(s.h AS VARCHAR) AS bucket,
+        |       ROUND(h.v, 6) AS value
+        |FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.h = h.h
+        |ORDER BY s.user_id, bucket""".stripMargin,
+
+    "h4_cascade" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d, AVG(v) AS v
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING CAST(COUNT(v) AS DOUBLE) / 24 >= 0.5)
+        |SELECT event_type, CAST(date_trunc('week', d) AS VARCHAR) AS bucket,
+        |       ROUND(AVG(v), 6) AS value, COUNT(v) AS known
+        |FROM daily GROUP BY event_type, date_trunc('week', d)
+        |HAVING CAST(COUNT(v) AS DOUBLE) / 7 >= 0.5
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h5_retention" ->
+      """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM events
+        |WHERE ts > TIMESTAMP '2026-01-01 00:00:00' - INTERVAL 730 DAY
+        |  AND ts <= TIMESTAMP '2026-01-01 00:00:00'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "h6_asof" ->
+      """SELECT user_id, ROUND(arg_max(value, ts), 6) AS value,
+        |       CAST(date_trunc('second', MAX(ts)) AS VARCHAR) AS asof_ts
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

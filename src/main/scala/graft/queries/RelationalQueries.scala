@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q1–Q18: the general operator surface (SURVEY §2.4) — scan, aggregate,
+  * every join shape, windows, set ops, scalar/array functions, subqueries.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - SUMs of double columns go through DECIMAL(18,6) so partial-
+  *    aggregation order cannot perturb low bits (both engines then hold
+  *    bit-identical exact values; final CAST to DOUBLE is deterministic);
+  *  - integer-valued doubles (l_quantity) sum exactly in any order and
+  *    need no decimal detour;
+  *  - Spark defaults that differ from DuckDB's types are cast explicitly
+  *    (row_number int→long, year int→long, floor→long, length→long);
+  *  - every query ends in a total ORDER BY.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact-sum helper: decimal partial sums, double result. */
+  private def sumDec(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_scan" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate").between(
+          expr("TIMESTAMP '1995-01-01 00:00:00'"),
+          expr("TIMESTAMP '1995-03-31 00:00:00'")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q2_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(sumDec(col("l_extendedprice")), 6).as("sum_base"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
+            .cast("double"), 6).as("sum_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      // customer is the dimension side: broadcast to avoid shuffling orders
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sumDec(col("o_totalprice")), 6).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q4_multijoin" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sumDec(col("o_totalprice")), 6).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q5_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "q6_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    "q7_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    "q8_range" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("u1"), col("event_id"), col("ts").as("ts1"))
+      val others = e.select(col("user_id").as("u2"), col("ts").as("ts2"))
+      clicks.join(others,
+          col("u1") === col("u2") && col("ts2") > col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("ts2")).as("n"))
+        .orderBy("event_id")
+    }),
+
+    "q9_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q10_rollup" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_cust"),
+          round(sumDec(col("c_acctbal")), 6).as("acctbal"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("gid"), col("n_cust"), col("acctbal"))
+        .orderBy("gid", "r_name", "n_name")
+    }),
+
+    "q11_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val byPrice = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc)
+      val stable = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(stable).cast("long").as("rn"),
+          rank().over(byPrice).cast("long").as("rk"),
+          dense_rank().over(byPrice).cast("long").as("drk"))
+        .where(col("rn") <= 5)
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    "q12_frames" -> ((s, dir) => {
+      val e = t(s, dir, "events").where(col("user_id") < 10)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val mw = w.rowsBetween(-3, Window.currentRow)
+      e.select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          round(lag(col("value"), 1).over(w), 6).as("lag_v"),
+          round(lead(col("value"), 1).over(w), 6).as("lead_v"),
+          round(avg(col("value")).over(mw), 6).as("mavg4"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q13_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q14_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def keys(status: String) =
+        o.where(col("o_orderstatus") === status).select("o_custkey")
+      val f = keys("F"); val op = keys("O")
+      val both = f.intersect(op).withColumn("tag", lit("both"))
+      val fOnly = f.except(op).withColumn("tag", lit("f_only"))
+      val oOnly = op.except(f).withColumn("tag", lit("o_only"))
+      both.unionAll(fOnly).unionAll(oOnly)
+        .select("tag", "o_custkey")
+        .orderBy("tag", "o_custkey")
+    }),
+
+    "q15_scalar" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_up"),
+          substring(col("o_orderpriority"), 1, 3).as("pri3"),
+          concat(col("o_orderstatus"), lit("-"),
+            substring(col("o_orderpriority"), 1, 1)).as("cat"),
+          length(col("o_orderpriority")).cast("long").as("plen"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("mon"),
+          round(col("o_totalprice"), 2).as("price_r"),
+          floor(col("o_totalprice")).cast("long").as("price_f"),
+          abs(col("o_totalprice") * lit(-1.0)).as("price_abs"),
+          pmod(col("o_orderkey"), lit(7)).as("m7"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q16_array" -> ((s, dir) => {
+      t(s, dir, "embeddings").where(col("label").isin(1, 2, 3))
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+          round(element_at(col("embedding"), 64).cast("double"), 6).as("last_v"),
+          (element_at(col("embedding"), 1) > 0).as("first_pos"))
+        .orderBy("vec_id")
+    }),
+
+    "q17_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+          |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "q18_condagg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(
+          round(sum(when(col("event_type") === "click", col("value"))), 6).as("click_v"),
+          round(sum(when(col("event_type") === "purchase", col("value"))), 6).as("purchase_v"),
+          count(when(col("event_type") === "click", lit(1))).as("n_click"),
+          count(lit(1)).as("n"))
+        .select(col("bucket").cast("date").cast("string").as("bucket"), col("click_v"),
+          col("purchase_v"), col("n_click"), col("n"))
+        .orderBy("bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                     AND TIMESTAMP '1995-03-31 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q2_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity), 6) AS sum_qty,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_base,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc,
+        | ROUND(AVG(l_quantity), 6) AS avg_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q4_multijoin" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q5_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q6_semi" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_anti" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_range" ->
+      """SELECT e1.event_id, COUNT(e2.ts) AS n
+        |FROM events e1 LEFT JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e2.ts > e1.ts
+        | AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |WHERE e1.event_type = 'click'
+        |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin,
+
+    "q9_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS r_name,
+        |       COALESCE(n_name, '(all)') AS n_name,
+        |       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_cust,
+        |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS acctbal
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name, n_name""".stripMargin,
+
+    "q11_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        | row_number() OVER (PARTITION BY o_orderstatus
+        |                    ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        | rank() OVER (PARTITION BY o_orderstatus
+        |              ORDER BY o_totalprice DESC) AS rk,
+        | dense_rank() OVER (PARTITION BY o_orderstatus
+        |                    ORDER BY o_totalprice DESC) AS drk
+        |FROM orders QUALIFY rn <= 5
+        |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q12_frames" ->
+      """SELECT user_id, event_id, ROUND(value, 6) AS value,
+        | ROUND(lag(value, 1) OVER w, 6) AS lag_v,
+        | ROUND(lead(value, 1) OVER w, 6) AS lead_v,
+        | ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg4
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q14_setops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'f_only' AS tag, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'o_only' AS tag, o_custkey FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q15_scalar" ->
+      """SELECT o_orderkey,
+        | UPPER(o_orderpriority) AS pri_up,
+        | SUBSTRING(o_orderpriority, 1, 3) AS pri3,
+        | o_orderstatus || '-' || SUBSTRING(o_orderpriority, 1, 1) AS cat,
+        | CAST(LENGTH(o_orderpriority) AS BIGINT) AS plen,
+        | CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        | CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS mon,
+        | ROUND(o_totalprice, 2) AS price_r,
+        | CAST(FLOOR(o_totalprice) AS BIGINT) AS price_f,
+        | ABS(o_totalprice * -1.0) AS price_abs,
+        | o_orderkey % 7 AS m7
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q16_array" ->
+      """SELECT vec_id, label,
+        | CAST(LEN(embedding) AS BIGINT) AS dim,
+        | ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+        | ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_v,
+        | embedding[1] > 0 AS first_pos
+        |FROM embeddings WHERE label IN (1, 2, 3) ORDER BY vec_id""".stripMargin,
+
+    "q17_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q18_condagg" ->
+      """SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS bucket,
+        | ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 6) AS click_v,
+        | ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_v,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        | COUNT(*) AS n
+        |FROM events GROUP BY date_trunc('day', ts)
+        |ORDER BY bucket""".stripMargin
+  )
+}
