@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash signatures + LSH banding for near-duplicate detection —
+  * the standard shingle → minhash → band → bucket-join pipeline.
+  *
+  * Hash family: h_j(x) = ((2j+3)·x + 5j+7) mod P over dense shingle
+  * ids — affine over a prime field, exactly reproducible in ANSI SQL
+  * (the oracle), and swappable for xxhash64-based ids at scale.
+  *
+  * Scale: signatures are one groupBy over (doc, j) with partial min;
+  * banding shuffles 500M docs × b rows, each tiny; the candidate join
+  * is an equi-join on (band, key) whose fan-out LSH keeps near-linear.
+  */
+object MinHashLsh {
+
+  val P = 1000003L
+
+  /** (id, j, mh): the k-wide minhash signature of every document.
+    * Input: (id, vid) — one row per (document, shingle-id) occurrence.
+    */
+  def signatures(shingleIds: DataFrame, idCol: String, k: Int): DataFrame =
+    shingleIds
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("j"),
+        col("vid"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(pmod((lit(2) * col("j") + 3) * col("vid") + lit(5) * col("j") + 7,
+        lit(P))).as("mh"))
+
+  /** (id, band, key): LSH band keys — r consecutive hashes per band,
+    * concatenated in j order.
+    */
+  def bands(sigs: DataFrame, idCol: String, r: Int): DataFrame =
+    sigs.groupBy(col(idCol), (col("j") / r).cast("long").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+          x => x.getField("mh").cast("string")), "-").as("key"))
+
+  /** Candidate pairs (id_a < id_b) sharing at least one band bucket. */
+  def candidates(bandDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandDf.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = bandDf.select(col("band"), col("key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Candidate pairs annotated with estimated Jaccard =
+    * (matching signature positions) / k.
+    */
+  def estimate(cands: DataFrame, sigs: DataFrame, idCol: String, k: Int): DataFrame = {
+    val sa = sigs.select(col(idCol).as("id_a"), col("j"), col("mh").as("mh_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("j"), col("mh").as("mh_b"))
+    cands.join(sa, "id_a").join(sb, Seq("id_b", "j"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0))
+        .cast("double") / k).as("est_jaccard"))
+  }
+}

@@ -1,0 +1,375 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** P1–P8 + T1–T4 + M1: the training-data pipeline operator surface —
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (lang-ID, quality, token counts, fingerprints) and the
+  * multimodal decode plumbing.
+  *
+  * All similarity scores are rounded to 6 decimals BEFORE any ranking
+  * or thresholding so cross-engine float accumulation cannot flip an
+  * order; all hashing is integer arithmetic over dense vocab ids (see
+  * TextOps.vocabIds for the production xxhash64 swap).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokens(docs(s, dir), "doc_id", "text")
+
+  /** tokens joined with dense token ids: (doc_id, pos, vid). */
+  private def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    t.join(TextOps.vocabIds(t, "token"), "token")
+      .select("doc_id", "pos", "vid")
+  }
+
+  /** 3-shingles joined with dense shingle ids: (doc_id, vid). */
+  private def shingleIds(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingles(toks(s, dir), "doc_id", 3)
+    sh.join(TextOps.vocabIds(sh, "shingle"), "shingle")
+      .select("doc_id", "vid")
+  }
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.signatures(shingleIds(s, dir), "doc_id", 16)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_exactdedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))
+      d.withColumn("keep", row_number().over(w) === 1)
+        .orderBy("doc_id")
+    }),
+
+    "p2_minhash" -> ((s, dir) => {
+      minhashSigs(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+            x => x.getField("mh").cast("string")), "-").as("signature"))
+        .orderBy("doc_id")
+    }),
+
+    "p3_lshpairs" -> ((s, dir) => {
+      val sigs = minhashSigs(s, dir)
+      val cands = MinHashLsh.candidates(
+        MinHashLsh.bands(sigs, "doc_id", r = 4), "doc_id")
+      MinHashLsh.estimate(cands, sigs, "doc_id", 16)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p4_jaccard" -> ((s, dir) => {
+      val bg = TextOps.shingles(toks(s, dir), "doc_id", 2)
+        .select(col("doc_id"), col("shingle").as("bg")).distinct()
+      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = bg.select(col("doc_id").as("id_a"), col("bg"))
+        .join(bg.select(col("doc_id").as("id_b"), col("bg")), "bg")
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    "p5_simhash" -> ((s, dir) => {
+      SimHash.nearPairs(
+          SimHash.fingerprints(tokenIds(s, dir), "doc_id"), "doc_id", maxDist = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p6_embpairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("id_a"),
+        Embeddings.asDouble(col("embedding")).as("va"))
+      val b = e.select(col("vec_id").as("id_b"),
+        Embeddings.asDouble(col("embedding")).as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Embeddings.cosine(col("va"), col("vb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    "p7_anntopk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Embeddings.bruteForceTopK(e.where(col("vec_id") < 10), e, k = 3)
+        .select("query_id", "rnk", "neighbor_id", "sim")
+        .orderBy("query_id", "rnk")
+    }),
+
+    "p8_annlsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val buckets = Embeddings.lshBuckets(e, planes = 4)
+      val v = e.join(buckets, "vec_id")
+        .select(col("vec_id"), col("bucket"),
+          Embeddings.asDouble(col("embedding")).as("v"))
+      val q = v.select(col("vec_id").as("query_id"), col("bucket"),
+        col("v").as("qv"))
+      val c = v.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v").as("cv"))
+      val scored = q.join(c, Seq("bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("bucket"),
+          round(Embeddings.cosine(col("qv"), col("cv")), 6).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("query_id", "rnk", "neighbor_id", "sim", "bucket")
+        .orderBy("query_id", "rnk")
+    }),
+
+    "t1_langid" -> ((s, dir) => {
+      TextAnalysis.languageId(toks(s, dir), "doc_id").orderBy("doc_id")
+    }),
+
+    "t2_quality" -> ((s, dir) => {
+      TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "t3_tokcount" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "t4_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(tokenIds(s, dir), "doc_id").orderBy("doc_id")
+    }),
+
+    "m1_multimodal" -> ((s, dir) => {
+      Multimodal.decodeMeta(
+          Multimodal.tasksFromDocuments(s, docs(s, dir)))
+        .toDF().orderBy("doc_id")
+    })
+  )
+
+  // Shared oracle CTE fragments (DuckDB dialect)
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents)""".stripMargin
+
+  private val ShinglesCte =
+    s"""$ToksCte,
+       |sh AS (
+       |  SELECT doc_id, pos,
+       |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+       |         lead(token, 2) OVER w AS shingle
+       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+       |vocab AS (
+       |  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS vid
+       |  FROM (SELECT DISTINCT shingle FROM sh)),
+       |sid AS (SELECT s.doc_id, v.vid FROM sh s JOIN vocab v USING (shingle)),
+       |sigs AS (
+       |  SELECT doc_id, j, MIN(((2*j+3)*vid + 5*j+7) % 1000003) AS mh
+       |  FROM sid CROSS JOIN range(16) t(j) GROUP BY doc_id, j)""".stripMargin
+
+  private val TokenIdsCte =
+    s"""$ToksCte,
+       |tvocab AS (
+       |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS vid
+       |  FROM (SELECT DISTINCT token FROM toks)),
+       |tid AS (SELECT t.doc_id, t.pos, v.vid
+       |        FROM toks t JOIN tvocab v USING (token))""".stripMargin
+
+  private val BucketsCte =
+    """ex AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS d
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT vec_id, j,
+      |         ROUND(SUM((CAST((1103515245*(j*64+d)+12345) % 2048 AS DOUBLE)/2048.0
+      |                    - 0.5) * CAST(x AS DOUBLE)), 6) AS dotp
+      |  FROM ex CROSS JOIN range(4) t(j) GROUP BY vec_id, j),
+      |bk AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN dotp > 0
+      |                       THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+      |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "p1_exactdedup" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        | row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p2_minhash" ->
+      s"""WITH $ShinglesCte
+         |SELECT doc_id,
+         |       string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS signature
+         |FROM sigs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p3_lshpairs" ->
+      s"""WITH $ShinglesCte,
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS key
+         |  FROM sigs GROUP BY doc_id, j // 4),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       ROUND(CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / 16, 6) AS est_jaccard
+         |FROM cands c
+         | JOIN sigs sa ON sa.doc_id = c.id_a
+         | JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+         |GROUP BY c.id_a, c.id_b ORDER BY id_a, id_b""".stripMargin,
+
+    "p4_jaccard" ->
+      s"""WITH $ToksCte,
+         |big AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+         |  FROM toks QUALIFY bg IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         | JOIN sizes sa ON sa.doc_id = id_a
+         | JOIN sizes sb ON sb.doc_id = id_b
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "p5_simhash" ->
+      s"""WITH $TokenIdsCte,
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         SUM(CASE WHEN ((vid * 2654435761) % 4294967296 >> CAST(b AS INT))
+         |                       & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM tid CROSS JOIN range(32) t(b) GROUP BY doc_id, b),
+         |fp AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN vote > 0
+         |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "p6_embpairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(
+        |         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "p7_anntopk" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         ROUND(list_cosine_similarity(
+        |           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+        |       neighbor_id, sim
+        |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "p8_annlsh" ->
+      s"""WITH $BucketsCte,
+         |scored AS (
+         |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id, ka.bucket,
+         |         ROUND(list_cosine_similarity(
+         |           list_transform(qa.embedding, x -> CAST(x AS DOUBLE)),
+         |           list_transform(qb.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+         |  FROM embeddings qa JOIN bk ka ON qa.vec_id = ka.vec_id
+         |   JOIN bk kb ON ka.bucket = kb.bucket
+         |   JOIN embeddings qb ON qb.vec_id = kb.vec_id
+         |  WHERE qa.vec_id <> qb.vec_id)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+         |       neighbor_id, sim, bucket
+         |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "t1_langid" ->
+      s"""WITH $ToksCte,
+         |scores AS (
+         |  SELECT doc_id,
+         |   CAST(SUM(CASE WHEN token IN ('der','die','und','das','ein') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |   CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |   CAST(SUM(CASE WHEN token IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |   CAST(SUM(CASE WHEN token IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |   CAST(SUM(CASE WHEN token IN ('的','是','了','在','和') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred,
+         |  GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+         |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 6) AS distinct_ratio,
+        | ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 6) AS avg_token_len,
+        | ROUND(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+        |       * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_tokcount" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH $TokenIdsCte
+         |SELECT doc_id,
+         |       CAST(SUM((vid * ((pos * 31 + 7) % 1000003)) % 1000003) % 1000003
+         |            AS BIGINT) AS fingerprint
+         |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "m1_multimodal" ->
+      """SELECT doc_id, source AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 64 + (doc_id * 7) % 448 AS width,
+        | 64 + CAST(octet_length(encode(text)) % 448 AS BIGINT) AS height,
+        | 1 + doc_id % 16 AS frames,
+        | (CAST(octet_length(encode(text)) AS BIGINT) * 2654435761) % 1000003
+        |   AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
