@@ -17,8 +17,8 @@ object SparkEntry {
     HoardQueries.defs("h1_lww")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    HoardQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs
+    HoardQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++ StoreQueries.defs
 
   def oracleSql: Map[String, String] =
-    HoardQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
+    HoardQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles ++ StoreQueries.oracles
 }

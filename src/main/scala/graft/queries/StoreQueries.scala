@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.{Archive, ArchivePolicy}
+import graft.store.HoardStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HS1–HS2: end-to-end store-path queries — the events table is ingested
+  * through the REAL write path (age routing, lww merge, xff cascade)
+  * into a temp HoardStore, and the declared results come from the
+  * store's read path (fetch planner, gap-fill / rollup levels). The
+  * oracle recomputes the same semantics from raw events in SQL, so this
+  * is the strongest cross-check: storage engine vs declarative spec.
+  *
+  * `now` is pinned to 2024-02-01 UTC so the events fall inside the
+  * hourly archive's retention (the query parameter, never wall clock).
+  */
+object StoreQueries {
+
+  private val Now = 1706745600L // 2024-02-01 00:00:00 UTC
+  private val Policy = ArchivePolicy(Seq(Archive(3600, 8760), Archive(86400, 1095)))
+
+  /** one store build per sf dir per JVM (queries stay idempotent). */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeFor(s: SparkSession, dir: String): HoardStore = {
+    val root = built.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store")
+        .toString + "/store"
+      val st = HoardStore.create(s, tmp, Policy)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"), // uint32-second semantics: truncate
+        col("value"),
+        col("event_id").as("seq"))      // ingest sequence breaks second-ties
+      st.updateManyDf(ev, Now)
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hs1_storefetch" -> ((s, dir) => {
+      val st = storeFor(s, dir)
+      // window (2024-01-05, 2024-01-07]-aligned; routes to the hourly level
+      val (_, dense) = st.fetch("click", 1704412800L, 1704585600L, Now)
+      dense.select(col("interval").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket")
+    }),
+
+    "hs2_storerollup" -> ((s, dir) => {
+      val st = storeFor(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the store's lww key is (epoch-second, ingest seq); the oracle
+    // packs the same ordering into one BIGINT key
+    "hs1_storefetch" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY date_trunc('hour', ts)),
+        |spine AS (
+        |  SELECT g AS h FROM generate_series(
+        |    TIMESTAMP '2024-01-05 01:00:00',
+        |    TIMESTAMP '2024-01-07 00:00:00', INTERVAL 1 HOUR) t(g))
+        |SELECT CAST(s.h AS VARCHAR) AS bucket, ROUND(hh.v, 6) AS value
+        |FROM spine s LEFT JOIN hourly hh ON s.h = hh.h
+        |ORDER BY bucket""".stripMargin,
+
+    "hs2_storerollup" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d, AVG(v) AS v
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING COUNT(v) >= 12)
+        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value
+        |FROM daily ORDER BY series_id, bucket""".stripMargin
+  )
+}

@@ -1,0 +1,315 @@
+package graft.store
+
+import graft.core.{Archive, ArchivePolicy, Time}
+import graft.operators.{Dedup, GapFill, Rollup}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, Path => JPath}
+import scala.jdk.CollectionConverters._
+
+/** The multi-series time-series store — the Spark re-expression of the
+  * reference's whole API surface (`create`/`info`/`update`/`updateMany`/
+  * `fetch`, `src/hoard.coffee:515-519`) over time-partitioned Parquet.
+  *
+  * One store holds MANY series (the reference: one file per series);
+  * each archive level is a Parquet table `level=<step>` of
+  * (series_id, interval, value, seq), month-partitioned. Semantics per
+  * SURVEY §2.2, with the reference's defects fixed by intent (§2.3):
+  * xff honored (B1), single update propagates (B2), batch coalescing
+  * moot under Parquet (B3).
+  *
+  * Determinism: every write carries a monotone `seq` stamp; merges are
+  * last-write-wins by seq (the distributed replacement for the
+  * reference's single-fd write ordering). `now` is always an explicit
+  * parameter — never wall clock (SURVEY §5.3).
+  *
+  * Scale notes: merges rewrite only the month partitions a batch
+  * touches (dynamic partition overwrite); propagation recomputes only
+  * touched coarser intervals (§2.2.10) from the level above (§2.2.8),
+  * each hop one partial-aggregated groupBy. `localCheckpoint` breaks
+  * the read-overwrite cycle locally; a production deploy would swap the
+  * level tables to a transactional table format with the same plan.
+  */
+final class HoardStore private (val spark: SparkSession, val root: String) {
+
+  import HoardStore._
+
+  def policy: ArchivePolicy = readPolicy(root)
+
+  // ---- write path ----------------------------------------------------
+
+  /** Single-point update (`src/hoard.coffee:181-239`): rejects
+    * timestamps in the future or older than maxRetention, then behaves
+    * as a one-point batch — including propagation (fixing B2).
+    */
+  def update(series: String, value: Double, ts: Long, now: Long): Unit = {
+    val p = policy
+    val age = now - ts
+    if (!(age < p.maxRetention && age >= 0))
+      throw new IllegalArgumentException(
+        "Timestamp not covered by any archives in this database.")
+    updateMany(Seq(RawPoint(series, ts, value)), now)
+  }
+
+  /** Batch upsert (`src/hoard.coffee:241-293`): each point routes to the
+    * finest archive covering its age; points older than every archive
+    * are silently dropped; future points land in the finest archive
+    * (matching the reference's binning loop, which never checks the
+    * future side on the batch path).
+    */
+  def updateMany(points: Seq[RawPoint], now: Long): Unit = {
+    import spark.implicits._
+    if (points.nonEmpty)
+      updateManyDf(points.toDF("series_id", "ts", "value"), now)
+  }
+
+  /** DataFrame batch ingest: (series_id STRING, ts LONG epoch-seconds,
+    * value DOUBLE [, seq LONG]). Row order in the batch is made
+    * deterministic with a per-batch stamp: chronological (the reference
+    * sorts oldest-first per archive and commits in order, so the
+    * chronologically-last write lands last per slot), with the optional
+    * caller `seq` column (ingest sequence) breaking same-second ties.
+    */
+  def updateManyDf(batch0: DataFrame, now: Long): Unit = {
+    val p = policy
+    val base = nextSeqBase(root)
+    val levels = p.sorted
+
+    val hasSeq = batch0.columns.contains("seq")
+    val batch = if (hasSeq) batch0.withColumnRenamed("seq", "in_seq") else batch0
+    val tieBreak = if (hasSeq) col("in_seq") else col("series_id")
+
+    // age-based routing: level index = finest archive covering the age
+    val routed = batch
+      .withColumn("age", lit(now) - col("ts"))
+      .withColumn("lvl", levelForAgeExpr(levels))
+      .where(col("lvl").isNotNull) // too-old points silently dropped
+      .withColumn("seq",
+        lit(base + 1) + row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), tieBreak)).cast("long"))
+      .localCheckpoint(true)
+
+    // touched coarse intervals cascade down from every direct write
+    var touchedBelow: DataFrame = null // (series_id, interval) at current lvl
+    levels.zipWithIndex.foreach { case (ar, i) =>
+      val direct = routed.where(col("lvl") === i)
+        .select(col("series_id"),
+          Time.align(timestamp_seconds(col("ts")), ar.step).as("interval"),
+          col("value"), col("seq"))
+
+      val newRows =
+        if (i == 0) direct
+        else {
+          // propagation (xff gate + mean) from the level above, only for
+          // touched intervals; propagated rows stamp below this batch's
+          // direct rows (the reference commits direct archive writes
+          // after earlier archives' propagation)
+          val touched = touchedBelow
+            .select(col("series_id"),
+              Time.align(col("interval"), ar.step).as("interval"))
+            .distinct()
+          val finer = readLevel(levels(i - 1))
+          val prop = Rollup.downsample(
+              finer.join(touched.select(col("series_id").as("s2"),
+                col("interval").as("i2")),
+                col("series_id") === col("s2") &&
+                  Time.align(col("interval"), ar.step) === col("i2"), "left_semi"),
+              "series_id", "interval", "value",
+              levels(i - 1).step, ar.step, p.xff)
+            .withColumn("seq", lit(base))
+          prop.unionByName(direct)
+        }
+
+      val touchedHere = newRows.select("series_id", "interval").distinct()
+        .localCheckpoint(true)
+      if (touchedHere.head(1).nonEmpty) mergeLevel(ar, newRows, touchedHere)
+      touchedBelow =
+        if (touchedBelow == null) touchedHere
+        else touchedBelow.select(col("series_id"), col("interval"))
+          .unionByName(touchedHere).distinct().localCheckpoint(true)
+    }
+    writeSeqBase(root, base + 1 + 2000000000L)
+  }
+
+  /** Merge new rows into a level: last-write-wins per (series, interval)
+    * by seq, rewriting only the touched month partitions.
+    */
+  private def mergeLevel(ar: Archive, newRows: DataFrame,
+                         touched: DataFrame): Unit = {
+    val existing = readLevelWithSeq(ar)
+      .join(touched.select(col("series_id").as("s2"),
+          month(col("interval")).as("m2"), year(col("interval")).as("y2"))
+          .distinct(),
+        year(col("interval")) === col("y2") &&
+          month(col("interval")) === col("m2"), "left_semi")
+    val merged = Dedup.lastWriteWins(
+        existing.unionByName(newRows),
+        Seq(col("series_id"), col("interval")), col("seq"),
+        Seq("value" -> col("value"), "seq_keep" -> col("seq")))
+      .withColumnRenamed("seq_keep", "seq")
+      .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // only touched months
+      .partitionBy("p_month")
+      .parquet(levelPath(root, ar.step))
+  }
+
+  // ---- read path -----------------------------------------------------
+
+  private def levelSchema = StructType(Seq(
+    StructField("series_id", StringType), StructField("interval", TimestampType),
+    StructField("value", DoubleType), StructField("seq", LongType)))
+
+  private def readLevelWithSeq(ar: Archive): DataFrame = {
+    val p = levelPath(root, ar.step)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
+    if (!Files.exists(Paths.get(p))) empty
+    else
+      // a vacuumed-to-nothing level dir has no footers to infer from
+      try spark.read.parquet(p).select("series_id", "interval", "value", "seq")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
+
+  def readLevel(ar: Archive): DataFrame =
+    readLevelWithSeq(ar).select("series_id", "interval", "value")
+
+  /** Range fetch (`src/hoard.coffee:426-513`): clamp/validate bounds,
+    * route to the finest archive covering `now - from` (the fetch
+    * planner — rollup-level selection before the plan is built), bump
+    * both bounds one step past the floor, and return a dense gap-filled
+    * frame over [fromInterval, toInterval).
+    */
+  def fetch(series: String, from0: Long, to0: Long, now: Long): (TimeInfo, DataFrame) = {
+    val p = policy
+    val oldest = now - p.maxRetention
+    val from = math.max(from0, oldest)
+    require(from < to0, "Invalid time interval")
+    val to = if (to0 > now || to0 < from) now else to0
+    val ar = p.forAge(now - from).getOrElse(p.sorted.last)
+    val fromInterval = Time.bumpEpoch(from, ar.step)
+    val toInterval = Time.bumpEpoch(to, ar.step)
+    val data = readLevel(ar)
+      .where(col("series_id") === series &&
+        col("interval") >= timestamp_seconds(lit(fromInterval)) &&
+        col("interval") < timestamp_seconds(lit(toInterval)))
+    val universe = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(series)),
+      StructType(Seq(StructField("series_id", StringType))))
+    val dense = GapFill.densify(data, universe, "series_id", "interval",
+      Seq("value"), fromInterval, toInterval, ar.step)
+    (TimeInfo(fromInterval, toInterval, ar.step), dense)
+  }
+
+  /** Test/driver convenience: materialized dense values in interval
+    * order (the reference's `values` array).
+    */
+  def fetchValues(series: String, from: Long, to: Long, now: Long): (TimeInfo, Seq[Option[Double]]) = {
+    val (ti, df) = fetch(series, from, to, now)
+    val vals = df.orderBy("interval").select("value").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    (ti, vals)
+  }
+
+  /** Retention vacuum: drop rows beyond each level's retention —
+    * the Parquet analogue of ring-buffer wraparound reclaiming slots.
+    */
+  def vacuum(now: Long): Unit = {
+    policy.sorted.foreach { ar =>
+      val p = levelPath(root, ar.step)
+      if (Files.exists(Paths.get(p))) {
+        val kept = spark.read.parquet(p)
+          .where(col("interval") >= timestamp_seconds(lit(now - ar.retention)))
+          .select("series_id", "interval", "value", "seq")
+          .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
+          .localCheckpoint(true)
+        // static overwrite: months fully past retention must disappear
+        kept.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("p_month").parquet(p)
+      }
+    }
+  }
+}
+
+object HoardStore {
+
+  final case class RawPoint(series_id: String, ts: Long, value: Double)
+  final case class TimeInfo(fromInterval: Long, toInterval: Long, step: Long)
+
+  /** DDL (`src/hoard.coffee:30-69`): rejects an existing store, persists
+    * the policy catalog. No preallocation — Parquet levels appear on
+    * first write.
+    */
+  def create(spark: SparkSession, root: String, policy: ArchivePolicy): HoardStore = {
+    val dir = Paths.get(root)
+    if (Files.exists(policyFile(root)))
+      throw new IllegalStateException(s"Store already exists: $root")
+    Files.createDirectories(dir)
+    writePolicy(root, policy)
+    writeSeqBase(root, 0L)
+    new HoardStore(spark, root)
+  }
+
+  def open(spark: SparkSession, root: String): HoardStore = {
+    require(Files.exists(policyFile(root)), s"No store at $root")
+    new HoardStore(spark, root)
+  }
+
+  /** Catalog read (`src/hoard.coffee:392-424`) — policy + derived
+    * retention, without touching data files (fixing B4's whole-file
+    * read per op).
+    */
+  def info(spark: SparkSession, root: String): ArchivePolicy = readPolicy(root)
+
+  // ---- catalog persistence (.properties: no JSON dep needed) ---------
+
+  private def policyFile(root: String): JPath = Paths.get(root, "_policy.properties")
+
+  private def writePolicy(root: String, p: ArchivePolicy): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("archives",
+      p.sorted.map(a => s"${a.step}:${a.points}").mkString(","))
+    props.setProperty("xff", p.xff.toString)
+    val out = Files.newOutputStream(policyFile(root))
+    try props.store(out, "graft hoard store policy") finally out.close()
+  }
+
+  private def readPolicy(root: String): ArchivePolicy = {
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(policyFile(root))
+    try props.load(in) finally in.close()
+    val archives = props.getProperty("archives").split(",").toSeq.map { s =>
+      val Array(step, points) = s.split(":")
+      Archive(step.toLong, points.toLong)
+    }
+    ArchivePolicy(archives, props.getProperty("xff").toDouble)
+  }
+
+  private def seqFile(root: String): JPath = Paths.get(root, "_seq")
+
+  private def writeSeqBase(root: String, v: Long): Unit =
+    Files.writeString(seqFile(root), v.toString)
+
+  private def nextSeqBase(root: String): Long =
+    if (Files.exists(seqFile(root))) Files.readString(seqFile(root)).trim.toLong
+    else 0L
+
+  private[store] def levelPath(root: String, step: Long): String =
+    s"$root/level=$step"
+
+  /** CASE chain routing an age to the finest covering archive index
+    * (`src/hoard.coffee:257-272`); NULL = older than every archive.
+    */
+  private def levelForAgeExpr(levels: Seq[Archive]) = {
+    val first = when(col("age") <= levels.head.retention, lit(0))
+    val chained = levels.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (ar, i)) => acc.when(col("age") <= ar.retention, lit(i))
+    }
+    chained.otherwise(lit(null))
+  }
+}

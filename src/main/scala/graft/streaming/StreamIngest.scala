@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.store.HoardStore
+import org.apache.spark.sql.{DataFrame, ForeachWriter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming ingress feeding the batch write path — SURVEY
+  * §3.4: streaming is only the ingress; rollups stay batch-recomputable
+  * because points may arrive arbitrarily late *within retention*
+  * (Whisper's raison d'être), which rules out watermark-closed
+  * aggregation. Each micro-batch runs the store's deterministic
+  * upsert + cascade; a watermark (if configured upstream) bounds only
+  * dedup state, never rollup finality.
+  */
+object StreamIngest {
+
+  /** Attach a streaming frame of (series_id STRING, ts LONG epoch-sec,
+    * value DOUBLE) to a store. `now` is resolved per batch by the
+    * caller-supplied clock so tests stay deterministic.
+    */
+  def start(stream: DataFrame, store: HoardStore, clock: () => Long,
+            checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.updateManyDf(batch, clock())
+      }
+      .start()
+
+  /** Streaming aggregation example over the events shape: watermarked
+    * tumbling hourly counts/means per series — the declarative
+    * streaming analogue of the finest archive.
+    */
+  def hourlyAggregates(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("series_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"),
+        max(col("value")).as("max_value"))
+      .select(col("series_id"), col("window.start").as("bucket"),
+        col("n"), col("mean_value"), col("max_value"))
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.core.{Archive, ArchivePolicy}
+import graft.store.HoardStore
+import graft.store.HoardStore.RawPoint
+
+/** Store-level contract tests — each maps to a SURVEY §2.2 item or a
+  * §2.3 fix-by-intent.
+  */
+class HoardStoreSpec extends SparkTestBase {
+
+  private val policy = ArchivePolicy.referenceTest // 1h x 1y + 1d x 3y
+  private val now = 1312502906L                    // pinned, test/hoard.test.coffee:117
+
+  private def freshStore() =
+    HoardStore.create(spark, tmpDir("hoard") + "/store", policy)
+
+  test("create rejects an existing store; info reads the catalog back") {
+    val s = freshStore()
+    intercept[IllegalStateException] {
+      HoardStore.create(spark, s.root, policy)
+    }
+    val p = HoardStore.info(spark, s.root)
+    assert(p.sorted == policy.sorted && p.xff == 0.5 && p.maxRetention == 94608000L)
+  }
+
+  test("update + fetch roundtrip with interval alignment") {
+    val s = freshStore()
+    val t = now - 7200
+    s.update("cpu", 42.5, t, now)
+    val (ti, vals) = s.fetchValues("cpu", t - 3600, t + 3600, now)
+    assert(ti.step == 3600)
+    assert(vals.flatten == Seq(42.5))
+  }
+
+  test("last write wins within an interval (contract 2.2.2)") {
+    val s = freshStore()
+    val t = now - 7200
+    s.update("cpu", 1.0, t, now)
+    s.update("cpu", 2.0, t + 60, now) // same hourly slot, later write
+    val (_, vals) = s.fetchValues("cpu", t - 3600, t + 3600, now)
+    assert(vals.flatten == Seq(2.0))
+  }
+
+  test("single update propagates to lower archives (B2 fixed)") {
+    val s = freshStore()
+    val dayStart = (now - 200000) / 86400 * 86400
+    // 12 hourly points = exactly xff 0.5 of 24 -> daily value written
+    (0 until 12).foreach(h => s.updateMany(Seq(RawPoint("cpu", dayStart + h * 3600, h.toDouble)), now))
+    val daily = s.readLevel(Archive(86400, 1095))
+      .where(org.apache.spark.sql.functions.col("series_id") === "cpu").collect()
+    assert(daily.length == 1)
+    assert(daily.head.getAs[Double]("value") == (0 until 12).sum / 12.0)
+  }
+
+  test("xff gate rejects sparse intervals but keeps stale values (2.2.7)") {
+    val s = freshStore()
+    val dayStart = (now - 2000000) / 86400 * 86400
+    // first: 12 points -> daily mean 5.5 written
+    s.updateMany((0 until 12).map(h => RawPoint("cpu", dayStart + h * 3600, h.toDouble)), now)
+    val daily1 = s.readLevel(Archive(86400, 1095)).collect()
+    assert(daily1.length == 1 && daily1.head.getAs[Double]("value") == 5.5)
+    // then a different day with too-few points: no daily row for it,
+    // and the old daily value stays
+    val day2 = dayStart + 5 * 86400
+    s.updateMany(Seq(RawPoint("cpu", day2, 99.0)), now)
+    val daily2 = s.readLevel(Archive(86400, 1095)).orderBy("interval").collect()
+    assert(daily2.length == 1 && daily2.head.getAs[Double]("value") == 5.5)
+  }
+
+  test("write validation: update rejects future and too-old; batch drops silently (2.2.5)") {
+    val s = freshStore()
+    intercept[IllegalArgumentException] { s.update("cpu", 1.0, now + 10, now) }
+    intercept[IllegalArgumentException] { s.update("cpu", 1.0, now - policy.maxRetention, now) }
+    // batch: too-old dropped, valid point kept
+    s.updateMany(Seq(
+      RawPoint("cpu", now - policy.maxRetention - 5, 1.0),
+      RawPoint("cpu", now - 3600, 2.0)), now)
+    val hourly = s.readLevel(policy.finest).collect()
+    val daily = s.readLevel(Archive(86400, 1095)).collect()
+    assert(hourly.length + daily.length == 1)
+  }
+
+  test("age-based routing: old points go directly to the daily archive (2.2.4)") {
+    val s = freshStore()
+    val oldTs = now - 40000000 // ~1.3y: beyond hourly retention, within daily
+    s.updateMany(Seq(RawPoint("cpu", oldTs, 7.0)), now)
+    assert(s.readLevel(policy.finest).isEmpty)
+    val daily = s.readLevel(Archive(86400, 1095)).collect()
+    assert(daily.length == 1 && daily.head.getAs[Double]("value") == 7.0)
+    // fetch with a window reaching that far picks the daily archive
+    val (ti, vals) = s.fetchValues("cpu", oldTs - 86400, oldTs + 86400, now)
+    assert(ti.step == 86400)
+    assert(vals.flatten == Seq(7.0))
+  }
+
+  test("fetch clamps from to retention and to to now (2.2.6)") {
+    val s = freshStore()
+    s.update("cpu", 3.0, now - 1800, now)
+    // from far before retention, to far in the future
+    val (ti, vals) = s.fetchValues("cpu", now - policy.maxRetention * 2, now + 99999, now)
+    assert(ti.step == 86400) // clamped from -> full-retention age -> daily
+    assert(ti.fromInterval == graft.core.Time.bumpEpoch(now - policy.maxRetention, 86400))
+    assert(ti.toInterval == graft.core.Time.bumpEpoch(now, 86400))
+    intercept[IllegalArgumentException] { s.fetch("cpu", now + 10, now + 20, now) }
+  }
+
+  test("fetch on an empty store returns all nulls (reference :450-456)") {
+    val s = freshStore()
+    val (ti, vals) = s.fetchValues("ghost", now - 7200, now, now)
+    assert(vals.size == ((ti.toInterval - ti.fromInterval) / ti.step).toInt)
+    assert(vals.flatten.isEmpty)
+  }
+
+  test("vacuum drops rows beyond each level's retention") {
+    val s = freshStore()
+    s.updateMany(Seq(RawPoint("cpu", now - 3600, 1.0)), now)
+    // age the store: advance the clock by 2 years so the hourly row expires
+    val later = now + 2 * 31536000L
+    s.vacuum(later)
+    assert(s.readLevel(policy.finest).isEmpty)
+  }
+}

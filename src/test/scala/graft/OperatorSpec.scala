@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.Time
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("lastWriteWins keeps the highest-seq value per group") {
+    val df = Seq(
+      ("a", 0L, 1.0, 1L), ("a", 0L, 2.0, 3L), ("a", 0L, 9.0, 2L),
+      ("a", 60L, 5.0, 4L), ("b", 0L, 7.0, 5L)
+    ).toDF("series_id", "interval", "value", "seq")
+    val got = Dedup.lastWriteWins(df, Seq($"series_id", $"interval"), $"seq",
+        Seq("value" -> $"value"))
+      .orderBy("series_id", "interval")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 0L, 2.0), ("a", 60L, 5.0), ("b", 0L, 7.0)))
+  }
+
+  test("xff gate: >= boundary passes, below fails, mean over known only") {
+    // 24 expected hourly points per day; xff 0.5 -> 12 needed
+    def hourly(n: Int) = (0 until n).map(h =>
+      ("s", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L)), h.toDouble))
+      .toDF("series_id", "interval", "value")
+    val pass = Rollup.downsample(hourly(12), "series_id", "interval", "value",
+      3600, 86400, 0.5).collect()
+    assert(pass.length == 1)
+    assert(pass.head.getAs[Double]("value") == (0 until 12).sum / 12.0)
+    val fail = Rollup.downsample(hourly(11), "series_id", "interval", "value",
+      3600, 86400, 0.5).collect()
+    assert(fail.isEmpty)
+  }
+
+  test("cascade is mean-of-means, not mean-of-raw") {
+    // day 1: hourly values 0..23 (mean 11.5); day 2: single hour value 100
+    // with xff 0 the weekly mean-of-means = (11.5 + 100) / 2 = 55.75,
+    // while mean-of-raw would be (0+..+23+100)/25 = 15.04
+    val rows = ((0 until 24).map(h => ("s", ts(h * 3600L), h.toDouble)) :+
+      ("s", ts(86400L + 3600L), 100.0))
+      .toDF("series_id", "interval", "value")
+    val daily = Rollup.downsample(rows, "series_id", "interval", "value",
+      3600, 86400, 0.0)
+    val weekly = Rollup.downsample(daily, "series_id", "interval", "value",
+      86400, 604800, 0.0).collect()
+    assert(weekly.length == 1)
+    assert(weekly.head.getAs[Double]("value") == 55.75)
+  }
+
+  test("gap-fill emits a dense window with nulls") {
+    val values = Seq(("s", ts(3600L), 1.0)).toDF("series_id", "interval", "value")
+    val universe = Seq("s").toDF("series_id")
+    val got = GapFill.densify(values, universe, "series_id", "interval",
+        Seq("value"), 0L, 4 * 3600L, 3600L)
+      .orderBy("interval")
+      .select("value").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(None, Some(1.0), None, None))
+  }
+
+  test("as-of returns latest value at or before t, seq tiebreak") {
+    val df = Seq(
+      ("a", ts(100L), 5L, 1.0), ("a", ts(200L), 6L, 2.0),
+      ("a", ts(200L), 7L, 3.0), ("a", ts(300L), 8L, 4.0),
+      ("b", ts(400L), 9L, 9.0)
+    ).toDF("series_id", "ts", "seq", "value")
+    val got = AsOf.latestAtOrBefore(df, "series_id", "ts", "seq", "value",
+        timestamp_seconds(lit(250L)))
+      .orderBy("series_id")
+      .select("series_id", "value").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 3.0))) // ties at ts=200 -> seq 7 wins; b excluded
+  }
+
+  private def ts(epoch: Long) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epoch))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.core.ArchivePolicy
+import graft.store.HoardStore
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming micro-batches feed the store upsert + cascade") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val now = 1312502906L
+    val store = HoardStore.create(spark, tmpDir("stream") + "/store",
+      ArchivePolicy.referenceTest)
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("series_id", "ts", "value")
+    val q = StreamIngest.start(stream, store, () => now,
+      tmpDir("stream-ckpt"))
+
+    mem.addData(("cpu", now - 7200, 1.0), ("cpu", now - 7200 + 60, 2.0),
+      ("mem", now - 3600, 9.0))
+    q.awaitTermination(120000)
+
+    val (_, cpu) = store.fetchValues("cpu", now - 10800, now, now)
+    assert(cpu.flatten == Seq(2.0)) // within-batch last-write-wins held
+    val (_, memV) = store.fetchValues("mem", now - 10800, now, now)
+    assert(memV.flatten == Seq(9.0))
+  }
+
+  test("watermarked hourly streaming aggregate (declarative ingress)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("series_id", "ts", "value")
+    val agg = StreamIngest.hourlyAggregates(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_agg").start()
+    def t(e: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e))
+    mem.addData(("cpu", t(3600), 1.0), ("cpu", t(3660), 3.0), ("cpu", t(7200), 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT series_id, bucket, n, mean_value FROM hourly_agg ORDER BY bucket")
+      .collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("mean_value") == 2.0)
+    assert(rows(1).getAs[Long]("n") == 1)
+  }
+}
