@@ -73,11 +73,15 @@ object PipelineQueries {
     }),
 
     "p4_jaccard" -> ((s, dir) => {
-      val bg = TextOps.shingles(toks(s, dir), "doc_id", 2)
-        .select(col("doc_id"), col("shingle").as("bg")).distinct()
+      // join on dense int shingle ids, not strings: the inverted-index
+      // self-join shuffles ~50M rows at sf0.1 — longs keep it compact
+      val bgRaw = TextOps.shingles(toks(s, dir), "doc_id", 2)
+        .select(col("doc_id"), col("shingle"))
+      val bg = bgRaw.join(TextOps.vocabIds(bgRaw, "shingle"), "shingle")
+        .select(col("doc_id"), col("vid")).distinct()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = bg.select(col("doc_id").as("id_a"), col("bg"))
-        .join(bg.select(col("doc_id").as("id_b"), col("bg")), "bg")
+      val inter = bg.select(col("doc_id").as("id_a"), col("vid"))
+        .join(bg.select(col("doc_id").as("id_b"), col("vid")), "vid")
         .where(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
       inter
@@ -98,13 +102,13 @@ object PipelineQueries {
 
     "p6_embpairs" -> ((s, dir) => {
       val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("id_a"),
-        Embeddings.asDouble(col("embedding")).as("va"))
-      val b = e.select(col("vec_id").as("id_b"),
-        Embeddings.asDouble(col("embedding")).as("vb"))
+      val a = Embeddings.withUnitVector(e, "embedding", "va")
+        .select(col("vec_id").as("id_a"), col("va"))
+      val b = Embeddings.withUnitVector(e, "embedding", "vb")
+        .select(col("vec_id").as("id_b"), col("vb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Embeddings.cosine(col("va"), col("vb")), 6).as("sim"))
+          round(Embeddings.unitCosine("va", "vb"), 6).as("sim"))
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(50)
     }),
@@ -119,17 +123,17 @@ object PipelineQueries {
     "p8_annlsh" -> ((s, dir) => {
       val e = emb(s, dir)
       val buckets = Embeddings.lshBuckets(e, planes = 4)
-      val v = e.join(buckets, "vec_id")
-        .select(col("vec_id"), col("bucket"),
-          Embeddings.asDouble(col("embedding")).as("v"))
+      val v = Embeddings.withUnitVector(e.join(buckets, "vec_id"),
+          "embedding", "uv")
+        .select(col("vec_id"), col("bucket"), col("uv"))
       val q = v.select(col("vec_id").as("query_id"), col("bucket"),
-        col("v").as("qv"))
+        col("uv").as("qn"))
       val c = v.select(col("vec_id").as("neighbor_id"), col("bucket"),
-        col("v").as("cv"))
+        col("uv").as("cn"))
       val scored = q.join(c, Seq("bucket"))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("bucket"),
-          round(Embeddings.cosine(col("qv"), col("cv")), 6).as("sim"))
+          round(Embeddings.unitCosine("qn", "cn"), 6).as("sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       scored.withColumn("rnk", row_number().over(w).cast("long"))
