@@ -212,6 +212,28 @@ object RelationalQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "q19_json" -> ((s, dir) => {
+      // props is a JSON object column; extract a typed field and
+      // aggregate it (engine surface: get_json_object / from_json)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    "q20_approx" -> ((s, dir) => {
+      // approx_count_distinct (HLL++) next to the exact count — sketch
+      // results are engine-specific, so this query is EXCLUDED from the
+      // DuckDB oracle (rows-only check) by design
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q18_condagg" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("bucket"))
@@ -363,6 +385,12 @@ object RelationalQueries {
         |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q19_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q18_condagg" ->
       """SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS bucket,
