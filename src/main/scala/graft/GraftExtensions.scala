@@ -1,0 +1,21 @@
+package graft
+
+import graft.functions.ArrayDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point — lets a deploy wire the library's
+  * custom expressions into every session via
+  * `spark.sql.extensions=graft.GraftExtensions` (the standard library
+  * integration path; no code changes in the consuming app). Sessions we
+  * build ourselves call `ArrayDot.register` directly instead.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
+  }
+}

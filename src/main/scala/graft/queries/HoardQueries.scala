@@ -97,8 +97,51 @@ object HoardQueries {
         .select(col("user_id"), round(col("value"), 6).as("value"),
           date_trunc("second", col("ts")).cast("string").as("asof_ts"))
         .orderBy("user_id")
+    }),
+
+    "h7_asofjoin" -> ((s, dir) => {
+      // row-wise as-of join: every purchase gets the user's latest click
+      // value at or before it (union+window pattern: one sort per key,
+      // no N x M range explosion)
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.asOfJoin(purchases, clicks, "user_id", "ts", "ts", "value",
+          "last_click_v")
+        .select(col("event_id"), col("user_id"),
+          round(col("last_click_v"), 6).as("last_click_v"))
+        .orderBy("event_id")
+    }),
+
+    "s1_stream" -> ((s, dir) => {
+      // the same events parquet driven through Structured Streaming:
+      // micro-batched file source -> tumbling hourly aggregate -> memory
+      // sink; the oracle recomputes it statically
+      graft.Graft.configure(s)
+      val path = s"$dir/events.parquet"
+      // the file source wants a directory: stream the sf dir filtered
+      // down to the events file
+      val raw = s.readStream.schema(s.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_type").as("series_id"), col("ts"), col("value"))
+      val name = "s1_agg_" + StreamCounter.incrementAndGet()
+      val q = graft.streaming.StreamIngest.hourlyAggregates(stream)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .select(col("series_id"), col("bucket").cast("string").as("bucket"),
+          col("n"), round(col("mean_value"), 6).as("mean_value"),
+          round(col("max_value"), 6).as("max_value"))
+        .orderBy("series_id", "bucket")
     })
   )
+
+  private val StreamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val oracles: Map[String, String] = Map(
     "h1_lww" ->
@@ -161,6 +204,23 @@ object HoardQueries {
       """SELECT user_id, ROUND(arg_max(value, ts), 6) AS value,
         |       CAST(date_trunc('second', MAX(ts)) AS VARCHAR) AS asof_ts
         |FROM events WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "h7_asofjoin" ->
+      """SELECT a.event_id, a.user_id, ROUND(b.value, 6) AS last_click_v
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin,
+
+    "s1_stream" ->
+      """SELECT event_type AS series_id,
+        |       CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+        |       COUNT(*) AS n, ROUND(AVG(value), 6) AS mean_value,
+        |       ROUND(MAX(value), 6) AS max_value
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY series_id, bucket""".stripMargin
   )
 }

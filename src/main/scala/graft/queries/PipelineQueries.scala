@@ -80,6 +80,9 @@ object PipelineQueries {
       val bg = bgRaw.join(TextOps.vocabIds(bgRaw, "shingle"), "shingle")
         .select(col("doc_id"), col("vid")).distinct()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // shuffle join on vid (not broadcast): the pair-count aggregation
+      // over ~12M groups needs the shuffle's spread; a broadcast join
+      // measured 2x slower here from partial-agg hash pressure
       val inter = bg.select(col("doc_id").as("id_a"), col("vid"))
         .join(bg.select(col("doc_id").as("id_b"), col("vid")), "vid")
         .where(col("id_a") < col("id_b"))
