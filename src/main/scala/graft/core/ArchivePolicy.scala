@@ -10,7 +10,8 @@ final case class Archive(step: Long, points: Long) {
   def retention: Long = step * points
 }
 
-/** A retention policy = ordered archives + the downsample gate factor.
+/** A retention policy = ordered archives + the downsample gate factor
+  * + the consolidation function.
   *
   * Mirrors the reference's header semantics (`src/hoard.coffee:30-69`)
   * with the validation Python Whisper applies (the reference skips it):
@@ -21,10 +22,18 @@ final case class Archive(step: Long, points: Long) {
   * `xff` is honored as given — the reference accidentally hardcodes 0.5
   * at create (`src/hoard.coffee:40-46`, bug B1 in SURVEY §2.3); we keep
   * the intended parameter with the same default.
+  *
+  * `cf` is the consolidation function applied when propagating to
+  * coarser archives — the reference ships only the mean and flags the
+  * gap itself (`TODO: Another CF besides average?`,
+  * `src/hoard.coffee:156`); Whisper's own set is avg/min/max/sum/last.
   */
-final case class ArchivePolicy(archives: Seq[Archive], xff: Double = 0.5) {
+final case class ArchivePolicy(archives: Seq[Archive], xff: Double = 0.5,
+                               cf: String = "avg") {
   require(archives.nonEmpty, "policy needs at least one archive")
   require(xff >= 0.0 && xff <= 1.0, s"xff must be in [0,1], got $xff")
+  require(ArchivePolicy.CFs.contains(cf),
+    s"cf must be one of ${ArchivePolicy.CFs.mkString("/")}, got $cf")
 
   val sorted: Seq[Archive] = archives.sortBy(_.step)
   require(sorted.map(_.step).distinct.size == sorted.size,
@@ -57,6 +66,9 @@ final case class ArchivePolicy(archives: Seq[Archive], xff: Double = 0.5) {
 }
 
 object ArchivePolicy {
+  /** Supported consolidation functions (Whisper's aggregationMethods). */
+  val CFs: Set[String] = Set("avg", "min", "max", "sum", "last")
+
   /** The reference test policy: 1h×1y + 1d×3y (`test/hoard.test.coffee:95`). */
   val referenceTest: ArchivePolicy =
     ArchivePolicy(Seq(Archive(3600, 8760), Archive(86400, 1095)))

@@ -26,17 +26,29 @@ object Rollup {
   /** One downsample hop. Input columns: (seriesCol, intervalCol: timestamp
     * aligned at finerStep, valueCol: double). Output: same shape at
     * coarserStep.
+    *
+    * `cf` picks the consolidation function (avg/min/max/sum/last) — the
+    * reference hardcodes the mean and flags the gap itself
+    * (`src/hoard.coffee:156`); "last" = value of the latest finer slot.
     */
   def downsample(finer: DataFrame, seriesCol: String, intervalCol: String,
                  valueCol: String, finerStep: Long, coarserStep: Long,
-                 xff: Double): DataFrame = {
+                 xff: Double, cf: String = "avg"): DataFrame = {
     require(coarserStep % finerStep == 0, s"$coarserStep not a multiple of $finerStep")
     val expected = (coarserStep / finerStep).toDouble
+    val agged = cf match {
+      case "avg"  => avg(col(valueCol))
+      case "min"  => min(col(valueCol))
+      case "max"  => max(col(valueCol))
+      case "sum"  => sum(col(valueCol))
+      case "last" => max_by(col(valueCol), col("__fi"))
+      case other  => throw new IllegalArgumentException(s"unknown cf: $other")
+    }
     finer
+      .withColumn("__fi", col(intervalCol)) // pre-group copy for "last"
       .groupBy(col(seriesCol),
         Time.align(col(intervalCol), coarserStep).as(intervalCol))
-      .agg(avg(col(valueCol)).as(valueCol),
-        count(col(valueCol)).as("__known"))
+      .agg(agged.as(valueCol), count(col(valueCol)).as("__known"))
       // xff gate: >= keeps the boundary case, matching `knownPercent >= xff`
       .where(col("__known").cast("double") / lit(expected) >= lit(xff))
       .drop("__known")
@@ -51,7 +63,7 @@ object Rollup {
     steps.tail.foldLeft(Map(steps.head -> finest)) { (acc, coarser) =>
       val finerStep = steps(steps.indexOf(coarser) - 1)
       acc + (coarser -> downsample(acc(finerStep), seriesCol, intervalCol,
-        valueCol, finerStep, coarser, policy.xff))
+        valueCol, finerStep, coarser, policy.xff, policy.cf))
     }
   }
 }

@@ -61,15 +61,26 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
   def updateMany(points: Seq[RawPoint], now: Long): Unit = {
     import spark.implicits._
     if (points.nonEmpty)
-      updateManyDf(points.toDF("series_id", "ts", "value"), now)
+      // input order is the ingest sequence (deterministic tiebreak)
+      updateManyDf(points.zipWithIndex
+        .map { case (pt, i) => (pt.series_id, pt.ts, pt.value, i.toLong) }
+        .toDF("series_id", "ts", "value", "seq"), now)
   }
 
   /** DataFrame batch ingest: (series_id STRING, ts LONG epoch-seconds,
-    * value DOUBLE [, seq LONG]). Row order in the batch is made
-    * deterministic with a per-batch stamp: chronological (the reference
-    * sorts oldest-first per archive and commits in order, so the
-    * chronologically-last write lands last per slot), with the optional
-    * caller `seq` column (ingest sequence) breaking same-second ties.
+    * value DOUBLE [, seq LONG]).
+    *
+    * Writes are made deterministic WITHOUT any global sort (a
+    * row_number over an unpartitioned window would serialize the batch
+    * through one task at cluster scale): the last-write-wins key is the
+    * composite struct (batch, kind, ts, seq) — later batches beat
+    * earlier ones (the reference: later writes to a slot overwrite),
+    * within a batch chronological order wins (the reference sorts
+    * oldest-first per archive and commits in order), the caller's `seq`
+    * column breaks same-second ties, and direct writes (kind=1) beat
+    * the same batch's propagated values (kind=0), matching the
+    * reference's commit ordering (archive commits happen after earlier
+    * archives' propagation).
     */
   def updateManyDf(batch0: DataFrame, now: Long): Unit = {
     val p = policy
@@ -78,17 +89,16 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
 
     val hasSeq = batch0.columns.contains("seq")
     val batch = if (hasSeq) batch0.withColumnRenamed("seq", "in_seq") else batch0
-    val tieBreak = if (hasSeq) col("in_seq") else col("series_id")
+    val tieBreak = if (hasSeq) col("in_seq") else lit(0L)
 
     // age-based routing: level index = finest archive covering the age
     val routed = batch
       .withColumn("age", lit(now) - col("ts"))
       .withColumn("lvl", levelForAgeExpr(levels))
       .where(col("lvl").isNotNull) // too-old points silently dropped
-      .withColumn("seq",
-        lit(base + 1) + row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("ts"), tieBreak)).cast("long"))
+      .withColumn("seq", struct(
+        lit(base + 1).as("b"), lit(1).as("k"),
+        col("ts").as("t"), tieBreak.cast("long").as("s")))
       .localCheckpoint(true)
 
     // touched coarse intervals cascade down from every direct write
@@ -117,8 +127,9 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
                 col("series_id") === col("s2") &&
                   Time.align(col("interval"), ar.step) === col("i2"), "left_semi"),
               "series_id", "interval", "value",
-              levels(i - 1).step, ar.step, p.xff)
-            .withColumn("seq", lit(base))
+              levels(i - 1).step, ar.step, p.xff, p.cf)
+            .withColumn("seq", struct(lit(base + 1).as("b"), lit(0).as("k"),
+              lit(0L).as("t"), lit(0L).as("s")))
           prop.unionByName(direct)
         }
 
@@ -130,7 +141,7 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
         else touchedBelow.select(col("series_id"), col("interval"))
           .unionByName(touchedHere).distinct().localCheckpoint(true)
     }
-    writeSeqBase(root, base + 1 + 2000000000L)
+    writeSeqBase(root, base + 1)
   }
 
   /** Merge new rows into a level: last-write-wins per (series, interval)
@@ -161,7 +172,10 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
 
   private def levelSchema = StructType(Seq(
     StructField("series_id", StringType), StructField("interval", TimestampType),
-    StructField("value", DoubleType), StructField("seq", LongType)))
+    StructField("value", DoubleType),
+    StructField("seq", StructType(Seq(
+      StructField("b", LongType), StructField("k", IntegerType),
+      StructField("t", LongType), StructField("s", LongType))))))
 
   private def readLevelWithSeq(ar: Archive): DataFrame = {
     val p = levelPath(root, ar.step)
@@ -275,6 +289,7 @@ object HoardStore {
     props.setProperty("archives",
       p.sorted.map(a => s"${a.step}:${a.points}").mkString(","))
     props.setProperty("xff", p.xff.toString)
+    props.setProperty("cf", p.cf)
     val out = Files.newOutputStream(policyFile(root))
     try props.store(out, "graft hoard store policy") finally out.close()
   }
@@ -287,7 +302,8 @@ object HoardStore {
       val Array(step, points) = s.split(":")
       Archive(step.toLong, points.toLong)
     }
-    ArchivePolicy(archives, props.getProperty("xff").toDouble)
+    ArchivePolicy(archives, props.getProperty("xff").toDouble,
+      Option(props.getProperty("cf")).getOrElse("avg"))
   }
 
   private def seqFile(root: String): JPath = Paths.get(root, "_seq")

@@ -112,6 +112,17 @@ class HoardStoreSpec extends SparkTestBase {
     assert(vals.flatten.isEmpty)
   }
 
+  test("store honors a non-default consolidation function (cf=max)") {
+    val s = HoardStore.create(spark, tmpDir("hoard-cf") + "/store",
+      policy.copy(cf = "max"))
+    val dayStart = (now - 200000) / 86400 * 86400
+    s.updateMany((0 until 12).map(h =>
+      HoardStore.RawPoint("cpu", dayStart + h * 3600, h.toDouble)), now)
+    val daily = s.readLevel(graft.core.Archive(86400, 1095)).collect()
+    assert(daily.length == 1 && daily.head.getAs[Double]("value") == 11.0)
+    assert(HoardStore.info(spark, s.root).cf == "max") // cf roundtrips
+  }
+
   test("vacuum drops rows beyond each level's retention") {
     val s = freshStore()
     s.updateMany(Seq(RawPoint("cpu", now - 3600, 1.0)), now)

@@ -49,6 +49,21 @@ class OperatorSpec extends SparkTestBase {
     assert(weekly.head.getAs[Double]("value") == 55.75)
   }
 
+  test("consolidation functions: min/max/sum/last (the reference's own TODO)") {
+    val rows = Seq(("s", ts(0L), 3.0), ("s", ts(3600L), 1.0), ("s", ts(7200L), 2.0))
+      .toDF("series_id", "interval", "value")
+    def roll(cf: String) = Rollup.downsample(rows, "series_id", "interval",
+      "value", 3600, 86400, 0.0, cf).head().getAs[Double]("value")
+    assert(roll("avg") == 2.0)
+    assert(roll("min") == 1.0)
+    assert(roll("max") == 3.0)
+    assert(roll("sum") == 6.0)
+    assert(roll("last") == 2.0) // value of the latest finer slot
+    intercept[IllegalArgumentException] {
+      Rollup.downsample(rows, "series_id", "interval", "value", 3600, 86400, 0.0, "median")
+    }
+  }
+
   test("gap-fill emits a dense window with nulls") {
     val values = Seq(("s", ts(3600L), 1.0)).toDF("series_id", "interval", "value")
     val universe = Seq("s").toDF("series_id")
