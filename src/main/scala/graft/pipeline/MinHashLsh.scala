@@ -20,14 +20,21 @@ object MinHashLsh {
 
   /** (id, j, mh): the k-wide minhash signature of every document.
     * Input: (id, vid) — one row per (document, shingle-id) occurrence.
+    *
+    * k min-aggregates in one groupBy (partial-agg, codegen) instead of
+    * exploding occurrences k× — the shuffle carries one row per
+    * document; the (id, j, mh) shape is recovered with a stack.
     */
-  def signatures(shingleIds: DataFrame, idCol: String, k: Int): DataFrame =
+  def signatures(shingleIds: DataFrame, idCol: String, k: Int): DataFrame = {
+    val mins = (0 until k).map { j =>
+      min(pmod(lit(2 * j + 3) * col("vid") + lit(5 * j + 7), lit(P))).as(s"m$j")
+    }
+    val stacked = (0 until k).map(j => s"${j}L, m$j").mkString(", ")
     shingleIds
-      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("j"),
-        col("vid"))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(pmod((lit(2) * col("j") + 3) * col("vid") + lit(5) * col("j") + 7,
-        lit(P))).as("mh"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), expr(s"stack($k, $stacked) AS (j, mh)"))
+  }
 
   /** (id, band, key): LSH band keys — r consecutive hashes per band,
     * concatenated in j order.

@@ -15,19 +15,26 @@ object SimHash {
   private val Spread = 2654435761L // Knuth's multiplicative constant
   private val Mod32 = 4294967296L  // 2^32
 
-  /** (id, simhash): input one row per (document, token-id) occurrence. */
-  def fingerprints(tokenIds: DataFrame, idCol: String): DataFrame =
-    tokenIds
-      .select(col(idCol),
-        pmod(col("vid") * Spread, lit(Mod32)).as("g"),
-        explode(sequence(lit(0), lit(31))).as("b"))
+  /** (id, simhash): input one row per (document, token-id) occurrence.
+    *
+    * One groupBy with 32 per-bit vote aggregates (all inside one
+    * whole-stage-codegen hash aggregation) instead of exploding every
+    * occurrence 32× — the shuffle carries one row per document.
+    */
+  def fingerprints(tokenIds: DataFrame, idCol: String): DataFrame = {
+    val g = pmod(col("vid") * Spread, lit(Mod32))
+    val votes = (0 until 32).map { b =>
       // vote: +1 when the spread hash has bit b set, else -1
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(expr("(shiftright(g, cast(b as int)) & 1) * 2 - 1")).as("vote"))
+      sum(expr(s"(shiftright(g, $b) & 1) * 2 - 1")).as(s"v$b")
+    }
+    tokenIds
+      .select(col(idCol), g.as("g"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-        .otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** Pairs (id_a < id_b) with Hamming distance <= maxDist.
     * The all-pairs comparison here is the exact reference shape; at
