@@ -23,6 +23,8 @@ object Graft {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     configure(spark)

@@ -115,6 +115,44 @@ object HoardQueries {
         .orderBy("event_id")
     }),
 
+    "h8_salted" -> ((s, dir) => {
+      // skew-resistant two-stage aggregation (hot-key salting); results
+      // must equal the direct groupBy, which is what the oracle computes
+      graft.operators.Skew.saltedStats(ev(s, dir), Seq("user_id"), "value",
+          buckets = 8)
+        .select(col("user_id"), round(col("sum_value"), 6).as("sum_value"),
+          col("n"), round(col("min_value"), 6).as("min_value"),
+          round(col("max_value"), 6).as("max_value"),
+          round(col("mean_value"), 6).as("mean_value"))
+        .orderBy("user_id")
+    }),
+
+    "s2_sessions" -> ((s, dir) => {
+      // stateful streaming sessionization (flatMapGroupsWithState):
+      // 2h-gap sessions per user; only CLOSED sessions are emitted (the
+      // open tail stays in state), so the oracle drops each user's last
+      // island
+      graft.Graft.configure(s)
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val raw = s.readStream.schema(s.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val pts = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(concat(lit("u"), col("user_id")).as("series_id"),
+          col("ts").cast("long").as("ts"), col("value"))
+        .as[(String, Long, Double)]
+      val name = "s2_sessions_" + StreamCounter.incrementAndGet()
+      val q = graft.streaming.StreamIngest.sessionize(pts, gapSec = 7200)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .select(col("series_id"), col("start"), col("end"), col("n"),
+          round(col("sum"), 6).as("sum"))
+        .orderBy("series_id", "start")
+    }),
+
     "s1_stream" -> ((s, dir) => {
       // the same events parquet driven through Structured Streaming:
       // micro-batched file source -> tumbling hourly aggregate -> memory
@@ -214,6 +252,38 @@ object HoardQueries {
         |                WHERE event_type = 'click') b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |ORDER BY a.event_id""".stripMargin,
+
+    "h8_salted" ->
+      """SELECT user_id, ROUND(SUM(value), 6) AS sum_value, COUNT(value) AS n,
+        |       ROUND(MIN(value), 6) AS min_value,
+        |       ROUND(MAX(value), 6) AS max_value,
+        |       ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "s2_sessions" ->
+      """WITH pts AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS series_id,
+        |         epoch_us(ts) // 1000000 AS t, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT series_id, t, value,
+        |         CASE WHEN t - lag(t) OVER w > 7200 OR lag(t) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS boundary
+        |  FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY t)),
+        |islands AS (
+        |  SELECT series_id, t, value,
+        |         SUM(boundary) OVER (PARTITION BY series_id ORDER BY t
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT series_id, sid, MIN(t) AS start, MAX(t) AS "end",
+        |         COUNT(*) AS n, SUM(value) AS sum
+        |  FROM islands GROUP BY series_id, sid)
+        |SELECT series_id, start, "end", n, ROUND(sum, 6) AS sum
+        |FROM sessions
+        |WHERE sid < (SELECT MAX(s2.sid) FROM sessions s2
+        |             WHERE s2.series_id = sessions.series_id)
+        |ORDER BY series_id, start""".stripMargin,
 
     "s1_stream" ->
       """SELECT event_type AS series_id,

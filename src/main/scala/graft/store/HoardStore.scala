@@ -219,6 +219,32 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     (TimeInfo(fromInterval, toInterval, ar.step), dense)
   }
 
+  /** Multi-series fetch — capability beyond the reference (which holds
+    * one series per file): same clamping/routing/window math, one dense
+    * gap-filled frame covering every series matching `seriesPred` that
+    * has data at the routed level (series with no points inside the
+    * window come back all-null, like an empty single-series fetch).
+    */
+  def fetchMulti(seriesPred: org.apache.spark.sql.Column, from0: Long,
+                 to0: Long, now: Long): (TimeInfo, DataFrame) = {
+    val p = policy
+    val oldest = now - p.maxRetention
+    val from = math.max(from0, oldest)
+    require(from < to0, "Invalid time interval")
+    val to = if (to0 > now || to0 < from) now else to0
+    val ar = p.forAge(now - from).getOrElse(p.sorted.last)
+    val fromInterval = Time.bumpEpoch(from, ar.step)
+    val toInterval = Time.bumpEpoch(to, ar.step)
+    val level = readLevel(ar).where(seriesPred)
+    val data = level
+      .where(col("interval") >= timestamp_seconds(lit(fromInterval)) &&
+        col("interval") < timestamp_seconds(lit(toInterval)))
+    val universe = level.select("series_id").distinct()
+    val dense = GapFill.densify(data, universe, "series_id", "interval",
+      Seq("value"), fromInterval, toInterval, ar.step)
+    (TimeInfo(fromInterval, toInterval, ar.step), dense)
+  }
+
   /** Test/driver convenience: materialized dense values in interval
     * order (the reference's `values` array).
     */

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.store.HoardStore
-import org.apache.spark.sql.{DataFrame, ForeachWriter}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming ingress feeding the batch write path — SURVEY
   * §3.4: streaming is only the ingress; rollups stay batch-recomputable
@@ -29,6 +29,41 @@ object StreamIngest {
         if (!batch.isEmpty) store.updateManyDf(batch, clock())
       }
       .start()
+
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(series_id: String, start: Long, end: Long,
+                           n: Long, sum: Double)
+
+  /** Custom streaming state via flatMapGroupsWithState: gap-based
+    * sessionization per series. A session closes when a point arrives
+    * more than `gapSec` after the previous one; closed sessions are
+    * emitted, the open session rides in GroupState across micro-batches.
+    * (No timeout dependency — deterministic under replay.)
+    */
+  def sessionize(events: Dataset[(String, Long, Double)], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Double)],
+         state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_._2)
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { case (_, ts, v) =>
+            open match {
+              case Some(s) if ts - s.last <= gapSec =>
+                open = Some(s.copy(last = ts, n = s.n + 1, sum = s.sum + v))
+              case Some(s) =>
+                closed += Session(key, s.start, s.last, s.n, s.sum)
+                open = Some(SessionState(ts, ts, 1, v))
+              case None =>
+                open = Some(SessionState(ts, ts, 1, v))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 
   /** Streaming aggregation example over the events shape: watermarked
     * tumbling hourly counts/means per series — the declarative

@@ -123,6 +123,21 @@ class HoardStoreSpec extends SparkTestBase {
     assert(HoardStore.info(spark, s.root).cf == "max") // cf roundtrips
   }
 
+  test("fetchMulti returns a dense frame per matching series") {
+    import org.apache.spark.sql.functions.col
+    val s = freshStore()
+    val t = now - 7200
+    s.updateMany(Seq(
+      HoardStore.RawPoint("cpu", t, 1.0),
+      HoardStore.RawPoint("mem", t - 3600, 2.0)), now)
+    val (ti, df) = s.fetchMulti(col("series_id").isin("cpu", "mem"),
+      t - 7200, t + 3600, now)
+    val slots = ((ti.toInterval - ti.fromInterval) / ti.step).toInt
+    val rows = df.collect()
+    assert(rows.length == 2 * slots) // dense for both series
+    assert(rows.count(!_.isNullAt(2)) == 2) // one value each
+  }
+
   test("vacuum drops rows beyond each level's retention") {
     val s = freshStore()
     s.updateMany(Seq(RawPoint("cpu", now - 3600, 1.0)), now)

@@ -88,6 +88,26 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Seq(("a", 3.0))) // ties at ts=200 -> seq 7 wins; b excluded
   }
 
+  test("salted aggregation matches the direct groupBy (skew pattern)") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 5000).map { i =>
+      // skew: 80% of rows land on one key
+      (if (rnd.nextDouble() < 0.8) "hot" else s"k${rnd.nextInt(5)}",
+        rnd.nextInt(100).toDouble)
+    }.toDF("k", "v")
+    val salted = Skew.saltedStats(df, Seq("k"), "v", buckets = 8)
+      .select("k", "sum_value", "n", "min_value", "max_value")
+      .as[(String, Double, Long, Double, Double)].collect().toMap0
+    val direct = df.groupBy($"k").agg(sum($"v"), count($"v"), min($"v"), max($"v"))
+      .as[(String, Double, Long, Double, Double)].collect().toMap0
+    assert(salted == direct) // integer-valued doubles: sums exact
+  }
+
+  private implicit class Tup5Map(rows: Array[(String, Double, Long, Double, Double)]) {
+    def toMap0: Map[String, (Double, Long, Double, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
   private def ts(epoch: Long) =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epoch))
 }

@@ -30,6 +30,26 @@ class StreamingSpec extends SparkTestBase {
     assert(memV.flatten == Seq(9.0))
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val sessions = StreamIngest.sessionize(mem.toDS(), gapSec = 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    // batch 1: two points 100s apart, then a gap > 1000s -> closes one
+    mem.addData(("cpu", 0L, 1.0), ("cpu", 100L, 2.0), ("cpu", 2000L, 5.0))
+    q.processAllAvailable()
+    // batch 2: another gap -> closes the (2000) session; state crossed batches
+    mem.addData(("cpu", 10000L, 7.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT start, end, n, sum FROM sessions_out ORDER BY start").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq((0L, 100L, 2L, 3.0), (2000L, 2000L, 1L, 5.0)))
+  }
+
   test("watermarked hourly streaming aggregate (declarative ingress)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
