@@ -55,6 +55,29 @@ object Multimodal {
       fingerprint = (nb * 2654435761L) % 1000003L)
   }
 
+  /** Frame row emitted by [[sampleFrames]]. */
+  final case class FrameMeta(doc_id: Long, frame_no: Long, fingerprint: Long)
+
+  /** Frames sampled per media payload — the video path: one input row
+    * fans out to up to `maxFrames` frame rows (flatMap inside the same
+    * partition-local batched decode). STUB: frame count/fingerprint are
+    * deterministic arithmetic standing in for a real demuxer.
+    */
+  def sampleFrames(tasks: Dataset[MediaTask], maxFrames: Int = 4): Dataset[FrameMeta] = {
+    import tasks.sparkSession.implicits._
+    tasks.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.iterator.flatMap { t =>
+          val nb = t.payload.length.toLong
+          val frames = math.min(1 + t.doc_id % 16, maxFrames.toLong)
+          // ??? real demuxer goes here; deterministic fake below
+          (1L to frames).map(f =>
+            FrameMeta(t.doc_id, f, (nb * 31 + f * 7919) % 1000003L))
+        }
+      }
+    }
+  }
+
   /** documents table → media tasks (text bytes standing in for media
     * payloads; the real pipeline reads binary columns directly).
     */

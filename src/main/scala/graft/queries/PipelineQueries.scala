@@ -145,6 +145,43 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    "p9_annivf" -> ((s, dir) => {
+      // IVF-style ANN: coarse cells from a deterministic centroid subset
+      // (vec_id % 40 == 0), each vector assigned to its nearest centroid,
+      // search confined to the query's cell (nprobe=1)
+      val e = emb(s, dir)
+      val v = Embeddings.withUnitVector(e, "embedding", "uv")
+        .select(col("vec_id"), col("uv"))
+      val cents = v.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("c_id"), col("uv").as("cv"))
+      val assign = v.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("c_id"),
+          round(Embeddings.unitCosine("uv", "cv"), 6).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("cell"))
+      val cellVecs = v.join(assign, "vec_id")
+      val q = cellVecs.select(col("vec_id").as("query_id"), col("cell"),
+        col("uv").as("qn"))
+      val c = cellVecs.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("uv").as("cn"))
+      val scored = q.join(c, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cell"),
+          round(Embeddings.unitCosine("qn", "cn"), 6).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("query_id", "rnk", "neighbor_id", "sim", "cell")
+        .orderBy("query_id", "rnk")
+    }),
+
+    "m2_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.tasksFromDocuments(s, docs(s, dir)))
+        .toDF().orderBy("doc_id", "frame_no")
+    }),
+
     "t1_langid" -> ((s, dir) => {
       TextAnalysis.languageId(toks(s, dir), "doc_id").orderBy("doc_id")
     }),
@@ -322,6 +359,42 @@ object PipelineQueries {
          |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
          |       neighbor_id, sim, bucket
          |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "p9_annivf" ->
+      """WITH uv AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |assign0 AS (
+        |  SELECT a.vec_id, c.vec_id AS c_id,
+        |         ROUND(list_cosine_similarity(a.v, c.v), 6) AS csim
+        |  FROM uv a JOIN uv c ON c.vec_id % 40 = 0),
+        |assign AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY csim DESC, c_id) AS rn
+        |    FROM assign0) t WHERE rn = 1),
+        |scored AS (
+        |  SELECT ka.vec_id AS query_id, kb.vec_id AS neighbor_id, ka.cell,
+        |         ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM assign ka
+        |   JOIN assign kb ON ka.cell = kb.cell AND ka.vec_id <> kb.vec_id
+        |   JOIN uv a ON a.vec_id = ka.vec_id
+        |   JOIN uv b ON b.vec_id = kb.vec_id)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+        |       neighbor_id, sim, cell
+        |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "m2_frames" ->
+      """SELECT doc_id, f AS frame_no,
+        | (CAST(octet_length(encode(text)) AS BIGINT) * 31 + f * 7919) % 1000003
+        |   AS fingerprint
+        |FROM documents, generate_series(1, 4) t(f)
+        |WHERE f <= LEAST(1 + doc_id % 16, 4)
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     "t1_langid" ->
       s"""WITH $ToksCte,
