@@ -25,24 +25,34 @@ object AsOf {
     * row (per key) with rightTs <= leftTs. Implemented with the
     * union+window pattern (single sort per key, no N×M range explosion):
     * tag both sides, union, and carry the last right value forward with
-    * `last(ignoreNulls)` over (key ORDER BY ts, side).
+    * `last(ignoreNulls)` over (key ORDER BY ts, side, seq).
+    *
+    * `rightSeq` makes ties between right rows at the same timestamp
+    * deterministic (highest seq wins) — without it, tied rows would
+    * resolve by shuffle order.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightVal: String,
-               outCol: String): DataFrame = {
+               outCol: String, rightSeq: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = left.withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
+      .withColumn("__seq", lit(0L))
       .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
-    val r = right.select(col(key), col(rightTs).as("__ts"),
-      col(rightVal).as("__rv")).withColumn("__side", lit(0))
+    val r = right.select(Seq(col(key), col(rightTs).as("__ts"),
+        col(rightVal).as("__rv"),
+        rightSeq.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__seq"))
+        : _*)
+      .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows (side 0) sort before left rows at equal ts => "at or before"
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    // right rows (side 0) sort before left rows at equal ts => "at or
+    // before"; among tied right rows the highest seq is carried last
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__side", "__ts", "__rv")
+      .drop("__side", "__ts", "__rv", "__seq")
   }
 }

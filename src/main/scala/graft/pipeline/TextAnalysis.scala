@@ -31,13 +31,12 @@ object TextAnalysis {
     }
     val scored = toks.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
     val langs = Stopwords.keys.toSeq.sorted
-    val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))
-    // greatest(struct) picks max score; on ties the LAST lang in sort
-    // order wins with greatest, so invert: order langs descending and
-    // pick greatest => alphabetically-first lang wins ties.
-    val bestStruct = greatest(langs.sorted.reverse.map(l =>
+    // greatest over (score, inv, lang) structs; `inv` ranks languages in
+    // REVERSE alphabetical order so score-ties resolve to the
+    // alphabetically-first language (matching the oracle's CASE chain)
+    val bestStruct = greatest(langs.reverse.map(l =>
       struct(col(s"s_$l").as("score"),
-        lit(langs.size - langs.sorted.indexOf(l)).as("inv"),
+        lit(langs.size - langs.indexOf(l)).as("inv"),
         lit(l).as("lang"))): _*)
     scored.select(col(idCol), bestStruct.getField("lang").as("lang_pred"),
       bestStruct.getField("score").as("lang_score"))

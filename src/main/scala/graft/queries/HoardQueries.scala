@@ -106,10 +106,10 @@ object HoardQueries {
       val e = ev(s, dir)
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("value"))
-      AsOf.asOfJoin(purchases, clicks, "user_id", "ts", "ts", "value",
-          "last_click_v")
+      val clicksSeq = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      AsOf.asOfJoin(purchases, clicksSeq, "user_id", "ts", "ts", "value",
+          "last_click_v", rightSeq = Some("event_id"))
         .select(col("event_id"), col("user_id"),
           round(col("last_click_v"), 6).as("last_click_v"))
         .orderBy("event_id")
@@ -239,10 +239,15 @@ object HoardQueries {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "h6_asof" ->
-      """SELECT user_id, ROUND(arg_max(value, ts), 6) AS value,
-        |       CAST(date_trunc('second', MAX(ts)) AS VARCHAR) AS asof_ts
-        |FROM events WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id, ROUND(value, 6) AS value,
+        |       CAST(date_trunc('second', ts) AS VARCHAR) AS asof_ts
+        |FROM (SELECT user_id, value, ts,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY date_trunc('microseconds', ts) DESC,
+        |                   event_id DESC) AS rn
+        |      FROM events
+        |      WHERE ts <= TIMESTAMP '2024-01-15 12:00:00') t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "h7_asofjoin" ->
       """SELECT a.event_id, a.user_id, ROUND(b.value, 6) AS last_click_v

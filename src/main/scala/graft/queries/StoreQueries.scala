@@ -34,6 +34,12 @@ object StoreQueries {
         col("ts").cast("long").as("ts"), // uint32-second semantics: truncate
         col("value"),
         col("event_id").as("seq"))      // ingest sequence breaks second-ties
+      // the oracle packs (second, seq) as second*1e7 + event_id — that
+      // ordering breaks down once event_id reaches 1e7, so fail loudly
+      // instead of flapping the gate on a bigger fixture
+      val maxId = ev.agg(max(col("seq"))).head().getLong(0)
+      require(maxId < 10000000L,
+        s"hs oracle key packs seq into 7 digits; max event_id $maxId too large")
       st.updateManyDf(ev, Now)
       tmp
     })

@@ -149,10 +149,13 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     */
   private def mergeLevel(ar: Archive, newRows: DataFrame,
                          touched: DataFrame): Unit = {
+    // INVARIANT: filter existing rows by touched MONTH only, never by
+    // series — dynamic partition overwrite rewrites whole month
+    // partitions, so every series' rows in a touched month must ride
+    // along or they would be silently deleted.
     val existing = readLevelWithSeq(ar)
-      .join(touched.select(col("series_id").as("s2"),
-          month(col("interval")).as("m2"), year(col("interval")).as("y2"))
-          .distinct(),
+      .join(touched.select(month(col("interval")).as("m2"),
+          year(col("interval")).as("y2")).distinct(),
         year(col("interval")) === col("y2") &&
           month(col("interval")) === col("m2"), "left_semi")
     val merged = Dedup.lastWriteWins(
@@ -191,58 +194,57 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
   def readLevel(ar: Archive): DataFrame =
     readLevelWithSeq(ar).select("series_id", "interval", "value")
 
-  /** Range fetch (`src/hoard.coffee:426-513`): clamp/validate bounds,
-    * route to the finest archive covering `now - from` (the fetch
-    * planner — rollup-level selection before the plan is built), bump
-    * both bounds one step past the floor, and return a dense gap-filled
-    * frame over [fromInterval, toInterval).
+  /** The fetch planner (`src/hoard.coffee:426-441`): clamp `from` to
+    * retention, validate, clamp `to` to now, route to the finest
+    * archive covering `now - from`, bump both bounds one step past the
+    * floor. Shared by fetch and fetchMulti so the window math cannot
+    * drift between them.
     */
-  def fetch(series: String, from0: Long, to0: Long, now: Long): (TimeInfo, DataFrame) = {
+  private def planWindow(from0: Long, to0: Long, now: Long): (Archive, TimeInfo) = {
     val p = policy
-    val oldest = now - p.maxRetention
-    val from = math.max(from0, oldest)
+    val from = math.max(from0, now - p.maxRetention)
     require(from < to0, "Invalid time interval")
     val to = if (to0 > now || to0 < from) now else to0
     val ar = p.forAge(now - from).getOrElse(p.sorted.last)
-    val fromInterval = Time.bumpEpoch(from, ar.step)
-    val toInterval = Time.bumpEpoch(to, ar.step)
+    (ar, TimeInfo(Time.bumpEpoch(from, ar.step), Time.bumpEpoch(to, ar.step),
+      ar.step))
+  }
+
+  /** Range fetch (`src/hoard.coffee:426-513`): [[planWindow]] then a
+    * dense gap-filled frame over [fromInterval, toInterval).
+    */
+  def fetch(series: String, from0: Long, to0: Long, now: Long): (TimeInfo, DataFrame) = {
+    val (ar, ti) = planWindow(from0, to0, now)
     val data = readLevel(ar)
       .where(col("series_id") === series &&
-        col("interval") >= timestamp_seconds(lit(fromInterval)) &&
-        col("interval") < timestamp_seconds(lit(toInterval)))
+        col("interval") >= timestamp_seconds(lit(ti.fromInterval)) &&
+        col("interval") < timestamp_seconds(lit(ti.toInterval)))
     val universe = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
         org.apache.spark.sql.Row(series)),
       StructType(Seq(StructField("series_id", StringType))))
     val dense = GapFill.densify(data, universe, "series_id", "interval",
-      Seq("value"), fromInterval, toInterval, ar.step)
-    (TimeInfo(fromInterval, toInterval, ar.step), dense)
+      Seq("value"), ti.fromInterval, ti.toInterval, ar.step)
+    (ti, dense)
   }
 
   /** Multi-series fetch — capability beyond the reference (which holds
-    * one series per file): same clamping/routing/window math, one dense
-    * gap-filled frame covering every series matching `seriesPred` that
-    * has data at the routed level (series with no points inside the
-    * window come back all-null, like an empty single-series fetch).
+    * one series per file): same planner, one dense gap-filled frame
+    * covering every series matching `seriesPred` that has data at the
+    * routed level (series with no points inside the window come back
+    * all-null, like an empty single-series fetch).
     */
   def fetchMulti(seriesPred: org.apache.spark.sql.Column, from0: Long,
                  to0: Long, now: Long): (TimeInfo, DataFrame) = {
-    val p = policy
-    val oldest = now - p.maxRetention
-    val from = math.max(from0, oldest)
-    require(from < to0, "Invalid time interval")
-    val to = if (to0 > now || to0 < from) now else to0
-    val ar = p.forAge(now - from).getOrElse(p.sorted.last)
-    val fromInterval = Time.bumpEpoch(from, ar.step)
-    val toInterval = Time.bumpEpoch(to, ar.step)
+    val (ar, ti) = planWindow(from0, to0, now)
     val level = readLevel(ar).where(seriesPred)
     val data = level
-      .where(col("interval") >= timestamp_seconds(lit(fromInterval)) &&
-        col("interval") < timestamp_seconds(lit(toInterval)))
+      .where(col("interval") >= timestamp_seconds(lit(ti.fromInterval)) &&
+        col("interval") < timestamp_seconds(lit(ti.toInterval)))
     val universe = level.select("series_id").distinct()
     val dense = GapFill.densify(data, universe, "series_id", "interval",
-      Seq("value"), fromInterval, toInterval, ar.step)
-    (TimeInfo(fromInterval, toInterval, ar.step), dense)
+      Seq("value"), ti.fromInterval, ti.toInterval, ar.step)
+    (ti, dense)
   }
 
   /** Test/driver convenience: materialized dense values in interval

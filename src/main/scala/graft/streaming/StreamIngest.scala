@@ -52,7 +52,10 @@ object StreamIngest {
           sorted.foreach { case (_, ts, v) =>
             open match {
               case Some(s) if ts - s.last <= gapSec =>
-                open = Some(s.copy(last = ts, n = s.n + 1, sum = s.sum + v))
+                // a cross-batch late point may precede the session's
+                // bounds — extend, never regress them
+                open = Some(SessionState(math.min(s.start, ts),
+                  math.max(s.last, ts), s.n + 1, s.sum + v))
               case Some(s) =>
                 closed += Session(key, s.start, s.last, s.n, s.sum)
                 open = Some(SessionState(ts, ts, 1, v))

@@ -50,6 +50,26 @@ class StreamingSpec extends SparkTestBase {
       == Seq((0L, 100L, 2L, 3.0), (2000L, 2000L, 1L, 5.0)))
   }
 
+  test("sessionize absorbs a late cross-batch point without regressing bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val sessions = StreamIngest.sessionize(mem.toDS(), gapSec = 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    mem.addData(("cpu", 0L, 1.0), ("cpu", 100L, 2.0))
+    q.processAllAvailable()
+    // late point (50) merges without dragging `last` back; 1090 is still
+    // within gap of the true last (100); 5000 closes the session
+    mem.addData(("cpu", 50L, 3.0), ("cpu", 1090L, 4.0), ("cpu", 5000L, 9.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT start, end, n, sum FROM late_sessions ORDER BY start").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq((0L, 1090L, 4L, 10.0)))
+  }
+
   test("watermarked hourly streaming aggregate (declarative ingress)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
