@@ -17,11 +17,12 @@ class StreamingSpec extends SparkTestBase {
 
     val mem = MemoryStream[(String, Long, Double)]
     val stream = mem.toDF().toDF("series_id", "ts", "value")
-    val q = StreamIngest.start(stream, store, () => now,
-      tmpDir("stream-ckpt"))
-
+    // AvailableNow snapshots availability at start: data must be queued
+    // BEFORE the query starts or the single planned batch may miss it
     mem.addData(("cpu", now - 7200, 1.0), ("cpu", now - 7200 + 60, 2.0),
       ("mem", now - 3600, 9.0))
+    val q = StreamIngest.start(stream, store, () => now,
+      tmpDir("stream-ckpt"))
     q.awaitTermination(120000)
 
     val (_, cpu) = store.fetchValues("cpu", now - 10800, now, now)
