@@ -37,9 +37,21 @@ object HoardQueries {
       Seq(col("event_type"), Time.align(col("ts"), 3600).as("bucket")),
       col("event_id"), Seq("value" -> col("value")))
 
+  /** Daily xff-gated rollup with an exact (decimal) mean: the hourly lww
+    * values are raw 2-decimal event values, so summing them as
+    * DECIMAL(18,6) removes partial-aggregation order from the result —
+    * one double division at the end is deterministic on both engines.
+    * (Same xff gate as Rollup.downsample; the generic operator keeps the
+    * plain double mean, which is what the store itself uses.)
+    */
   private def dailyByType(s: SparkSession, dir: String): DataFrame =
-    Rollup.downsample(hourlyByType(s, dir), "event_type", "bucket", "value",
-      finerStep = 3600, coarserStep = 86400, xff = 0.5)
+    hourlyByType(s, dir)
+      .groupBy(col("event_type"),
+        graft.core.Time.align(col("bucket"), 86400).as("bucket"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(col("value"))).as("value"), count(col("value")).as("__known"))
+      .where(col("__known").cast("double") / lit(24.0) >= lit(0.5))
+      .drop("__known")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_lww" -> ((s, dir) => {
@@ -87,7 +99,9 @@ object HoardQueries {
         .where(col("ts") > expr(s"$Now - INTERVAL 730 DAY") &&
           col("ts") <= expr(Now))
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
         .orderBy("user_id")
     }),
 
@@ -118,12 +132,15 @@ object HoardQueries {
     "h8_salted" -> ((s, dir) => {
       // skew-resistant two-stage aggregation (hot-key salting); results
       // must equal the direct groupBy, which is what the oracle computes
-      graft.operators.Skew.saltedStats(ev(s, dir), Seq("user_id"), "value",
-          buckets = 8)
-        .select(col("user_id"), round(col("sum_value"), 6).as("sum_value"),
-          col("n"), round(col("min_value"), 6).as("min_value"),
-          round(col("max_value"), 6).as("max_value"),
-          round(col("mean_value"), 6).as("mean_value"))
+      graft.operators.Skew.saltedStats(
+          ev(s, dir).withColumn("value", col("value").cast("decimal(18,6)")),
+          Seq("user_id"), "value", buckets = 8)
+        .select(col("user_id"),
+          round(col("sum_value").cast("double"), 6).as("sum_value"),
+          col("n"),
+          round(col("min_value").cast("double"), 6).as("min_value"),
+          round(col("max_value").cast("double"), 6).as("max_value"),
+          round(col("sum_value").cast("double") / col("n"), 6).as("mean_value"))
         .orderBy("user_id")
     }),
 
@@ -194,7 +211,8 @@ object HoardQueries {
         |         arg_max(value, event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts))
         |SELECT event_type, CAST(date_trunc('day', h) AS VARCHAR) AS bucket,
-        |       ROUND(AVG(v), 6) AS value
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(v), 6) AS value
         |FROM hourly GROUP BY event_type, date_trunc('day', h)
         |HAVING CAST(COUNT(v) AS DOUBLE) / 24 >= 0.5
         |ORDER BY event_type, bucket""".stripMargin,
@@ -222,7 +240,8 @@ object HoardQueries {
         |         arg_max(value, event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |daily AS (
-        |  SELECT event_type, date_trunc('day', h) AS d, AVG(v) AS v
+        |  SELECT event_type, date_trunc('day', h) AS d,
+        |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v) AS v
         |  FROM hourly GROUP BY event_type, date_trunc('day', h)
         |  HAVING CAST(COUNT(v) AS DOUBLE) / 24 >= 0.5)
         |SELECT event_type, CAST(date_trunc('week', d) AS VARCHAR) AS bucket,
@@ -232,7 +251,8 @@ object HoardQueries {
         |ORDER BY event_type, bucket""".stripMargin,
 
     "h5_retention" ->
-      """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+      """SELECT user_id, COUNT(*) AS n,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM events
         |WHERE ts > TIMESTAMP '2026-01-01 00:00:00' - INTERVAL 730 DAY
         |  AND ts <= TIMESTAMP '2026-01-01 00:00:00'
@@ -259,10 +279,14 @@ object HoardQueries {
         |ORDER BY a.event_id""".stripMargin,
 
     "h8_salted" ->
-      """SELECT user_id, ROUND(SUM(value), 6) AS sum_value, COUNT(value) AS n,
+      """SELECT user_id,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS sum_value,
+        |       COUNT(value) AS n,
         |       ROUND(MIN(value), 6) AS min_value,
         |       ROUND(MAX(value), 6) AS max_value,
-        |       ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(value), 6) AS mean_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s2_sessions" ->
@@ -293,7 +317,9 @@ object HoardQueries {
     "s1_stream" ->
       """SELECT event_type AS series_id,
         |       CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
-        |       COUNT(*) AS n, ROUND(AVG(value), 6) AS mean_value,
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(value), 6) AS mean_value,
         |       ROUND(MAX(value), 6) AS max_value
         |FROM events GROUP BY event_type, date_trunc('hour', ts)
         |ORDER BY series_id, bucket""".stripMargin

@@ -152,7 +152,8 @@ object RelationalQueries {
           round(col("value"), 6).as("value"),
           round(lag(col("value"), 1).over(w), 6).as("lag_v"),
           round(lead(col("value"), 1).over(w), 6).as("lead_v"),
-          round(avg(col("value")).over(mw), 6).as("mavg4"))
+          round((sum(col("value").cast("decimal(18,6)")).over(mw).cast("double") /
+            count(col("value")).over(mw)), 6).as("mavg4"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -238,8 +239,10 @@ object RelationalQueries {
       t(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("bucket"))
         .agg(
-          round(sum(when(col("event_type") === "click", col("value"))), 6).as("click_v"),
-          round(sum(when(col("event_type") === "purchase", col("value"))), 6).as("purchase_v"),
+          round(sum(when(col("event_type") === "click", col("value"))
+            .cast("decimal(18,6)")).cast("double"), 6).as("click_v"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .cast("decimal(18,6)")).cast("double"), 6).as("purchase_v"),
           count(when(col("event_type") === "click", lit(1))).as("n_click"),
           count(lit(1)).as("n"))
         .select(col("bucket").cast("date").cast("string").as("bucket"), col("click_v"),
@@ -338,10 +341,12 @@ object RelationalQueries {
       """SELECT user_id, event_id, ROUND(value, 6) AS value,
         | ROUND(lag(value, 1) OVER w, 6) AS lag_v,
         | ROUND(lead(value, 1) OVER w, 6) AS lead_v,
-        | ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg4
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |         OVER w4 AS DOUBLE) / COUNT(value) OVER w4, 6) AS mavg4
         |FROM events WHERE user_id < 10
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q13_topk" ->
@@ -394,8 +399,10 @@ object RelationalQueries {
 
     "q18_condagg" ->
       """SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS bucket,
-        | ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 6) AS click_v,
-        | ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_v,
+        | ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+        |   AS DECIMAL(18,6))) AS DOUBLE), 6) AS click_v,
+        | ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |   AS DECIMAL(18,6))) AS DOUBLE), 6) AS purchase_v,
         | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
         | COUNT(*) AS n
         |FROM events GROUP BY date_trunc('day', ts)

@@ -76,7 +76,11 @@ object StreamIngest {
     stream
       .withWatermark("ts", "1 hour")
       .groupBy(col("series_id"), window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"),
+      // decimal-exact sum -> one double division: the mean is identical
+      // regardless of partial-aggregation order (oracle parity)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(col("value"))).as("mean_value"),
         max(col("value")).as("max_value"))
       .select(col("series_id"), col("window.start").as("bucket"),
         col("n"), col("mean_value"), col("max_value"))
