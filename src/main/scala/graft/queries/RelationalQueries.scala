@@ -145,16 +145,35 @@ object RelationalQueries {
 
     "q12_frames" -> ((s, dir) => {
       val e = t(s, dir, "events").where(col("user_id") < 10)
+        .withColumn("ts_sec", col("ts").cast("long"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val mw = w.rowsBetween(-3, Window.currentRow)
+      // RANGE frame over epoch seconds: trailing-hour event count
+      // (peer-inclusive, so second-ties are order-independent)
+      val rw = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-3600, 0)
       e.select(col("user_id"), col("event_id"),
           round(col("value"), 6).as("value"),
           round(lag(col("value"), 1).over(w), 6).as("lag_v"),
           round(lead(col("value"), 1).over(w), 6).as("lead_v"),
           round((sum(col("value").cast("decimal(18,6)")).over(mw).cast("double") /
-            count(col("value")).over(mw)), 6).as("mavg4"))
+            count(col("value")).over(mw)), 6).as("mavg4"),
+          count(lit(1)).over(rw).as("trail_1h_n"))
         .orderBy("user_id", "event_id")
+    }),
+
+    "q21_cube" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_cust"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("c_mktsegment"), lit("(all)")).as("c_mktsegment"),
+          col("gid"), col("n_cust"))
+        .orderBy("gid", "r_name", "c_mktsegment")
     }),
 
     "q13_topk" -> ((s, dir) => {
@@ -342,12 +361,25 @@ object RelationalQueries {
         | ROUND(lag(value, 1) OVER w, 6) AS lag_v,
         | ROUND(lead(value, 1) OVER w, 6) AS lead_v,
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-        |         OVER w4 AS DOUBLE) / COUNT(value) OVER w4, 6) AS mavg4
+        |         OVER w4 AS DOUBLE) / COUNT(value) OVER w4, 6) AS mavg4,
+        | COUNT(*) OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trail_1h_n
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |       w4 AS (PARTITION BY user_id ORDER BY ts, event_id
         |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q21_cube" ->
+      """SELECT COALESCE(r_name, '(all)') AS r_name,
+        |       COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
+        |       CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_cust
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY gid, r_name, c_mktsegment""".stripMargin,
 
     "q13_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
