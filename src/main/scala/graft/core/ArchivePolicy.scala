@@ -66,8 +66,10 @@ final case class ArchivePolicy(archives: Seq[Archive], xff: Double = 0.5,
 }
 
 object ArchivePolicy {
-  /** Supported consolidation functions (Whisper's aggregationMethods). */
-  val CFs: Set[String] = Set("avg", "min", "max", "sum", "last")
+  /** Supported consolidation functions (Whisper's aggregationMethods,
+    * plus the cross-engine-deterministic decimal mean).
+    */
+  val CFs: Set[String] = Set("avg", "avg_exact", "min", "max", "sum", "last")
 
   /** The reference test policy: 1h×1y + 1d×3y (`test/hoard.test.coffee:95`). */
   val referenceTest: ArchivePolicy =

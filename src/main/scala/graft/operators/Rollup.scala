@@ -38,6 +38,12 @@ object Rollup {
     val expected = (coarserStep / finerStep).toDouble
     val agged = cf match {
       case "avg"  => avg(col(valueCol))
+      // decimal-exact mean: partial-aggregation order cannot perturb the
+      // result; the output is additionally quantized to 6 decimals so a
+      // further cascade hop over it stays order-independent too
+      case "avg_exact" =>
+        (sum(col(valueCol).cast("decimal(18,6)")).cast("double") /
+          count(col(valueCol))).cast("decimal(18,6)").cast("double")
       case "min"  => min(col(valueCol))
       case "max"  => max(col(valueCol))
       case "sum"  => sum(col(valueCol))

@@ -37,21 +37,14 @@ object HoardQueries {
       Seq(col("event_type"), Time.align(col("ts"), 3600).as("bucket")),
       col("event_id"), Seq("value" -> col("value")))
 
-  /** Daily xff-gated rollup with an exact (decimal) mean: the hourly lww
-    * values are raw 2-decimal event values, so summing them as
-    * DECIMAL(18,6) removes partial-aggregation order from the result —
-    * one double division at the end is deterministic on both engines.
-    * (Same xff gate as Rollup.downsample; the generic operator keeps the
-    * plain double mean, which is what the store itself uses.)
+  /** Daily xff-gated rollup with the decimal-exact mean (cf=avg_exact):
+    * the hourly lww values are raw 2-decimal event values, so decimal
+    * sums remove partial-aggregation order from the result, and the
+    * quantized output keeps the weekly hop order-independent too.
     */
   private def dailyByType(s: SparkSession, dir: String): DataFrame =
-    hourlyByType(s, dir)
-      .groupBy(col("event_type"),
-        graft.core.Time.align(col("bucket"), 86400).as("bucket"))
-      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
-        count(col("value"))).as("value"), count(col("value")).as("__known"))
-      .where(col("__known").cast("double") / lit(24.0) >= lit(0.5))
-      .drop("__known")
+    Rollup.downsample(hourlyByType(s, dir), "event_type", "bucket", "value",
+      finerStep = 3600, coarserStep = 86400, xff = 0.5, cf = "avg_exact")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_lww" -> ((s, dir) => {
@@ -82,10 +75,12 @@ object HoardQueries {
 
     "h4_cascade" -> ((s, dir) => {
       // weekly = mean of daily means (cascade §2.2.8), ISO week start,
-      // xff-gated at expected 7 days per week
+      // xff-gated at expected 7 days per week; daily means are 6-decimal
+      // quantized (avg_exact) so the decimal re-sum here is exact
       dailyByType(s, dir)
         .groupBy(col("event_type"), date_trunc("week", col("bucket")).as("bucket"))
-        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(col("value"))).as("value"), count(col("value")).as("known"))
         .where(col("known").cast("double") / lit(7.0) >= lit(0.5))
         .select(col("event_type"), col("bucket").cast("date").cast("string").as("bucket"),
           round(col("value"), 6).as("value"), col("known"))
@@ -241,11 +236,13 @@ object HoardQueries {
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |daily AS (
         |  SELECT event_type, date_trunc('day', h) AS d,
-        |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v) AS v
+        |         CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v)
+        |              AS DECIMAL(18,6)) AS v
         |  FROM hourly GROUP BY event_type, date_trunc('day', h)
         |  HAVING CAST(COUNT(v) AS DOUBLE) / 24 >= 0.5)
         |SELECT event_type, CAST(date_trunc('week', d) AS VARCHAR) AS bucket,
-        |       ROUND(AVG(v), 6) AS value, COUNT(v) AS known
+        |       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 6) AS value,
+        |       COUNT(v) AS known
         |FROM daily GROUP BY event_type, date_trunc('week', d)
         |HAVING CAST(COUNT(v) AS DOUBLE) / 7 >= 0.5
         |ORDER BY event_type, bucket""".stripMargin,
@@ -273,9 +270,12 @@ object HoardQueries {
       """SELECT a.event_id, a.user_id, ROUND(b.value, 6) AS last_click_v
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'purchase') a
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-        |                WHERE event_type = 'click') b
-        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |LEFT JOIN LATERAL (
+        |  SELECT value FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = a.user_id
+        |    AND c.ts <= a.ts
+        |  ORDER BY date_trunc('microseconds', c.ts) DESC, c.event_id DESC
+        |  LIMIT 1) b ON TRUE
         |ORDER BY a.event_id""".stripMargin,
 
     "h8_salted" ->

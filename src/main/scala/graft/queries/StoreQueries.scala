@@ -37,7 +37,8 @@ object StoreQueries {
       // the oracle packs (second, seq) as second*1e7 + event_id — that
       // ordering breaks down once event_id reaches 1e7, so fail loudly
       // instead of flapping the gate on a bigger fixture
-      val maxId = ev.agg(max(col("seq"))).head().getLong(0)
+      val maxId = Option(ev.agg(max(col("seq"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       require(maxId < 10000000L,
         s"hs oracle key packs seq into 7 digits; max event_id $maxId too large")
       st.updateManyDf(ev, Now)

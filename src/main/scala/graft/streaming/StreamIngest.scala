@@ -51,11 +51,17 @@ object StreamIngest {
           val closed = Seq.newBuilder[Session]
           sorted.foreach { case (_, ts, v) =>
             open match {
-              case Some(s) if ts - s.last <= gapSec =>
-                // a cross-batch late point may precede the session's
-                // bounds — extend, never regress them
+              case Some(s) if ts >= s.start - gapSec && ts - s.last <= gapSec =>
+                // in-gap point (possibly a cross-batch late arrival just
+                // before the open session) — extend bounds, never regress
                 open = Some(SessionState(math.min(s.start, ts),
                   math.max(s.last, ts), s.n + 1, s.sum + v))
+              case Some(s) if ts < s.start - gapSec =>
+                // late point from a gap-separated EARLIER island: emit it
+                // as its own closed session, leave the open one alone
+                // (known limitation: several such stragglers arriving in
+                // different batches each close separately)
+                closed += Session(key, ts, ts, 1, v)
               case Some(s) =>
                 closed += Session(key, s.start, s.last, s.n, s.sum)
                 open = Some(SessionState(ts, ts, 1, v))

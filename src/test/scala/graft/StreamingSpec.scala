@@ -64,11 +64,15 @@ class StreamingSpec extends SparkTestBase {
     // within gap of the true last (100); 5000 closes the session
     mem.addData(("cpu", 50L, 3.0), ("cpu", 1090L, 4.0), ("cpu", 5000L, 9.0))
     q.processAllAvailable()
+    // a straggler gap-separated from the open session's start becomes its
+    // own closed single-point island, not a merge
+    mem.addData(("cpu", 2500L, 8.0))
+    q.processAllAvailable()
     val rows = spark.sql(
       "SELECT start, end, n, sum FROM late_sessions ORDER BY start").collect()
     q.stop()
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-      == Seq((0L, 1090L, 4L, 10.0)))
+      == Seq((0L, 1090L, 4L, 10.0), (2500L, 2500L, 1L, 8.0)))
   }
 
   test("watermarked hourly streaming aggregate (declarative ingress)") {
