@@ -80,10 +80,12 @@ object PipelineQueries {
       val bg = bgRaw.join(TextOps.vocabIds(bgRaw, "shingle"), "shingle")
         .select(col("doc_id"), col("vid")).distinct()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // shuffle join on vid: measured best of three shapes at sf0.1
+      // shuffle join on vid: measured best of four shapes at sf0.1
       // (broadcast join: 2x slower from partial-agg hash pressure;
       // posting-list array fan-out: 2-3x slower because hot shingles
-      // serialize their whole pair block into one task)
+      // serialize their whole pair block into one task; shuffled-hash
+      // hint: 1.5x slower — the SMJ's sorted output feeds the pair
+      // aggregation better than unsorted probe output)
       val inter = bg.select(col("doc_id").as("id_a"), col("vid"))
         .join(bg.select(col("doc_id").as("id_b"), col("vid")), "vid")
         .where(col("id_a") < col("id_b"))
