@@ -194,6 +194,38 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
   def readLevel(ar: Archive): DataFrame =
     readLevelWithSeq(ar).select("series_id", "interval", "value")
 
+  /** Month partitions covering [fromSec, toSec) — the pruning predicate
+    * for windowed reads.
+    */
+  private def monthsCovering(fromSec: Long, toSec: Long): Seq[String] = {
+    import java.time.{Instant, YearMonth, ZoneOffset}
+    val start = YearMonth.from(Instant.ofEpochSecond(fromSec).atZone(ZoneOffset.UTC))
+    val end = YearMonth.from(Instant.ofEpochSecond(math.max(fromSec, toSec - 1))
+      .atZone(ZoneOffset.UTC))
+    Iterator.iterate(start)(_.plusMonths(1)).takeWhile(!_.isAfter(end))
+      .map(ym => f"${ym.getYear}%04d-${ym.getMonthValue}%02d").toSeq
+  }
+
+  /** Windowed level read with PARTITION pruning: the interval predicate
+    * alone sits on a data column, so without the derived `p_month`
+    * filter a fetch would scan every month of the level — at 100 TB the
+    * difference between touching 2 partitions and touching 600.
+    */
+  def readLevelRange(ar: Archive, fromSec: Long, toSec: Long): DataFrame = {
+    val p = levelPath(root, ar.step)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
+      .select("series_id", "interval", "value")
+    if (!Files.exists(Paths.get(p))) empty
+    else
+      try spark.read.parquet(p)
+        .where(col("p_month").isin(monthsCovering(fromSec, toSec): _*) &&
+          col("interval") >= timestamp_seconds(lit(fromSec)) &&
+          col("interval") < timestamp_seconds(lit(toSec)))
+        .select("series_id", "interval", "value")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
+
   /** The fetch planner (`src/hoard.coffee:426-441`): clamp `from` to
     * retention, validate, clamp `to` to now, route to the finest
     * archive covering `now - from`, bump both bounds one step past the
@@ -215,10 +247,8 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     */
   def fetch(series: String, from0: Long, to0: Long, now: Long): (TimeInfo, DataFrame) = {
     val (ar, ti) = planWindow(from0, to0, now)
-    val data = readLevel(ar)
-      .where(col("series_id") === series &&
-        col("interval") >= timestamp_seconds(lit(ti.fromInterval)) &&
-        col("interval") < timestamp_seconds(lit(ti.toInterval)))
+    val data = readLevelRange(ar, ti.fromInterval, ti.toInterval)
+      .where(col("series_id") === series)
     val universe = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
         org.apache.spark.sql.Row(series)),
@@ -237,11 +267,13 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
   def fetchMulti(seriesPred: org.apache.spark.sql.Column, from0: Long,
                  to0: Long, now: Long): (TimeInfo, DataFrame) = {
     val (ar, ti) = planWindow(from0, to0, now)
-    val level = readLevel(ar).where(seriesPred)
-    val data = level
-      .where(col("interval") >= timestamp_seconds(lit(ti.fromInterval)) &&
-        col("interval") < timestamp_seconds(lit(ti.toInterval)))
-    val universe = level.select("series_id").distinct()
+    val data = readLevelRange(ar, ti.fromInterval, ti.toInterval)
+      .where(seriesPred)
+    // the universe (series with ANY data at this level) intentionally
+    // reads the whole level — a production deploy would keep a series
+    // catalog instead of deriving it from data
+    val universe = readLevel(ar).where(seriesPred)
+      .select("series_id").distinct()
     val dense = GapFill.densify(data, universe, "series_id", "interval",
       Seq("value"), ti.fromInterval, ti.toInterval, ar.step)
     (ti, dense)

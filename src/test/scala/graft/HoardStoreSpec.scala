@@ -138,6 +138,21 @@ class HoardStoreSpec extends SparkTestBase {
     assert(rows.count(!_.isNullAt(2)) == 2) // one value each
   }
 
+  test("fetch prunes month partitions, not just interval rows") {
+    val s = freshStore()
+    // two points in different months so the level has 2+ partitions
+    s.updateMany(Seq(
+      HoardStore.RawPoint("cpu", now - 3600, 1.0),
+      HoardStore.RawPoint("cpu", now - 90 * 86400, 2.0)), now)
+    val (_, df) = s.fetch("cpu", now - 7200, now, now)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan must carry a p_month partition filter (a data-column
+    // interval predicate alone would scan every month at scale)
+    assert(plan.contains("p_month"), s"no partition filter in plan:\n$plan")
+    val (_, vals) = s.fetchValues("cpu", now - 7200, now, now)
+    assert(vals.flatten == Seq(1.0)) // pruning did not drop the hit
+  }
+
   test("vacuum drops rows beyond each level's retention") {
     val s = freshStore()
     s.updateMany(Seq(RawPoint("cpu", now - 3600, 1.0)), now)
