@@ -120,7 +120,11 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
             .select(col("series_id"),
               Time.align(col("interval"), ar.step).as("interval"))
             .distinct()
-          val finer = readLevel(levels(i - 1))
+          // propagation cost ∝ touched intervals (§2.2.10) down to the
+          // I/O: read only the finer level's touched month partitions
+          val finer = readLevelWithSeq(levels(i - 1),
+              Some(touchedMonths(touched, ar.step)))
+            .select("series_id", "interval", "value")
           val prop = Rollup.downsample(
               finer.join(touched.select(col("series_id").as("s2"),
                 col("interval").as("i2")),
@@ -152,12 +156,10 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     // INVARIANT: filter existing rows by touched MONTH only, never by
     // series — dynamic partition overwrite rewrites whole month
     // partitions, so every series' rows in a touched month must ride
-    // along or they would be silently deleted.
-    val existing = readLevelWithSeq(ar)
-      .join(touched.select(month(col("interval")).as("m2"),
-          year(col("interval")).as("y2")).distinct(),
-        year(col("interval")) === col("y2") &&
-          month(col("interval")) === col("m2"), "left_semi")
+    // along or they would be silently deleted. The month list is pushed
+    // as a PARTITION filter (an interval-derived semi-join would scan
+    // every month of the level before filtering).
+    val existing = readLevelWithSeq(ar, Some(touchedMonths(touched, 1)))
     val merged = Dedup.lastWriteWins(
         existing.unionByName(newRows),
         Seq(col("series_id"), col("interval")), col("seq"),
@@ -180,16 +182,43 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
       StructField("b", LongType), StructField("k", IntegerType),
       StructField("t", LongType), StructField("s", LongType))))))
 
-  private def readLevelWithSeq(ar: Archive): DataFrame = {
+  private def readLevelWithSeq(ar: Archive,
+                               months: Option[Seq[String]] = None): DataFrame = {
     val p = levelPath(root, ar.step)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
     if (!Files.exists(Paths.get(p))) empty
     else
       // a vacuumed-to-nothing level dir has no footers to infer from
-      try spark.read.parquet(p).select("series_id", "interval", "value", "seq")
-      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      try {
+        val df = spark.read.parquet(p)
+        val pruned = months match {
+          case Some(ms) => df.where(col("p_month").isin(ms: _*))
+          case None => df
+        }
+        pruned.select("series_id", "interval", "value", "seq")
+      } catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
+
+  /** Distinct `yyyy-MM` partition keys covered by a (small) frame of
+    * touched intervals, where each interval spans [t, t+spanSec) —
+    * a coarse interval can cross a month boundary, so both edges count.
+    * Driver-side, bounded by retention/30 days. Steps longer than 28
+    * days fall back to the full min..max month span (correct, coarser).
+    */
+  private def touchedMonths(touched: DataFrame, spanSec: Long): Seq[String] =
+    if (spanSec <= 28L * 86400)
+      touched.select(explode(array(
+          date_format(col("interval"), "yyyy-MM"),
+          date_format(timestamp_seconds(col("interval").cast("long") +
+            (spanSec - 1)), "yyyy-MM"))).as("m"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    else {
+      val r = touched.agg(min(col("interval")).cast("long"),
+        max(col("interval")).cast("long")).head()
+      if (r.isNullAt(0)) Seq.empty
+      else monthsCovering(r.getLong(0), r.getLong(1) + spanSec)
+    }
 
   def readLevel(ar: Archive): DataFrame =
     readLevelWithSeq(ar).select("series_id", "interval", "value")
