@@ -47,7 +47,48 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** Two-batch store: the same events split chronologically at
+    * 2024-01-16 and ingested as two updateMany calls. Slots straddling
+    * nothing — every slot's batch-2 points are later than its batch-1
+    * points, so batch-wins == chronological lww and the SAME oracle as
+    * the one-batch store must hold. This is the incremental-correctness
+    * property: merge + re-propagation of touched intervals converges to
+    * the from-scratch computation.
+    */
+  private val built2 = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeTwoBatch(s: SparkSession, dir: String): HoardStore = {
+    val root = built2.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store2")
+        .toString + "/store"
+      val st = HoardStore.create(s, tmp, Policy)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      // mid-day cut: Jan-16's DAILY interval receives hourly points from
+      // both batches, so batch 2 must re-propagate an interval batch 1
+      // already wrote (the stale-overwrite path)
+      val cut = 1705406400L // 2024-01-16 12:00:00 UTC
+      st.updateManyDf(ev.where(col("ts") < cut), Now)
+      st.updateManyDf(ev.where(col("ts") >= cut), Now)
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hs3_incremental" -> ((s, dir) => {
+      // daily rollup level after TWO chronological batches — must equal
+      // the from-scratch recomputation (same oracle as hs2)
+      val st = storeTwoBatch(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs1_storefetch" -> ((s, dir) => {
       val st = storeFor(s, dir)
       // window (2024-01-05, 2024-01-07]-aligned; routes to the hourly level
@@ -68,6 +109,19 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "hs3_incremental" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d, AVG(v) AS v
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING COUNT(v) >= 12)
+        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value
+        |FROM daily ORDER BY series_id, bucket""".stripMargin,
+
     // the store's lww key is (epoch-second, ingest seq); the oracle
     // packs the same ordering into one BIGINT key
     "hs1_storefetch" ->
