@@ -138,6 +138,23 @@ class HoardStoreSpec extends SparkTestBase {
     assert(rows.count(!_.isNullAt(2)) == 2) // one value each
   }
 
+  test("late data within retention is accepted and re-propagated (SURVEY 3.4)") {
+    val s = freshStore()
+    val dayStart = (now - 2000000) / 86400 * 86400
+    // batch 1: hours 2..13 of a day (12 points -> daily mean written)
+    s.updateMany((2 until 14).map(h =>
+      HoardStore.RawPoint("cpu", dayStart + h * 3600, h.toDouble)), now)
+    // batch 2 arrives LATER but carries an EARLIER point (hour 0):
+    // accepted, lands in its slot, daily recomputed over 13 points
+    s.updateMany(Seq(HoardStore.RawPoint("cpu", dayStart, 100.0)), now)
+    val (_, vals) = s.fetchValues("cpu", dayStart - 1, dayStart + 14 * 3600, now)
+    assert(vals.head.contains(100.0)) // the late hour-0 slot is filled
+    val daily = s.readLevel(graft.core.Archive(86400, 1095)).collect()
+    assert(daily.length == 1)
+    assert(math.abs(daily.head.getAs[Double]("value") -
+      ((2 until 14).sum + 100.0) / 13.0) < 1e-9)
+  }
+
   test("fetch prunes month partitions, not just interval rows") {
     val s = freshStore()
     // two points in different months so the level has 2+ partitions
