@@ -105,6 +105,29 @@ object StoreQueries {
           col("interval").cast("date").cast("string").as("bucket"),
           round(col("value"), 6).as("value"))
         .orderBy("series_id", "bucket")
+    }),
+
+    "hs4_multifetch" -> ((s, dir) => {
+      // one dense gap-filled frame across ALL series in a window — the
+      // multi-series capability the reference (one series per file)
+      // cannot express
+      val st = storeFor(s, dir)
+      val (_, dense) = st.fetchMulti(lit(true), 1704412800L, 1704499200L, Now)
+      dense.select(col("series_id"),
+          col("interval").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
+    "hs5_info" -> ((s, dir) => {
+      // catalog read (the reference's info()): policy rows, no data I/O
+      storeFor(s, dir) // ensure the store exists
+      val p = HoardStore.info(s, built.get(dir))
+      import s.implicits._
+      p.sorted.map(a => (a.step, a.points, a.retention, p.maxRetention,
+          p.xff, p.cf))
+        .toDF("step", "points", "retention", "max_retention", "xff", "cf")
+        .orderBy("step")
     })
   )
 
@@ -137,6 +160,34 @@ object StoreQueries {
         |SELECT CAST(s.h AS VARCHAR) AS bucket, ROUND(hh.v, 6) AS value
         |FROM spine s LEFT JOIN hourly hh ON s.h = hh.h
         |ORDER BY bucket""".stripMargin,
+
+    "hs4_multifetch" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS series_id, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |series AS (SELECT DISTINCT event_type AS series_id FROM events),
+        |spine AS (
+        |  SELECT series_id, g AS h
+        |  FROM series CROSS JOIN generate_series(
+        |    TIMESTAMP '2024-01-05 01:00:00',
+        |    TIMESTAMP '2024-01-06 00:00:00', INTERVAL 1 HOUR) t(g))
+        |SELECT s.series_id, CAST(s.h AS VARCHAR) AS bucket,
+        |       ROUND(hh.v, 6) AS value
+        |FROM spine s LEFT JOIN hourly hh
+        |  ON s.series_id = hh.series_id AND s.h = hh.h
+        |ORDER BY s.series_id, bucket""".stripMargin,
+
+    "hs5_info" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3600 AS BIGINT), CAST(8760 AS BIGINT),
+        |   CAST(31536000 AS BIGINT), CAST(94608000 AS BIGINT),
+        |   CAST(0.5 AS DOUBLE), 'avg'),
+        |  (CAST(86400 AS BIGINT), CAST(1095 AS BIGINT),
+        |   CAST(94608000 AS BIGINT), CAST(94608000 AS BIGINT),
+        |   CAST(0.5 AS DOUBLE), 'avg'))
+        | t(step, points, retention, max_retention, xff, cf)
+        |ORDER BY step""".stripMargin,
 
     "hs2_storerollup" ->
       """WITH hourly AS (
