@@ -1,0 +1,108 @@
+package graft
+
+import graft.core.{Archive, ArchivePolicy}
+import graft.store.HoardStore
+import graft.store.HoardStore.RawPoint
+import scala.collection.mutable
+import scala.util.Random
+
+/** Whole-engine property test: random multi-batch workloads are replayed
+  * against a pure in-memory mirror of the contract (age routing,
+  * too-old drops, composite-key last-write-wins across batches,
+  * xff-gated mean propagation from the merged finer level, stale-value
+  * keep, direct-beats-propagated within a batch). Any divergence between
+  * the distributed engine and the sequential mirror is a bug in one of
+  * them.
+  */
+class StorePropertySpec extends SparkTestBase {
+
+  private val policy = ArchivePolicy(Seq(
+    Archive(60, 60), Archive(3600, 24), Archive(86400, 30)))
+  private val now = 1700000000L
+
+  /** key = (batch, kind, ts, seq); kind 1 = direct, 0 = propagated. */
+  private type Key = (Int, Int, Long, Long)
+  private implicit val keyOrd: Ordering[Key] = Ordering.Tuple4[Int, Int, Long, Long]
+
+  private def align(t: Long, step: Long): Long = t - java.lang.Math.floorMod(t, step)
+
+  private def mirror(batches: Seq[Seq[RawPoint]]): Map[Long, Map[(String, Long), Double]] = {
+    val levels = policy.sorted
+    val state = levels.map(ar =>
+      ar.step -> mutable.Map.empty[(String, Long), (Double, Key)]).toMap
+    batches.zipWithIndex.foreach { case (batch, bi) =>
+      val routed = batch.zipWithIndex.flatMap { case (p, i) =>
+        policy.indexForAge(now - p.ts).map(lvl => (p, lvl, i.toLong))
+      }
+      var touchedBelow = Set.empty[(String, Long)] // finest-granularity keys
+      levels.zipWithIndex.foreach { case (ar, li) =>
+        val direct = routed.collect { case (p, lvl, seq) if lvl == li =>
+          ((p.series_id, align(p.ts, ar.step)),
+            (p.value, (bi, 1, p.ts, seq): Key))
+        }
+        val propagated: Seq[((String, Long), (Double, Key))] =
+          if (li == 0) Seq.empty
+          else {
+            val finerStep = levels(li - 1).step
+            val expected = (ar.step / finerStep).toDouble
+            val touched = touchedBelow.map { case (s0, iv) => (s0, align(iv, ar.step)) }
+            touched.toSeq.sorted.flatMap { case (s0, iv) =>
+              val known = state(finerStep).collect {
+                case ((`s0`, fiv), (v, _)) if align(fiv, ar.step) == iv => v
+              }.toSeq
+              if (known.nonEmpty && known.size / expected >= policy.xff)
+                Some(((s0, iv), (known.sum / known.size, (bi, 0, 0L, 0L): Key)))
+              else None
+            }
+          }
+        val newRows = propagated ++ direct
+        newRows.foreach { case (k, (v, key)) =>
+          state(ar.step).get(k) match {
+            case Some((_, oldKey)) if keyOrd.gteq(oldKey, key) => ()
+            case _ => state(ar.step)(k) = (v, key)
+          }
+        }
+        touchedBelow ++= newRows.map(_._1)
+      }
+    }
+    state.map { case (step, m) =>
+      step -> m.map { case (k, (v, _)) => k -> v }.toMap
+    }
+  }
+
+  test("engine == sequential mirror over random multi-batch workloads") {
+    val rnd = new Random(1234)
+    val series = Seq("a", "b")
+    // ages spread across all three archives, plus too-old and future
+    val points = (0 until 180).map { _ =>
+      val age = rnd.nextInt(4) match {
+        case 0 => rnd.between(0L, 3600L)                 // minute archive
+        case 1 => rnd.between(3600L, 86400L)             // hourly archive
+        case 2 => rnd.between(86400L, 30L * 86400)       // daily archive
+        case _ => if (rnd.nextBoolean()) rnd.between(30L * 86400, 40L * 86400) // too old
+                  else -rnd.between(1L, 3000L)           // future (finest)
+      }
+      RawPoint(series(rnd.nextInt(series.size)), now - age,
+        rnd.nextInt(1000).toDouble)
+    }
+    // 3 arbitrary (non-chronological) batches — batch order semantics
+    val batches = points.grouped(60).toSeq
+    val store = HoardStore.create(spark, tmpDir("prop-store") + "/store", policy)
+    batches.foreach(b => store.updateMany(b, now))
+
+    val want = mirror(batches)
+    policy.sorted.foreach { ar =>
+      val got = store.readLevel(ar).collect().map { r =>
+        (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond) ->
+          r.getDouble(2)
+      }.toMap
+      val w = want(ar.step)
+      assert(got.keySet == w.keySet,
+        s"step ${ar.step}: keys differ; only-engine=${got.keySet -- w.keySet} " +
+          s"only-mirror=${w.keySet -- got.keySet}")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - w(k)) < 1e-9, s"step ${ar.step} $k: $v vs ${w(k)}")
+      }
+    }
+  }
+}
