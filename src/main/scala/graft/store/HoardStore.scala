@@ -35,6 +35,12 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
 
   import HoardStore._
 
+  // p_month partition values are DEFINED as UTC months; date_format
+  // renders in the session timezone, so pin it — otherwise a non-UTC
+  // session would write/prune partitions inconsistently with the
+  // UTC-based month math in monthsCovering.
+  graft.Graft.configure(spark)
+
   def policy: ArchivePolicy = readPolicy(root)
 
   // ---- write path ----------------------------------------------------
@@ -240,20 +246,11 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     * filter a fetch would scan every month of the level — at 100 TB the
     * difference between touching 2 partitions and touching 600.
     */
-  def readLevelRange(ar: Archive, fromSec: Long, toSec: Long): DataFrame = {
-    val p = levelPath(root, ar.step)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
+  def readLevelRange(ar: Archive, fromSec: Long, toSec: Long): DataFrame =
+    readLevelWithSeq(ar, Some(monthsCovering(fromSec, toSec)))
+      .where(col("interval") >= timestamp_seconds(lit(fromSec)) &&
+        col("interval") < timestamp_seconds(lit(toSec)))
       .select("series_id", "interval", "value")
-    if (!Files.exists(Paths.get(p))) empty
-    else
-      try spark.read.parquet(p)
-        .where(col("p_month").isin(monthsCovering(fromSec, toSec): _*) &&
-          col("interval") >= timestamp_seconds(lit(fromSec)) &&
-          col("interval") < timestamp_seconds(lit(toSec)))
-        .select("series_id", "interval", "value")
-      catch { case _: org.apache.spark.sql.AnalysisException => empty }
-  }
 
   /** The fetch planner (`src/hoard.coffee:426-441`): clamp `from` to
     * retention, validate, clamp `to` to now, route to the finest
