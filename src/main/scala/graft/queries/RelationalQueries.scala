@@ -176,6 +176,29 @@ object RelationalQueries {
         .orderBy("gid", "r_name", "c_mktsegment")
     }),
 
+    "q22_percentile" -> ((s, dir) => {
+      // exact percentiles (continuous interpolation — same formula as
+      // DuckDB quantile_cont); approx_percentile stays out of the
+      // oracle like other sketches
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, array(0.25))")(0), 6).as("p25"))
+        .orderBy("event_type")
+    }),
+
+    "q23_regex" -> ((s, dir) => {
+      // regex surface: predicate + extraction (pattern kept in the
+      // Java-regex/RE2 common subset)
+      t(s, dir, "documents")
+        .where(col("text").rlike("the [a-z]+ (key|table)"))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "the ([a-z]+) (key|table)", 1)
+            .as("adjective"))
+        .orderBy("doc_id")
+    }),
+
     "q13_topk" -> ((s, dir) => {
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -380,6 +403,19 @@ object RelationalQueries {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, c_mktsegment)
         |ORDER BY gid, r_name, c_mktsegment""".stripMargin,
+
+    "q22_percentile" ->
+      """SELECT event_type,
+        | ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        | ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        | ROUND(quantile_cont(value, 0.25), 6) AS p25
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q23_regex" ->
+      """SELECT doc_id,
+        | regexp_extract(text, 'the ([a-z]+) (key|table)', 1) AS adjective
+        |FROM documents WHERE regexp_matches(text, 'the [a-z]+ (key|table)')
+        |ORDER BY doc_id""".stripMargin,
 
     "q13_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
