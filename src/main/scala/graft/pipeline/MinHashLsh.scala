@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** MinHash signatures + LSH banding for near-duplicate detection —
   * the standard shingle → minhash → band → bucket-join pipeline.
   *
-  * Hash family: h_j(x) = ((2j+3)·x + 5j+7) mod P over dense shingle
-  * ids — affine over a prime field, exactly reproducible in ANSI SQL
-  * (the oracle), and swappable for xxhash64-based ids at scale.
+  * Hash family: h_j(x) = ((2j+3)·(x mod P) + 5j+7) mod P over hashed
+  * shingle ids — affine over a prime field, exactly reproducible in
+  * ANSI SQL (the oracle). Ids may be any 64-bit hash (md5-derived or
+  * xxhash64): the mod-P reduction first keeps the multiply inside
+  * 64-bit range and pmod keeps negative xxhash64 ids well-defined.
   *
   * Scale: signatures are one groupBy over (doc, j) with partial min;
   * banding shuffles 500M docs × b rows, each tiny; the candidate join
@@ -27,7 +29,7 @@ object MinHashLsh {
     */
   def signatures(shingleIds: DataFrame, idCol: String, k: Int): DataFrame = {
     val mins = (0 until k).map { j =>
-      min(pmod(lit(2 * j + 3) * col("vid") + lit(5 * j + 7), lit(P))).as(s"m$j")
+      min(pmod(lit(2 * j + 3) * pmod(col("vid"), lit(P)) + lit(5 * j + 7), lit(P))).as(s"m$j")
     }
     val stacked = (0 until k).map(j => s"${j}L, m$j").mkString(", ")
     shingleIds

@@ -70,14 +70,16 @@ object TextAnalysis {
       ceil(nChar.cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
   }
 
-  /** Position-weighted rolling fingerprint over dense token ids:
-    * fp = Σ (vid · ((31·pos + 7) mod P)) mod P — order-sensitive (a
-    * permuted document fingerprints differently), integer-exact.
+  /** Position-weighted rolling fingerprint over hashed token ids:
+    * fp = Σ ((vid mod P) · ((31·pos + 7) mod P)) mod P — order-sensitive
+    * (a permuted document fingerprints differently), integer-exact; the
+    * mod-P reduction of the 64-bit id keeps the multiply inside Long.
     */
   def fingerprints(tokenIds: DataFrame, idCol: String): DataFrame = {
     val P = 1000003L
     tokenIds.groupBy(col(idCol))
-      .agg(pmod(sum(pmod(col("vid") * pmod(col("pos") * 31 + 7, lit(P)), lit(P))),
+      .agg(pmod(sum(pmod(pmod(col("vid"), lit(P)) *
+          pmod(col("pos") * 31 + 7, lit(P)), lit(P))),
         lit(P)).as("fingerprint"))
   }
 }

@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
 /** Tokenization primitives shared by the dedup / text-analysis
   * operators. All outputs are 1-based positions to match SQL oracles.
   *
-  * Scale note: `vocabIds` assigns dense ids with a global sort — used
-  * only by the oracle-checked queries, where cross-engine determinism
-  * requires arithmetic-friendly ids. The production hasher for 100 TB
-  * corpora is `xxhash64` (no join, no global sort); every operator in
-  * this package takes the token-id column as input so either source
-  * works.
+  * Token/shingle ids are HASHED per row (`hashId` / `xxhash64`) — no
+  * vocabulary join, no global sort, no driver state; the id assignment
+  * is embarrassingly parallel at any corpus size. `hashId` (md5-derived
+  * 60-bit) is the oracle-parity hash (DuckDB reproduces it in SQL);
+  * `xxhash64` is the cheaper engine-only alternative — every operator
+  * in this package takes the id column as input so either works.
   */
 object TextOps {
 
@@ -35,10 +35,14 @@ object TextOps {
       .where(col("__complete")).drop("__complete")
   }
 
-  /** Dense deterministic ids over the distinct values of `valueCol`
-    * (binary string order). Oracle-parity path; see scale note above.
+  /** 60-bit deterministic content id: the first 15 hex chars of the
+    * value's md5, parsed base-16 — pure per-row arithmetic (no
+    * vocabulary join, no global sort). DuckDB reproduces it as
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`, which is what
+    * makes the hashed-id pipeline oracle-checkable cross-engine.
+    * Collisions: ~N²/2^61 for N distinct values — negligible, and
+    * identical on both engines even if one occurred.
     */
-  def vocabIds(df: DataFrame, valueCol: String): DataFrame =
-    df.select(valueCol).distinct()
-      .withColumn("vid", row_number().over(Window.orderBy(col(valueCol))).cast("long"))
+  def hashId(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * All similarity scores are rounded to 6 decimals BEFORE any ranking
   * or thresholding so cross-engine float accumulation cannot flip an
-  * order; all hashing is integer arithmetic over dense vocab ids (see
-  * TextOps.vocabIds for the production xxhash64 swap).
+  * order; all hashing is integer arithmetic over per-row hashed ids
+  * (TextOps.hashId — md5-derived, reproducible in DuckDB; p10 uses
+  * xxhash64, gated by exact verification) — no vocabulary join and no
+  * global sort anywhere in the id path.
   */
 object PipelineQueries {
 
@@ -27,19 +29,16 @@ object PipelineQueries {
   private def toks(s: SparkSession, dir: String): DataFrame =
     TextOps.tokens(docs(s, dir), "doc_id", "text")
 
-  /** tokens joined with dense token ids: (doc_id, pos, vid). */
-  private def tokenIds(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(s, dir)
-    t.join(TextOps.vocabIds(t, "token"), "token")
+  /** tokens with per-row hashed ids: (doc_id, pos, vid) — no join. */
+  private def tokenIds(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir).withColumn("vid", TextOps.hashId(col("token")))
       .select("doc_id", "pos", "vid")
-  }
 
-  /** 3-shingles joined with dense shingle ids: (doc_id, vid). */
-  private def shingleIds(s: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingles(toks(s, dir), "doc_id", 3)
-    sh.join(TextOps.vocabIds(sh, "shingle"), "shingle")
+  /** 3-shingles with per-row hashed ids: (doc_id, vid) — no join. */
+  private def shingleIds(s: SparkSession, dir: String): DataFrame =
+    TextOps.shingles(toks(s, dir), "doc_id", 3)
+      .withColumn("vid", TextOps.hashId(col("shingle")))
       .select("doc_id", "vid")
-  }
 
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     MinHashLsh.signatures(shingleIds(s, dir), "doc_id", 16)
@@ -75,10 +74,9 @@ object PipelineQueries {
     "p4_jaccard" -> ((s, dir) => {
       // join on dense int shingle ids, not strings: the inverted-index
       // self-join shuffles ~50M rows at sf0.1 — longs keep it compact
-      val bgRaw = TextOps.shingles(toks(s, dir), "doc_id", 2)
-        .select(col("doc_id"), col("shingle"))
-      val bg = bgRaw.join(TextOps.vocabIds(bgRaw, "shingle"), "shingle")
-        .select(col("doc_id"), col("vid")).distinct()
+      val bg = TextOps.shingles(toks(s, dir), "doc_id", 2)
+        .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
+        .distinct()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // shuffle join on vid: measured best of four shapes at sf0.1
       // (broadcast join: 2x slower from partial-agg hash pressure;
@@ -101,7 +99,9 @@ object PipelineQueries {
     }),
 
     "p5_simhash" -> ((s, dir) => {
-      SimHash.nearPairs(
+      // pigeonhole-bucketed plan; identical result to the all-pairs
+      // comparison (SimHashSpec cross-checks the two on real fixtures)
+      SimHash.nearPairsBucketed(
           SimHash.fingerprints(tokenIds(s, dir), "doc_id"), "doc_id", maxDist = 6)
         .orderBy("id_a", "id_b")
     }),
@@ -149,24 +149,31 @@ object PipelineQueries {
     }),
 
     "p9_annivf" -> ((s, dir) => {
-      // IVF-style ANN: coarse cells from a deterministic centroid subset
-      // (vec_id % 40 == 0), each vector assigned to its nearest centroid,
-      // search confined to the query's cell (nprobe=1)
+      // IVF-style ANN with a FIXED centroid budget: K=40 coarse cells
+      // (vec_id < 40 — K independent of corpus size, so the broadcast
+      // side is O(K) at any N; a production build swaps in sampled
+      // k-means centroids behind the same plan). Vectors are indexed
+      // under their single nearest cell; each query probes its top-2
+      // cells (nprobe=2). The ranking window partitions by vec_id —
+      // never an unpartitioned window.
       val e = emb(s, dir)
       val v = Embeddings.withUnitVector(e, "embedding", "uv")
         .select(col("vec_id"), col("uv"))
-      val cents = v.where(col("vec_id") % 40 === 0)
+      val cents = v.where(col("vec_id") < 40)
         .select(col("vec_id").as("c_id"), col("uv").as("cv"))
-      val assign = v.join(broadcast(cents), lit(true))
+      val ranked = v.join(broadcast(cents), lit(true))
         .select(col("vec_id"), col("c_id"),
           round(Embeddings.unitCosine("uv", "cv"), 6).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("cell"))
-      val cellVecs = v.join(assign, "vec_id")
-      val q = cellVecs.select(col("vec_id").as("query_id"), col("cell"),
-        col("uv").as("qn"))
-      val c = cellVecs.select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("uv").as("cn"))
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_id"))
+      val probes = ranked.withColumn("crn", row_number().over(wc))
+        .where(col("crn") <= 2)
+        .select(col("vec_id"), col("c_id").as("cell"), col("crn"))
+      val assign = probes.where(col("crn") === 1).drop("crn")
+      val q = v.join(probes.drop("crn"), "vec_id")
+        .select(col("vec_id").as("query_id"), col("cell"), col("uv").as("qn"))
+      val c = v.join(assign, "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("uv").as("cn"))
       val scored = q.join(c, Seq("cell"))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("cell"),
@@ -177,6 +184,36 @@ object PipelineQueries {
         .where(col("rnk") <= 3)
         .select("query_id", "rnk", "neighbor_id", "sim", "cell")
         .orderBy("query_id", "rnk")
+    }),
+
+    "p10_lshdedup" -> ((s, dir) => {
+      // the end-to-end production dedup path over xxhash64 shingle ids
+      // (engine-only hash): MinHash(32) → LSH bands (r=3) → candidate
+      // equi-join → EXACT jaccard verification on candidates only.
+      // Exact verification makes the output independent of the hash
+      // family, so the all-pairs DuckDB oracle checks it — the gate
+      // simultaneously proves the bucketed plan loses no pair >= the
+      // threshold on this fixture. τ=0.7; the filter is the
+      // integer-exact form 17·i >= 7·(na+nb)  ⟺  i/(na+nb-i) >= 0.7.
+      val ids = TextOps.shingles(toks(s, dir), "doc_id", 3)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+        .distinct()
+      val sigs = MinHashLsh.signatures(ids, "doc_id", 32)
+      val cands = MinHashLsh.candidates(
+        MinHashLsh.bands(sigs, "doc_id", r = 3), "doc_id")
+      val sizes = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(ids.select(col("doc_id").as("id_a"), col("vid")), "id_a")
+        .join(ids.select(col("doc_id").as("id_b"), col("vid")), Seq("id_b", "vid"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .where(col("i") * 17 >= (col("na") + col("nb")) * 7)
+        .select(col("id_a"), col("id_b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+            .as("jaccard"))
+        .orderBy("id_a", "id_b")
     }),
 
     "m2_frames" -> ((s, dir) => {
@@ -223,21 +260,20 @@ object PipelineQueries {
        |         lead(token, 2) OVER w AS shingle
        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
        |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
-       |vocab AS (
-       |  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS vid
-       |  FROM (SELECT DISTINCT shingle FROM sh)),
-       |sid AS (SELECT s.doc_id, v.vid FROM sh s JOIN vocab v USING (shingle)),
+       |sid AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS vid
+       |  FROM sh),
        |sigs AS (
-       |  SELECT doc_id, j, MIN(((2*j+3)*vid + 5*j+7) % 1000003) AS mh
+       |  SELECT doc_id, j, MIN(((2*j+3)*(vid % 1000003) + 5*j+7) % 1000003) AS mh
        |  FROM sid CROSS JOIN range(16) t(j) GROUP BY doc_id, j)""".stripMargin
 
   private val TokenIdsCte =
     s"""$ToksCte,
-       |tvocab AS (
-       |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS vid
-       |  FROM (SELECT DISTINCT token FROM toks)),
-       |tid AS (SELECT t.doc_id, t.pos, v.vid
-       |        FROM toks t JOIN tvocab v USING (token))""".stripMargin
+       |tid AS (
+       |  SELECT doc_id, pos,
+       |         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS vid
+       |  FROM toks)""".stripMargin
 
   private val BucketsCte =
     """ex AS (
@@ -309,8 +345,9 @@ object PipelineQueries {
       s"""WITH $TokenIdsCte,
          |bits AS (
          |  SELECT doc_id, b,
-         |         SUM(CASE WHEN ((vid * 2654435761) % 4294967296 >> CAST(b AS INT))
-         |                       & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |         SUM(CASE WHEN ((((vid % 2147483648) * 2654435761) % 4294967296
+         |                        >> CAST(b AS INT)) & 1) = 1
+         |                  THEN 1 ELSE -1 END) AS vote
          |  FROM tid CROSS JOIN range(32) t(b) GROUP BY doc_id, b),
          |fp AS (
          |  SELECT doc_id,
@@ -368,28 +405,50 @@ object PipelineQueries {
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |assign0 AS (
+        |ranked AS (
         |  SELECT a.vec_id, c.vec_id AS c_id,
-        |         ROUND(list_cosine_similarity(a.v, c.v), 6) AS csim
-        |  FROM uv a JOIN uv c ON c.vec_id % 40 = 0),
-        |assign AS (
-        |  SELECT vec_id, c_id AS cell FROM (
-        |    SELECT vec_id, c_id,
-        |           row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY csim DESC, c_id) AS rn
-        |    FROM assign0) t WHERE rn = 1),
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(a.v, c.v), 6) DESC,
+        |                    c.vec_id) AS crn
+        |  FROM uv a JOIN uv c ON c.vec_id < 40),
+        |assign AS (SELECT vec_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |probes AS (SELECT vec_id, c_id AS cell FROM ranked WHERE crn <= 2),
         |scored AS (
-        |  SELECT ka.vec_id AS query_id, kb.vec_id AS neighbor_id, ka.cell,
+        |  SELECT kq.vec_id AS query_id, kn.vec_id AS neighbor_id, kq.cell,
         |         ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
-        |  FROM assign ka
-        |   JOIN assign kb ON ka.cell = kb.cell AND ka.vec_id <> kb.vec_id
-        |   JOIN uv a ON a.vec_id = ka.vec_id
-        |   JOIN uv b ON b.vec_id = kb.vec_id)
+        |  FROM probes kq
+        |   JOIN assign kn ON kq.cell = kn.cell AND kq.vec_id <> kn.vec_id
+        |   JOIN uv a ON a.vec_id = kq.vec_id
+        |   JOIN uv b ON b.vec_id = kn.vec_id)
         |SELECT query_id,
         |       CAST(row_number() OVER (PARTITION BY query_id
         |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
         |       neighbor_id, sim, cell
         |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // exact all-pairs threshold dedup — hash-family-independent, so it
+    // gates the engine's xxhash64 LSH + exact-verify path: any pair the
+    // bucketing dropped would show up as a missing row here
+    "p10_lshdedup" ->
+      s"""WITH $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         | JOIN sizes sa ON sa.doc_id = id_a
+         | JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE i * 17 >= (sa.n + sb.n) * 7
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "m2_frames" ->
       """SELECT doc_id, f AS frame_no,
@@ -441,8 +500,8 @@ object PipelineQueries {
     "t4_fingerprint" ->
       s"""WITH $TokenIdsCte
          |SELECT doc_id,
-         |       CAST(SUM((vid * ((pos * 31 + 7) % 1000003)) % 1000003) % 1000003
-         |            AS BIGINT) AS fingerprint
+         |       CAST(SUM(((vid % 1000003) * ((pos * 31 + 7) % 1000003)) % 1000003)
+         |            % 1000003 AS BIGINT) AS fingerprint
          |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal" ->

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
 object StoreQueries {
 
   private val Now = 1706745600L // 2024-02-01 00:00:00 UTC
-  private val Policy = ArchivePolicy(Seq(Archive(3600, 8760), Archive(86400, 1095)))
+  // cf=avg_exact: the daily cascade means go through a decimal(18,6)
+  // sum so partial-aggregation order can never perturb the 6th decimal
+  // (the cross-engine-deterministic mean; plain double AVG DID flip at
+  // sf0.1/32 cores elsewhere) — the oracle mirrors the decimal detour
+  private val Policy = ArchivePolicy(Seq(Archive(3600, 8760), Archive(86400, 1095)),
+    cf = "avg_exact")
 
   /** one store build per sf dir per JVM (queries stay idempotent). */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -138,7 +143,9 @@ object StoreQueries {
         |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |daily AS (
-        |  SELECT event_type, date_trunc('day', h) AS d, AVG(v) AS v
+        |  SELECT event_type, date_trunc('day', h) AS d,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
         |  FROM hourly GROUP BY event_type, date_trunc('day', h)
         |  HAVING COUNT(v) >= 12)
         |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
@@ -182,10 +189,10 @@ object StoreQueries {
       """SELECT * FROM (VALUES
         |  (CAST(3600 AS BIGINT), CAST(8760 AS BIGINT),
         |   CAST(31536000 AS BIGINT), CAST(94608000 AS BIGINT),
-        |   CAST(0.5 AS DOUBLE), 'avg'),
+        |   CAST(0.5 AS DOUBLE), 'avg_exact'),
         |  (CAST(86400 AS BIGINT), CAST(1095 AS BIGINT),
         |   CAST(94608000 AS BIGINT), CAST(94608000 AS BIGINT),
-        |   CAST(0.5 AS DOUBLE), 'avg'))
+        |   CAST(0.5 AS DOUBLE), 'avg_exact'))
         | t(step, points, retention, max_retention, xff, cf)
         |ORDER BY step""".stripMargin,
 
@@ -195,7 +202,9 @@ object StoreQueries {
         |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |daily AS (
-        |  SELECT event_type, date_trunc('day', h) AS d, AVG(v) AS v
+        |  SELECT event_type, date_trunc('day', h) AS d,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
         |  FROM hourly GROUP BY event_type, date_trunc('day', h)
         |  HAVING COUNT(v) >= 12)
         |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,

@@ -95,7 +95,11 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
 
     val hasSeq = batch0.columns.contains("seq")
     val batch = if (hasSeq) batch0.withColumnRenamed("seq", "in_seq") else batch0
-    val tieBreak = if (hasSeq) col("in_seq") else lit(0L)
+    // without a caller seq, synthesize a monotone per-row ingest id so
+    // two same-second points for one series still resolve to ONE
+    // deterministic winner for a given input ordering (callers needing
+    // replay-stable lww across repartitionings should supply `seq`)
+    val tieBreak = if (hasSeq) col("in_seq") else monotonically_increasing_id()
 
     // age-based routing: level index = finest archive covering the age
     val routed = batch
@@ -145,7 +149,10 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
 
       val touchedHere = newRows.select("series_id", "interval").distinct()
         .localCheckpoint(true)
-      if (touchedHere.head(1).nonEmpty) mergeLevel(ar, newRows, touchedHere)
+      if (touchedHere.head(1).nonEmpty) {
+        mergeLevel(ar, newRows, touchedHere)
+        appendCatalog(ar, touchedHere)
+      }
       touchedBelow =
         if (touchedBelow == null) touchedHere
         else touchedBelow.select(col("series_id"), col("interval"))
@@ -177,6 +184,38 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
       .option("partitionOverwriteMode", "dynamic") // only touched months
       .partitionBy("p_month")
       .parquet(levelPath(root, ar.step))
+  }
+
+  // ---- series catalog ------------------------------------------------
+
+  /** Append-only catalog of (level, series_id) pairs ever merged into a
+    * level, deduplicated on write via a tiny anti-join. This is what
+    * lets fetchMulti derive its series universe WITHOUT scanning the
+    * level's data (at 100 TB the catalog is ~#series rows vs ~#points).
+    * A series stays in the catalog after vacuum expires its points —
+    * matching the reference, where the series file (all-null slots
+    * included) exists until explicitly deleted.
+    */
+  private def appendCatalog(ar: Archive, touched: DataFrame): Unit = {
+    val fresh = touched.select("series_id").distinct()
+      .join(readCatalog(ar), Seq("series_id"), "left_anti")
+      .withColumn("level", lit(ar.step))
+    if (fresh.head(1).nonEmpty)
+      fresh.coalesce(1).write.mode(SaveMode.Append)
+        .parquet(catalogPath(root))
+  }
+
+  /** Distinct series ever written at a level: one small parquet read. */
+  def readCatalog(ar: Archive): DataFrame = {
+    val p = catalogPath(root)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("series_id", StringType))))
+    if (!Files.exists(Paths.get(p))) empty
+    else
+      try spark.read.parquet(p).where(col("level") === ar.step)
+        .select("series_id").distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   // ---- read path -----------------------------------------------------
@@ -273,6 +312,11 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     */
   def fetch(series: String, from0: Long, to0: Long, now: Long): (TimeInfo, DataFrame) = {
     val (ar, ti) = planWindow(from0, to0, now)
+    // a window that collapses to zero (or negative) slots — from < to
+    // but both inside one step, or from past `now` so the clamp inverts
+    // the bounds — yields an empty frame, like the reference's zero-pass
+    // fetch loop (`src/hoard.coffee:493-509`)
+    if (ti.fromInterval >= ti.toInterval) return (ti, emptyDense)
     val data = readLevelRange(ar, ti.fromInterval, ti.toInterval)
       .where(col("series_id") === series)
     val universe = spark.createDataFrame(
@@ -293,13 +337,13 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
   def fetchMulti(seriesPred: org.apache.spark.sql.Column, from0: Long,
                  to0: Long, now: Long): (TimeInfo, DataFrame) = {
     val (ar, ti) = planWindow(from0, to0, now)
+    if (ti.fromInterval >= ti.toInterval) return (ti, emptyDense)
     val data = readLevelRange(ar, ti.fromInterval, ti.toInterval)
       .where(seriesPred)
-    // the universe (series with ANY data at this level) intentionally
-    // reads the whole level — a production deploy would keep a series
-    // catalog instead of deriving it from data
-    val universe = readLevel(ar).where(seriesPred)
-      .select("series_id").distinct()
+    // the universe comes from the series CATALOG (maintained on write),
+    // not from scanning the level's data — the whole-level distinct
+    // this replaces would be a full scan per multi-series fetch
+    val universe = readCatalog(ar).where(seriesPred)
     val dense = GapFill.densify(data, universe, "series_id", "interval",
       Seq("value"), ti.fromInterval, ti.toInterval, ar.step)
     (ti, dense)
@@ -317,23 +361,57 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
 
   /** Retention vacuum: drop rows beyond each level's retention —
     * the Parquet analogue of ring-buffer wraparound reclaiming slots.
+    *
+    * Scale shape: months STRICTLY before the cutoff month are fully
+    * expired, so their partition directories are dropped without
+    * reading a byte; only the single boundary month (the one partition
+    * mixing kept and expired rows) is read, filtered and rewritten —
+    * and only when it actually contains expired rows. Work is O(1
+    * month partition), not O(level), and repeated vacuums are no-op
+    * idempotent (an emptied level is never re-read).
     */
   def vacuum(now: Long): Unit = {
     policy.sorted.foreach { ar =>
-      val p = levelPath(root, ar.step)
-      if (Files.exists(Paths.get(p))) {
-        val kept = spark.read.parquet(p)
-          .where(col("interval") >= timestamp_seconds(lit(now - ar.retention)))
-          .select("series_id", "interval", "value", "seq")
-          .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
-          .localCheckpoint(true)
-        // static overwrite: months fully past retention must disappear
-        kept.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "static")
-          .partitionBy("p_month").parquet(p)
+      val dir = Paths.get(levelPath(root, ar.step))
+      if (Files.exists(dir)) {
+        val cutoff = now - ar.retention
+        val cutoffMonth = monthsCovering(cutoff, cutoff + 1).head
+        val months = Files.list(dir).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("p_month="))
+          .map(_.stripPrefix("p_month=")).toSeq
+        months.filter(_ < cutoffMonth)
+          .foreach(m => deleteRecursively(dir.resolve(s"p_month=$m")))
+        if (months.contains(cutoffMonth)) {
+          // read ONLY the boundary partition directory
+          val part = spark.read.parquet(s"$dir/p_month=$cutoffMonth")
+          val pred = col("interval") >= timestamp_seconds(lit(cutoff))
+          if (part.where(!pred).head(1).nonEmpty) {
+            val kept = part.where(pred)
+              .select("series_id", "interval", "value", "seq")
+              .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
+              .localCheckpoint(true)
+            if (kept.head(1).nonEmpty)
+              kept.write.mode(SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("p_month").parquet(levelPath(root, ar.step))
+            else deleteRecursively(dir.resolve(s"p_month=$cutoffMonth"))
+          }
+        }
       }
     }
   }
+
+  private def emptyDense: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("series_id", StringType),
+      StructField("interval", TimestampType), StructField("value", DoubleType))))
+
+  private def deleteRecursively(p: JPath): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
 }
 
 object HoardStore {
@@ -403,6 +481,8 @@ object HoardStore {
 
   private[store] def levelPath(root: String, step: Long): String =
     s"$root/level=$step"
+
+  private[store] def catalogPath(root: String): String = s"$root/_series"
 
   /** CASE chain routing an age to the finest covering archive index
     * (`src/hoard.coffee:257-272`); NULL = older than every archive.

@@ -102,7 +102,10 @@ class HoardStoreSpec extends SparkTestBase {
     assert(ti.step == 86400) // clamped from -> full-retention age -> daily
     assert(ti.fromInterval == graft.core.Time.bumpEpoch(now - policy.maxRetention, 86400))
     assert(ti.toInterval == graft.core.Time.bumpEpoch(now, 86400))
-    intercept[IllegalArgumentException] { s.fetch("cpu", now + 10, now + 20, now) }
+    // from past `now`: to clamps to now, the window collapses, and the
+    // reference's zero-pass loop returns an empty values list
+    val (_, dfEmpty) = s.fetch("cpu", now + 10, now + 20, now)
+    assert(dfEmpty.isEmpty)
   }
 
   test("fetch on an empty store returns all nulls (reference :450-456)") {
@@ -177,5 +180,86 @@ class HoardStoreSpec extends SparkTestBase {
     val later = now + 2 * 31536000L
     s.vacuum(later)
     assert(s.readLevel(policy.finest).isEmpty)
+    s.vacuum(later) // idempotent on an emptied level (no footers to read)
+    assert(s.readLevel(policy.finest).isEmpty)
+  }
+
+  test("vacuum drops expired months wholesale and leaves live months byte-identical") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // 120-day retention: the oldest of three month partitions fully
+    // expires; the cutoff lands in a month with no expired rows, so the
+    // surviving partitions must not be rewritten at all
+    val s = HoardStore.create(spark, tmpDir("hoard-v") + "/store",
+      ArchivePolicy(Seq(Archive(3600, 2880)))) // 3600 * 2880 = 120 days
+    // ingest with the clock at the OLDEST point so all three are young
+    // enough to store (the batch path happily stores ahead-of-clock
+    // points in the finest archive); vacuum then runs at `now`
+    s.updateMany(Seq(
+      RawPoint("cpu", now - 3600, 1.0),             // current month (live)
+      RawPoint("cpu", now - 75 * 86400, 2.0),       // ~2.5 months back (live)
+      RawPoint("cpu", now - 170 * 86400, 3.0)),      // ~5.6 months back (expired)
+      now - 170 * 86400)
+    val lvl = Paths.get(s.root, "level=3600")
+    def monthDirs = Files.list(lvl).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("p_month=")).toSeq.sorted
+    def filesOf(m: String): Seq[(String, Long)] =
+      Files.walk(lvl.resolve(m)).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sorted
+    val before = monthDirs
+    assert(before.size == 3)
+    val snap = before.map(m => m -> filesOf(m)).toMap
+    s.vacuum(now)
+    val after = monthDirs
+    assert(after.size == 2, s"expected expired month dropped, got $after")
+    assert(!after.contains(before.head))
+    // surviving months were not rewritten: same files, same mtimes
+    after.foreach(m => assert(filesOf(m) == snap(m), s"month $m was rewritten"))
+    val vals = s.readLevel(Archive(3600, 2880)).collect()
+    assert(vals.map(_.getAs[Double]("value")).toSet == Set(1.0, 2.0))
+  }
+
+  test("fetchMulti derives its universe from the series catalog, not a level scan") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = freshStore()
+    val t = now - 7200
+    s.updateMany(Seq(
+      HoardStore.RawPoint("cpu", t, 1.0),
+      HoardStore.RawPoint("mem", t - 3600, 2.0)), now)
+    val (_, df) = s.fetchMulti(lit(true), t - 7200, t + 3600, now)
+    // executedPlan prints each FileScan's Location path
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("_series"), s"universe does not read the catalog:\n$plan")
+    // exactly ONE scan of the level data (the windowed read); the
+    // pre-catalog plan scanned the level a second time for the universe
+    val levelScans = "level=3600".r.findAllIn(plan).length
+    assert(levelScans == 1, s"expected 1 level scan, got $levelScans:\n$plan")
+  }
+
+  test("catalog keeps a vacuumed-out series visible to fetchMulti (all-null frame)") {
+    import org.apache.spark.sql.functions.lit
+    val s = freshStore()
+    s.updateMany(Seq(RawPoint("cpu", now - 3600, 1.0)), now)
+    val later = now + 2 * 31536000L
+    s.vacuum(later) // hourly row expires; catalog entry remains
+    val (ti, df) = s.fetchMulti(lit(true), later - 7200, later, later)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(2)),
+      "vacuumed series should fetch as an all-null dense frame")
+    assert(ti.step == 3600)
+  }
+
+  test("zero-slot window returns an empty frame, not an error (reference :493-509)") {
+    val s = freshStore()
+    s.update("cpu", 1.0, now - 1800, now)
+    // from < to but both inside one hourly step after bumping
+    val from = (now / 3600) * 3600 - 3599
+    val (ti, df) = s.fetch("cpu", from, from + 10, now)
+    assert(ti.fromInterval == ti.toInterval)
+    assert(df.isEmpty)
+    val (ti2, df2) = s.fetchMulti(org.apache.spark.sql.functions.lit(true),
+      from, from + 10, now)
+    assert(ti2.fromInterval == ti2.toInterval && df2.isEmpty)
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipeline.{SimHash, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Scale-path equivalence and accuracy gates for the pipeline operators
+  * whose engine plan differs from the exactness baseline:
+  *  - SimHash pigeonhole bucketing must return EXACTLY the all-pairs
+  *    result (a guarantee, not an approximation);
+  *  - the md5-derived 60-bit hashId must match the documented DuckDB
+  *    formula (the cross-engine id contract);
+  *  - IVF ANN (p9) must achieve reasonable recall vs brute force (p7);
+  *  - approx_count_distinct at rsd=0.02 must sit within its documented
+  *    error of the exact count (closes the only oracle-less query, q20).
+  */
+class PipelineScaleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.001"
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  test("simhash bucketed near-pairs == all-pairs near-pairs (sf0.001 and sf0.01)") {
+    for (dir <- Seq(Sf, Sf01)) {
+      val toks = TextOps.tokens(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .withColumn("vid", TextOps.hashId(col("token")))
+      val fps = SimHash.fingerprints(toks, "doc_id").localCheckpoint(true)
+      val all = SimHash.nearPairs(fps, "doc_id", maxDist = 6)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val bucketed = SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 6)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(all.nonEmpty, s"fixture $dir produced no near pairs")
+      assert(bucketed == all, s"bucketed != all-pairs at $dir")
+    }
+  }
+
+  test("bucketed near-pairs rejects maxDist beyond the pigeonhole guarantee") {
+    val fps = Seq((1L, 5L)).toDF("doc_id", "simhash")
+    intercept[IllegalArgumentException] {
+      SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 7)
+    }
+  }
+
+  test("hashId matches the DuckDB-documented md5 formula") {
+    // java-side reference: first 15 hex chars of md5, parsed base 16
+    def ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val in = Seq("hello", "the quick brown fox", "的 是 了", "", "a b")
+    val got = in.toDF("v").select(TextOps.hashId(col("v")))
+      .as[Long].collect().toSeq
+    assert(got == in.map(ref))
+  }
+
+  test("p9 IVF recall@3 vs p7 brute force is >= 0.5 on sf0.01") {
+    val p7 = SparkEntry.queries("p7_anntopk")(spark, Sf01)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p9 = SparkEntry.queries("p9_annivf")(spark, Sf01)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = p7.map(_._1)
+    val hits = p7.count(p9.contains)
+    val recall = hits.toDouble / p7.size
+    info(s"IVF recall@3 over ${queries.size} queries: $recall")
+    assert(recall >= 0.5, s"recall $recall below 0.5")
+  }
+
+  test("q20 approx_count_distinct(rsd=0.02) within 3*rsd of exact on sf0.01") {
+    val rows = SparkEntry.queries("q20_approx")(spark, Sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cust").toDouble
+      val approx = r.getAs[Long]("approx_cust").toDouble
+      val relErr = math.abs(approx - exact) / exact
+      info(s"${r.get(0)}: exact=$exact approx=$approx relErr=$relErr")
+      assert(relErr <= 0.06, s"relative error $relErr exceeds 3*rsd")
+    }
+  }
+}
