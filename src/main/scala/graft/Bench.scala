@@ -32,11 +32,20 @@ object Bench {
     run("q3_join")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+    val first = names.map(n => n -> run(n))
+    // the 5 slowest get 2 more runs and report their MEDIAN, so
+    // round-over-round regressions on the expensive queries are
+    // attributable above single-run machine noise
+    val slow = first.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
+    val results = first.map { case (n, t0) =>
+      if (!slow(n) || t0 < 0) n -> t0
+      else n -> Seq(t0, run(n), run(n)).sorted.apply(1)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val p50 = slow.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50of3":$p50,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

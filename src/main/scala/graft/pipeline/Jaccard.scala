@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact top-k Jaccard pairs WITHOUT the all-pairs inverted-index join.
+  *
+  * The naive exact plan (self-join on shingle id, count intersections)
+  * shuffles one row per co-occurrence — ~50M rows at sf0.1 and
+  * quadratic-ish beyond; it was the single slowest declared query. This
+  * operator computes the IDENTICAL result with a threshold algorithm:
+  *
+  *  1. τ bound: MinHash-LSH candidates are exactly verified; the kth
+  *     best candidate similarity is a LOWER bound τ on the kth best
+  *     overall (a subset's kth best can only be lower). LSH missing
+  *     pairs only lowers τ — never correctness.
+  *  2. Prefix filter at τ (the ppjoin/AllPairs bound, Xiao et al. /
+  *     Bayardo et al., public literature): order each set's shingles
+  *     by ascending global document frequency (rarest first; window
+  *     partitioned per document — no global sort); any pair with
+  *     J >= τ must share one of each side's first n - ceil(τ·n) + 1
+  *     shingles. The equi-join runs over only those prefixes — the
+  *     rare end of the posting lists — plus a size-ratio filter
+  *     (min/max >= τ).
+  *  3. Exact verification of the surviving pairs (a pair-bounded join,
+  *     not a corpus join), then top-k by (rounded J desc, ids).
+  *
+  * τ is relaxed by 1e-6 before filtering so ROUND(j, 6) ties at the
+  * cutoff cannot exclude a pair the naive plan would have ranked in.
+  * With fewer than k verified candidates τ falls to 0 and the prefix
+  * filter degenerates to the full inverted-index join — correct at any
+  * size, just not pruned (only reachable on tiny inputs).
+  */
+object Jaccard {
+
+  /** Top-k (id_a, id_b, jaccard) over distinct set rows (idCol, vid),
+    * jaccard rounded to 6 decimals, ordered (jaccard DESC, id_a, id_b).
+    */
+  def exactTopK(sets: DataFrame, idCol: String, k: Int): DataFrame = {
+    val bg = sets.select(col(idCol), col("vid")).localCheckpoint(true)
+    val sizes = bg.groupBy(idCol).agg(count(lit(1)).as("n"))
+
+    // phase 1: verified LSH candidates -> τ (driver pulls ONE scalar)
+    val cands = MinHashLsh.candidates(
+      MinHashLsh.bands(MinHashLsh.signatures(bg, idCol, 16), idCol, r = 4), idCol)
+    val candJ = verify(cands, bg, sizes, idCol).select(col("j"))
+      .orderBy(col("j").desc).limit(k).collect()
+    val tau = math.max(0.0,
+      (if (candJ.length < k) 0.0 else candJ.last.getDouble(0)) - 1e-6)
+
+    // phase 2: prefix-filter join at τ
+    val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
+    val prefix = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, idCol)
+      .where(col("r") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+    val pairs = prefix.select(col(idCol).as("id_a"), col("vid"))
+      .join(prefix.select(col(idCol).as("id_b"), col("vid")), "vid")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(tau) * greatest(col("na"), col("nb")))
+      .select("id_a", "id_b")
+
+    // phase 3: exact verification + top-k
+    verify(pairs, bg, sizes, idCol)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** Exact (i, na, nb, j) for an explicit pair frame — cost bounded by
+    * Σ over pairs of the left set size, not by the corpus.
+    */
+  private def verify(pairs: DataFrame, sets: DataFrame, sizes: DataFrame,
+                     idCol: String): DataFrame =
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("vid")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("vid")), Seq("id_b", "vid"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("j",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+}

@@ -3,39 +3,57 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** 32-bit SimHash fingerprints + Hamming-distance near-dup pairs.
+/** 63-bit SimHash fingerprints + Hamming-distance near-dup pairs,
+  * bucketable Manku-style (the Google near-dup detection layout:
+  * a wide fingerprint split into few chunks so each chunk is a
+  * selective equi-join key).
   *
-  * Each token id is spread to 32 bits with a Knuth multiplicative
-  * hash; per bit, occurrences vote ±1; the sign of the vote is the
-  * fingerprint bit. Near-dups = pairs with popcount(xor) below a
-  * threshold. All integer arithmetic — bit-stable across engines.
+  * Each token id is spread to two 32-bit words with multiplicative
+  * hashes (Knuth's constant and a second public odd constant); per
+  * bit, occurrences vote ±1; the sign of the vote is the fingerprint
+  * bit. 63 bits (word1's 32 + word2's low 31) keep the packed value
+  * inside a positive signed 64-bit integer on both engines. Near-dups
+  * = pairs with popcount(xor) <= maxDist. All integer arithmetic —
+  * bit-stable across engines.
+  *
+  * A 63-bit fingerprint (vs the minimal 32) is what makes bucketing
+  * WORK: with Hamming <= 3 the pigeonhole needs only 4 chunks, so each
+  * chunk carries ~16 bits ≈ 65k bucket values — vote-skewed corpora
+  * still spread out, where 5-bit chunks of a 32-bit fingerprint
+  * collapse into 32 buckets and the candidate join degenerates toward
+  * all-pairs.
   */
 object SimHash {
 
-  private val Spread = 2654435761L // Knuth's multiplicative constant
-  private val Mod32 = 4294967296L  // 2^32
-  private val Mod31 = 2147483648L  // 2^31: keeps vid·Spread inside Long
+  private val Spread1 = 2654435761L // Knuth's multiplicative constant
+  private val Spread2 = 2246822519L // xxHash PRIME32_2 (public constant)
+  private val Mod32 = 4294967296L   // 2^32
+  private val Mod31 = 2147483648L   // 2^31: keeps vid·spread inside Long
+
+  val Bits = 63
 
   /** (id, simhash): input one row per (document, token-id) occurrence.
     * Token ids may be any 64-bit hash — the mod-2^31 reduction first
-    * bounds the multiply at ~5.7e18 (inside signed 64-bit).
+    * bounds each multiply at ~5.7e18 (inside signed 64-bit).
     *
-    * One groupBy with 32 per-bit vote aggregates (all inside one
+    * One groupBy with 63 per-bit vote aggregates (all inside one
     * whole-stage-codegen hash aggregation) instead of exploding every
-    * occurrence 32× — the shuffle carries one row per document.
+    * occurrence 63× — the shuffle carries one row per document.
     */
   def fingerprints(tokenIds: DataFrame, idCol: String): DataFrame = {
-    val g = pmod(pmod(col("vid"), lit(Mod31)) * Spread, lit(Mod32))
-    val votes = (0 until 32).map { b =>
-      // vote: +1 when the spread hash has bit b set, else -1
-      sum(expr(s"(shiftright(g, $b) & 1) * 2 - 1")).as(s"v$b")
+    val g1 = pmod(pmod(col("vid"), lit(Mod31)) * Spread1, lit(Mod32))
+    val g2 = pmod(pmod(col("vid"), lit(Mod31)) * Spread2, lit(Mod32))
+    val votes = (0 until Bits).map { b =>
+      // vote: +1 when the spread word has the bit set, else -1
+      val (w, bit) = if (b < 32) ("g1", b) else ("g2", b - 32)
+      sum(expr(s"(shiftright($w, $bit) & 1) * 2 - 1")).as(s"v$b")
     }
     tokenIds
-      .select(col(idCol), g.as("g"))
+      .select(col(idCol), g1.as("g1"), g2.as("g2"))
       .groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        (0 until Bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 
@@ -53,18 +71,19 @@ object SimHash {
       .where(col("hamming") <= maxDist)
   }
 
-  /** Bit layout of the 7 pigeonhole chunks: 4×5 + 3×4 = 32 bits. */
+  /** Bit layout of the 4 pigeonhole chunks: 3×16 + 15 = 63 bits. */
   private val Chunks: Seq[(Int, Int)] =
-    Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
+    Seq((0, 16), (16, 16), (32, 16), (48, 15))
 
   /** Same result as [[nearPairs]], bucketed: the fingerprint splits
-    * into 7 chunks; a pair within Hamming distance 6 differs in at most
-    * 6 chunk positions, so SOME chunk matches exactly (pigeonhole).
-    * Candidates therefore come from 7 shuffle equi-joins on
+    * into 4 chunks; a pair within Hamming distance 3 differs in at most
+    * 3 chunk positions, so SOME chunk matches exactly (pigeonhole).
+    * Candidates therefore come from 4 shuffle equi-joins on
     * (chunk index, chunk value) — never a cross join — then the exact
     * Hamming filter and a distinct() (a pair can match several chunks)
-    * trim to the true pair set. Fan-out is 7 rows per document; bucket
-    * sizes stay balanced because the chunks are hash bits.
+    * trim to the true pair set. Fan-out is 4 rows per document; each
+    * chunk key has ~2^16 values, so buckets stay selective even when
+    * vote skew clusters the fingerprints.
     */
   def nearPairsBucketed(fps: DataFrame, idCol: String, maxDist: Int): DataFrame = {
     require(maxDist < Chunks.size,

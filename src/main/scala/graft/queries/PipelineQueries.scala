@@ -72,37 +72,24 @@ object PipelineQueries {
     }),
 
     "p4_jaccard" -> ((s, dir) => {
-      // join on dense int shingle ids, not strings: the inverted-index
-      // self-join shuffles ~50M rows at sf0.1 — longs keep it compact
+      // exact bigram-Jaccard top-50 via the threshold algorithm
+      // (Jaccard.exactTopK): LSH-derived τ bound + ppjoin prefix filter
+      // + pair-bounded verification — identical result to the naive
+      // inverted-index all-pairs join (same DuckDB oracle) without its
+      // ~50M-row co-occurrence shuffle
       val bg = TextOps.shingles(toks(s, dir), "doc_id", 2)
         .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
         .distinct()
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // shuffle join on vid: measured best of four shapes at sf0.1
-      // (broadcast join: 2x slower from partial-agg hash pressure;
-      // posting-list array fan-out: 2-3x slower because hot shingles
-      // serialize their whole pair block into one task; shuffled-hash
-      // hint: 1.5x slower — the SMJ's sorted output feeds the pair
-      // aggregation better than unsorted probe output)
-      val inter = bg.select(col("doc_id").as("id_a"), col("vid"))
-        .join(bg.select(col("doc_id").as("id_b"), col("vid")), "vid")
-        .where(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
-            .as("jaccard"))
+      Jaccard.exactTopK(bg, "doc_id", k = 50)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-        .limit(50)
     }),
 
     "p5_simhash" -> ((s, dir) => {
-      // pigeonhole-bucketed plan; identical result to the all-pairs
-      // comparison (SimHashSpec cross-checks the two on real fixtures)
+      // 63-bit fingerprints, Hamming <= 3, pigeonhole-bucketed plan —
+      // identical result to the all-pairs comparison
+      // (PipelineScaleSpec cross-checks the two on real fixtures)
       SimHash.nearPairsBucketed(
-          SimHash.fingerprints(tokenIds(s, dir), "doc_id"), "doc_id", maxDist = 6)
+          SimHash.fingerprints(tokenIds(s, dir), "doc_id"), "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -345,10 +332,14 @@ object PipelineQueries {
       s"""WITH $TokenIdsCte,
          |bits AS (
          |  SELECT doc_id, b,
-         |         SUM(CASE WHEN ((((vid % 2147483648) * 2654435761) % 4294967296
-         |                        >> CAST(b AS INT)) & 1) = 1
-         |                  THEN 1 ELSE -1 END) AS vote
-         |  FROM tid CROSS JOIN range(32) t(b) GROUP BY doc_id, b),
+         |         SUM(CASE WHEN b < 32 THEN
+         |                  ((((vid % 2147483648) * 2654435761) % 4294967296
+         |                    >> CAST(b AS INT)) & 1)
+         |             ELSE
+         |                  ((((vid % 2147483648) * 2246822519) % 4294967296
+         |                    >> CAST(b - 32 AS INT)) & 1)
+         |             END * 2 - 1) AS vote
+         |  FROM tid CROSS JOIN range(63) t(b) GROUP BY doc_id, b),
          |fp AS (
          |  SELECT doc_id,
          |         CAST(SUM(CASE WHEN vote > 0
@@ -358,7 +349,7 @@ object PipelineQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "p6_embpairs" ->

@@ -29,7 +29,9 @@ import scala.jdk.CollectionConverters._
   * touched coarser intervals (§2.2.10) from the level above (§2.2.8),
   * each hop one partial-aggregated groupBy. `localCheckpoint` breaks
   * the read-overwrite cycle locally; a production deploy would swap the
-  * level tables to a transactional table format with the same plan.
+  * level tables to a transactional table format with the same plan —
+  * the exact substitution (record-level MERGE, unchanged partition
+  * spec, unchanged readers) is written up in DESIGN.md.
   */
 final class HoardStore private (val spark: SparkSession, val root: String) {
 

@@ -31,46 +31,61 @@ object StreamIngest {
       .start()
 
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class IslandState(islands: Seq[SessionState], maxSeen: Long)
   final case class Session(series_id: String, start: Long, end: Long,
                            n: Long, sum: Double)
 
   /** Custom streaming state via flatMapGroupsWithState: gap-based
-    * sessionization per series. A session closes when a point arrives
-    * more than `gapSec` after the previous one; closed sessions are
-    * emitted, the open session rides in GroupState across micro-batches.
+    * sessionization per series. Points within `gapSec` of an island
+    * merge into it; an island is emitted (closed) once the series' max
+    * seen event time has moved more than `horizonSec` past the island's
+    * end — until then it rides in GroupState, so gap-separated
+    * stragglers arriving in DIFFERENT micro-batches still coalesce
+    * into one session as long as they land within the horizon.
+    *
+    * `horizonSec` (default = gapSec) is the explicit lateness bound:
+    * larger values merge later stragglers at the cost of more islands
+    * held in state (bounded by horizon/gap per key). A point older
+    * than the horizon starts a fresh island and closes on the next
+    * advance — the unavoidable boundary under eager Append emission,
+    * now a configured parameter rather than an accident of batching.
     * (No timeout dependency — deterministic under replay.)
     */
-  def sessionize(events: Dataset[(String, Long, Double)], gapSec: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[(String, Long, Double)], gapSec: Long,
+                 horizonSec: Long = 0L): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val horizon = math.max(gapSec, horizonSec)
+
+    // merge gap-adjacent islands in a start-sorted list (a new point can
+    // bridge two existing islands)
+    def coalesce(sorted: List[SessionState]): List[SessionState] =
+      sorted.foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start - h.last <= gapSec =>
+            SessionState(h.start, math.max(h.last, s.last),
+              h.n + s.n, h.sum + s.sum) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
     events.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[(String, Long, Double)],
-         state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_._2)
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { case (_, ts, v) =>
-            open match {
-              case Some(s) if ts >= s.start - gapSec && ts - s.last <= gapSec =>
-                // in-gap point (possibly a cross-batch late arrival just
-                // before the open session) — extend bounds, never regress
-                open = Some(SessionState(math.min(s.start, ts),
-                  math.max(s.last, ts), s.n + 1, s.sum + v))
-              case Some(s) if ts < s.start - gapSec =>
-                // late point from a gap-separated EARLIER island: emit it
-                // as its own closed session, leave the open one alone
-                // (known limitation: several such stragglers arriving in
-                // different batches each close separately)
-                closed += Session(key, ts, ts, 1, v)
-              case Some(s) =>
-                closed += Session(key, s.start, s.last, s.n, s.sum)
-                open = Some(SessionState(ts, ts, 1, v))
-              case None =>
-                open = Some(SessionState(ts, ts, 1, v))
-            }
+         state: GroupState[IslandState]) =>
+          val st = state.getOption.getOrElse(IslandState(Seq.empty, Long.MinValue))
+          var islands = st.islands.toList
+          var maxSeen = st.maxSeen
+          it.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+            maxSeen = math.max(maxSeen, ts)
+            islands = coalesce(
+              (SessionState(ts, ts, 1, v) :: islands).sortBy(_.start))
           }
-          open.foreach(state.update)
-          closed.result().iterator
+          val (close, keep) = islands.partition(_.last < maxSeen - horizon)
+          // maxSeen persists even with no open islands so the horizon
+          // stays monotone for any later straggler
+          if (maxSeen != Long.MinValue) state.update(IslandState(keep, maxSeen))
+          close.sortBy(_.start)
+            .map(s => Session(key, s.start, s.last, s.n, s.sum)).iterator
       }
   }
 

@@ -25,9 +25,9 @@ class PipelineScaleSpec extends SparkTestBase {
       val toks = TextOps.tokens(Tables.load(spark, dir, "documents"), "doc_id", "text")
         .withColumn("vid", TextOps.hashId(col("token")))
       val fps = SimHash.fingerprints(toks, "doc_id").localCheckpoint(true)
-      val all = SimHash.nearPairs(fps, "doc_id", maxDist = 6)
+      val all = SimHash.nearPairs(fps, "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b").collect().toSeq
-      val bucketed = SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 6)
+      val bucketed = SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b").collect().toSeq
       assert(all.nonEmpty, s"fixture $dir produced no near pairs")
       assert(bucketed == all, s"bucketed != all-pairs at $dir")
@@ -37,7 +37,7 @@ class PipelineScaleSpec extends SparkTestBase {
   test("bucketed near-pairs rejects maxDist beyond the pigeonhole guarantee") {
     val fps = Seq((1L, 5L)).toDF("doc_id", "simhash")
     intercept[IllegalArgumentException] {
-      SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 7)
+      SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 4)
     }
   }
 

@@ -75,6 +75,33 @@ class StreamingSpec extends SparkTestBase {
       == Seq((0L, 1090L, 4L, 10.0), (2500L, 2500L, 1L, 8.0)))
   }
 
+  test("gap-separated stragglers in different batches coalesce within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    // horizon 10000 >> gap 1000: stragglers stay mergeable in state
+    val sessions = StreamIngest.sessionize(mem.toDS(), gapSec = 1000,
+      horizonSec = 10000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("straggler_sessions").start()
+    mem.addData(("cpu", 0L, 1.0), ("cpu", 5000L, 2.0))
+    q.processAllAvailable()
+    // two stragglers from the SAME earlier island, in different batches
+    mem.addData(("cpu", 2400L, 3.0))
+    q.processAllAvailable()
+    mem.addData(("cpu", 2600L, 4.0))
+    q.processAllAvailable()
+    // advance the clock far enough to close everything before 10000
+    mem.addData(("cpu", 20000L, 9.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT start, end, n, sum FROM straggler_sessions ORDER BY start").collect()
+    q.stop()
+    // the stragglers merged into ONE session (2400-2600), not two
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq((0L, 0L, 1L, 1.0), (2400L, 2600L, 2L, 7.0), (5000L, 5000L, 1L, 2.0)))
+  }
+
   test("watermarked hourly streaming aggregate (declarative ingress)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
