@@ -188,6 +188,34 @@ object HoardQueries {
           col("n"), round(col("mean_value"), 6).as("mean_value"),
           round(col("max_value"), 6).as("max_value"))
         .orderBy("series_id", "bucket")
+    }),
+
+    "s3_streamdedup" -> ((s, dir) => {
+      // streaming exact dedup (dropDuplicatesWithinWatermark): the
+      // events file is streamed TWICE and unioned — every event arrives
+      // duplicated — and the state-store dedup must collapse it back to
+      // exactly the distinct set (the oracle aggregates the raw table
+      // once). The watermark bounds dedup state, matching SURVEY §3.4's
+      // stance: watermarks bound state, never rollup finality.
+      graft.Graft.configure(s)
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      def src() = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val deduped = src().unionByName(src())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val name = "s3_dedup_" + StreamCounter.incrementAndGet()
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy("event_type")
     })
   )
 
@@ -288,6 +316,12 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |             / COUNT(value), 6) AS mean_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the doubled stream must dedup back to exactly the raw table
+    "s3_streamdedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s2_sessions" ->
       """WITH pts AS (

@@ -199,6 +199,26 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    "q24_session" -> ((s, dir) => {
+      // native batch session windows (session_window): 2h-gap sessions
+      // per user over event time — the declarative analogue of the
+      // streaming sessionizer (s2). Exactly-gap-apart events MERGE
+      // (adjacent windows coalesce — verified empirically), mirrored by
+      // the oracle's strict > break; boundaries compare in exact
+      // microseconds on both engines.
+      t(s, dir, "events")
+        .groupBy(col("user_id").cast("long").as("user_id"),
+          session_window(col("ts"), "2 hours").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_v"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("sess_start_us"),
+          unix_micros(col("sw.end")).as("sess_end_us"),
+          col("n"), col("sum_v"))
+        .orderBy("user_id", "sess_start_us")
+    }),
+
     "q13_topk" -> ((s, dir) => {
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -416,6 +436,25 @@ object RelationalQueries {
         | regexp_extract(text, 'the ([a-z]+) (key|table)', 1) AS adjective
         |FROM documents WHERE regexp_matches(text, 'the [a-z]+ (key|table)')
         |ORDER BY doc_id""".stripMargin,
+
+    "q24_session" ->
+      """WITH pts AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, t, value,
+        |         CASE WHEN t - lag(t) OVER w <= 7200000000 THEN 0 ELSE 1 END AS brk
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |isl AS (
+        |  SELECT user_id, t, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                        ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM flagged)
+        |SELECT user_id, MIN(t) AS sess_start_us,
+        |       MAX(t) + 7200000000 AS sess_end_us,
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v
+        |FROM isl GROUP BY user_id, g ORDER BY user_id, sess_start_us""".stripMargin,
 
     "q13_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -41,6 +41,50 @@ class PipelineScaleSpec extends SparkTestBase {
     }
   }
 
+  test("simhash bucketed == all-pairs on random fingerprints (property)") {
+    // random 63-bit fingerprints, including planted near-pairs, so the
+    // chunk layout is exercised beyond what real fixtures happen to hit
+    val rnd = new scala.util.Random(91)
+    val base = (0 until 400).map(i => (i.toLong, rnd.nextLong() & Long.MaxValue))
+    val planted = (0 until 100).map { i =>
+      val (_, fp) = base(rnd.nextInt(base.size))
+      // flip 0..5 random bits below 63
+      val flips = (0 until rnd.nextInt(6)).map(_ => 1L << rnd.nextInt(63))
+      (1000L + i, flips.foldLeft(fp)(_ ^ _))
+    }
+    val fps = (base ++ planted).toDF("doc_id", "simhash").localCheckpoint(true)
+    val all = SimHash.nearPairs(fps, "doc_id", maxDist = 3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val bucketed = SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(all.nonEmpty)
+    assert(bucketed == all)
+  }
+
+  test("Jaccard.exactTopK == naive all-pairs top-k on random sets (property)") {
+    import graft.pipeline.Jaccard
+    val rnd = new scala.util.Random(17)
+    // 60 docs over a 120-shingle universe with planted near-dup pairs
+    // (shared cores + noise) so the top-k region has real structure
+    val rows = (0 until 60).flatMap { d =>
+      val core = rnd.nextInt(6) // 6 clusters share cores
+      val coreIds = (0 until 20).map(i => (core * 100 + i).toLong)
+      val noise = (0 until rnd.nextInt(8)).map(_ => (1000 + rnd.nextInt(120)).toLong)
+      (coreIds ++ noise).distinct.map(v => (d.toLong, v))
+    }
+    val sets = rows.toDF("doc_id", "vid").distinct().localCheckpoint(true)
+    val got = Jaccard.exactTopK(sets, "doc_id", k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // naive mirror in plain Scala
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = byDoc.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val i = (byDoc(a) & byDoc(b)).size
+      val j = i.toDouble / (byDoc(a) | byDoc(b)).size
+      (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (a, b, j) => (-j, a, b) }.take(15)
+    assert(got == naive, s"got=$got\nwant=$naive")
+  }
+
   test("hashId matches the DuckDB-documented md5 formula") {
     // java-side reference: first 15 hex chars of md5, parsed base 16
     def ref(s: String): Long = {
