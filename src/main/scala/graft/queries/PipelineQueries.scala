@@ -203,6 +203,60 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "p11_quantize" -> ((s, dir) => {
+      // int8 symmetric quantization per embedding: scale = 127/max|x|,
+      // q_i = round(x_i·scale) — the 4×-compression step before ANN
+      // serving at corpus scale. Pure per-row array arithmetic (no
+      // shuffle at all until the final sort); outputs are order-safe
+      // (integer checksum, saturation count, MAX error — never a
+      // float sum).
+      val v = emb(s, dir).select(col("vec_id"),
+          Embeddings.asDouble(col("embedding")).as("v"))
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+        .withColumn("q",
+          transform(col("v"), x => round(x * col("scale")).cast("long")))
+      v.select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          aggregate(col("q"), lit(0L),
+            (acc, x) => acc + when(abs(x) === 127, 1L).otherwise(0L)).as("n_sat"),
+          round(array_max(zip_with(col("v"), col("q"),
+            (x, qi) => when(col("scale") > 0,
+              abs(x - qi.cast("double") / col("scale"))).otherwise(lit(0.0)))), 6)
+            .as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
+    "p12_curation" -> ((s, dir) => {
+      // the end-to-end curation pipeline a training-data run chains:
+      // quality gate -> language ID -> near-dup removal (LSH candidates
+      // + exact verification, keep the lower doc_id of each verified
+      // pair) -> per-language corpus budget. Every stage is an operator
+      // already gated on its own (t1/t2/t3/p10); this query proves the
+      // COMPOSITION stays oracle-exact.
+      val d = docs(s, dir)
+      val q = TextAnalysis.quality(d, "doc_id", "text")
+      val lang = TextAnalysis.languageId(
+        TextOps.tokens(d, "doc_id", "text"), "doc_id")
+      val tok = TextAnalysis.tokenCounts(d, "doc_id", "text")
+      // verified near-dup pairs >= 0.7 over xxhash64 3-shingles (p10's
+      // bucketed plan, hash-independent output); id_b of each pair drops
+      val dropped = defs("p10_lshdedup")(s, dir)
+        .select(col("id_b").as("doc_id")).distinct()
+      q.where(col("quality") >= 0.5 && col("n_tokens") >= 5)
+        .join(lang, "doc_id")
+        .where(col("lang_score") > 0)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(tok, "doc_id")
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("est_bpe_tokens")).as("budget_tokens"),
+          sum(col("n_ws_tokens")).as("ws_tokens"))
+        .orderBy("lang_pred")
+    }),
+
     "m2_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
           Multimodal.tasksFromDocuments(s, docs(s, dir)))
@@ -440,6 +494,81 @@ object PipelineQueries {
          | JOIN sizes sb ON sb.doc_id = id_b
          |WHERE i * 17 >= (sa.n + sb.n) * 7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "p11_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM ex GROUP BY vec_id),
+        |q AS (
+        |  SELECT e.vec_id, x,
+        |         CASE WHEN amax > 0 THEN 127.0/amax ELSE 0.0 END AS scale,
+        |         CAST(ROUND(x * CASE WHEN amax > 0 THEN 127.0/amax ELSE 0.0 END)
+        |              AS BIGINT) AS qi
+        |  FROM ex e JOIN s USING (vec_id))
+        |SELECT vec_id, ROUND(ANY_VALUE(scale), 6) AS scale,
+        |       CAST(SUM(qi) AS BIGINT) AS q_sum,
+        |       CAST(SUM(CASE WHEN ABS(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sat,
+        |       ROUND(MAX(CASE WHEN scale > 0 THEN ABS(x - qi/scale)
+        |                      ELSE 0 END), 6) AS max_abs_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // composition of t1/t2/t3 + the exact near-dup pair set (>= 0.7,
+    // hash-independent) — proves the curation chain stays oracle-exact
+    "p12_curation" ->
+      s"""WITH $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT id_b AS doc_id
+         |  FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+         |      AS est_bpe_tokens,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |    ROUND(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+         |          * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |             / len(string_split(text, ' '))), 6) AS quality
+         |  FROM documents),
+         |scores AS (
+         |  SELECT doc_id,
+         |   CAST(SUM(CASE WHEN token IN ('der','die','und','das','ein') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |   CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |   CAST(SUM(CASE WHEN token IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |   CAST(SUM(CASE WHEN token IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |   CAST(SUM(CASE WHEN token IN ('的','是','了','在','和') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+         |  FROM toks GROUP BY doc_id),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+         |         WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+         |         WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+         |         WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred,
+         |    GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+         |  FROM scores)
+         |SELECT lang_pred, COUNT(*) AS n_docs,
+         |       CAST(SUM(est_bpe_tokens) AS BIGINT) AS budget_tokens,
+         |       CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens
+         |FROM qual
+         | JOIN lang USING (doc_id)
+         |WHERE quality >= 0.5 AND n_tokens >= 5 AND lang_score > 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "m2_frames" ->
       """SELECT doc_id, f AS frame_no,
