@@ -51,6 +51,45 @@ object Embeddings {
       .where(col("rnk") <= k)
   }
 
+  /** Exact ALL-pairs cosine enumeration, sharded over block pairs.
+    *
+    * A bare `id_a < id_b` theta self-join physically plans as a
+    * BroadcastNestedLoopJoin — one whole side broadcast to every
+    * executor, which cannot work once the table outgrows one machine.
+    * Here each vector hashes to one of `blocks` blocks; every unordered
+    * block pair (bi <= bj) becomes a shuffle equi-join key (each side
+    * replicated ~blocks/2×, tiny relative to the quadratic output), so
+    * the pair generation runs as a SortMergeJoin whose per-key
+    * cartesian spreads evenly across the cluster. The work is still
+    * inherently O(N²) — that is the QUERY's complexity — but no
+    * broadcast, no single-task hotspot, and AQE can split stragglers.
+    *
+    * A pair lands in exactly one block-pair key (its blocks, ordered);
+    * within a same-block key the id filter dedups; ids are normalized
+    * (least, greatest) so output convention stays id_a < id_b.
+    * Similarity is rounded to 6 decimals before any downstream ranking.
+    */
+  def blockedCosinePairs(vectors: DataFrame, blocks: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj")
+    val v = withUnitVector(vectors, "embedding", "uv")
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val a = v.select(col("vec_id").as("ida0"), col("uv").as("ua"),
+        col("blk").as("bi"))
+      .join(broadcast(bp), "bi")
+    val b = v.select(col("vec_id").as("idb0"), col("uv").as("ub"),
+        col("blk").as("bj"))
+      .join(broadcast(bp), "bj")
+    a.join(b, Seq("bi", "bj"))
+      .where(col("bi") < col("bj") || col("ida0") < col("idb0"))
+      .select(
+        least(col("ida0"), col("idb0")).as("id_a"),
+        greatest(col("ida0"), col("idb0")).as("id_b"),
+        round(unitCosine("ua", "ub"), 6).as("sim"))
+  }
+
   /** Signed-random-projection bucket id per vector: `planes` fixed
     * deterministic hyperplanes (LCG-derived weights so the SQL oracle
     * reproduces them), bucket = bit-pack of dot-product signs.

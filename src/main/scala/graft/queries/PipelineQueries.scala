@@ -94,14 +94,12 @@ object PipelineQueries {
     }),
 
     "p6_embpairs" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val a = Embeddings.withUnitVector(e, "embedding", "va")
-        .select(col("vec_id").as("id_a"), col("va"))
-      val b = Embeddings.withUnitVector(e, "embedding", "vb")
-        .select(col("vec_id").as("id_b"), col("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Embeddings.unitCosine("va", "vb"), 6).as("sim"))
+      // exact all-pairs cosine top-50 — the exactness baseline for
+      // p8/p9. The pair enumeration is sharded over block-pair
+      // equi-join keys (no BroadcastNestedLoop, no whole-side
+      // broadcast); the O(N²) work itself is the query's complexity,
+      // and the bucketed ANN paths are the scale alternative.
+      Embeddings.blockedCosinePairs(emb(s, dir), blocks = 16)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(50)
     }),

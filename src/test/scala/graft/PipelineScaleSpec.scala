@@ -85,6 +85,20 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got == naive, s"got=$got\nwant=$naive")
   }
 
+  test("blockedCosinePairs enumerates every unordered pair exactly once (property)") {
+    import graft.pipeline.Embeddings
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 97).map(i => // prime count: uneven blocks
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Embeddings.blockedCosinePairs(df, blocks = 7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 97 * 96 / 2, s"expected all pairs, got ${got.length}")
+    assert(got.toSet.size == got.length, "a pair was enumerated twice")
+    assert(got.forall { case (a, b) => a < b }, "id order not normalized")
+  }
+
   test("hashId matches the DuckDB-documented md5 formula") {
     // java-side reference: first 15 hex chars of md5, parsed base 16
     def ref(s: String): Long = {
