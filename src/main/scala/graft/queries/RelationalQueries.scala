@@ -219,6 +219,37 @@ object RelationalQueries {
         .orderBy("user_id", "sess_start_us")
     }),
 
+    "q25_pivot" -> ((s, dir) => {
+      // pivot: one column per event type (pinned value list so the
+      // output schema is static — at scale an unpinned pivot needs a
+      // driver-side distinct pass first), decimal-exact sums per cell
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").cast("string")
+          .as("bucket"))
+        .pivot("event_type", types)
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6))
+        .orderBy("bucket")
+    }),
+
+    "q26_unpivot" -> ((s, dir) => {
+      // unpivot (melt): wide per-day metric columns back to long rows —
+      // stack() is codegen'd and never shuffles on its own
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").cast("string")
+          .as("bucket"))
+        .agg(
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_v"),
+          round(max(col("value")), 6).as("max_v"),
+          count(lit(1)).cast("double").as("n"))
+        .unpivot(Array(col("bucket")), Array(col("sum_v"), col("max_v"), col("n")),
+          "metric", "metric_value")
+        .select(col("bucket"), col("metric"),
+          round(col("metric_value"), 6).as("metric_value"))
+        .orderBy("bucket", "metric")
+    }),
+
     "q13_topk" -> ((s, dir) => {
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -455,6 +486,31 @@ object RelationalQueries {
         |       COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v
         |FROM isl GROUP BY user_id, g ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS bucket,
+        | ROUND(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS click,
+        | ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS error,
+        | ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS purchase,
+        | ROUND(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS signup,
+        | ROUND(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q26_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS bucket,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v,
+        |         ROUND(MAX(value), 6) AS max_v,
+        |         CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, metric, ROUND(metric_value, 6) AS metric_value
+        |FROM (
+        |  SELECT bucket, 'sum_v' AS metric, sum_v AS metric_value FROM wide
+        |  UNION ALL
+        |  SELECT bucket, 'max_v', max_v FROM wide
+        |  UNION ALL
+        |  SELECT bucket, 'n', n FROM wide)
+        |ORDER BY bucket, metric""".stripMargin,
 
     "q13_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
