@@ -22,7 +22,10 @@ import scala.jdk.CollectionConverters._
   * Determinism: every write carries a monotone `seq` stamp; merges are
   * last-write-wins by seq (the distributed replacement for the
   * reference's single-fd write ordering). `now` is always an explicit
-  * parameter — never wall clock (SURVEY §5.3).
+  * parameter — never wall clock (SURVEY §5.3). Like the reference's
+  * single file descriptor, a store assumes ONE writer at a time
+  * (batches may be arbitrarily large/parallel internally); concurrent
+  * writers need the transactional-format swap in DESIGN.md.
   *
   * Scale notes: merges rewrite only the month partitions a batch
   * touches (dynamic partition overwrite); propagation recomputes only
