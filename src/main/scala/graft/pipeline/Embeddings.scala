@@ -90,6 +90,58 @@ object Embeddings {
         round(unitCosine("ua", "ub"), 6).as("sim"))
   }
 
+  /** Deterministic Lloyd-iteration k-means centroids for IVF — the
+    * production replacement for p9's fixed-id centroid set (same O(K)
+    * broadcast plan, better cells). Init = the k lowest-id vectors
+    * (deterministic sample); each iteration assigns every vector to
+    * its nearest centroid (broadcast O(k) join, cosine on unit
+    * vectors) and recomputes each centroid as the element-wise mean of
+    * its members, re-normalized. All means run through decimal sums so
+    * the result is IDENTICAL at any parallelism (a plain double sum
+    * here made centroids drift across core counts elsewhere in this
+    * repo); cells that lose every member keep their previous centroid.
+    *
+    * Output: (c_id, cv) unit centroid vectors. Cost per iteration: one
+    * broadcast join + one (cell, dim) groupBy — linear in N·k.
+    */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = withUnitVector(vectors, "embedding", "uv")
+      .select(col("vec_id"), col("uv")).localCheckpoint(true)
+    var cents = v.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("c_id"), col("uv").as("cv"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val assign = v.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("uv"), col("c_id"),
+          round(unitCosine("uv", "cv"), 6).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"),
+          first(col("uv")).as("uv"))
+      val means = assign
+        .select(col("c_id"), posexplode(col("uv")).as(Seq("d", "x")))
+        .groupBy(col("c_id"), col("d"))
+        // decimal-exact mean per (cell, dimension): order-independent
+        .agg((sum(col("x").cast("decimal(24,18)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          x => x.getField("m")).as("mv"))
+      val updated = means
+        // norm through a decimal sum of squares for the same reason
+        .withColumn("nrm", sqrt(aggregate(col("mv"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(30,20)"),
+          (acc, x) => (acc + (x * x).cast("decimal(30,20)"))
+            .cast("decimal(30,20)")).cast("double")))
+        .where(col("nrm") > 0)
+        .select(col("c_id"), transform(col("mv"), x => x / col("nrm")).as("cv"))
+      // cells with no surviving members keep their previous centroid
+      cents = updated
+        .unionByName(cents.join(updated.select("c_id"), Seq("c_id"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Signed-random-projection bucket id per vector: `planes` fixed
     * deterministic hyperplanes (LCG-derived weights so the SQL oracle
     * reproduces them), bucket = bit-pack of dot-product signs.

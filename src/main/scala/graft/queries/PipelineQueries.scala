@@ -136,8 +136,11 @@ object PipelineQueries {
     "p9_annivf" -> ((s, dir) => {
       // IVF-style ANN with a FIXED centroid budget: K=40 coarse cells
       // (vec_id < 40 — K independent of corpus size, so the broadcast
-      // side is O(K) at any N; a production build swaps in sampled
-      // k-means centroids behind the same plan). Vectors are indexed
+      // side is O(K) at any N; Embeddings.kmeansCentroids is the
+      // learned-centroid drop-in behind the same plan, deterministic
+      // and recall-gated in PipelineScaleSpec — the fixed-id set stays
+      // the declared query because its oracle is one WHERE clause).
+      // Vectors are indexed
       // under their single nearest cell; each query probes its top-2
       // cells (nprobe=2). The ranking window partitions by vec_id —
       // never an unpartitioned window.
