@@ -100,6 +100,37 @@ object HoardQueries {
         .orderBy("user_id")
     }),
 
+    "h9_derivative" -> ((s, dir) => {
+      // Graphite's nonNegativeDerivative over the hourly lww series:
+      // per-series lag window (partitioned — never global); counter
+      // resets (negative deltas) and series heads yield null, exactly
+      // Graphite's semantics for counter metrics
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      hourlyByType(s, dir)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(when(col("value") >= col("prev"), col("value") - col("prev")), 6)
+            .as("deriv"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h10_movavg" -> ((s, dir) => {
+      // Graphite's movingAverage(6h) over the hourly lww series: a
+      // trailing ROWS frame per series with the decimal-exact mean so
+      // the window's internal accumulation order cannot matter
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-5, 0)
+      hourlyByType(s, dir)
+        .withColumn("ma",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
+            count(col("value")).over(w))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("ma"), 6).as("moving_avg"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h6_asof" -> ((s, dir) => {
       AsOf.latestAtOrBefore(ev(s, dir), "user_id", "ts", "event_id", "value",
           expr("TIMESTAMP '2024-01-15 12:00:00'"))
@@ -282,6 +313,29 @@ object HoardQueries {
         |WHERE ts > TIMESTAMP '2026-01-01 00:00:00' - INTERVAL 730 DAY
         |  AND ts <= TIMESTAMP '2026-01-01 00:00:00'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "h9_derivative" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(CASE WHEN v >= lag(v) OVER w
+        |                  THEN v - lag(v) OVER w END, 6) AS deriv
+        |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h10_movavg" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |             / COUNT(v) OVER w, 6) AS moving_avg
+        |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "h6_asof" ->
       """SELECT user_id, ROUND(value, 6) AS value,
