@@ -131,6 +131,38 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h11_integral" -> ((s, dir) => {
+      // Graphite's integral(): per-series running cumulative sum over
+      // the hourly lww series — an expanding decimal window sum, so the
+      // running values are exact at every prefix
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hourlyByType(s, dir)
+        .withColumn("cum",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("cum"), 6).as("running_sum"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h12_timeshift" -> ((s, dir) => {
+      // Graphite's timeShift comparison: each hourly slot joined with
+      // the same series one week earlier (equi-join on the shifted
+      // bucket — no window, shuffle key is (series, bucket))
+      val cur = hourlyByType(s, dir)
+      val prev = hourlyByType(s, dir)
+        .select(col("event_type"),
+          (col("bucket") + expr("INTERVAL 7 DAY")).as("bucket"),
+          col("value").as("wk_ago"))
+      cur.join(prev, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("wk_ago"), 6).as("wk_ago"),
+          round(col("value") - col("wk_ago"), 6).as("wow_delta"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h6_asof" -> ((s, dir) => {
       AsOf.latestAtOrBefore(ev(s, dir), "user_id", "ts", "event_id", "value",
           expr("TIMESTAMP '2024-01-15 12:00:00'"))
@@ -336,6 +368,32 @@ object HoardQueries {
         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
         |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "h11_integral" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+        |         AS running_sum
+        |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |  ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h12_timeshift" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT c.event_type, CAST(c.h AS VARCHAR) AS bucket,
+        |       ROUND(c.v, 6) AS value,
+        |       ROUND(p.v, 6) AS wk_ago,
+        |       ROUND(c.v - p.v, 6) AS wow_delta
+        |FROM hourly c
+        | LEFT JOIN hourly p ON p.event_type = c.event_type
+        |  AND p.h + INTERVAL 7 DAY = c.h
+        |ORDER BY c.event_type, bucket""".stripMargin,
 
     "h6_asof" ->
       """SELECT user_id, ROUND(value, 6) AS value,
