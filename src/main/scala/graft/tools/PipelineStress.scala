@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.{Graft, Tables}
+import graft.pipeline.{MinHashLsh, SimHash, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev tool: dedup-path scaling curve. Unions the sf0.1 documents
+  * k = 1..max times; each copy's text runs through a different vowel
+  * permutation (`translate`) so copies are content-DISJOINT — the
+  * near-dup structure per copy stays identical while cross-copy
+  * similarity collapses, so output size grows linearly and the wall
+  * time curve isolates the JOIN/SHUFFLE scaling of the bucketed plans
+  * (MinHash-LSH candidates, pigeonhole SimHash pairs, exact dedup).
+  * Near-linear growth = the bucketed claims hold beyond the fixture.
+  * Usage: runMain graft.tools.PipelineStress [maxCopies]
+  */
+object PipelineStress {
+  def main(args: Array[String]): Unit = {
+    val max = args.headOption.map(_.toInt).getOrElse(4)
+    val spark = Graft.session(cores = 32, appName = "graft-pstress")
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio", "aeuio")
+
+    def corpus(k: Int): DataFrame =
+      (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          translate(col("text"), "aeiou", perms(i % perms.size)).as("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%6.1f s  (rows=$n)")
+    }
+
+    (1 to max).foreach { k =>
+      val docs = corpus(k)
+      val nDocs = docs.count()
+      println(s"--- copies=$k docs=$nDocs ---")
+      timed("p1 exact dedup") {
+        docs.select(md5(col("text").cast("binary")).as("h"))
+          .groupBy("h").count().where(col("count") > 1).count()
+      }
+      val toks = TextOps.tokens(docs, "doc_id", "text")
+      val shingleIds = TextOps.shingles(toks, "doc_id", 3)
+        .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
+      timed("p3 LSH candidates") {
+        MinHashLsh.candidates(
+          MinHashLsh.bands(
+            MinHashLsh.signatures(shingleIds, "doc_id", 16), "doc_id", r = 4),
+          "doc_id").count()
+      }
+      timed("p5 simhash bucketed") {
+        val tokenIds = toks.withColumn("vid", TextOps.hashId(col("token")))
+        SimHash.nearPairsBucketed(
+          SimHash.fingerprints(tokenIds, "doc_id"), "doc_id", maxDist = 3).count()
+      }
+    }
+    spark.stop()
+  }
+}
