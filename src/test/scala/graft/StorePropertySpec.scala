@@ -104,5 +104,28 @@ class StorePropertySpec extends SparkTestBase {
         assert(math.abs(v - w(k)) < 1e-9, s"step ${ar.step} $k: $v vs ${w(k)}")
       }
     }
+
+    // vacuum at a later clock == a pure retention filter of the mirror
+    // (partition-drop fast path + boundary rewrite must lose nothing
+    // live and keep nothing expired); run twice for idempotence — the
+    // second pass sees fully-emptied levels
+    val later = now + 15L * 86400
+    (1 to 2).foreach { pass =>
+      store.vacuum(later)
+      policy.sorted.foreach { ar =>
+        val cutoff = later - ar.retention
+        val got = store.readLevel(ar).collect().map { r =>
+          (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond) ->
+            r.getDouble(2)
+        }.toMap
+        val w = want(ar.step).filter { case ((_, iv), _) => iv >= cutoff }
+        assert(got.keySet == w.keySet,
+          s"vacuum pass $pass step ${ar.step}: " +
+            s"only-engine=${got.keySet -- w.keySet} only-mirror=${w.keySet -- got.keySet}")
+        got.foreach { case (k, v) =>
+          assert(math.abs(v - w(k)) < 1e-9, s"pass $pass step ${ar.step} $k: $v vs ${w(k)}")
+        }
+      }
+    }
   }
 }
