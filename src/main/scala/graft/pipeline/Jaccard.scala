@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   *
   * τ is relaxed by 1e-6 before filtering so ROUND(j, 6) ties at the
   * cutoff cannot exclude a pair the naive plan would have ranked in.
-  * With fewer than k verified candidates τ falls to 0 and the prefix
-  * filter degenerates to the full inverted-index join — correct at any
-  * size, just not pruned (only reachable on tiny inputs).
+  * With fewer than k verified candidates τ falls to 0 and the plan
+  * switches to the classic single-aggregation inverted-index join
+  * (counting intersections directly in the self-join's groupBy) — a
+  * degenerate prefix filter would instead enumerate every
+  * co-occurring pair AND re-verify each one, strictly worse than
+  * naive. Only reachable on inputs with almost no similar pairs.
   */
 object Jaccard {
 
@@ -49,25 +52,40 @@ object Jaccard {
     val tau = math.max(0.0,
       (if (candJ.length < k) 0.0 else candJ.last.getDouble(0)) - 1e-6)
 
-    // phase 2: prefix-filter join at τ
-    val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
-    val prefix = bg.join(dfreq, "vid")
-      .withColumn("r", row_number().over(w))
-      .join(sizes, idCol)
-      .where(col("r") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-    val pairs = prefix.select(col(idCol).as("id_a"), col("vid"))
-      .join(prefix.select(col(idCol).as("id_b"), col("vid")), "vid")
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(tau) * greatest(col("na"), col("nb")))
-      .select("id_a", "id_b")
+    val scored =
+      if (tau <= 0.0) {
+        // no usable bound: classic inverted-index aggregation (one
+        // groupBy over the co-occurrence join; no pair re-verify)
+        bg.select(col(idCol).as("id_a"), col("vid"))
+          .join(bg.select(col(idCol).as("id_b"), col("vid")), "vid")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+          .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+          .withColumn("j",
+            col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      } else {
+        // phase 2: prefix-filter join at τ
+        val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
+        val prefix = bg.join(dfreq, "vid")
+          .withColumn("r", row_number().over(w))
+          .join(sizes, idCol)
+          .where(col("r") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+        val pairs = prefix.select(col(idCol).as("id_a"), col("vid"))
+          .join(prefix.select(col(idCol).as("id_b"), col("vid")), "vid")
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+          .where(least(col("na"), col("nb")).cast("double") >=
+            lit(tau) * greatest(col("na"), col("nb")))
+          .select("id_a", "id_b")
+        // phase 3: exact verification on the surviving pairs only
+        verify(pairs, bg, sizes, idCol)
+      }
 
-    // phase 3: exact verification + top-k
-    verify(pairs, bg, sizes, idCol)
+    scored
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(k)

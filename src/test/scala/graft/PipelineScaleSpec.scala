@@ -85,6 +85,30 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got == naive, s"got=$got\nwant=$naive")
   }
 
+  test("Jaccard.exactTopK tau=0 fallback == naive on dissimilar sets (property)") {
+    import graft.pipeline.Jaccard
+    val rnd = new scala.util.Random(29)
+    // 25 docs drawing few ids from a wide pool: overlaps of 1-2 ids,
+    // similarities far below any LSH band threshold -> fewer than k
+    // verified candidates -> the classic inverted-index fallback runs
+    val rows = (0 until 25).flatMap { d =>
+      (0 until 12).map(_ => (d.toLong, rnd.nextInt(400).toLong))
+    }.distinct
+    val sets = rows.toDF("doc_id", "vid").localCheckpoint(true)
+    val got = Jaccard.exactTopK(sets, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = byDoc.keys.toSeq.sorted.combinations(2).flatMap { case Seq(a, b) =>
+      val i = (byDoc(a) & byDoc(b)).size
+      if (i == 0) None // no co-occurrence row -> never produced
+      else Some((a, b,
+        BigDecimal(i.toDouble / (byDoc(a) | byDoc(b)).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toSeq.sortBy { case (a, b, j) => (-j, a, b) }.take(10)
+    assert(naive.nonEmpty, "fixture produced no overlapping pairs")
+    assert(got == naive, s"got=$got\nwant=$naive")
+  }
+
   test("blockedCosinePairs enumerates every unordered pair exactly once (property)") {
     import graft.pipeline.Embeddings
     val rnd = new scala.util.Random(23)
