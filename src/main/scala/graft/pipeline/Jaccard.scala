@@ -71,7 +71,10 @@ object Jaccard {
         val prefix = bg.join(dfreq, "vid")
           .withColumn("r", row_number().over(w))
           .join(sizes, idCol)
-          .where(col("r") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+          // integer-safe prefix bound: back the float product off by
+          // 1e-9 before ceil so an epsilon-above-integral tau*n can
+          // only LENGTHEN the prefix (never prune a qualifying pair)
+          .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
         val pairs = prefix.select(col(idCol).as("id_a"), col("vid"))
           .join(prefix.select(col(idCol).as("id_b"), col("vid")), "vid")
           .where(col("id_a") < col("id_b"))

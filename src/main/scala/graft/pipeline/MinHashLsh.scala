@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * the standard shingle → minhash → band → bucket-join pipeline.
   *
   * Hash family: h_j(x) = ((2j+3)·(x mod P) + 5j+7) mod P over hashed
-  * shingle ids — affine over a prime field, exactly reproducible in
-  * ANSI SQL (the oracle). Ids may be any 64-bit hash (md5-derived or
-  * xxhash64): the mod-P reduction first keeps the multiply inside
-  * 64-bit range and pmod keeps negative xxhash64 ids well-defined.
+  * shingle ids — affine over the prime field P = 2^61−1 (Mersenne),
+  * exactly reproducible in ANSI SQL (the oracle mirrors it with
+  * HUGEINT arithmetic; the engine routes the out-of-64-bit product
+  * through DECIMAL(38,0), exact for |a·x| < 10^38). P must dwarf the
+  * distinct-shingle count or every h_j factors through the SAME
+  * collapsed universe and the functions stop being independent — at
+  * 2^61−1 the 60-bit md5-derived ids are reduced injectively, and
+  * pmod keeps negative xxhash64 ids well-defined.
   *
   * Scale: signatures are one groupBy over (doc, j) with partial min;
   * banding shuffles 500M docs × b rows, each tiny; the candidate join
@@ -18,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  val P = 1000003L
+  val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
 
   /** (id, j, mh): the k-wide minhash signature of every document.
     * Input: (id, vid) — one row per (document, shingle-id) occurrence.
@@ -29,7 +33,9 @@ object MinHashLsh {
     */
   def signatures(shingleIds: DataFrame, idCol: String, k: Int): DataFrame = {
     val mins = (0 until k).map { j =>
-      min(pmod(lit(2 * j + 3) * pmod(col("vid"), lit(P)) + lit(5 * j + 7), lit(P))).as(s"m$j")
+      // (2j+3)·v can reach ~2^68: exact via DECIMAL(38,0), back to long
+      min(((pmod(col("vid"), lit(P)).cast("decimal(38,0)") * lit(2 * j + 3)
+        + lit(5 * j + 7)) % lit(P)).cast("long")).as(s"m$j")
     }
     val stacked = (0 until k).map(j => s"${j}L, m$j").mkString(", ")
     shingleIds

@@ -307,7 +307,9 @@ object PipelineQueries {
        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS vid
        |  FROM sh),
        |sigs AS (
-       |  SELECT doc_id, j, MIN(((2*j+3)*(vid % 1000003) + 5*j+7) % 1000003) AS mh
+       |  SELECT doc_id, j,
+       |         MIN(CAST(((2*j+3)::HUGEINT * (vid % 2305843009213693951)
+       |                   + (5*j+7)) % 2305843009213693951 AS BIGINT)) AS mh
        |  FROM sid CROSS JOIN range(16) t(j) GROUP BY doc_id, j)""".stripMargin
 
   private val TokenIdsCte =

@@ -355,10 +355,18 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
   }
 
   /** Test/driver convenience: materialized dense values in interval
-    * order (the reference's `values` array).
+    * order (the reference's `values` array). Collects one row PER SLOT
+    * to the driver, so the slot count is capped — a year-wide
+    * finest-level window would otherwise materialize millions of rows
+    * driver-side; distributed callers should use [[fetch]] directly.
     */
-  def fetchValues(series: String, from: Long, to: Long, now: Long): (TimeInfo, Seq[Option[Double]]) = {
+  def fetchValues(series: String, from: Long, to: Long, now: Long,
+                  maxSlots: Long = 1000000L): (TimeInfo, Seq[Option[Double]]) = {
     val (ti, df) = fetch(series, from, to, now)
+    val slots = (ti.toInterval - ti.fromInterval) / ti.step
+    require(slots <= maxSlots,
+      s"fetchValues would collect $slots slots to the driver " +
+        s"(cap $maxSlots); use fetch() for windows this wide")
     val vals = df.orderBy("interval").select("value").collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
     (ti, vals)
@@ -381,10 +389,9 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
       if (Files.exists(dir)) {
         val cutoff = now - ar.retention
         val cutoffMonth = monthsCovering(cutoff, cutoff + 1).head
-        val months = Files.list(dir).iterator().asScala
-          .map(_.getFileName.toString)
+        val months = listDir(dir)
           .filter(_.startsWith("p_month="))
-          .map(_.stripPrefix("p_month=")).toSeq
+          .map(_.stripPrefix("p_month="))
         months.filter(_ < cutoffMonth)
           .foreach(m => deleteRecursively(dir.resolve(s"p_month=$m")))
         if (months.contains(cutoffMonth)) {
@@ -412,10 +419,22 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     StructType(Seq(StructField("series_id", StringType),
       StructField("interval", TimestampType), StructField("value", DoubleType))))
 
+  /** Directory entry names, with the NIO stream closed (Files.list
+    * leaks a directory fd per call otherwise — a long-lived driver JVM
+    * vacuuming in a loop would exhaust its fd table).
+    */
+  private def listDir(dir: JPath): Seq[String] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.map(_.getFileName.toString).toList
+    finally st.close()
+  }
+
   private def deleteRecursively(p: JPath): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally st.close()
     }
 }
 

@@ -23,6 +23,11 @@ object PipelineStress {
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text")
     val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio", "aeuio")
+    // beyond perms.size copies the permutations would cycle, copies k and
+    // k-6 would be byte-identical, and the content-disjoint premise of
+    // the scaling readout would silently break — fail loudly instead
+    require(max <= perms.size,
+      s"maxCopies must be <= ${perms.size} (vowel permutations would cycle)")
 
     def corpus(k: Int): DataFrame =
       (0 until k).map { i =>
