@@ -94,14 +94,16 @@ object PipelineQueries {
     }),
 
     "p6_embpairs" -> ((s, dir) => {
-      // exact all-pairs cosine top-50 — the exactness baseline for
-      // p8/p9. The pair enumeration is sharded over block-pair
-      // equi-join keys (no BroadcastNestedLoop, no whole-side
-      // broadcast); the O(N²) work itself is the query's complexity,
-      // and the bucketed ANN paths are the scale alternative.
-      Embeddings.blockedCosinePairs(emb(s, dir), blocks = 16)
+      // exact cosine top-50 via the adaptive threshold algorithm
+      // (Embeddings.thresholdCosineTopK): LSH-verified τ bound +
+      // centroid triangle-inequality pruning over qualifying cell
+      // pairs, exact-scored — with a MEASURED fallback to the uniform
+      // block-sharded enumeration when the data is isotropic and no
+      // exact plan can prune (this fixture: cell radii ~77° vs
+      // arccos(τ)≈62°, flat eigenspectrum — see the operator's doc).
+      // Identical result either way (property-tested both paths).
+      Embeddings.thresholdCosineTopK(emb(s, dir), k = 50)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
-        .limit(50)
     }),
 
     "p7_anntopk" -> ((s, dir) => {

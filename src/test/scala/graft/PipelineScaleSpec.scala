@@ -123,6 +123,45 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got.forall { case (a, b) => a < b }, "id order not normalized")
   }
 
+  test("thresholdCosineTopK prunes on clustered vectors and == blocked top-k") {
+    import graft.pipeline.Embeddings
+    val rnd = new scala.util.Random(41)
+    // 8 tight clusters in 16 dims, ids interleaved so the deterministic
+    // k-means init (lowest k ids) seeds every cluster
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").localCheckpoint(true)
+    val (got, st) = Embeddings.thresholdCosineTopKWithStats(df, k = 20,
+      kCent = 8, iters = 2, maxQualFrac = 0.6)
+    info(s"clustered: pruned=${st.pruned} qualFrac=${st.qualFrac}")
+    assert(st.pruned, "pruned plan should fire on clustered data")
+    assert(st.qualFrac < 0.5, s"expected real pruning, q=${st.qualFrac}")
+    val want = Embeddings.blockedCosinePairs(df, blocks = 7)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(g == want, s"got=$g\nwant=$want")
+  }
+
+  test("thresholdCosineTopK == blocked top-k on isotropic vectors (fallback path)") {
+    import graft.pipeline.Embeddings
+    val rnd = new scala.util.Random(59)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextGaussian()).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding").localCheckpoint(true)
+    val (got, st) = Embeddings.thresholdCosineTopKWithStats(df, k = 15,
+      kCent = 8, iters = 2, maxQualFrac = 0.6)
+    info(s"isotropic: pruned=${st.pruned} qualFrac=${st.qualFrac}")
+    val want = Embeddings.blockedCosinePairs(df, blocks = 7)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(g == want, s"got=$g\nwant=$want")
+  }
+
   test("hashId matches the DuckDB-documented md5 formula") {
     // java-side reference: first 15 hex chars of md5, parsed base 16
     def ref(s: String): Long = {
