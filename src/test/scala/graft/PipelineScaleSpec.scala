@@ -109,6 +109,66 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got == naive, s"got=$got\nwant=$naive")
   }
 
+  test("SparseCosine.exactTopK == naive all-pairs top-k on random tf vectors (property)") {
+    import graft.pipeline.SparseCosine
+    val rnd = new scala.util.Random(73)
+    // 60 docs over a 140-term universe, 6 clusters sharing weighted
+    // cores plus noise, repeated terms giving tf > 1
+    val rows = (0 until 60).flatMap { d =>
+      val core = rnd.nextInt(6)
+      val coreT = (0 until 18).map(i => (core * 100 + i).toLong)
+      val noise = (0 until rnd.nextInt(10)).map(_ => (1000 + rnd.nextInt(140)).toLong)
+      val rep = (0 until rnd.nextInt(5)).map(_ => coreT(rnd.nextInt(coreT.size)))
+      (coreT ++ noise ++ rep).map(v => (d.toLong, v))
+    }
+    val tf = rows.groupBy(identity).map { case ((d, v), occ) => (d, v, occ.size.toLong) }
+      .toSeq.toDF("doc_id", "vid", "tf").localCheckpoint(true)
+    val got = SparseCosine.exactTopK(tf, "doc_id", k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // naive mirror in plain Scala
+    val byDoc = rows.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val naive = byDoc.keys.toSeq.sorted.combinations(2).flatMap { case Seq(a, b) =>
+      val (va, vb) = (byDoc(a), byDoc(b))
+      val i = va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum
+      if (i == 0) None
+      else {
+        val n2a = va.values.map(x => x * x).sum
+        val n2b = vb.values.map(x => x * x).sum
+        val c = i.toDouble / math.sqrt(n2a.toDouble * n2b)
+        Some((a, b, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSeq.sortBy { case (a, b, c) => (-c, a, b) }.take(15)
+    assert(naive.nonEmpty)
+    assert(got == naive, s"got=$got\nwant=$naive")
+  }
+
+  test("SparseCosine.exactTopK tau=0 fallback == naive on dissimilar tf vectors") {
+    import graft.pipeline.SparseCosine
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 25).flatMap { d =>
+      (0 until 10).map(_ => (d.toLong, rnd.nextInt(500).toLong))
+    }
+    val tf = rows.groupBy(identity).map { case ((d, v), occ) => (d, v, occ.size.toLong) }
+      .toSeq.toDF("doc_id", "vid", "tf").localCheckpoint(true)
+    val got = SparseCosine.exactTopK(tf, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val byDoc = rows.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val naive = byDoc.keys.toSeq.sorted.combinations(2).flatMap { case Seq(a, b) =>
+      val (va, vb) = (byDoc(a), byDoc(b))
+      val i = va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum
+      if (i == 0) None
+      else {
+        val c = i.toDouble / math.sqrt(
+          va.values.map(x => x * x).sum.toDouble * vb.values.map(x => x * x).sum)
+        Some((a, b, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSeq.sortBy { case (a, b, c) => (-c, a, b) }.take(10)
+    assert(naive.nonEmpty)
+    assert(got == naive, s"got=$got\nwant=$naive")
+  }
+
   test("blockedCosinePairs enumerates every unordered pair exactly once (property)") {
     import graft.pipeline.Embeddings
     val rnd = new scala.util.Random(23)
