@@ -275,6 +275,40 @@ object Embeddings {
     cents
   }
 
+  /** IVF probe + search shared by the fixed-id (p9) and learned-
+    * centroid (p13) declared queries: rank cells per vector by rounded
+    * cosine (ties to the lower c_id), index each vector under its top
+    * cell, probe each query's top `nprobe` cells, exact-score within
+    * probed cells, return the top `topK` neighbors per query. The
+    * centroid side is O(K) broadcast at any corpus size; both ranking
+    * windows partition per vector — never an unpartitioned window.
+    */
+  def ivfSearch(v: DataFrame, cents: DataFrame, nprobe: Int,
+                topK: Int): DataFrame = {
+    val ranked = v.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        round(unitCosine("uv", "cv"), 6).as("csim"))
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("c_id"))
+    val probes = ranked.withColumn("crn", row_number().over(wc))
+      .where(col("crn") <= nprobe)
+      .select(col("vec_id"), col("c_id").as("cell"), col("crn"))
+    val assign = probes.where(col("crn") === 1).drop("crn")
+    val q = v.join(probes.drop("crn"), "vec_id")
+      .select(col("vec_id").as("query_id"), col("cell"), col("uv").as("qn"))
+    val c = v.join(assign, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("uv").as("cn"))
+    val scored = q.join(c, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        round(unitCosine("qn", "cn"), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select("query_id", "rnk", "neighbor_id", "sim", "cell")
+  }
+
   /** Signed-random-projection bucket id per vector: `planes` fixed
     * deterministic hyperplanes (LCG-derived weights so the SQL oracle
     * reproduces them), bucket = bit-pack of dot-product signs.

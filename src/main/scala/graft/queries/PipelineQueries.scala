@@ -151,28 +151,23 @@ object PipelineQueries {
         .select(col("vec_id"), col("uv"))
       val cents = v.where(col("vec_id") < 40)
         .select(col("vec_id").as("c_id"), col("uv").as("cv"))
-      val ranked = v.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("c_id"),
-          round(Embeddings.unitCosine("uv", "cv"), 6).as("csim"))
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("c_id"))
-      val probes = ranked.withColumn("crn", row_number().over(wc))
-        .where(col("crn") <= 2)
-        .select(col("vec_id"), col("c_id").as("cell"), col("crn"))
-      val assign = probes.where(col("crn") === 1).drop("crn")
-      val q = v.join(probes.drop("crn"), "vec_id")
-        .select(col("vec_id").as("query_id"), col("cell"), col("uv").as("qn"))
-      val c = v.join(assign, "vec_id")
-        .select(col("vec_id").as("neighbor_id"), col("cell"), col("uv").as("cn"))
-      val scored = q.join(c, Seq("cell"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("cell"),
-          round(Embeddings.unitCosine("qn", "cn"), 6).as("sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 3)
-        .select("query_id", "rnk", "neighbor_id", "sim", "cell")
+      Embeddings.ivfSearch(v, cents, nprobe = 2, topK = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "p13_annkmeans" -> ((s, dir) => {
+      // IVF ANN with LEARNED centroids: deterministic Lloyd k-means
+      // (decimal-exact means — bit-stable at any parallelism) feeding
+      // the same O(K)-broadcast probe/search plan as p9. The DuckDB
+      // oracle replays the identical two Lloyd iterations as an
+      // unrolled CTE chain (exact DECIMAL sums both sides), so the
+      // learned-centroid path is hash-gated end to end — recall vs
+      // brute force is additionally floored in PipelineScaleSpec.
+      val e = emb(s, dir)
+      val v = Embeddings.withUnitVector(e, "embedding", "uv")
+        .select(col("vec_id"), col("uv"))
+      val cents = Embeddings.kmeansCentroids(e, k = 8, iters = 2)
+      Embeddings.ivfSearch(v, cents, nprobe = 2, topK = 3)
         .orderBy("query_id", "rnk")
     }),
 
@@ -352,6 +347,37 @@ object PipelineQueries {
       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  /** One Lloyd iteration over exploded unit vectors `u` (vec_id, d, x):
+    * assign to nearest `prev` centroid by rounded cosine (ties to the
+    * lower c_id), recompute per-(cell, dim) means through exact DECIMAL
+    * sums, re-normalize through an exact DECIMAL sum of squares, keep
+    * the previous centroid for cells that lost every member — the
+    * line-for-line mirror of Embeddings.kmeansCentroids' iteration.
+    */
+  private def lloydIterCte(i: Int, prev: String): String =
+    s"""s$i AS (
+       |  SELECT u.vec_id, c.c_id, SUM(u.x*c.x) AS sim
+       |  FROM u JOIN $prev c ON u.d = c.d GROUP BY u.vec_id, c.c_id),
+       |a$i AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ROUND(sim, 6) DESC, c_id) AS rn FROM s$i) t
+       |  WHERE rn = 1),
+       |m$i AS (
+       |  SELECT a.c_id, u.d,
+       |         CAST(SUM(CAST(u.x AS DECIMAL(24,18))) AS DOUBLE)/COUNT(*) AS m
+       |  FROM a$i a JOIN u ON u.vec_id = a.vec_id GROUP BY a.c_id, u.d),
+       |n$i AS (
+       |  SELECT c_id,
+       |         sqrt(CAST(SUM(CAST(m*m AS DECIMAL(30,20))) AS DOUBLE)) AS nrm
+       |  FROM m$i GROUP BY c_id),
+       |c$i AS (
+       |  SELECT m.c_id, m.d, m.m/n.nrm AS x
+       |  FROM m$i m JOIN n$i n USING (c_id) WHERE n.nrm > 0
+       |  UNION ALL
+       |  SELECT p.c_id, p.d, p.x FROM $prev p
+       |  WHERE p.c_id NOT IN (SELECT c_id FROM n$i WHERE nrm > 0))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p1_exactdedup" ->
       """SELECT doc_id, md5(text) AS text_md5,
@@ -489,6 +515,42 @@ object PipelineQueries {
         |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
         |       neighbor_id, sim, cell
         |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // the learned-centroid IVF: two unrolled Lloyd iterations (exact
+    // DECIMAL means both engines) then the same probe/search as p9
+    "p13_annkmeans" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         generate_subscripts(embedding, 1) AS d
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id),
+         |u AS (
+         |  SELECT e.vec_id, e.d, e.x / n.nrm AS x
+         |  FROM ex e JOIN n0 n USING (vec_id)),
+         |c0 AS (SELECT vec_id AS c_id, d, x FROM u WHERE vec_id < 8),
+         |${lloydIterCte(1, "c0")},
+         |${lloydIterCte(2, "c1")},
+         |cs AS (
+         |  SELECT u.vec_id, c.c_id, SUM(u.x*c.x) AS sim
+         |  FROM u JOIN c2 c ON u.d = c.d GROUP BY u.vec_id, c.c_id),
+         |pr AS (
+         |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ROUND(sim, 6) DESC, c_id) AS crn FROM cs),
+         |assign AS (SELECT vec_id, c_id AS cell FROM pr WHERE crn = 1),
+         |probes AS (SELECT vec_id, c_id AS cell FROM pr WHERE crn <= 2),
+         |scored AS (
+         |  SELECT kq.vec_id AS query_id, kn.vec_id AS neighbor_id, kq.cell,
+         |         ROUND(SUM(a.x*b.x), 6) AS sim
+         |  FROM probes kq
+         |   JOIN assign kn ON kq.cell = kn.cell AND kq.vec_id <> kn.vec_id
+         |   JOIN u a ON a.vec_id = kq.vec_id
+         |   JOIN u b ON b.vec_id = kn.vec_id AND b.d = a.d
+         |  GROUP BY kq.vec_id, kn.vec_id, kq.cell)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+         |       neighbor_id, sim, cell
+         |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // exact all-pairs threshold dedup — hash-family-independent, so it
     // gates the engine's xxhash64 LSH + exact-verify path: any pair the
