@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
   * the exact substitution (record-level MERGE, unchanged partition
   * spec, unchanged readers) is written up in DESIGN.md.
   */
-final class HoardStore private (val spark: SparkSession, val root: String) {
+final class HoardStore private (val spark: SparkSession, val root: String,
+                                val mergeStrategy: HoardStore.MergeStrategy) {
 
   import HoardStore._
 
@@ -93,7 +94,7 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     * reference's commit ordering (archive commits happen after earlier
     * archives' propagation).
     */
-  def updateManyDf(batch0: DataFrame, now: Long): Unit = {
+  def updateManyDf(batch0: DataFrame, now: Long): Unit = withWriteLock {
     val p = policy
     val base = nextSeqBase(root)
     val levels = p.sorted
@@ -166,8 +167,28 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     writeSeqBase(root, base + 1)
   }
 
+  /** The single-writer assumption, enforced: a create-exclusive lock
+    * file taken for the duration of a batch write, so a second
+    * concurrent writer fails loudly instead of silently corrupting the
+    * read-merge-overwrite cycle (the distributed stand-in for the
+    * reference's single file descriptor).
+    */
+  private def withWriteLock[T](body: => T): T = {
+    val lock = Paths.get(root, "_lock")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"Store $root is locked by another writer " +
+            s"(stale lock from a crashed writer? delete $lock)")
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   /** Merge new rows into a level: last-write-wins per (series, interval)
-    * by seq, rewriting only the touched month partitions.
+    * by seq, rewriting only the touched month partitions. The winner
+    * computation is routed through [[mergeStrategy]] — the seam where a
+    * transactional table format's record-level MERGE slots in.
     */
   private def mergeLevel(ar: Archive, newRows: DataFrame,
                          touched: DataFrame): Unit = {
@@ -178,11 +199,27 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     // as a PARTITION filter (an interval-derived semi-join would scan
     // every month of the level before filtering).
     val existing = readLevelWithSeq(ar, Some(touchedMonths(touched, 1)))
-    val merged = Dedup.lastWriteWins(
-        existing.unionByName(newRows),
+    def lww(rows: DataFrame): DataFrame = Dedup.lastWriteWins(
+        rows,
         Seq(col("series_id"), col("interval")), col("seq"),
         Seq("value" -> col("value"), "seq_keep" -> col("seq")))
       .withColumnRenamed("seq_keep", "seq")
+    val merged = (mergeStrategy match {
+      case HoardStore.MonthRewrite => lww(existing.unionByName(newRows))
+      case HoardStore.RecordMergeSim =>
+        // the record-level MERGE dataflow: upsert winners for touched
+        // keys, pass every untouched row through untouched — a
+        // transactional format would commit `untouched` implicitly and
+        // write ONLY the upserts (write-amp ∝ batch, not month volume);
+        // here both legs still land in the same month rewrite, which is
+        // exactly what makes the two strategies content-comparable
+        val keys = touched.select("series_id", "interval")
+        val matched = existing.join(keys, Seq("series_id", "interval"),
+          "left_semi")
+        val untouched = existing.join(keys, Seq("series_id", "interval"),
+          "left_anti").select("series_id", "interval", "value", "seq")
+        lww(matched.unionByName(newRows)).unionByName(untouched)
+    })
       .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
       .localCheckpoint(true)
     merged.write.mode(SaveMode.Overwrite)
@@ -205,9 +242,29 @@ final class HoardStore private (val spark: SparkSession, val root: String) {
     val fresh = touched.select("series_id").distinct()
       .join(readCatalog(ar), Seq("series_id"), "left_anti")
       .withColumn("level", lit(ar.step))
-    if (fresh.head(1).nonEmpty)
+    if (fresh.head(1).nonEmpty) {
       fresh.coalesce(1).write.mode(SaveMode.Append)
         .parquet(catalogPath(root))
+      compactCatalogIfNeeded()
+    }
+  }
+
+  /** Every batch that introduces new series appends one small file to
+    * the catalog; unbounded, each catalog read would eventually list
+    * thousands of tiny files. Past a file-count threshold, fold the
+    * catalog back into one file (materialized via localCheckpoint
+    * before the in-place overwrite — the same read-overwrite seam as
+    * mergeLevel). Bounded work: the catalog holds ~#series rows.
+    */
+  private def compactCatalogIfNeeded(threshold: Int = 16): Unit = {
+    val dir = Paths.get(catalogPath(root))
+    if (Files.exists(dir) &&
+        listDir(dir).count(_.endsWith(".parquet")) > threshold) {
+      val all = spark.read.parquet(catalogPath(root))
+        .select("series_id", "level").distinct().localCheckpoint(true)
+      all.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(catalogPath(root))
+    }
   }
 
   /** Distinct series ever written at a level: one small parquet read. */
@@ -443,23 +500,38 @@ object HoardStore {
   final case class RawPoint(series_id: String, ts: Long, value: Double)
   final case class TimeInfo(fromInterval: Long, toInterval: Long, step: Long)
 
+  /** Seam for the level-merge commit (DESIGN.md's transactional-format
+    * swap): [[MonthRewrite]] is the plain-Parquet reality (dynamic
+    * partition overwrite of touched months); [[RecordMergeSim]] runs
+    * the record-level MERGE dataflow (upsert matched keys, pass
+    * untouched rows through) that a transactional table format would
+    * commit natively — proven content-identical to MonthRewrite on
+    * shared workloads by HoardStoreSpec, which is what makes the swap
+    * claim testable without the format's jars.
+    */
+  sealed trait MergeStrategy
+  case object MonthRewrite extends MergeStrategy
+  case object RecordMergeSim extends MergeStrategy
+
   /** DDL (`src/hoard.coffee:30-69`): rejects an existing store, persists
     * the policy catalog. No preallocation — Parquet levels appear on
     * first write.
     */
-  def create(spark: SparkSession, root: String, policy: ArchivePolicy): HoardStore = {
+  def create(spark: SparkSession, root: String, policy: ArchivePolicy,
+             mergeStrategy: MergeStrategy = MonthRewrite): HoardStore = {
     val dir = Paths.get(root)
     if (Files.exists(policyFile(root)))
       throw new IllegalStateException(s"Store already exists: $root")
     Files.createDirectories(dir)
     writePolicy(root, policy)
     writeSeqBase(root, 0L)
-    new HoardStore(spark, root)
+    new HoardStore(spark, root, mergeStrategy)
   }
 
-  def open(spark: SparkSession, root: String): HoardStore = {
+  def open(spark: SparkSession, root: String,
+           mergeStrategy: MergeStrategy = MonthRewrite): HoardStore = {
     require(Files.exists(policyFile(root)), s"No store at $root")
-    new HoardStore(spark, root)
+    new HoardStore(spark, root, mergeStrategy)
   }
 
   /** Catalog read (`src/hoard.coffee:392-424`) — policy + derived

@@ -250,6 +250,68 @@ class HoardStoreSpec extends SparkTestBase {
     assert(ti.step == 3600)
   }
 
+  test("second concurrent writer fails loudly on the write lock") {
+    val s = freshStore()
+    val lock = java.nio.file.Paths.get(s.root, "_lock")
+    java.nio.file.Files.createFile(lock) // another writer mid-batch
+    val err = intercept[IllegalStateException] {
+      s.updateMany(Seq(RawPoint("cpu", now - 3600, 1.0)), now)
+    }
+    assert(err.getMessage.contains("locked by another writer"))
+    java.nio.file.Files.delete(lock)
+    s.updateMany(Seq(RawPoint("cpu", now - 3600, 1.0)), now) // recovers
+    assert(!java.nio.file.Files.exists(lock), "lock must release after a write")
+    val (_, vals) = s.fetchValues("cpu", now - 7200, now, now)
+    assert(vals.flatten == Seq(1.0))
+  }
+
+  test("RecordMergeSim merge strategy produces identical level contents") {
+    import org.apache.spark.sql.functions.col
+    val month = HoardStore.create(spark, tmpDir("hoard") + "/m", policy)
+    val record = HoardStore.create(spark, tmpDir("hoard") + "/r", policy,
+      HoardStore.RecordMergeSim)
+    val rnd = new scala.util.Random(47)
+    // three batches with overwrites of earlier intervals and enough
+    // points to cross the daily level's xff gate
+    val batches = (0 until 3).map { b =>
+      (0 until 40).map { i =>
+        val series = s"s${rnd.nextInt(3)}"
+        RawPoint(series, now - 86400 * 2 + rnd.nextInt(48) * 3600, b * 100.0 + i)
+      }
+    }
+    batches.foreach { pts => month.updateMany(pts, now); record.updateMany(pts, now) }
+    policy.sorted.foreach { ar =>
+      def dump(s: HoardStore) = s.readLevel(ar)
+        .orderBy("series_id", "interval")
+        .select(col("series_id"), col("interval").cast("long"), col("value"))
+        .collect().toSeq
+      val (m, r) = (dump(month), dump(record))
+      assert(m.nonEmpty, s"level ${ar.step} empty")
+      assert(m == r, s"level ${ar.step}: strategies diverge")
+    }
+  }
+
+  test("series catalog stays bounded in file count across many batches") {
+    val s = freshStore()
+    (0 until 20).foreach { i =>
+      s.updateMany(Seq(RawPoint(s"srv$i", now - 3600, i.toDouble)), now)
+    }
+    val dir = java.nio.file.Paths.get(s.root, "_series")
+    val st = java.nio.file.Files.list(dir)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .count(_.endsWith(".parquet"))
+    } finally st.close()
+    // 20 batches x 2 levels = 40 appends without compaction; the
+    // threshold (16) folds the catalog back to one file each time
+    assert(files <= 17, s"catalog grew to $files files")
+    val (_, df) = s.fetchMulti(org.apache.spark.sql.functions.lit(true),
+      now - 7200, now, now)
+    assert(df.select("series_id").distinct().count() == 20,
+      "compaction lost catalog entries")
+  }
+
   test("zero-slot window returns an empty frame, not an error (reference :493-509)") {
     val s = freshStore()
     s.update("cpu", 1.0, now - 1800, now)
