@@ -31,21 +31,49 @@ object Bench {
     // warm-up: a join+agg exercises scan, shuffle, codegen paths
     run("q3_join")
 
+    // round-over-round baseline: the newest BENCH_r*.json in cwd (or
+    // SPARK_GRAFT_BENCH_BASELINE) — queries regressing >1.3x vs it are
+    // re-run alongside the 5 slowest, so every reported delta is either
+    // reproduced (median of 3) or flattened as single-run noise
+    val baseline: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse(
+        Option(new java.io.File(".").listFiles()).flatMap(
+          _.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+            .sorted.lastOption))
+      path.flatMap { p =>
+        scala.util.Try {
+          val txt = scala.io.Source.fromFile(p).mkString
+          "\"([A-Za-z0-9_]+)\":(-?[0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter { case (k, _) => SparkEntry.queries.contains(k) }
+            .toMap
+        }.toOption
+      }.getOrElse(Map.empty)
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val first = names.map(n => n -> run(n))
-    // the 5 slowest get 2 more runs and report their MEDIAN, so
-    // round-over-round regressions on the expensive queries are
-    // attributable above single-run machine noise
     val slow = first.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
+    val regressed = first.filter { case (n, t) =>
+      t >= 0 && baseline.get(n).exists(b => b > 0 && t > 1.3 * b)
+    }.map(_._1).toSet
+    val rerun = slow ++ regressed
     val results = first.map { case (n, t0) =>
-      if (!slow(n) || t0 < 0) n -> t0
+      if (!rerun(n) || t0 < 0) n -> t0
       else n -> Seq(t0, run(n), run(n)).sorted.apply(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val p50 = slow.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50of3":$p50,"sf":"$sfDir"}""")
+    val p50 = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // steady-state streaming throughput (rows/s over micro-batch
+    // processing time, startup excluded) next to the wall numbers
+    val streaming = Seq("s1_stream", "s2_sessions", "s3_streamdedup")
+      .flatMap(n => graft.streaming.StreamStats.get(n).map(st =>
+        s""""$n":{"batches":${st.batches},"input_rows":${st.inputRows},""" +
+          s""""rows_per_sec":${"%.1f".format(st.rowsPerSec)}}"""))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

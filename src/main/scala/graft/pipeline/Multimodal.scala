@@ -28,23 +28,50 @@ object Multimodal {
     */
   val DecodeBatch = 64
 
-  /** STUB decode: replace the body of `decodeOne` with a real codec
-    * (ImageIO / ffmpeg / soundfile) when available. Everything else —
-    * batching, schema, distribution — is production-shaped.
+  /** Decode stage: REAL ImageIO decode for image payloads (PNG/JPEG/
+    * GIF/BMP — the JDK ships these readers, no extra dependency),
+    * deterministic fake for everything else (video/audio codecs are
+    * not in this container). Batching, schema, distribution are
+    * production-shaped either way.
     */
   def decodeMeta(tasks: Dataset[MediaTask]): Dataset[MediaMeta] = {
     import tasks.sparkSession.implicits._
     tasks.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap { batch =>
-        // a real decoder would hand `batch` to a vectorized native lib
+        // a real vectorized decoder would take `batch` whole
         batch.iterator.map(decodeOne)
       }
     }
   }
 
+  /** JDK-readable image payload? Sniffed from magic bytes, not from
+    * the caller-supplied media_type, so a mislabeled payload can't
+    * crash the decoder.
+    */
+  private def isImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G') ||                                        // PNG
+    (p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
+      p(2) == 0xFF.toByte) ||                                // JPEG
+    (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') || // GIF
+    (p.length >= 2 && p(0) == 'B' && p(1) == 'M')            // BMP
+
   private def decodeOne(t: MediaTask): MediaMeta = {
     val nb = t.payload.length.toLong
-    // ??? real codec goes here; deterministic fake below
+    if (isImage(t.payload)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(t.payload))
+      if (img != null)
+        return MediaMeta(
+          doc_id = t.doc_id,
+          media_type = t.media_type,
+          n_bytes = nb,
+          width = img.getWidth.toLong,
+          height = img.getHeight.toLong,
+          frames = 1L,
+          fingerprint = (nb * 2654435761L) % 1000003L)
+    }
+    // ??? real video/audio codec goes here; deterministic fake below
     MediaMeta(
       doc_id = t.doc_id,
       media_type = t.media_type,

@@ -221,7 +221,8 @@ object HoardQueries {
       val q = graft.streaming.StreamIngest.sessionize(pts, gapSec = 7200)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s2_sessions", q); q.stop()
       s.table(name)
         .select(col("series_id"), col("start"), col("end"), col("n"),
           round(col("sum"), 6).as("sum"))
@@ -245,7 +246,8 @@ object HoardQueries {
       val q = graft.streaming.StreamIngest.hourlyAggregates(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s1_stream", q); q.stop()
       s.table(name)
         .select(col("series_id"), col("bucket").cast("string").as("bucket"),
           col("n"), round(col("mean_value"), 6).as("mean_value"),
@@ -273,7 +275,8 @@ object HoardQueries {
       val name = "s3_dedup_" + StreamCounter.incrementAndGet()
       val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s3_streamdedup", q); q.stop()
       s.table(name)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -304,6 +304,38 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(rF >= 0.6, s"fixed-id IVF recall $rF below floor")
   }
 
+  test("Multimodal.decodeMeta reads real PNG/JPEG dimensions via ImageIO") {
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaTask
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def jpg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val tasks = Seq(
+      MediaTask(1L, "image", png(320, 200)),
+      MediaTask(2L, "image", png(17, 43)),
+      MediaTask(3L, "image", jpg(128, 64)),
+      MediaTask(4L, "text", "not an image at all".getBytes("UTF-8")))
+    val got = Multimodal.decodeMeta(tasks.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert((got(1L).width, got(1L).height, got(1L).frames) == (320L, 200L, 1L))
+    assert((got(2L).width, got(2L).height) == (17L, 43L))
+    assert((got(3L).width, got(3L).height) == (128L, 64L))
+    // non-image payloads keep the deterministic fake (the m1 oracle path)
+    val nb = "not an image at all".getBytes("UTF-8").length.toLong
+    assert(got(4L).width == 64 + (4L * 7) % 448 && got(4L).height == 64 + nb % 448)
+  }
+
   test("q20 approx_count_distinct(rsd=0.02) within 3*rsd of exact on sf0.01") {
     val rows = SparkEntry.queries("q20_approx")(spark, Sf01).collect()
     assert(rows.nonEmpty)
