@@ -34,21 +34,33 @@ object Bench {
     // round-over-round baseline: the newest BENCH_r*.json in cwd (or
     // SPARK_GRAFT_BENCH_BASELINE) — queries regressing >1.3x vs it are
     // re-run alongside the 5 slowest, so every reported delta is either
-    // reproduced (median of 3) or flattened as single-run noise
+    // reproduced (median of 3) or flattened as single-run noise.
+    // The snapshot embeds our JSON line INSIDE an escaped "tail" string
+    // ("...\"h2_rollup\":0.829..."), so unescape \" before matching —
+    // the raw regex alone never fires against the snapshot format.
     val baseline: Map[String, Double] = {
       val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse(
         Option(new java.io.File(".").listFiles()).flatMap(
           _.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
             .sorted.lastOption))
-      path.flatMap { p =>
+      val parsed = path.flatMap { p =>
         scala.util.Try {
-          val txt = scala.io.Source.fromFile(p).mkString
-          "\"([A-Za-z0-9_]+)\":(-?[0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+          val src = scala.io.Source.fromFile(p)
+          val txt = try src.mkString finally src.close()
+          val unescaped = txt.replace("\\\"", "\"")
+          "\"([A-Za-z0-9_]+)\":(-?[0-9]+\\.?[0-9]*)".r
+            .findAllMatchIn(unescaped)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter { case (k, _) => SparkEntry.queries.contains(k) }
             .toMap
         }.toOption
       }.getOrElse(Map.empty)
+      if (parsed.isEmpty)
+        System.err.println(s"[bench] no baseline loaded (path=$path) — " +
+          "regression re-run disabled this run")
+      else
+        System.err.println(s"[bench] baseline ${path.get}: ${parsed.size} queries")
+      parsed
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -62,7 +74,12 @@ object Bench {
       if (!rerun(n) || t0 < 0) n -> t0
       else n -> Seq(t0, run(n), run(n)).sorted.apply(1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the driver captures only the LAST 2000 chars of stdout (plus
+    // sbt's "[success] …" trailer), so the JSON line must stay well
+    // under that or it arrives truncated and unparseable (BENCH_r03:
+    // "parsed": null). 3-decimal times keep 64 queries ≈ 1.6 KB.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val p50 = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -70,10 +87,12 @@ object Bench {
     // processing time, startup excluded) next to the wall numbers
     val streaming = Seq("s1_stream", "s2_sessions", "s3_streamdedup")
       .flatMap(n => graft.streaming.StreamStats.get(n).map(st =>
-        s""""$n":{"batches":${st.batches},"input_rows":${st.inputRows},""" +
-          s""""rows_per_sec":${"%.1f".format(st.rowsPerSec)}}"""))
+        s""""$n":{"batches":${st.batches},"rows":${st.inputRows},""" +
+          s""""rows_per_sec":${"%.0f".format(st.rowsPerSec)}}"""))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] json line length: ${line.length} chars")
+    println(line)
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, MersenneAffine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_mersenne"),
+      new ExpressionInfo(classOf[MersenneAffine].getName, "graft_mersenne"),
+      (exprs: Seq[Expression]) =>
+        MersenneAffine(exprs.head, exprs(1), exprs(2))))
   }
 }

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * Hash family: h_j(x) = ((2j+3)·(x mod P) + 5j+7) mod P over hashed
   * shingle ids — affine over the prime field P = 2^61−1 (Mersenne),
   * exactly reproducible in ANSI SQL (the oracle mirrors it with
-  * HUGEINT arithmetic; the engine routes the out-of-64-bit product
-  * through DECIMAL(38,0), exact for |a·x| < 10^38). P must dwarf the
+  * HUGEINT arithmetic; the engine computes the out-of-64-bit product
+  * exactly in whole-stage codegen via [[graft.functions.MersenneAffine]]
+  * — multiplyHigh + Mersenne folding, bit-identical to the HUGEINT
+  * form). P must dwarf the
   * distinct-shingle count or every h_j factors through the SAME
   * collapsed universe and the functions stop being independent — at
   * 2^61−1 the 60-bit md5-derived ids are reduced injectively, and
-  * pmod keeps negative xxhash64 ids well-defined.
+  * the non-negative-residue step keeps negative xxhash64 ids
+  * well-defined.
   *
   * Scale: signatures are one groupBy over (doc, j) with partial min;
   * banding shuffles 500M docs × b rows, each tiny; the candidate join
@@ -32,10 +35,10 @@ object MinHashLsh {
     * document; the (id, j, mh) shape is recovered with a stack.
     */
   def signatures(shingleIds: DataFrame, idCol: String, k: Int): DataFrame = {
+    graft.functions.MersenneAffine.register(shingleIds.sparkSession)
     val mins = (0 until k).map { j =>
-      // (2j+3)·v can reach ~2^68: exact via DECIMAL(38,0), back to long
-      min(((pmod(col("vid"), lit(P)).cast("decimal(38,0)") * lit(2 * j + 3)
-        + lit(5 * j + 7)) % lit(P)).cast("long")).as(s"m$j")
+      // (2j+3)·v can reach ~2^68: exact via multiplyHigh + Mersenne fold
+      min(expr(s"graft_mersenne(vid, ${2 * j + 3}, ${5 * j + 7})")).as(s"m$j")
     }
     val stacked = (0 until k).map(j => s"${j}L, m$j").mkString(", ")
     shingleIds

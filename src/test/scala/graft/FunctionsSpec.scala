@@ -1,9 +1,41 @@
 package graft
 
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, MersenneAffine}
 import org.apache.spark.sql.SparkSessionExtensions
 
 class FunctionsSpec extends SparkTestBase {
+
+  test("graft_mersenne matches BigInt arithmetic on random and edge inputs") {
+    val P = BigInt(MersenneAffine.P)
+    val rnd = new scala.util.Random(42)
+    val edges = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      MersenneAffine.P, MersenneAffine.P - 1, MersenneAffine.P + 1)
+    val xs = edges ++ Seq.fill(2000)(rnd.nextLong())
+    for (x <- xs; j <- Seq(0, 1, 7, 15, 31)) {
+      val a = 2L * j + 3; val b = 5L * j + 7
+      val expected = (((BigInt(x) mod P) * a + b) mod P).toLong
+      assert(MersenneAffine.eval(x, a, b) == expected,
+        s"x=$x a=$a b=$b")
+    }
+  }
+
+  test("graft_mersenne evaluates identically via codegen SQL and via eval") {
+    MersenneAffine.register(spark)
+    import spark.implicits._
+    val xs = Seq(0L, -1L, Long.MaxValue, Long.MinValue, 123456789L,
+      MersenneAffine.P, -MersenneAffine.P - 5)
+    val got = xs.toDF("x")
+      .selectExpr("x", "graft_mersenne(x, 35, 82) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach(x => assert(got(x) == MersenneAffine.eval(x, 35L, 82L)))
+    // null propagation
+    assert(spark.sql("SELECT graft_mersenne(CAST(NULL AS BIGINT), 3, 7)")
+      .head().isNullAt(0))
+    // non-foldable / wrong-typed params rejected
+    intercept[Exception] {
+      spark.sql("SELECT graft_mersenne(1L, 'a', 7)").collect()
+    }
+  }
 
   test("graft_dot evaluates and codegens the array dot product") {
     ArrayDot.register(spark)
