@@ -44,23 +44,40 @@ object Multimodal {
     }
   }
 
-  /** JDK-readable image payload? Sniffed from magic bytes, not from
-    * the caller-supplied media_type, so a mislabeled payload can't
-    * crash the decoder.
+  /** JDK-readable image payload? Sniffed from FULL format signatures,
+    * not the caller-supplied media_type and not 2–3 byte prefixes: a
+    * text document whose UTF-8 bytes happen to start "BM" or "GIF"
+    * must NOT be routed into ImageIO. PNG checks all 8 signature
+    * bytes, GIF the 87a/89a version, JPEG the SOI+marker prefix, BMP
+    * the 2-byte magic PLUS its little-endian file-size field matching
+    * the payload length (ordinary text can't satisfy that).
     */
-  private def isImage(p: Array[Byte]): Boolean =
-    (p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' &&
-      p(3) == 'G') ||                                        // PNG
-    (p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
-      p(2) == 0xFF.toByte) ||                                // JPEG
-    (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') || // GIF
-    (p.length >= 2 && p(0) == 'B' && p(1) == 'M')            // BMP
+  private def isImage(p: Array[Byte]): Boolean = {
+    def pngSig = p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G' && p(4) == 0x0D.toByte &&
+      p(5) == 0x0A.toByte && p(6) == 0x1A.toByte && p(7) == 0x0A.toByte
+    def jpegSig = p.length >= 3 && p(0) == 0xFF.toByte &&
+      p(1) == 0xD8.toByte && p(2) == 0xFF.toByte
+    def gifSig = p.length >= 6 && p(0) == 'G' && p(1) == 'I' &&
+      p(2) == 'F' && p(3) == '8' && (p(4) == '7' || p(4) == '9') &&
+      p(5) == 'a'
+    def bmpSig = p.length >= 26 && p(0) == 'B' && p(1) == 'M' && {
+      val size = (p(2) & 0xFFL) | ((p(3) & 0xFFL) << 8) |
+        ((p(4) & 0xFFL) << 16) | ((p(5) & 0xFFL) << 24)
+      size == p.length.toLong
+    }
+    pngSig || jpegSig || gifSig || bmpSig
+  }
 
   private def decodeOne(t: MediaTask): MediaMeta = {
     val nb = t.payload.length.toLong
     if (isImage(t.payload)) {
-      val img = javax.imageio.ImageIO.read(
+      // a payload that passes the sniff can still be truncated or
+      // corrupt — any decoder failure falls through to the
+      // deterministic fake instead of failing the executor task
+      val img = try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(t.payload))
+      catch { case _: Throwable => null }
       if (img != null)
         return MediaMeta(
           doc_id = t.doc_id,

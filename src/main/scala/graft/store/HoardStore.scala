@@ -168,10 +168,12 @@ final class HoardStore private (val spark: SparkSession, val root: String,
   }
 
   /** The single-writer assumption, enforced: a create-exclusive lock
-    * file taken for the duration of a batch write, so a second
-    * concurrent writer fails loudly instead of silently corrupting the
-    * read-merge-overwrite cycle (the distributed stand-in for the
-    * reference's single file descriptor).
+    * file taken for the duration of ANY state mutation — batch writes
+    * AND vacuum (which deletes partitions and rewrites the boundary
+    * month, the same read-merge-overwrite cycle) — so a second
+    * concurrent mutator fails loudly instead of silently corrupting
+    * level state (the distributed stand-in for the reference's single
+    * file descriptor).
     */
   private def withWriteLock[T](body: => T): T = {
     val lock = Paths.get(root, "_lock")
@@ -252,18 +254,29 @@ final class HoardStore private (val spark: SparkSession, val root: String,
   /** Every batch that introduces new series appends one small file to
     * the catalog; unbounded, each catalog read would eventually list
     * thousands of tiny files. Past a file-count threshold, fold the
-    * catalog back into one file (materialized via localCheckpoint
-    * before the in-place overwrite — the same read-overwrite seam as
-    * mergeLevel). Bounded work: the catalog holds ~#series rows.
+    * catalog back into one file. Crash-safe ordering (no in-place
+    * overwrite): the compacted file is written to a scratch dir, MOVED
+    * into the live dir under a fresh name, and only then are the
+    * superseded small files deleted — a crash at any point leaves a
+    * readable catalog (transient duplicate rows are folded by the
+    * distinct() every catalog read applies). Bounded work: the catalog
+    * holds ~#series rows.
     */
   private def compactCatalogIfNeeded(threshold: Int = 16): Unit = {
     val dir = Paths.get(catalogPath(root))
-    if (Files.exists(dir) &&
-        listDir(dir).count(_.endsWith(".parquet")) > threshold) {
-      val all = spark.read.parquet(catalogPath(root))
-        .select("series_id", "level").distinct().localCheckpoint(true)
-      all.coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(catalogPath(root))
+    if (Files.exists(dir)) {
+      val old = listDir(dir).filter(_.endsWith(".parquet"))
+      if (old.size > threshold) {
+        val tmp = catalogPath(root) + "_compact.tmp"
+        spark.read.parquet(catalogPath(root))
+          .select("series_id", "level").distinct()
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+        val tmpDir = Paths.get(tmp)
+        listDir(tmpDir).filter(_.endsWith(".parquet")).foreach(f =>
+          Files.move(tmpDir.resolve(f), dir.resolve(s"compacted-$f")))
+        old.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+        deleteRecursively(tmpDir)
+      }
     }
   }
 
@@ -440,7 +453,7 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * month partition), not O(level), and repeated vacuums are no-op
     * idempotent (an emptied level is never re-read).
     */
-  def vacuum(now: Long): Unit = {
+  def vacuum(now: Long): Unit = withWriteLock {
     policy.sorted.foreach { ar =>
       val dir = Paths.get(levelPath(root, ar.step))
       if (Files.exists(dir)) {
