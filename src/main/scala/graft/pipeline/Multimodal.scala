@@ -99,6 +99,121 @@ object Multimodal {
       fingerprint = (nb * 2654435761L) % 1000003L)
   }
 
+  /** Safe decode: sniffed payloads only, any decoder failure → None. */
+  private def safeDecode(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!isImage(p)) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p)))
+    catch { case _: Throwable => None }
+
+  /** Resize output row — aspect-fit target dims + a resample checksum. */
+  final case class ResizeMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                              out_w: Long, out_h: Long, checksum: Long)
+
+  /** Aspect-fit (w, h) into a box×box target: the longer edge becomes
+    * `box`, the shorter scales by the same exact integer ratio
+    * (floor division — engine and oracle compute the identical dims).
+    */
+  def fitBox(w: Long, h: Long, box: Long): (Long, Long) =
+    if (w >= h) (box, math.max(1L, h * box / w))
+    else (math.max(1L, w * box / h), box)
+
+  /** Resize stage: REAL bilinear Graphics2D resample for decodable
+    * image payloads (checksum = Σ(R+G+B) over output pixels mod
+    * 1000003 — deterministic: Java2D software rendering), the m1-style
+    * deterministic fake for everything else. Same partition-local
+    * batched shape as [[decodeMeta]].
+    */
+  def resizeMeta(tasks: Dataset[MediaTask], box: Int = 64): Dataset[ResizeMeta] = {
+    import tasks.sparkSession.implicits._
+    tasks.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.iterator.map { t =>
+          val nb = t.payload.length.toLong
+          safeDecode(t.payload) match {
+            case Some(img) =>
+              val (ow, oh) = fitBox(img.getWidth.toLong, img.getHeight.toLong,
+                box.toLong)
+              val dst = new java.awt.image.BufferedImage(ow.toInt, oh.toInt,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow.toInt, oh.toInt, null)
+              g.dispose()
+              var s = 0L
+              var y = 0
+              while (y < oh.toInt) {
+                var x = 0
+                while (x < ow.toInt) {
+                  val rgb = dst.getRGB(x, y)
+                  s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                  x += 1
+                }
+                y += 1
+              }
+              ResizeMeta(t.doc_id, t.media_type, nb, ow, oh, s % 1000003L)
+            case None =>
+              // fake dims mirror m1's fake (w, h), aspect-fit applied
+              val w = 64 + (t.doc_id * 7) % 448
+              val h = 64 + nb % 448
+              val (ow, oh) = fitBox(w, h, box.toLong)
+              ResizeMeta(t.doc_id, t.media_type, nb, ow, oh,
+                (nb * 31 + ow * 7 + oh * 3) % 1000003L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Feature row — per-channel integer means + integer Rec.601 luma. */
+  final case class ImageFeatures(doc_id: Long, media_type: String,
+                                 n_bytes: Long, ch1_mean: Long, ch2_mean: Long,
+                                 ch3_mean: Long, luma: Long)
+
+  /** Feature-extraction stage: REAL per-channel pixel means for
+    * decodable images (exact integer division over Σchannel), the
+    * deterministic fake otherwise. Integer arithmetic end to end so
+    * the outputs are bit-stable cross-engine.
+    */
+  def extractFeatures(tasks: Dataset[MediaTask]): Dataset[ImageFeatures] = {
+    import tasks.sparkSession.implicits._
+    tasks.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.iterator.map { t =>
+          val nb = t.payload.length.toLong
+          safeDecode(t.payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+                  sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              ImageFeatures(t.doc_id, t.media_type, nb,
+                sr / n, sg / n, sb / n,
+                (299L * sr + 587L * sg + 114L * sb) / (1000L * n))
+            case None =>
+              val c1 = (nb * 13) % 256
+              val c2 = (nb * 17 + t.doc_id) % 256
+              val c3 = (nb * 19 + 7 * t.doc_id) % 256
+              ImageFeatures(t.doc_id, t.media_type, nb, c1, c2, c3,
+                (299L * c1 + 587L * c2 + 114L * c3) / 1000L)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame row emitted by [[sampleFrames]]. */
   final case class FrameMeta(doc_id: Long, frame_no: Long, fingerprint: Long)
 

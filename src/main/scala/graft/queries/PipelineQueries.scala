@@ -295,6 +295,26 @@ object PipelineQueries {
       Multimodal.decodeMeta(
           Multimodal.tasksFromDocuments(s, docs(s, dir)))
         .toDF().orderBy("doc_id")
+    }),
+
+    "m3_resize" -> ((s, dir) => {
+      // aspect-fit 64x64 resize stage: REAL bilinear resample for
+      // decodable images (ScalaTest covers that path with real
+      // PNG/JPEG), deterministic fake for text payloads — which is
+      // what this fixture contains, so the oracle replays the fake
+      // formulas exactly (the m1 precedent)
+      Multimodal.resizeMeta(
+          Multimodal.tasksFromDocuments(s, docs(s, dir)))
+        .toDF().orderBy("doc_id")
+    }),
+
+    "m4_features" -> ((s, dir) => {
+      // per-channel mean + integer Rec.601 luma feature extraction:
+      // real pixel statistics for decodable images, deterministic
+      // fake otherwise (fixture = text payloads -> fake path)
+      Multimodal.extractFeatures(
+          Multimodal.tasksFromDocuments(s, docs(s, dir)))
+        .toDF().orderBy("doc_id")
     })
   )
 
@@ -734,6 +754,37 @@ object PipelineQueries {
         | 1 + doc_id % 16 AS frames,
         | (CAST(octet_length(encode(text)) AS BIGINT) * 2654435761) % 1000003
         |   AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_resize" ->
+      """SELECT doc_id, media_type, n_bytes, out_w, out_h,
+        | (n_bytes * 31 + out_w * 7 + out_h * 3) % 1000003 AS checksum
+        |FROM (
+        |  SELECT doc_id, media_type, n_bytes,
+        |    CASE WHEN w >= h THEN 64
+        |         ELSE GREATEST(1, (w * 64) // h) END AS out_w,
+        |    CASE WHEN w >= h THEN GREATEST(1, (h * 64) // w)
+        |         ELSE 64 END AS out_h
+        |  FROM (
+        |    SELECT doc_id, source AS media_type,
+        |      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |      64 + (doc_id * 7) % 448 AS w,
+        |      64 + CAST(octet_length(encode(text)) % 448 AS BIGINT) AS h
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "m4_features" ->
+      """SELECT doc_id, media_type, n_bytes, ch1_mean, ch2_mean, ch3_mean,
+        | (299 * ch1_mean + 587 * ch2_mean + 114 * ch3_mean) // 1000 AS luma
+        |FROM (
+        |  SELECT doc_id, source AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    (CAST(octet_length(encode(text)) AS BIGINT) * 13) % 256 AS ch1_mean,
+        |    (CAST(octet_length(encode(text)) AS BIGINT) * 17 + doc_id) % 256
+        |      AS ch2_mean,
+        |    (CAST(octet_length(encode(text)) AS BIGINT) * 19 + 7 * doc_id) % 256
+        |      AS ch3_mean
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

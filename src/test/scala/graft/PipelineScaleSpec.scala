@@ -336,6 +336,54 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got(4L).width == 64 + (4L * 7) % 448 && got(4L).height == 64 + nb % 448)
   }
 
+  test("Multimodal resize + features compute real pixel stats on real images") {
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaTask
+    // solid-color PNG: resample and channel means are exactly predictable
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val tasks = Seq(
+      MediaTask(1L, "image", solidPng(320, 200, 0x406080)),
+      MediaTask(2L, "image", solidPng(30, 90, 0x102030)),
+      MediaTask(3L, "text", "plain text payload".getBytes("UTF-8")))
+
+    val rs = Multimodal.resizeMeta(tasks.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    // 320x200 fits to 64x40; solid color -> checksum = 64*40*(64+96+128)
+    assert((rs(1L).out_w, rs(1L).out_h) == (64L, 40L))
+    assert(rs(1L).checksum == (64L * 40 * (0x40 + 0x60 + 0x80)) % 1000003L)
+    // 30x90 fits to (30*64/90=21)x64
+    assert((rs(2L).out_w, rs(2L).out_h) == (21L, 64L))
+    assert(rs(2L).checksum == (21L * 64 * (0x10 + 0x20 + 0x30)) % 1000003L)
+    // text payload takes the fake path with aspect-fit of the fake dims
+    val nb = "plain text payload".getBytes("UTF-8").length.toLong
+    val (w, h) = (64 + (3L * 7) % 448, 64 + nb % 448)
+    val (ow, oh) = Multimodal.fitBox(w, h, 64)
+    assert((rs(3L).out_w, rs(3L).out_h) == (ow, oh))
+    assert(rs(3L).checksum == (nb * 31 + ow * 7 + oh * 3) % 1000003L)
+
+    val ft = Multimodal.extractFeatures(tasks.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert((ft(1L).ch1_mean, ft(1L).ch2_mean, ft(1L).ch3_mean) ==
+      (0x40L, 0x60L, 0x80L))
+    assert(ft(1L).luma == (299L * 0x40 + 587L * 0x60 + 114L * 0x80) / 1000L)
+    assert((ft(2L).ch1_mean, ft(2L).ch2_mean, ft(2L).ch3_mean) ==
+      (0x10L, 0x20L, 0x30L))
+    // fake path mirrors the m4 oracle formulas
+    assert(ft(3L).ch1_mean == (nb * 13) % 256 &&
+      ft(3L).ch2_mean == (nb * 17 + 3L) % 256 &&
+      ft(3L).ch3_mean == (nb * 19 + 21L) % 256)
+  }
+
   test("q20 approx_count_distinct(rsd=0.02) within 3*rsd of exact on sf0.01") {
     val rows = SparkEntry.queries("q20_approx")(spark, Sf01).collect()
     assert(rows.nonEmpty)
