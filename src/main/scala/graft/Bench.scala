@@ -78,9 +78,6 @@ object Bench {
     // sbt's "[success] …" trailer), so the JSON line must stay well
     // under that or it arrives truncated and unparseable (BENCH_r03:
     // "parsed": null). 3-decimal times keep 64 queries ≈ 1.6 KB.
-    def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val p50 = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // steady-state streaming throughput (rows/s over micro-batch
@@ -90,7 +87,15 @@ object Bench {
         s""""$n":{"batches":${st.batches},"rows":${st.inputRows},""" +
           s""""rows_per_sec":${"%.0f".format(st.rowsPerSec)}}"""))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}"""
+    def build(dp: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + s"%.${dp}f".format(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${s"%.${dp}f".format(total)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}"""
+    }
+    // stay comfortably inside the 2000-char output tail the snapshot
+    // records (minus sbt's trailer): drop a decimal if the line grows
+    val line = Seq(3, 2, 1).map(build).find(_.length <= 1800)
+      .getOrElse(build(1))
     System.err.println(s"[bench] json line length: ${line.length} chars")
     println(line)
     spark.stop()

@@ -315,6 +315,52 @@ object PipelineQueries {
       Multimodal.extractFeatures(
           Multimodal.tasksFromDocuments(s, docs(s, dir)))
         .toDF().orderBy("doc_id")
+    }),
+
+    "p15_decontam" -> ((s, dir) => {
+      // eval-set decontamination: the held-out source (src0) defines a
+      // 7-gram fingerprint set; every training doc is flagged with its
+      // count of DISTINCT shared 7-grams. The eval side is small by
+      // construction, so it broadcasts; the training side is one scan
+      // + one aggregation — the shape that holds when the training
+      // corpus is 100 TB and the benchmark suite is megabytes.
+      val d = docs(s, dir)
+      val grams = TextOps.shingles(
+          TextOps.tokens(d, "doc_id", "text"), "doc_id", 7)
+        .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
+        .distinct()
+      val src = d.select("doc_id", "source")
+      val evalVids = grams
+        .join(src.where(col("source") === "src0"), "doc_id")
+        .select("vid").distinct()
+      val shared = grams
+        .join(src.where(col("source") =!= "src0"), "doc_id")
+        .join(broadcast(evalVids), "vid")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      src.where(col("source") =!= "src0")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    "p16_sample" -> ((s, dir) => {
+      // deterministic stratified corpus sampling: keep ~20% of each
+      // source by md5-hash threshold on (source, doc_id) — pure
+      // per-row filter (no shuffle until the tiny audit aggregate),
+      // reproducible on any engine / any partitioning. The per-source
+      // aggregate (count, chars, hash checksum) pins the EXACT kept
+      // set, not just its size.
+      val d = docs(s, dir)
+      d.withColumn("h", pmod(TextOps.hashId(
+            concat_ws("|", col("source"), col("doc_id"))), lit(10000L)))
+        .where(col("h") < 2000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          sum(col("h")).as("h_checksum"))
+        .orderBy("source")
     })
   )
 
@@ -785,6 +831,49 @@ object PipelineQueries {
         |    (CAST(octet_length(encode(text)) AS BIGINT) * 19 + 7 * doc_id) % 256
         |      AS ch3_mean
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "p15_decontam" ->
+      s"""WITH $ToksCte,
+         |g7 AS (
+         |  SELECT doc_id, pos,
+         |    token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |    lead(token, 2) OVER w || ' ' || lead(token, 3) OVER w || ' ' ||
+         |    lead(token, 4) OVER w || ' ' || lead(token, 5) OVER w || ' ' ||
+         |    lead(token, 6) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 6) OVER w IS NOT NULL),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS vid
+         |  FROM g7),
+         |src AS (SELECT doc_id, source FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT vid FROM g JOIN src USING (doc_id)
+         |  WHERE source = 'src0'),
+         |sh AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM g JOIN src USING (doc_id) JOIN ev USING (vid)
+         |  WHERE source <> 'src0' GROUP BY g.doc_id)
+         |SELECT s.doc_id, s.source,
+         |  COALESCE(sh.n_shared, 0) AS n_shared,
+         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
+         |FROM src s LEFT JOIN sh USING (doc_id)
+         |WHERE s.source <> 'src0'
+         |ORDER BY doc_id""".stripMargin,
+
+    "p16_sample" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+        |  CAST(SUM(h) AS BIGINT) AS h_checksum
+        |FROM (
+        |  SELECT source, n_chars,
+        |    CAST(('0x' || substr(md5(source || '|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS h
+        |  FROM documents)
+        |WHERE h < 2000
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }
