@@ -345,6 +345,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p17_pack" -> ((s, dir) => {
+      // sequence packing (concat-and-chunk): docs stream per source in
+      // doc_id order, concatenate, and cut every 2048 whitespace
+      // tokens — each doc lands in bin ⌊cum_before/2048⌋. One
+      // PARTITIONED window cumsum (never unpartitioned: sources are
+      // the parallelism unit, like shards in a real packing run) and
+      // one aggregate; bin boundaries pinned by min/max doc_id.
+      val d = docs(s, dir)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum0", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr("cum0 div 2048"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    }),
+
     "p16_sample" -> ((s, dir) => {
       // deterministic stratified corpus sampling: keep ~20% of each
       // source by md5-hash threshold on (source, doc_id) — pure
@@ -874,6 +894,23 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE h < 2000
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "p17_pack" ->
+      """SELECT source, bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |    FROM documents))
+        |GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin
   )
 }
