@@ -22,28 +22,32 @@ import org.apache.spark.sql.functions._
   *     vocabulary is small (this fixture: 31 distinct tokens, so every
   *     doc's token SET is near-identical and set-LSH degenerates to
   *     all-pairs — 6M candidates, 37 s of verification at sf0.1).
-  *  2. Candidate generation at τ — TWO complete generators, chosen by
-  *     MEASURED candidate-pair estimates (one aggregation each, the
-  *     p6 measured-fallback precedent):
+  *  2. Candidate generation at τ — the INTERSECTION of two complete
+  *     conditions, evaluated as ONE equi-join on (term, band-key):
   *     a. L2 prefix filter: order each document's terms by ascending
   *        global document frequency (rarest first, total order
   *        (df, vid)); with s_r = the L2 norm of the doc's suffix from
   *        rank r on, any pair with cos ≥ τ must share a term where
   *        BOTH sides' relative suffix norm s_r/‖x‖ is ≥ τ
   *        (Cauchy–Schwarz over the first shared term in the global
-  *        order). Only those prefix rows join. Prunes hard when the
-  *        vocabulary is large and rare terms exist; DEGENERATES when
-  *        the vocabulary is tiny — every doc then indexes the same
-  *        globally-rarest term and its posting list is all-pairs.
-  *     b. Multi-projection band join: m fixed ±1 signed projections
-  *        r_i of the UNIT vectors; cos(a,b) ≥ τ forces
-  *        |proj_i(a) − proj_i(b)| ≤ ‖r_i‖·√(2−2τ) = √V·√(2−2τ) for
-  *        EVERY i (Cauchy–Schwarz), so candidates are pairs agreeing
-  *        on a composite ⌊proj_i/B⌋ bucket key under 2^m boundary
-  *        offsets. Complete for any τ; selective exactly where (a)
-  *        degenerates (small dense vocabularies), and the band WIDTH
-  *        shrinks as the corpus grows because the kth-best τ rises —
-  *        the pruning self-tightens at scale.
+  *        order). Only prefix rows are indexed. Prunes hard when the
+  *        vocabulary is large and rare terms exist; degenerates alone
+  *        when the vocabulary is tiny — every doc then indexes the
+  *        same globally-rarest term (one all-pairs posting list).
+  *     b. Multi-projection band: m fixed ±1 signed projections r_i of
+  *        the UNIT vectors; cos(a,b) ≥ τ forces |proj_i(a) −
+  *        proj_i(b)| ≤ ‖r_i‖·√(2−2τ) = √V·√(2−2τ) for EVERY i
+  *        (Cauchy–Schwarz), captured as agreement on a composite
+  *        ⌊proj_i/B⌋ key under 2^m boundary offsets. Selective
+  *        exactly where (a) degenerates, and the band width shrinks
+  *        as the corpus grows because the kth-best τ rises.
+  *     Each condition is individually complete for cos ≥ τ, so their
+  *     conjunction is too; joining prefix rows keyed by (vid,
+  *     band-key) prunes in BOTH regimes at once — rare-term prefixes
+  *     rule in sparse vocabularies, band keys split the degenerate
+  *     posting lists in dense ones, and content-disjoint shards never
+  *     pair at all because their vids are shard-local (a pure band
+  *     join would still collide them in projection space).
   *  3. Exact verification of surviving pairs, cost bounded by the
   *     pairs, not the corpus.
   *
@@ -110,32 +114,30 @@ object SparseCosine {
             lit(tau * tau - 1e-9) * col("n2"))
           .localCheckpoint(true)
 
-        // phase 2b setup: projections of every doc for the band join
+        // phase 2b: projections + band width B = √V·√(2−2τ), V =
+        // vocabulary size (+ float back-off so a borderline pair is
+        // KEPT, never pruned)
         val projs = projections(t, n2, idCol, BandProjections)
-          .localCheckpoint(true)
-        // band width B = √V·√(2−2τ), V = vocabulary size (+ float
-        // back-off so a borderline pair is KEPT, never pruned)
         val vocab = t.select("vid").distinct().count()
         val band = math.sqrt(vocab.toDouble) *
           math.sqrt(math.max(0.0, 2.0 - 2.0 * tau)) + 1e-9
 
-        // measured choice: candidate-pair count of each generator is
-        // one aggregation; run the cheaper one (drives the plan off
-        // the generator that degenerates on this data shape)
-        val prefixEst = pre.groupBy("vid").agg(count(lit(1)).as("n"))
-          .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")))
-          .collect()(0).getLong(0)
-        val bandEst = bandKeyed(projs, idCol, band)
-          .groupBy("key").agg(count(lit(1)).as("n"))
-          .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")))
-          .collect()(0).getLong(0)
-
-        val pairs =
-          if (bandEst < prefixEst) bandCandidates(projs, idCol, band)
-          else pre.select(col(idCol).as("id_a"), col("vid"))
-            .join(pre.select(col(idCol).as("id_b"), col("vid")), "vid")
-            .where(col("id_a") < col("id_b"))
-            .select("id_a", "id_b").distinct()
+        // prefix rows × 2^m band-key combos: the join key carries BOTH
+        // complete conditions at once
+        val m = BandProjections
+        val preK = pre.select(col(idCol), col("vid"))
+          .join(bandKeyed(projs, idCol, band), idCol)
+        val a = preK.select(col("vid") +: col("key") +:
+          (col(idCol).as("id_a")) +:
+          (1 to m).map(i => col(s"p$i").as(s"pa$i")): _*)
+        val b = preK.select(col("vid") +: col("key") +:
+          (col(idCol).as("id_b")) +:
+          (1 to m).map(i => col(s"p$i").as(s"pb$i")): _*)
+        val inBand = (1 to m).map(i =>
+          abs(col(s"pa$i") - col(s"pb$i")) <= lit(band)).reduce(_ && _)
+        val pairs = a.join(b, Seq("vid", "key"))
+          .where(col("id_a") < col("id_b") && inBand)
+          .select("id_a", "id_b").distinct()
         // phase 3: exact verification on surviving pairs only
         verify(pairs, t, n2, idCol)
       }
@@ -184,27 +186,6 @@ object SparseCosine {
     projs.select(
       col(idCol) +: (1 to m).map(i => col(s"p$i")) :+
         explode(array(combos: _*)).as("key"): _*)
-  }
-
-  /** Complete candidate pairs for cos ≥ τ via the composite band join:
-    * equi-join on the 2^m-offset keys, then the EXACT per-projection
-    * band filter (the join's floor agreement is a superset), then
-    * pair dedup. Never a cross join; selectivity ≈ f^m for per-band
-    * pair survival f.
-    */
-  def bandCandidates(projs: DataFrame, idCol: String,
-                     band: Double): DataFrame = {
-    val m = BandProjections
-    val kd = bandKeyed(projs, idCol, band)
-    val a = kd.select(col("key") +: (col(idCol).as("id_a")) +:
-      (1 to m).map(i => col(s"p$i").as(s"pa$i")): _*)
-    val b = kd.select(col("key") +: (col(idCol).as("id_b")) +:
-      (1 to m).map(i => col(s"p$i").as(s"pb$i")): _*)
-    val inBand = (1 to m).map(i =>
-      abs(col(s"pa$i") - col(s"pb$i")) <= lit(band)).reduce(_ && _)
-    a.join(b, "key")
-      .where(col("id_a") < col("id_b") && inBand)
-      .select("id_a", "id_b").distinct()
   }
 
   /** Bounded τ-bootstrap candidates by 1-D projection adjacency.

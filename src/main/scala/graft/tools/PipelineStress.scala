@@ -63,6 +63,26 @@ object PipelineStress {
         SimHash.nearPairsBucketed(
           SimHash.fingerprints(tokenIds, "doc_id"), "doc_id", maxDist = 3).count()
       }
+      timed("p14 exact topk e2e") {
+        // the REAL p14 path end to end: bootstrap τ re-derived from the
+        // scaled corpus (it RISES with more near-dup pairs, shrinking
+        // the band), measured generator choice, bounded verify
+        val tf = toks.groupBy(col("doc_id"),
+            TextOps.hashId(col("token")).as("vid"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+        graft.pipeline.SparseCosine.exactTopK(tf, "doc_id", 50).count()
+      }
+      timed("p15 decontam shared") {
+        // broadcast eval fingerprints vs the k×-scaled training side
+        val grams = TextOps.shingles(toks, "doc_id", 7)
+          .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
+          .distinct()
+        val evalIds = docs.where(pmod(col("doc_id"), lit(10000000L)) < 25)
+          .select("doc_id")
+        val evalVids = grams.join(evalIds, "doc_id").select("vid").distinct()
+        grams.join(evalIds, Seq("doc_id"), "left_anti")
+          .join(broadcast(evalVids), "vid").count()
+      }
     }
     spark.stop()
   }
