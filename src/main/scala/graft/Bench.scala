@@ -87,15 +87,22 @@ object Bench {
         s""""$n":{"batches":${st.batches},"rows":${st.inputRows},""" +
           s""""rows_per_sec":${"%.0f".format(st.rowsPerSec)}}"""))
       .mkString("{", ",", "}")
-    def build(dp: Int): String = {
+    // significant figures, not fixed decimals: "12.3"/"1.23"/"0.283"
+    // is ≤0.2% error at any magnitude (plenty against the 1.3x
+    // regression threshold) and 1-2 chars shorter per entry than
+    // %.3f — the 75+-query line must fit the captured tail.
+    def fmt(v: Double, sig: Int): String =
+      BigDecimal(v).round(new java.math.MathContext(sig))
+        .bigDecimal.stripTrailingZeros.toPlainString
+    def build(sig: Int): String = {
       val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + s"%.${dp}f".format(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s"%.${dp}f".format(total)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}"""
+        "\"" + k + "\":" + fmt(v, sig) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}"""
     }
     // stay comfortably inside the 2000-char output tail the snapshot
-    // records (minus sbt's trailer): drop a decimal if the line grows
-    val line = Seq(3, 2, 1).map(build).find(_.length <= 1800)
-      .getOrElse(build(1))
+    // records (minus sbt's trailer): drop a sig-fig if the line grows
+    val line = Seq(3, 2).map(build).find(_.length <= 1800)
+      .getOrElse(build(2))
     System.err.println(s"[bench] json line length: ${line.length} chars")
     println(line)
     spark.stop()

@@ -70,6 +70,77 @@ object TextAnalysis {
       ceil(nChar.cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1's
+    * duplicate-n-gram family, re-expressed over whitespace tokens):
+    * duplicate-token ratio, most-common-token share, and duplicate-
+    * bigram ratio, plus a curation flag. Two partial-aggregated
+    * groupBys (token level, then doc level) — map-side combinable,
+    * no window over the whole corpus, linear at any scale.
+    *
+    * Ratios are rounded to 6 decimals BEFORE the flag compare so the
+    * threshold decision is cross-engine stable.
+    */
+  def repetition(toks: DataFrame, idCol: String,
+                 topTokenMax: Double = 0.12,
+                 dupBigramMax: Double = 0.25): DataFrame = {
+    val tokCounts = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"))
+    val bg = TextOps.shingles(toks, idCol, 2)
+    val bgStats = bg.groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bg"))
+    val dupTok = round((col("n_tokens") - col("n_distinct"))
+      .cast("double") / col("n_tokens"), 6)
+    val topTok = round(col("top_c").cast("double") / col("n_tokens"), 6)
+    // single-token docs have no bigram row: ratio 0 via coalesce
+    val dupBg = coalesce(round((col("n_bigrams") - col("n_distinct_bg"))
+      .cast("double") / col("n_bigrams"), 6), lit(0.0))
+    tokStats.join(bgStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        dupTok.as("dup_token_ratio"),
+        topTok.as("top_token_ratio"),
+        dupBg.as("dup_bigram_ratio"),
+        (topTok > topTokenMax || dupBg > dupBigramMax).as("flag_repetitive"))
+  }
+
+  /** PII patterns shared by engine and oracle — restricted to the
+    * regex subset where Java (Spark) and RE2 (DuckDB) semantics agree
+    * (character classes + bounded repetition; no backrefs/lookaround).
+    * Scrub order matters and is part of the contract: emails first
+    * (their local parts may contain digits), then SSNs (whose 3-2-4
+    * shape must not be half-eaten by the looser phone pattern), then
+    * phones.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "[SSN]",
+    "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}" -> "[PHONE]")
+
+  /** Per-document PII detection + redaction: match counts per pattern
+    * class and the scrubbed text. Pure `regexp_extract_all` /
+    * `regexp_replace` column expressions — codegen'd, one pass per
+    * pattern, embarrassingly parallel.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = Seq(
+      size(regexp_extract_all(col(textCol), lit(PiiPatterns(0)._1), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PiiPatterns(1)._1), lit(0)))
+        .cast("long").as("n_ssn"),
+      size(regexp_extract_all(col(textCol), lit(PiiPatterns(2)._1), lit(0)))
+        .cast("long").as("n_phones"))
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select(col(idCol) +: counts :+ scrubbed.as("scrubbed"): _*)
+  }
+
   /** Position-weighted rolling fingerprint over hashed token ids:
     * fp = Σ ((vid mod P) · ((31·pos + 7) mod P)) mod P — order-sensitive
     * (a permuted document fingerprints differently), integer-exact; the

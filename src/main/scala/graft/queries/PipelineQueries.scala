@@ -381,6 +381,67 @@ object PipelineQueries {
           sum(col("n_chars")).as("chars_kept"),
           sum(col("h")).as("h_checksum"))
         .orderBy("source")
+    }),
+
+    "t5_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(toks(s, dir), "doc_id").orderBy("doc_id")
+    }),
+
+    "t6_pii" -> ((s, dir) => {
+      // the synthetic corpus contains no natural PII, so the query
+      // deterministically enriches each doc first (every doc gains an
+      // email + phone, every 3rd a second email, every 5th an SSN) and
+      // the scrub must then find and redact EXACTLY those. The
+      // scrubbed text is md5'd to keep the gate row narrow.
+      val did = col("doc_id").cast("string")
+      val last4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+      val enriched = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), did, lit("@example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" cc admin@corp.example.org")).otherwise(lit("")),
+          lit(" or +1-555-"), last4,
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" ssn 123-45-"), last4)).otherwise(lit("")))
+          .as("etext"))
+      TextAnalysis.piiScrub(enriched, "doc_id", "etext")
+        .select(col("doc_id"), col("n_emails"), col("n_ssn"),
+          col("n_phones"), md5(col("scrubbed").cast("binary")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "p18_components" -> ((s, dir) => {
+      // dedup clustering: the verified near-dup pairs of the p10
+      // production path become per-doc cluster labels via
+      // large-star/small-star connected components (Components.scala);
+      // cluster id = component min, singletons label themselves, and
+      // "keep" is the canonical one-per-cluster choice.
+      val pairs = defs("p10_lshdedup")(s, dir)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = Components.componentsOver(docs(s, dir), "doc_id", pairs)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("component_size"))
+      comp.join(sizes, "component")
+        .select(col("doc_id"), col("component").as("component_id"),
+          col("component_size"),
+          (col("doc_id") === col("component")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "p19_mix" -> ((s, dir) => {
+      // domain-mixture sampling to target weights under a token
+      // budget: even-numbered sources get 2x target weight, budget =
+      // total supply / 4. The per-source audit (supply, kept docs,
+      // kept tokens) pins the exact kept set — the keep decision is
+      // integer-exact (Mixing.sampleToMixture).
+      val w = lit(2) - pmod(substring(col("source"), 4, 10).cast("long"), lit(2))
+      Mixing.sampleToMixture(docs(s, dir), "doc_id", "source", "text",
+          w, budgetDiv = 4)
+        .groupBy("source")
+        .agg(sum(col("n_tok")).as("supply_tokens"),
+          count(when(col("keep"), 1)).as("kept_docs"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -911,6 +972,116 @@ object PipelineQueries {
         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |    FROM documents))
         |GROUP BY source, bin
-        |ORDER BY source, bin""".stripMargin
+        |ORDER BY source, bin""".stripMargin,
+
+    "t5_repetition" ->
+      s"""WITH $ToksCte,
+         |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |ts AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS n_distinct, MAX(c) AS top_c
+         |  FROM tc GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id, token || ' ' || lead(token, 1)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |  FROM toks QUALIFY b IS NOT NULL),
+         |bs AS (
+         |  SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct_bg
+         |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT t.doc_id, t.n_tokens,
+         |    ROUND(CAST(t.n_tokens - t.n_distinct AS DOUBLE)/t.n_tokens, 6)
+         |      AS dup_token_ratio,
+         |    ROUND(CAST(t.top_c AS DOUBLE)/t.n_tokens, 6) AS top_token_ratio,
+         |    COALESCE(ROUND(CAST(b.n_bigrams - b.n_distinct_bg AS DOUBLE)
+         |      /b.n_bigrams, 6), 0) AS dup_bigram_ratio
+         |  FROM ts t LEFT JOIN bs b USING (doc_id))
+         |SELECT doc_id, n_tokens, dup_token_ratio, top_token_ratio,
+         |       dup_bigram_ratio,
+         |       (top_token_ratio > 0.12 OR dup_bigram_ratio > 0.25)
+         |         AS flag_repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t6_pii" ->
+      raw"""WITH enriched AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com'
+         |      || CASE WHEN doc_id % 3 = 0
+         |              THEN ' cc admin@corp.example.org' ELSE '' END
+         |      || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || CASE WHEN doc_id % 5 = 0
+         |              THEN ' ssn 123-45-' ||
+         |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE '' END AS etext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(etext,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(etext,
+         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(etext,
+         |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(etext,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+         |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+         |FROM enriched ORDER BY doc_id""".stripMargin,
+
+    "p18_components" ->
+      s"""WITH RECURSIVE $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |edges AS (
+         |  SELECT id_a, id_b FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION ALL SELECT id_b, id_a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+         |         FROM reach GROUP BY id)
+         |SELECT doc_id, component_id,
+         |       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+         |       doc_id = component_id AS keep
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "p19_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h,
+        |    2 - (CAST(substr(source, 4) AS BIGINT) % 2) AS w
+        |  FROM documents),
+        |supply AS (
+        |  SELECT source, ANY_VALUE(w) AS w, SUM(n_tok) AS supply
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT SUM(supply) AS total, SUM(w) AS bigw FROM supply),
+        |keeps AS (
+        |  SELECT d.doc_id, d.source, d.n_tok,
+        |    CAST(d.h AS HUGEINT) * s.supply * t.bigw <
+        |      (t.total // 4) * d.w * CAST(1152921504606846976 AS HUGEINT)
+        |      AS keep
+        |  FROM d JOIN supply s USING (source) CROSS JOIN tot t)
+        |SELECT source, CAST(SUM(n_tok) AS BIGINT) AS supply_tokens,
+        |       COUNT(CASE WHEN keep THEN 1 END) AS kept_docs,
+        |       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+        |         AS kept_tokens
+        |FROM keeps GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1,0 +1,159 @@
+package graft
+
+import graft.pipeline.{Components, Mixing, TextAnalysis, TextOps}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Gates for the round-4 curation operators: connected-components dedup
+  * clustering (property-tested vs a sequential union-find), repetition
+  * metrics, PII scrub, and mixture sampling (keep decision mirrored in
+  * exact BigInt arithmetic).
+  */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // --- connected components -------------------------------------------
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("large-star/small-star components == sequential union-find on random graphs") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val nEdges = rnd.nextInt(n) + n / 2
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val universe = (0L until n.toLong).toDF("id")
+      val got = Components
+        .componentsOver(universe, "id", edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: n=$n edges=$nEdges")
+    }
+  }
+
+  test("components of an empty edge set are all singletons") {
+    val universe = (0L until 5L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Components.componentsOver(universe, "id", empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 5L).map(i => i -> i).toMap)
+  }
+
+  test("component label is always the component minimum (chain graph)") {
+    // a path 0-1-2-...-19 is the worst case for star rounds (diameter n)
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val universe = (0L until 20L).toDF("id")
+    val got = Components.componentsOver(universe, "id", edges).collect()
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
+  // --- repetition metrics ---------------------------------------------
+
+  test("repetition metrics on a handcrafted doc") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // 6 tokens, 2 distinct; top 'a'=3; bigrams: 5, distinct 2
+      // all-distinct and LONG enough that top_token_ratio 1/n clears
+      // the 0.12 flag threshold (a 6-token doc would flag at 0.167)
+      (2L, "q r s t u v w x y z") // no repetition at all
+    ).toDF("doc_id", "text")
+    val toks = TextOps.tokens(docs, "doc_id", "text")
+    val r = TextAnalysis.repetition(toks, "doc_id")
+      .orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getAs[Long]("n_tokens") == 6L)
+    assert(d1.getAs[Double]("dup_token_ratio") == 0.666667)
+    assert(d1.getAs[Double]("top_token_ratio") == 0.5)
+    assert(d1.getAs[Double]("dup_bigram_ratio") == 0.6)
+    assert(d1.getAs[Boolean]("flag_repetitive"))
+    val d2 = r(1)
+    assert(d2.getAs[Double]("dup_token_ratio") == 0.0)
+    assert(d2.getAs[Double]("dup_bigram_ratio") == 0.0)
+    assert(!d2.getAs[Boolean]("flag_repetitive"))
+  }
+
+  test("single-token doc gets dup_bigram_ratio 0, not null") {
+    val toks = TextOps.tokens(Seq((1L, "only")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val r = TextAnalysis.repetition(toks, "doc_id").collect()
+    assert(r.head.getAs[Double]("dup_bigram_ratio") == 0.0)
+  }
+
+  // --- PII scrub ------------------------------------------------------
+
+  test("pii scrub redacts emails, SSNs, phones in contract order") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.com ssn 123-45-6789 tel +1-555-0042 end"),
+      (2L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_emails") == 1L)
+    assert(r(0).getAs[Long]("n_ssn") == 1L)
+    assert(r(0).getAs[Long]("n_phones") == 1L)
+    assert(r(0).getAs[String]("scrubbed") ==
+      "mail [EMAIL] ssn [SSN] tel [PHONE] end")
+    assert(r(1).getAs[Long]("n_emails") == 0L)
+    assert(r(1).getAs[String]("scrubbed") == "clean text with no pii at all")
+  }
+
+  test("phone pattern does not half-eat an SSN (scrub order contract)") {
+    val docs = Seq((1L, "x 987-65-4321 y")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(docs, "doc_id", "text").collect()
+    assert(r.head.getAs[String]("scrubbed") == "x [SSN] y")
+    assert(r.head.getAs[Long]("n_phones") == 0L)
+  }
+
+  // --- mixture sampling -----------------------------------------------
+
+  test("mixture sampling keep decision matches exact BigInt mirror; budget respected") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, dir, "documents")
+    val w = lit(2) - pmod(substring(col("source"), 4, 10).cast("long"), lit(2))
+    val out = Mixing.sampleToMixture(docs, "doc_id", "source", "text", w, 4)
+      .collect()
+
+    // sequential mirror in exact BigInt arithmetic
+    val rows = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        TextOps.hashId(concat(lit("mix-"), col("doc_id").cast("string"))).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val wOf = (s: String) => 2L - s.drop(3).toLong % 2
+    val supply = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val bigW = supply.keys.toSeq.map(wOf).sum // toSeq: Set.map would dedup the weights
+    val total = supply.values.sum
+    val budget = total / 4
+    val expectKeep = rows.map { case (id, src, _, h) =>
+      id -> (BigInt(h) * supply(src) * bigW <
+        BigInt(budget) * wOf(src) * BigInt(2).pow(60))
+    }.toMap
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == expectKeep(r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+    // kept tokens stay at-or-under budget within one source's worth of variance
+    val keptTokens = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("n_tok")).sum
+    assert(keptTokens > 0 && keptTokens < total / 2,
+      s"kept $keptTokens of $total against budget $budget")
+    // 2x-weighted (even) sources should keep roughly twice the token share
+    val byW = out.groupBy(r => wOf(r.getAs[String]("source")))
+    val share = byW.map { case (wv, rs) =>
+      wv -> rs.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("n_tok")).sum.toDouble /
+        rs.map(_.getAs[Long]("n_tok")).sum
+    }
+    assert(share(2L) > 1.5 * share(1L),
+      s"weighted shares not differentiated: $share")
+  }
+}
