@@ -309,6 +309,48 @@ object Embeddings {
       .select("query_id", "rnk", "neighbor_id", "sim", "cell")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus into coarse cells, then drop every vector that has a
+    * SMALLER-id cell-mate with cosine above `tau` — "keep one per
+    * ε-ball, greedily by id", a deterministic restatement of the
+    * paper's keep-one-per-duplicate-group rule. Returns the REMOVED
+    * rows with their best witness: (vec_id, cell, witness_id, sim),
+    * witness = the highest-similarity smaller-id cell-mate (ties to
+    * the lowest id); similarity rounded to 6 decimals before every
+    * compare so no float ulp can flip a keep decision cross-engine.
+    *
+    * Scale shape: assignment is an O(K) broadcast join + per-vector
+    * max_by (no window); the pair stage is an equi-join on the cell
+    * key, so the work is Σ_c n_c² — the SemDeDup contract is that K
+    * grows with the corpus (the paper runs 50k clusters for LAION),
+    * keeping cells bounded; nothing here shuffles more than (cell,
+    * unit-vector) rows and there is no driver-side state at all.
+    */
+  def semDedup(vectors: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    val v = withUnitVector(vectors, "embedding", "uv")
+      .select(col("vec_id"), col("uv"))
+    val assign = v.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("uv"), col("c_id"),
+        round(unitCosine("uv", "cv"), 6).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("cell"),
+        first(col("uv")).as("uv"))
+    val lo = assign.select(col("vec_id").as("w_id"), col("cell"),
+      col("uv").as("ua"))
+    val hi = assign.select(col("vec_id"), col("cell"), col("uv").as("ub"))
+    lo.join(hi, Seq("cell"))
+      .where(col("w_id") < col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("w_id"),
+        round(unitCosine("ua", "ub"), 6).as("sim"))
+      .where(col("sim") > tau)
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        max_by(struct(col("w_id"), col("sim")),
+          struct(col("sim"), -col("w_id"))).as("best"))
+      .select(col("vec_id"), col("cell"),
+        col("best.w_id").as("witness_id"), col("best.sim").as("sim"))
+  }
+
   /** Signed-random-projection bucket id per vector: `planes` fixed
     * deterministic hyperplanes (LCG-derived weights so the SQL oracle
     * reproduces them), bucket = bit-pack of dot-product signs.

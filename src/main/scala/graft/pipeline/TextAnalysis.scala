@@ -141,6 +141,46 @@ object TextAnalysis {
     docs.select(col(idCol) +: counts :+ scrubbed.as("scrubbed"): _*)
   }
 
+  /** Cross-document duplicate-span detection — the bounded-span form
+    * of substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated ≥k-token
+    * substrings across a corpus are memorization fuel even when whole
+    * documents differ). A doc's k-token span is "duplicated" when the
+    * identical span text occurs in at least one OTHER document.
+    *
+    * Per doc: distinct complete k-spans, how many of them are
+    * cross-doc duplicated, the ratio, and a curation flag (the
+    * observed ratio distribution is bimodal — near-0 for organic
+    * overlap, near-1 for wholesale copying — so the 0.5 default splits
+    * cleanly). Docs shorter than k tokens report 0/0/0.0/false.
+    *
+    * Scale shape: spans come from the per-doc ordered window (never a
+    * global window); span ids are per-row hashes (`TextOps.hashId`),
+    * so corpus-wide occurrence counting is one distinct + one groupBy
+    * + one hash-key join back — map-side combinable, linear, no
+    * driver state. The equivalent of Lee et al.'s suffix-array pass,
+    * re-expressed as shuffle-bounded relational ops.
+    */
+  def duplicateSpans(docs: DataFrame, toks: DataFrame, idCol: String,
+                     k: Int = 5, flagMin: Double = 0.5): DataFrame = {
+    val sp = TextOps.shingles(toks, idCol, k)
+      .select(col(idCol), TextOps.hashId(col("shingle")).as("sid"))
+      .distinct()
+    val occ = sp.groupBy(col("sid")).agg(count(lit(1)).as("nd"))
+    val per = sp.join(occ, "sid")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("nd") > 1).cast("long")).as("n_dup_spans"))
+    val ratio = coalesce(
+      round(col("n_dup_spans").cast("double") / col("n_spans"), 6), lit(0.0))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        ratio.as("dup_span_ratio"),
+        (ratio > flagMin).as("flag_contaminated"))
+  }
+
   /** Position-weighted rolling fingerprint over hashed token ids:
     * fp = Σ ((vid mod P) · ((31·pos + 7) mod P)) mod P — order-sensitive
     * (a permuted document fingerprints differently), integer-exact; the

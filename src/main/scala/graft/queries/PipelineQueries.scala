@@ -442,6 +442,30 @@ object PipelineQueries {
           count(when(col("keep"), 1)).as("kept_docs"),
           sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
         .orderBy("source")
+    }),
+
+    "p20_spandedup" -> ((s, dir) => {
+      // substring-level contamination: distinct 5-token spans per doc,
+      // flagged when the identical span text appears in another doc
+      // (Lee et al. 2022's repeated-substring dedup, bounded-span
+      // form). Hash-keyed occurrence counting — linear at any corpus.
+      TextAnalysis.duplicateSpans(docs(s, dir), toks(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "p21_semdedup" -> ((s, dir) => {
+      // SemDeDup over the embedding corpus: p9's fixed O(K) centroid
+      // set (vec_id < 40) defines the cells; within a cell every
+      // vector with a smaller-id mate above cosine 0.35 is dropped,
+      // reported with its best witness. K scales with the corpus by
+      // contract (the cells stay bounded), and the τ sits inside the
+      // observed within-cell similarity mass so the gate exercises
+      // real removals (~10% of the fixture).
+      val e = emb(s, dir)
+      val cents = Embeddings.withUnitVector(e, "embedding", "uv")
+        .where(col("vec_id") < 40)
+        .select(col("vec_id").as("c_id"), col("uv").as("cv"))
+      Embeddings.semDedup(e, cents, tau = 0.35).orderBy("vec_id")
     })
   )
 
@@ -1082,6 +1106,63 @@ object PipelineQueries {
         |       COUNT(CASE WHEN keep THEN 1 END) AS kept_docs,
         |       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
         |         AS kept_tokens
-        |FROM keeps GROUP BY source ORDER BY source""".stripMargin
+        |FROM keeps GROUP BY source ORDER BY source""".stripMargin,
+
+    "p20_spandedup" ->
+      s"""WITH $ToksCte,
+        |sp AS (
+        |  SELECT DISTINCT doc_id,
+        |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+        |         lead(token, 2) OVER w || ' ' || lead(token, 3) OVER w
+        |         || ' ' || lead(token, 4) OVER w AS span
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(token, 4) OVER w IS NOT NULL),
+        |occ AS (SELECT span, COUNT(*) AS nd FROM sp GROUP BY span),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |         SUM(CASE WHEN occ.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sp JOIN occ USING (span) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+        |       COALESCE(ROUND(CAST(n_dup AS DOUBLE) / n_spans, 6), 0)
+        |         AS dup_span_ratio,
+        |       COALESCE(ROUND(CAST(n_dup AS DOUBLE) / n_spans, 6), 0) > 0.5
+        |         AS flag_contaminated
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "p21_semdedup" ->
+      """WITH uv AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |           AS u
+        |  FROM uv),
+        |ranked AS (
+        |  SELECT a.vec_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY ROUND(list_dot_product(a.u, c.u), 6) DESC,
+        |                    c.vec_id) AS crn
+        |  FROM n a JOIN n c ON c.vec_id < 40),
+        |assign AS (SELECT vec_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |pairs AS (
+        |  SELECT y.vec_id, x.cell, x.vec_id AS w_id,
+        |         ROUND(list_dot_product(a.u, b.u), 6) AS sim
+        |  FROM assign x
+        |   JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |   JOIN n a ON a.vec_id = x.vec_id
+        |   JOIN n b ON b.vec_id = y.vec_id
+        |  WHERE ROUND(list_dot_product(a.u, b.u), 6) > 0.35),
+        |best AS (
+        |  SELECT vec_id, cell, w_id AS witness_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, w_id) AS rn
+        |  FROM pairs)
+        |SELECT vec_id, cell, witness_id, sim FROM best WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin
   )
 }

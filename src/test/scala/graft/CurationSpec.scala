@@ -156,4 +156,94 @@ class CurationSpec extends SparkTestBase {
     assert(share(2L) > 1.5 * share(1L),
       s"weighted shares not differentiated: $share")
   }
+
+  // --- duplicate spans --------------------------------------------------
+
+  test("duplicate spans: cross-doc copies flagged, within-doc repeats are not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // spans 1-2
+      (2L, "alpha beta gamma delta epsilon eta"),  // shares span 1 with doc 1
+      (3L, "one two three four five one two three four five"), // self-repeat only
+      (4L, "tiny doc") // < k tokens: no spans
+    ).toDF("doc_id", "text")
+    val toks = TextOps.tokens(docs, "doc_id", "text")
+    val r = TextAnalysis.duplicateSpans(docs, toks, "doc_id", k = 5)
+      .orderBy("doc_id").collect()
+    // doc1: spans {a b g d e, b g d e z}; first is shared with doc2
+    assert(r(0).getAs[Long]("n_spans") == 2L)
+    assert(r(0).getAs[Long]("n_dup_spans") == 1L)
+    assert(r(0).getAs[Double]("dup_span_ratio") == 0.5)
+    assert(!r(0).getAs[Boolean]("flag_contaminated")) // 0.5 not > 0.5
+    assert(r(1).getAs[Long]("n_dup_spans") == 1L)
+    // doc3's repeated phrase dedups to DISTINCT spans within the doc —
+    // nothing cross-doc, so nothing flagged
+    assert(r(2).getAs[Long]("n_dup_spans") == 0L)
+    // short doc: zero spans, ratio 0, no flag, row still present
+    assert(r(3).getAs[Long]("n_spans") == 0L)
+    assert(r(3).getAs[Double]("dup_span_ratio") == 0.0)
+    assert(!r(3).getAs[Boolean]("flag_contaminated"))
+  }
+
+  test("duplicate spans on sf0.001: flagged docs are wholesale near-copies") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = TextOps.tokens(docs, "doc_id", "text")
+    val r = TextAnalysis.duplicateSpans(docs, toks, "doc_id").collect()
+    assert(r.length == docs.count())
+    val flagged = r.filter(_.getAs[Boolean]("flag_contaminated"))
+    assert(flagged.nonEmpty, "fixture should contain near-copies")
+    // every flagged doc is mostly duplicated; every doc has sane bounds
+    assert(flagged.forall(_.getAs[Double]("dup_span_ratio") > 0.5))
+    assert(r.forall { row =>
+      row.getAs[Long]("n_dup_spans") <= row.getAs[Long]("n_spans")
+    })
+  }
+
+  // --- semantic dedup ---------------------------------------------------
+
+  test("semDedup drops exactly the higher-id member of every over-tau cell pair") {
+    import graft.pipeline.Embeddings
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    val cents = Embeddings.withUnitVector(e, "embedding", "uv")
+      .where(col("vec_id") < 40)
+      .select(col("vec_id").as("c_id"), col("uv").as("cv"))
+    val tau = 0.35
+    val removed = Embeddings.semDedup(e, cents, tau).collect()
+
+    // sequential mirror: brute-force assignment + within-cell pairs
+    val vecs = e.select("vec_id", "embedding").collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val uv = vecs.view.mapValues(unit).toMap
+    def cos(a: Long, b: Long) = {
+      val (x, y) = (uv(a), uv(b))
+      BigDecimal(x.zip(y).map { case (p, q) => p * q }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cells = uv.keys.map { v =>
+      v -> (0L until 40L).map(c => (cos(v, c), -c)).max._2 * -1
+    }.toMap
+    val expected = uv.keys.flatMap { v =>
+      val mates = uv.keys.filter(w => w < v && cells(w) == cells(v))
+        .map(w => (cos(w, v), -w)).filter(_._1 > tau)
+      if (mates.isEmpty) None
+      else { val best = mates.max; Some(v -> (-best._2, best._1)) }
+    }.toMap
+    assert(removed.length == expected.size)
+    removed.foreach { r =>
+      val (wit, sim) = expected(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("witness_id") == wit && r.getAs[Double]("sim") == sim,
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+    // the kept set has no over-tau pair within any cell (the SemDeDup invariant)
+    val keptByCell = (uv.keySet -- expected.keySet).groupBy(cells)
+    keptByCell.values.foreach { ks =>
+      val s = ks.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        assert(cos(s(i), s(j)) <= tau)
+    }
+  }
 }
