@@ -97,12 +97,16 @@ object Bench {
     def build(sig: Int): String = {
       val qs = results.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, sig) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"$sfDir"}"""
+      // sf as basename: the directory prefix spends tail budget on
+      // what the driver already knows
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // stay comfortably inside the 2000-char output tail the snapshot
-    // records (minus sbt's trailer): drop a sig-fig if the line grows
-    val line = Seq(3, 2).map(build).find(_.length <= 1800)
-      .getOrElse(build(2))
+    // records (minus sbt's trailer): drop a sig-fig if the line grows.
+    // sig-1 still resolves the 1.3x regression threshold (±5% worst
+    // case) — the last-resort format, never the preferred one.
+    val line = Seq(3, 2, 1).map(build).find(_.length <= 1800)
+      .getOrElse(build(1))
     System.err.println(s"[bench] json line length: ${line.length} chars")
     println(line)
     spark.stop()

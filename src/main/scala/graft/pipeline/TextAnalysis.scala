@@ -141,6 +141,41 @@ object TextAnalysis {
     docs.select(col(idCol) +: counts :+ scrubbed.as("scrubbed"): _*)
   }
 
+  /** Hashed-n-gram linear quality classifier — the fastText-style
+    * scoring shape (Joulin et al. 2016: bag of word uni+bigrams →
+    * feature hashing → linear model) that production pipelines run as
+    * their "quality classifier" pass. The weight table here is a
+    * deterministic LCG stand-in (documented, same plumbing; a real
+    * deployment broadcasts learned weights behind the identical
+    * contract): bucket b = hash(feat) mod `buckets`, integer weight
+    * w(b) = ((1103515245·b + 12345) mod 2048) − 1024 ∈ [−1024, 1024).
+    *
+    * The score stays in INTEGER arithmetic until one final division —
+    * raw = Σ_occurrences w(b), score = raw / (2048·n_tokens) rounded
+    * to 6 — so the result is bit-identical cross-engine (no exp/log
+    * whose libm ulps could flip a rounded value). label = raw > 0.
+    *
+    * Scale shape: per-doc feature generation (tokens + per-doc-window
+    * bigrams), one map-side-combinable groupBy; the "model" is O(1)
+    * closed-form — nothing broadcast, nothing collected.
+    */
+  def hashedLinearScore(toks: DataFrame, idCol: String,
+                        buckets: Int = 4096): DataFrame = {
+    val feats = toks.select(col(idCol), col("token").as("feat"))
+      .unionByName(TextOps.shingles(toks, idCol, 2)
+        .select(col(idCol), col("shingle").as("feat")))
+    val b = pmod(TextOps.hashId(col("feat")), lit(buckets.toLong))
+    val w = pmod(lit(1103515245L) * b + 12345L, lit(2048L)) - 1024L
+    val scored = feats.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(w).as("raw"))
+    val nTok = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    scored.join(nTok, idCol)
+      .select(col(idCol), col("n_feats"),
+        round(col("raw").cast("double") / (lit(2048.0) * col("n_tokens")), 6)
+          .as("quality_score"),
+        (col("raw") > 0).as("label_keep"))
+  }
+
   /** Cross-document duplicate-span detection — the bounded-span form
     * of substring-level exact dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": repeated ≥k-token

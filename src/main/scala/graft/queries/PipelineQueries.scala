@@ -466,6 +466,31 @@ object PipelineQueries {
         .where(col("vec_id") < 40)
         .select(col("vec_id").as("c_id"), col("uv").as("cv"))
       Embeddings.semDedup(e, cents, tau = 0.35).orderBy("vec_id")
+    }),
+
+    "t7_classifier" -> ((s, dir) => {
+      // fastText-shaped hashed-ngram linear quality scorer; integer
+      // arithmetic end-to-end (one final division) so the score is
+      // bit-identical on any engine (TextAnalysis.hashedLinearScore).
+      TextAnalysis.hashedLinearScore(toks(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "p22_shardshuffle" -> ((s, dir) => {
+      // deterministic training-export shuffle: every doc hashes to one
+      // of 8 shards and an intra-shard position (row_number over the
+      // per-shard window ordered by the hash — content-keyed, so the
+      // order is a reproducible pseudo-random permutation). At scale
+      // this is "write S shard files, each internally shuffled":
+      // the window partitions per shard, never globally, and S grows
+      // with the corpus so shard sorts stay bounded.
+      val h = TextOps.hashId(concat(lit("shuf-"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
     })
   )
 
@@ -1163,6 +1188,41 @@ object PipelineQueries {
         |           ORDER BY sim DESC, w_id) AS rn
         |  FROM pairs)
         |SELECT vec_id, cell, witness_id, sim FROM best WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "t7_classifier" ->
+      s"""WITH $ToksCte,
+        |bi AS (
+        |  SELECT doc_id,
+        |         token || ' ' || lead(token, 1) OVER
+        |           (PARTITION BY doc_id ORDER BY pos) AS feat
+        |  FROM toks QUALIFY feat IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, token AS feat FROM toks
+        |  UNION ALL SELECT doc_id, feat FROM bi),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats,
+        |    SUM((1103515245 *
+        |         (CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 4096)
+        |         + 12345) % 2048 - 1024) AS raw
+        |  FROM feats GROUP BY doc_id),
+        |nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+        |SELECT sc.doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |       ROUND(CAST(raw AS DOUBLE) / (2048.0 * n_tokens), 6)
+        |         AS quality_score,
+        |       raw > 0 AS label_keep
+        |FROM sc JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "p22_shardshuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('shuf-' || CAST(doc_id AS VARCHAR)),
+        |           1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT h % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 8
+        |         ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |       doc_id
+        |FROM h ORDER BY shard, pos""".stripMargin
   )
 }

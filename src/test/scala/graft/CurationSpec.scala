@@ -199,6 +199,43 @@ class CurationSpec extends SparkTestBase {
     })
   }
 
+  // --- hashed linear classifier ----------------------------------------
+
+  test("hashedLinearScore matches a sequential integer mirror") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "solo")).toDF("doc_id", "text")
+    val toks = TextOps.tokens(docs, "doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(toks, "doc_id")
+      .orderBy("doc_id").collect()
+
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def w(feat: String): Long =
+      (1103515245L * (hash60(feat) % 4096) + 12345L) % 2048 - 1024
+    val d1feats = Seq("alpha", "beta", "alpha", "alpha beta", "beta alpha")
+    val raw1 = d1feats.map(w).sum
+    assert(got(0).getAs[Long]("n_feats") == 5L)
+    assert(got(0).getAs[Double]("quality_score") ==
+      BigDecimal(raw1.toDouble / (2048.0 * 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0).getAs[Boolean]("label_keep") == (raw1 > 0))
+    // single-token doc: one unigram feature, no bigram
+    assert(got(1).getAs[Long]("n_feats") == 1L)
+    assert(got(1).getAs[Boolean]("label_keep") == (w("solo") > 0))
+  }
+
+  test("classifier splits the sf0.001 corpus (both labels occur)") {
+    val dir = "/root/testdata/sf0.001"
+    val toks = TextOps.tokens(Tables.load(spark, dir, "documents"),
+      "doc_id", "text")
+    val labels = TextAnalysis.hashedLinearScore(toks, "doc_id")
+      .groupBy("label_keep").count().collect()
+    assert(labels.length == 2, "weights should not collapse to one label")
+  }
+
   // --- semantic dedup ---------------------------------------------------
 
   test("semDedup drops exactly the higher-id member of every over-tau cell pair") {
