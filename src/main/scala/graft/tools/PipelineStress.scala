@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{Graft, Tables}
-import graft.pipeline.{MinHashLsh, SimHash, TextOps}
+import graft.pipeline.{Components, Embeddings, MinHashLsh, SimHash, TextAnalysis, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,21 @@ object PipelineStress {
           .agg(count(lit(1)).cast("long").as("tf"))
         graft.pipeline.SparseCosine.exactTopK(tf, "doc_id", 50).count()
       }
+      timed("p18 components") {
+        // CC over the candidate graph of the scaled corpus: star rounds
+        // are shuffle-bounded; content-disjoint copies keep components
+        // per-copy, so labels grow linearly with k
+        val pairs = MinHashLsh.candidates(
+          MinHashLsh.bands(
+            MinHashLsh.signatures(shingleIds, "doc_id", 16), "doc_id", r = 4),
+          "doc_id").select(col("id_a").as("a"), col("id_b").as("b"))
+        Components.componentsOver(docs, "doc_id", pairs).count()
+      }
+      timed("p20 span dedup") {
+        // hash-keyed span occurrence counting — vowel-permuted copies
+        // share no span text, so posting lists stay short at any k
+        TextAnalysis.duplicateSpans(docs, toks, "doc_id").count()
+      }
       timed("p15 decontam shared") {
         // broadcast eval fingerprints vs the k×-scaled training side
         val grams = TextOps.shingles(toks, "doc_id", 7)
@@ -82,6 +97,26 @@ object PipelineStress {
         val evalVids = grams.join(evalIds, "doc_id").select("vid").distinct()
         grams.join(evalIds, Seq("doc_id"), "left_anti")
           .join(broadcast(evalVids), "vid").count()
+      }
+      timed("p21 semdedup K~N") {
+        // the SemDeDup contract under scaling: K grows with the corpus
+        // (40 cells per copy — each copy keeps its own centroid set via
+        // dimension ROTATION, which decorrelates cross-copy cosines),
+        // so per-cell pair work stays bounded and removals grow ~k×
+        val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        val vecs = (0 until k).map { i =>
+          base.select((col("vec_id") * lit(k.toLong) + lit(i.toLong)).as("vec_id"),
+            // rotate dims by i: copy i's vector is expr-shuffled so
+            // cross-copy similarity collapses to noise below τ
+            concat(slice(col("embedding"), i * 7 + 1, 64 - i * 7),
+              slice(col("embedding"), 1, i * 7)).as("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        // new_id = orig·k + copy, so floor(id/k) < 40 picks each
+        // copy's first 40 originals → K = 40·k total cells
+        val cents = Embeddings.withUnitVector(vecs, "embedding", "uv")
+          .where(floor(col("vec_id") / k) < 40)
+          .select(col("vec_id").as("c_id"), col("uv").as("cv"))
+        Embeddings.semDedup(vecs, cents, tau = 0.35).count()
       }
     }
     spark.stop()
