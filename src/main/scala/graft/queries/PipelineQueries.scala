@@ -491,6 +491,53 @@ object PipelineQueries {
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("shard"), col("pos"), col("doc_id"))
         .orderBy("shard", "pos")
+    }),
+
+    "p23_increment" -> ((s, dir) => {
+      // incremental corpus update: dedup an INCOMING batch (odd
+      // doc_id) against the EXISTING corpus (even doc_id) WITHOUT
+      // enumerating existing×existing pairs — the "add today's crawl
+      // to a 100 TB corpus" path. The existing side's band keys are
+      // exactly what a production pipeline keeps as its persisted LSH
+      // index; the candidate join is cross-side only, so per-update
+      // work is O(incoming + collided buckets), independent of corpus
+      // pair count. Candidates are exactly verified (τ=0.7, the
+      // integer-exact 17·i >= 7·(ni+ne) form), which makes the output
+      // hash-independent — the all-pairs oracle proves no cross-side
+      // pair >= τ is lost. Output: one row per matched incoming doc
+      // with its match count and best witness.
+      val ids = TextOps.shingles(toks(s, dir), "doc_id", 3)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+        .distinct()
+      val bands = MinHashLsh.bands(
+        MinHashLsh.signatures(ids, "doc_id", 32), "doc_id", r = 3)
+      val cands = bands
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("band"), col("key"), col("doc_id").as("id_ex"))
+        .join(bands.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("band"), col("key"), col("doc_id").as("id_in")),
+          Seq("band", "key"))
+        .select("id_in", "id_ex").distinct()
+      val sizes = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cands
+        .join(ids.select(col("doc_id").as("id_in"), col("vid")), "id_in")
+        .join(ids.select(col("doc_id").as("id_ex"), col("vid")),
+          Seq("id_ex", "vid"))
+        .groupBy("id_in", "id_ex").agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("id_in"), col("n").as("ni")), "id_in")
+        .join(sizes.select(col("doc_id").as("id_ex"), col("n").as("ne")), "id_ex")
+        .where(col("i") * 17 >= (col("ni") + col("ne")) * 7)
+        .select(col("id_in"), col("id_ex"),
+          round(col("i").cast("double") / (col("ni") + col("ne") - col("i")), 6)
+            .as("jaccard"))
+        .groupBy("id_in")
+        .agg(count(lit(1)).as("n_matches"),
+          max_by(struct(col("id_ex"), col("jaccard")),
+            struct(col("jaccard"), -col("id_ex"))).as("best"))
+        .select(col("id_in").as("doc_id"), col("n_matches"),
+          col("best.id_ex").as("best_match"),
+          col("best.jaccard").as("best_jaccard"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1223,6 +1270,33 @@ object PipelineQueries {
         |       CAST(row_number() OVER (PARTITION BY h % 8
         |         ORDER BY h, doc_id) AS BIGINT) AS pos,
         |       doc_id
-        |FROM h ORDER BY shard, pos""".stripMargin
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "p23_increment" ->
+      s"""WITH $ShinglesCte,
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT b.doc_id AS id_in, a.doc_id AS id_ex, COUNT(*) AS i
+        |  FROM shd a JOIN shd b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2),
+        |v AS (
+        |  SELECT id_in, id_ex,
+        |         ROUND(CAST(i AS DOUBLE) / (si.n + se.n - i), 6) AS jaccard
+        |  FROM inter
+        |   JOIN sizes si ON si.doc_id = id_in
+        |   JOIN sizes se ON se.doc_id = id_ex
+        |  WHERE i * 17 >= (si.n + se.n) * 7),
+        |cnt AS (SELECT id_in, COUNT(*) AS n_matches FROM v GROUP BY id_in),
+        |pick AS (
+        |  SELECT id_in, id_ex, jaccard,
+        |         row_number() OVER (PARTITION BY id_in
+        |           ORDER BY jaccard DESC, id_ex) AS rn
+        |  FROM v)
+        |SELECT p.id_in AS doc_id, CAST(c.n_matches AS BIGINT) AS n_matches,
+        |       p.id_ex AS best_match, p.jaccard AS best_jaccard
+        |FROM pick p JOIN cnt c USING (id_in)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

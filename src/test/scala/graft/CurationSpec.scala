@@ -199,6 +199,49 @@ class CurationSpec extends SparkTestBase {
     })
   }
 
+  // --- incremental dedup ------------------------------------------------
+
+  test("incremental dedup reports only cross-side matches over tau, with exact witnesses") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.PipelineQueries.defs("p23_increment")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "fixture contains odd/even near-dup pairs")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 2 == 1, "matched side must be incoming (odd)")
+      assert(r.getAs[Long]("best_match") % 2 == 0, "witness must be existing (even)")
+      assert(r.getAs[Double]("best_jaccard") >= 0.7 - 1e-9)
+      assert(r.getAs[Long]("n_matches") >= 1L)
+    }
+
+    // brute-force mirror: exact 3-shingle jaccard across sides
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = TextOps.tokens(docs, "doc_id", "text")
+    val sh = TextOps.shingles(toks, "doc_id", 3)
+      .select(col("doc_id"), col("shingle")).distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val expected = sh.keys.filter(_ % 2 == 1).flatMap { in =>
+      val ms = sh.keys.filter(_ % 2 == 0).flatMap { ex =>
+        val i = (sh(in) & sh(ex)).size
+        val j = i.toDouble / (sh(in).size + sh(ex).size - i)
+        // same integer-exact threshold as the engine
+        if (17L * i >= 7L * (sh(in).size + sh(ex).size))
+          Some(ex -> BigDecimal(j).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      }.toSeq
+      if (ms.isEmpty) None
+      else Some(in -> (ms.size.toLong,
+        ms.maxBy { case (ex, j) => (j, -ex) }))
+    }.toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n, (ex, j)) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_matches") == n)
+      assert(r.getAs[Long]("best_match") == ex)
+      assert(r.getAs[Double]("best_jaccard") == j)
+    }
+  }
+
   // --- hashed linear classifier ----------------------------------------
 
   test("hashedLinearScore matches a sequential integer mirror") {
