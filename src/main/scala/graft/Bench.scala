@@ -38,8 +38,15 @@ object Bench {
     // The snapshot embeds our JSON line INSIDE an escaped "tail" string
     // ("...\"h2_rollup\":0.829..."), so unescape \" before matching —
     // the raw regex alone never fires against the snapshot format.
+    // full-precision local baseline from the previous bench run at the
+    // SAME sf (written below) — preferred over the driver snapshot,
+    // whose embedded line may be down to 1 sig-fig when the query
+    // count pushes it against the 2000-char tail budget.
+    val localBaseline = s"target/bench-baseline-${new java.io.File(sfDir).getName}.json"
     val baseline: Map[String, Double] = {
-      val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse(
+      val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+        .orElse(Option(localBaseline).filter(new java.io.File(_).isFile))
+        .orElse(
         Option(new java.io.File(".").listFiles()).flatMap(
           _.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
             .sorted.lastOption))
@@ -82,7 +89,8 @@ object Bench {
     val p50 = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // steady-state streaming throughput (rows/s over micro-batch
     // processing time, startup excluded) next to the wall numbers
-    val streaming = Seq("s1_stream", "s2_sessions", "s3_streamdedup")
+    val streaming = Seq("s1_stream", "s2_sessions", "s3_streamdedup",
+        "s4_streamincrement")
       .flatMap(n => graft.streaming.StreamStats.get(n).map(st =>
         s""""$n":{"batches":${st.batches},"rows":${st.inputRows},""" +
           s""""rows_per_sec":${"%.0f".format(st.rowsPerSec)}}"""))
@@ -108,6 +116,15 @@ object Bench {
     val line = Seq(3, 2, 1).map(build).find(_.length <= 1800)
       .getOrElse(build(1))
     System.err.println(s"[bench] json line length: ${line.length} chars")
+    // full-precision copy for the next run's regression baseline
+    scala.util.Try {
+      val full = results.map { case (k, v) =>
+        "\"" + k + "\":" + "%.3f".format(v) }.mkString("{", ",", "}")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(localBaseline), full)
+    }
     println(line)
     spark.stop()
   }

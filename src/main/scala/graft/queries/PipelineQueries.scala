@@ -509,35 +509,52 @@ object PipelineQueries {
       val ids = TextOps.shingles(toks(s, dir), "doc_id", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
         .distinct()
-      val bands = MinHashLsh.bands(
-        MinHashLsh.signatures(ids, "doc_id", 32), "doc_id", r = 3)
-      val cands = bands
-        .where(pmod(col("doc_id"), lit(2)) === 0)
-        .select(col("band"), col("key"), col("doc_id").as("id_ex"))
-        .join(bands.where(pmod(col("doc_id"), lit(2)) === 1)
-          .select(col("band"), col("key"), col("doc_id").as("id_in")),
-          Seq("band", "key"))
-        .select("id_in", "id_ex").distinct()
-      val sizes = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      cands
-        .join(ids.select(col("doc_id").as("id_in"), col("vid")), "id_in")
-        .join(ids.select(col("doc_id").as("id_ex"), col("vid")),
-          Seq("id_ex", "vid"))
-        .groupBy("id_in", "id_ex").agg(count(lit(1)).as("i"))
-        .join(sizes.select(col("doc_id").as("id_in"), col("n").as("ni")), "id_in")
-        .join(sizes.select(col("doc_id").as("id_ex"), col("n").as("ne")), "id_ex")
-        .where(col("i") * 17 >= (col("ni") + col("ne")) * 7)
-        .select(col("id_in"), col("id_ex"),
-          round(col("i").cast("double") / (col("ni") + col("ne") - col("i")), 6)
-            .as("jaccard"))
-        .groupBy("id_in")
-        .agg(count(lit(1)).as("n_matches"),
-          max_by(struct(col("id_ex"), col("jaccard")),
-            struct(col("jaccard"), -col("id_ex"))).as("best"))
-        .select(col("id_in").as("doc_id"), col("n_matches"),
-          col("best.id_ex").as("best_match"),
-          col("best.jaccard").as("best_jaccard"))
+      IncrementalDedup.bestWitness(IncrementalDedup.crossMatches(
+          ids.where(pmod(col("doc_id"), lit(2)) === 1),
+          ids.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id"))
         .orderBy("doc_id")
+    }),
+
+    "s4_streamincrement" -> ((s, dir) => {
+      // the STREAMING form of p23: incoming docs arrive as a
+      // Structured Streaming file source; each micro-batch runs the
+      // batch incremental-dedup path (foreachBatch — per-batch batch
+      // semantics, the production shape for continuous-crawl
+      // curation) against the PRE-BUILT static index of the existing
+      // corpus, appending matches to a sink table. AvailableNow
+      // drains the source; the result must converge to the batch
+      // answer — s4 shares p23's oracle verbatim.
+      graft.Graft.configure(s)
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      def shingleIds(d: DataFrame) =
+        TextOps.shingles(TextOps.tokens(d, "doc_id", "text"), "doc_id", 3)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+          .distinct()
+      // the persisted index side: existing (even) docs, built once
+      val exIds = shingleIds(
+        s.read.parquet(path).where(pmod(col("doc_id"), lit(2)) === 0))
+        .localCheckpoint(true)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-s4-out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-s4-ckpt").toString
+      val incoming = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+      val q = incoming.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IncrementalDedup.crossMatches(shingleIds(batch), exIds, "doc_id")
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s4_streamincrement", q); q.stop()
+      // witness selection runs over the union of all batch outputs, so
+      // a doc matched in any batch reports its global best
+      IncrementalDedup.bestWitness(s.read.parquet(out)).orderBy("doc_id")
     })
   )
 
@@ -1272,7 +1289,13 @@ object PipelineQueries {
         |       doc_id
         |FROM h ORDER BY shard, pos""".stripMargin,
 
-    "p23_increment" ->
+    "p23_increment" -> IncrementOracle,
+    // the streaming wrapper must converge to the batch answer — the
+    // strongest possible gate for a foreachBatch pipeline: same SQL.
+    "s4_streamincrement" -> IncrementOracle
+  )
+
+  private lazy val IncrementOracle: String =
       s"""WITH $ShinglesCte,
         |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
@@ -1298,5 +1321,4 @@ object PipelineQueries {
         |       p.id_ex AS best_match, p.jaccard AS best_jaccard
         |FROM pick p JOIN cnt c USING (id_in)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
-  )
 }
