@@ -80,16 +80,17 @@ object TextAnalysis {
     * Ratios are rounded to 6 decimals BEFORE the flag compare so the
     * threshold decision is cross-engine stable.
     */
-  def repetition(toks: DataFrame, idCol: String,
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
                  topTokenMax: Double = 0.12,
                  dupBigramMax: Double = 0.25): DataFrame = {
+    val toks = TextOps.tokens(docs, idCol, textCol)
     val tokCounts = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("c"))
     val tokStats = tokCounts.groupBy(col(idCol)).agg(
       sum(col("c")).as("n_tokens"),
       count(lit(1)).as("n_distinct"),
       max(col("c")).as("top_c"))
-    val bg = TextOps.shingles(toks, idCol, 2)
+    val bg = TextOps.shinglesOfText(docs, idCol, textCol, 2)
     val bgStats = bg.groupBy(col(idCol), col("shingle"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
@@ -159,10 +160,11 @@ object TextAnalysis {
     * bigrams), one map-side-combinable groupBy; the "model" is O(1)
     * closed-form — nothing broadcast, nothing collected.
     */
-  def hashedLinearScore(toks: DataFrame, idCol: String,
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
                         buckets: Int = 4096): DataFrame = {
+    val toks = TextOps.tokens(docs, idCol, textCol)
     val feats = toks.select(col(idCol), col("token").as("feat"))
-      .unionByName(TextOps.shingles(toks, idCol, 2)
+      .unionByName(TextOps.shinglesOfText(docs, idCol, textCol, 2)
         .select(col(idCol), col("shingle").as("feat")))
     val b = pmod(TextOps.hashId(col("feat")), lit(buckets.toLong))
     val w = pmod(lit(1103515245L) * b + 12345L, lit(2048L)) - 1024L
@@ -189,16 +191,16 @@ object TextAnalysis {
     * overlap, near-1 for wholesale copying — so the 0.5 default splits
     * cleanly). Docs shorter than k tokens report 0/0/0.0/false.
     *
-    * Scale shape: spans come from the per-doc ordered window (never a
-    * global window); span ids are per-row hashes (`TextOps.hashId`),
+    * Scale shape: spans come from narrow array expressions (no
+    * shuffle, no window); span ids are per-row hashes (`TextOps.hashId`),
     * so corpus-wide occurrence counting is one distinct + one groupBy
     * + one hash-key join back — map-side combinable, linear, no
     * driver state. The equivalent of Lee et al.'s suffix-array pass,
     * re-expressed as shuffle-bounded relational ops.
     */
-  def duplicateSpans(docs: DataFrame, toks: DataFrame, idCol: String,
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, flagMin: Double = 0.5): DataFrame = {
-    val sp = TextOps.shingles(toks, idCol, k)
+    val sp = TextOps.shinglesOfText(docs, idCol, textCol, k)
       .select(col(idCol), TextOps.hashId(col("shingle")).as("sid"))
       .distinct()
     val occ = sp.groupBy(col("sid")).agg(count(lit(1)).as("nd"))

@@ -22,7 +22,31 @@ object TextOps {
         posexplode(split(col(textCol), " ")).as(Seq("pos0", "token")))
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("token"))
 
-  /** Word k-shingles via window lead — (idCol, pos, shingle). */
+  /** Word k-shingles as pure array expressions — (idCol, shingle),
+    * one row per span position (multiplicity preserved), NO shuffle.
+    *
+    * The window variant below costs a full exchange + per-partition
+    * sort of the ENTIRE token stream before the first hash — at
+    * corpus scale that is the single largest shuffle in every dedup
+    * pipeline. This stays narrow (split → transform → explode) and
+    * keeps span generation inside whole-stage codegen; only hashed
+    * span ids (or partial aggregates) ever shuffle downstream.
+    * Property-tested multiset-equal to [[shingles]].
+    */
+  def shinglesOfText(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val arr = split(col(textCol), " ")
+    val spans = when(size(arr) >= k,
+      transform(sequence(lit(1), size(arr) - (k - 1)),
+        i => concat_ws(" ", slice(arr, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), explode(spans).as("shingle"))
+  }
+
+  /** Word k-shingles via window lead — (idCol, pos, shingle). Kept for
+    * callers that need the span POSITION; span-set/multiset consumers
+    * should use [[shinglesOfText]] (no shuffle).
+    */
   def shingles(toks: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts = (0 until k).map {

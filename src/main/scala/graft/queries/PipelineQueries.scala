@@ -36,7 +36,7 @@ object PipelineQueries {
 
   /** 3-shingles with per-row hashed ids: (doc_id, vid) — no join. */
   private def shingleIds(s: SparkSession, dir: String): DataFrame =
-    TextOps.shingles(toks(s, dir), "doc_id", 3)
+    TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 3)
       .withColumn("vid", TextOps.hashId(col("shingle")))
       .select("doc_id", "vid")
 
@@ -77,7 +77,7 @@ object PipelineQueries {
       // + pair-bounded verification — identical result to the naive
       // inverted-index all-pairs join (same DuckDB oracle) without its
       // ~50M-row co-occurrence shuffle
-      val bg = TextOps.shingles(toks(s, dir), "doc_id", 2)
+      val bg = TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 2)
         .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
         .distinct()
       Jaccard.exactTopK(bg, "doc_id", k = 50)
@@ -180,7 +180,7 @@ object PipelineQueries {
       // simultaneously proves the bucketed plan loses no pair >= the
       // threshold on this fixture. τ=0.7; the filter is the
       // integer-exact form 17·i >= 7·(na+nb)  ⟺  i/(na+nb-i) >= 0.7.
-      val ids = TextOps.shingles(toks(s, dir), "doc_id", 3)
+      val ids = TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
         .distinct()
       val sigs = MinHashLsh.signatures(ids, "doc_id", 32)
@@ -325,8 +325,7 @@ object PipelineQueries {
       // + one aggregation — the shape that holds when the training
       // corpus is 100 TB and the benchmark suite is megabytes.
       val d = docs(s, dir)
-      val grams = TextOps.shingles(
-          TextOps.tokens(d, "doc_id", "text"), "doc_id", 7)
+      val grams = TextOps.shinglesOfText(d, "doc_id", "text", 7)
         .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
         .distinct()
       val src = d.select("doc_id", "source")
@@ -384,7 +383,7 @@ object PipelineQueries {
     }),
 
     "t5_repetition" -> ((s, dir) => {
-      TextAnalysis.repetition(toks(s, dir), "doc_id").orderBy("doc_id")
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
 
     "t6_pii" -> ((s, dir) => {
@@ -449,7 +448,7 @@ object PipelineQueries {
       // flagged when the identical span text appears in another doc
       // (Lee et al. 2022's repeated-substring dedup, bounded-span
       // form). Hash-keyed occurrence counting — linear at any corpus.
-      TextAnalysis.duplicateSpans(docs(s, dir), toks(s, dir), "doc_id")
+      TextAnalysis.duplicateSpans(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -472,7 +471,7 @@ object PipelineQueries {
       // fastText-shaped hashed-ngram linear quality scorer; integer
       // arithmetic end-to-end (one final division) so the score is
       // bit-identical on any engine (TextAnalysis.hashedLinearScore).
-      TextAnalysis.hashedLinearScore(toks(s, dir), "doc_id")
+      TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -506,7 +505,7 @@ object PipelineQueries {
       // hash-independent — the all-pairs oracle proves no cross-side
       // pair >= τ is lost. Output: one row per matched incoming doc
       // with its match count and best witness.
-      val ids = TextOps.shingles(toks(s, dir), "doc_id", 3)
+      val ids = TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
         .distinct()
       IncrementalDedup.bestWitness(IncrementalDedup.crossMatches(
@@ -528,7 +527,7 @@ object PipelineQueries {
       val path = s"$dir/documents.parquet"
       val schema = s.read.parquet(path).schema
       def shingleIds(d: DataFrame) =
-        TextOps.shingles(TextOps.tokens(d, "doc_id", "text"), "doc_id", 3)
+        TextOps.shinglesOfText(d, "doc_id", "text", 3)
           .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
           .distinct()
       // the persisted index side: existing (even) docs, built once

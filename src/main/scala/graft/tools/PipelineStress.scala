@@ -50,7 +50,7 @@ object PipelineStress {
           .groupBy("h").count().where(col("count") > 1).count()
       }
       val toks = TextOps.tokens(docs, "doc_id", "text")
-      val shingleIds = TextOps.shingles(toks, "doc_id", 3)
+      val shingleIds = TextOps.shinglesOfText(docs, "doc_id", "text", 3)
         .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
       timed("p3 LSH candidates") {
         MinHashLsh.candidates(
@@ -85,11 +85,11 @@ object PipelineStress {
       timed("p20 span dedup") {
         // hash-keyed span occurrence counting — vowel-permuted copies
         // share no span text, so posting lists stay short at any k
-        TextAnalysis.duplicateSpans(docs, toks, "doc_id").count()
+        TextAnalysis.duplicateSpans(docs, "doc_id", "text").count()
       }
       timed("p15 decontam shared") {
         // broadcast eval fingerprints vs the k×-scaled training side
-        val grams = TextOps.shingles(toks, "doc_id", 7)
+        val grams = TextOps.shinglesOfText(docs, "doc_id", "text", 7)
           .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
           .distinct()
         val evalIds = docs.where(pmod(col("doc_id"), lit(10000000L)) < 25)

@@ -68,8 +68,7 @@ class CurationSpec extends SparkTestBase {
       // the 0.12 flag threshold (a 6-token doc would flag at 0.167)
       (2L, "q r s t u v w x y z") // no repetition at all
     ).toDF("doc_id", "text")
-    val toks = TextOps.tokens(docs, "doc_id", "text")
-    val r = TextAnalysis.repetition(toks, "doc_id")
+    val r = TextAnalysis.repetition(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
     val d1 = r(0)
     assert(d1.getAs[Long]("n_tokens") == 6L)
@@ -84,9 +83,8 @@ class CurationSpec extends SparkTestBase {
   }
 
   test("single-token doc gets dup_bigram_ratio 0, not null") {
-    val toks = TextOps.tokens(Seq((1L, "only")).toDF("doc_id", "text"),
-      "doc_id", "text")
-    val r = TextAnalysis.repetition(toks, "doc_id").collect()
+    val r = TextAnalysis.repetition(Seq((1L, "only")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
     assert(r.head.getAs[Double]("dup_bigram_ratio") == 0.0)
   }
 
@@ -157,6 +155,25 @@ class CurationSpec extends SparkTestBase {
       s"weighted shares not differentiated: $share")
   }
 
+  // --- shingle generation -----------------------------------------------
+
+  test("shinglesOfText is multiset-equal to the window-based shingles at k=2,3,5,7") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, "a"), (900002L, "a b"),
+        (900003L, "x x x x x x x")).toDF("doc_id", "text"))
+    val toks = TextOps.tokens(docs, "doc_id", "text")
+    for (k <- Seq(2, 3, 5, 7)) {
+      val viaWindow = TextOps.shingles(toks, "doc_id", k)
+        .groupBy("doc_id", "shingle").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val viaArray = TextOps.shinglesOfText(docs, "doc_id", "text", k)
+        .groupBy("doc_id", "shingle").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(viaArray == viaWindow, s"k=$k")
+    }
+  }
+
   // --- duplicate spans --------------------------------------------------
 
   test("duplicate spans: cross-doc copies flagged, within-doc repeats are not") {
@@ -166,8 +183,7 @@ class CurationSpec extends SparkTestBase {
       (3L, "one two three four five one two three four five"), // self-repeat only
       (4L, "tiny doc") // < k tokens: no spans
     ).toDF("doc_id", "text")
-    val toks = TextOps.tokens(docs, "doc_id", "text")
-    val r = TextAnalysis.duplicateSpans(docs, toks, "doc_id", k = 5)
+    val r = TextAnalysis.duplicateSpans(docs, "doc_id", "text", k = 5)
       .orderBy("doc_id").collect()
     // doc1: spans {a b g d e, b g d e z}; first is shared with doc2
     assert(r(0).getAs[Long]("n_spans") == 2L)
@@ -187,8 +203,7 @@ class CurationSpec extends SparkTestBase {
   test("duplicate spans on sf0.001: flagged docs are wholesale near-copies") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, dir, "documents")
-    val toks = TextOps.tokens(docs, "doc_id", "text")
-    val r = TextAnalysis.duplicateSpans(docs, toks, "doc_id").collect()
+    val r = TextAnalysis.duplicateSpans(docs, "doc_id", "text").collect()
     assert(r.length == docs.count())
     val flagged = r.filter(_.getAs[Boolean]("flag_contaminated"))
     assert(flagged.nonEmpty, "fixture should contain near-copies")
@@ -246,8 +261,7 @@ class CurationSpec extends SparkTestBase {
 
   test("hashedLinearScore matches a sequential integer mirror") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "solo")).toDF("doc_id", "text")
-    val toks = TextOps.tokens(docs, "doc_id", "text")
-    val got = TextAnalysis.hashedLinearScore(toks, "doc_id")
+    val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
 
     def hash60(s: String): Long = {
@@ -272,9 +286,8 @@ class CurationSpec extends SparkTestBase {
 
   test("classifier splits the sf0.001 corpus (both labels occur)") {
     val dir = "/root/testdata/sf0.001"
-    val toks = TextOps.tokens(Tables.load(spark, dir, "documents"),
-      "doc_id", "text")
-    val labels = TextAnalysis.hashedLinearScore(toks, "doc_id")
+    val labels = TextAnalysis.hashedLinearScore(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
       .groupBy("label_keep").count().collect()
     assert(labels.length == 2, "weights should not collapse to one label")
   }
