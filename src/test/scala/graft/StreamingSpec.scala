@@ -120,4 +120,60 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("mean_value") == 2.0)
     assert(rows(1).getAs[Long]("n") == 1)
   }
+
+  test("incremental dedup composes across micro-batches (two-file source == batch answer)") {
+    // s4's cross-batch contract: the incoming odd docs split into TWO
+    // source files, maxFilesPerTrigger=1 => two genuine micro-batches,
+    // each running the batch dedup path against the static index; the
+    // union of per-batch matches must reduce to EXACTLY the
+    // single-batch p23 answer (batches partition the incoming set, so
+    // no match is found twice and none is lost).
+    import graft.pipeline.{IncrementalDedup, TextOps}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    def shingleIds(d: org.apache.spark.sql.DataFrame) =
+      TextOps.shinglesOfText(d, "doc_id", "text", 3)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("vid")).distinct()
+    val exIds = shingleIds(docs.where(pmod(col("doc_id"), lit(2)) === 0))
+      .localCheckpoint(true)
+
+    // stage the odd docs as two parquet files in one source dir
+    val odd = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val mid = odd.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val srcDir = java.nio.file.Paths.get(tmpDir("s4-src"))
+    Seq(odd.where(col("doc_id") <= mid), odd.where(col("doc_id") > mid))
+      .zipWithIndex.foreach { case (half, i) =>
+        val stage = java.nio.file.Paths.get(tmpDir(s"s4-stage$i"))
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+          .find(_.endsWith(".parquet")).get
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+          srcDir.resolve(s"batch$i.parquet"))
+      }
+
+    val out = tmpDir("s4-out")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", tmpDir("s4-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        IncrementalDedup.crossMatches(shingleIds(batch), exIds, "doc_id")
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches.get() == 2, s"expected 2 micro-batches, got ${batches.get()}")
+
+    val streamed = IncrementalDedup.bestWitness(spark.read.parquet(out))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    val batchAnswer = graft.queries.PipelineQueries
+      .defs("p23_increment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == batchAnswer.toSeq)
+  }
 }
