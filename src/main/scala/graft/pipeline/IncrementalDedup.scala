@@ -22,30 +22,47 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** The persisted index of the existing corpus: band keys for
+    * candidate generation, shingle-id sets + set sizes for exact
+    * verification. A production pipeline maintains these as tables
+    * and only APPENDS to them as batches are accepted.
+    */
+  final case class Index(bands: DataFrame, ids: DataFrame, sizes: DataFrame)
+
+  def buildIndex(exIds: DataFrame, idCol: String): Index = Index(
+    MinHashLsh.bands(MinHashLsh.signatures(exIds, idCol, 32), idCol, r = 3),
+    exIds,
+    exIds.groupBy(idCol).agg(count(lit(1)).as("ne")))
+
   /** (id_in, id_ex, jaccard): every incoming-vs-existing pair with
     * exact jaccard ≥ 0.7, found through the cross-side band join.
     */
   def crossMatches(inIds: DataFrame, exIds: DataFrame,
+                   idCol: String): DataFrame =
+    crossMatches(inIds, buildIndex(exIds, idCol), idCol)
+
+  /** Persisted-index form: only the INCOMING side is hashed here, so
+    * the per-update cost is O(incoming + collided buckets) no matter
+    * how large the indexed corpus is.
+    */
+  def crossMatches(inIds: DataFrame, index: Index,
                    idCol: String): DataFrame = {
-    def bandsOf(ids: DataFrame) = MinHashLsh.bands(
-      MinHashLsh.signatures(ids, idCol, 32), idCol, r = 3)
-    val cands = bandsOf(exIds)
+    val inBands = MinHashLsh.bands(
+      MinHashLsh.signatures(inIds, idCol, 32), idCol, r = 3)
+    val cands = index.bands
       .select(col("band"), col("key"), col(idCol).as("id_ex"))
-      .join(bandsOf(inIds)
-        .select(col("band"), col("key"), col(idCol).as("id_in")),
+      .join(inBands.select(col("band"), col("key"), col(idCol).as("id_in")),
         Seq("band", "key"))
       .select("id_in", "id_ex").distinct()
     val inSz = inIds.groupBy(idCol).agg(count(lit(1)).as("ni"))
       .withColumnRenamed(idCol, "id_in")
-    val exSz = exIds.groupBy(idCol).agg(count(lit(1)).as("ne"))
-      .withColumnRenamed(idCol, "id_ex")
     cands
       .join(inIds.select(col(idCol).as("id_in"), col("vid")), "id_in")
-      .join(exIds.select(col(idCol).as("id_ex"), col("vid")),
+      .join(index.ids.select(col(idCol).as("id_ex"), col("vid")),
         Seq("id_ex", "vid"))
       .groupBy("id_in", "id_ex").agg(count(lit(1)).as("i"))
       .join(inSz, "id_in")
-      .join(exSz, "id_ex")
+      .join(index.sizes.withColumnRenamed(idCol, "id_ex"), "id_ex")
       .where(col("i") * 17 >= (col("ni") + col("ne")) * 7)
       .select(col("id_in"), col("id_ex"),
         round(col("i").cast("double") / (col("ni") + col("ne") - col("i")), 6)

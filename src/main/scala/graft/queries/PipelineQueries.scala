@@ -530,10 +530,16 @@ object PipelineQueries {
         TextOps.shinglesOfText(d, "doc_id", "text", 3)
           .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
           .distinct()
-      // the persisted index side: existing (even) docs, built once
-      val exIds = shingleIds(
-        s.read.parquet(path).where(pmod(col("doc_id"), lit(2)) === 0))
-        .localCheckpoint(true)
+      // the persisted index side: existing (even) docs, built ONCE and
+      // checkpointed — every micro-batch reuses it (the production
+      // shape: the index is a maintained table, not a per-batch build)
+      val exIndex = {
+        val ix = IncrementalDedup.buildIndex(shingleIds(
+          s.read.parquet(path).where(pmod(col("doc_id"), lit(2)) === 0)),
+          "doc_id")
+        IncrementalDedup.Index(ix.bands.localCheckpoint(true),
+          ix.ids.localCheckpoint(true), ix.sizes.localCheckpoint(true))
+      }
       val out = java.nio.file.Files
         .createTempDirectory("graft-s4-out").toString
       val ckpt = java.nio.file.Files
@@ -545,7 +551,7 @@ object PipelineQueries {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          IncrementalDedup.crossMatches(shingleIds(batch), exIds, "doc_id")
+          IncrementalDedup.crossMatches(shingleIds(batch), exIndex, "doc_id")
             .write.mode("append").parquet(out)
         }
         .start()

@@ -98,6 +98,31 @@ object PipelineStress {
         grams.join(evalIds, Seq("doc_id"), "left_anti")
           .join(broadcast(evalVids), "vid").count()
       }
+      // incremental dedup with the EXISTING side scaled k× and the
+      // incoming batch FIXED (copy 0's odd docs): the per-update cost
+      // must track the incoming batch + collided buckets, not the
+      // corpus — the index is pre-built (checkpointed) OUTSIDE the
+      // timer, as a production pipeline persists it between updates
+      val exIndex = {
+        val exIds = TextOps.shinglesOfText(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0),
+            "doc_id", "text", 3)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+          .distinct()
+        val ix = graft.pipeline.IncrementalDedup.buildIndex(exIds, "doc_id")
+        graft.pipeline.IncrementalDedup.Index(
+          ix.bands.localCheckpoint(true), ix.ids.localCheckpoint(true),
+          ix.sizes.localCheckpoint(true))
+      }
+      timed("p23 incr (ex=kx)") {
+        val inIds = TextOps.shinglesOfText(
+            docs.where(col("doc_id") < 10000000L &&
+              pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 3)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+          .distinct()
+        graft.pipeline.IncrementalDedup.crossMatches(inIds, exIndex,
+          "doc_id").count()
+      }
       timed("p21 semdedup K~N") {
         // the SemDeDup contract under scaling: K grows with the corpus
         // (40 cells per copy — each copy keeps its own centroid set via

@@ -134,8 +134,12 @@ class StreamingSpec extends SparkTestBase {
     def shingleIds(d: org.apache.spark.sql.DataFrame) =
       TextOps.shinglesOfText(d, "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid")).distinct()
-    val exIds = shingleIds(docs.where(pmod(col("doc_id"), lit(2)) === 0))
-      .localCheckpoint(true)
+    val exIndex = {
+      val ix = IncrementalDedup.buildIndex(
+        shingleIds(docs.where(pmod(col("doc_id"), lit(2)) === 0)), "doc_id")
+      IncrementalDedup.Index(ix.bands.localCheckpoint(true),
+        ix.ids.localCheckpoint(true), ix.sizes.localCheckpoint(true))
+    }
 
     // stage the odd docs as two parquet files in one source dir
     val odd = docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -160,7 +164,7 @@ class StreamingSpec extends SparkTestBase {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batches.incrementAndGet()
-        IncrementalDedup.crossMatches(shingleIds(batch), exIds, "doc_id")
+        IncrementalDedup.crossMatches(shingleIds(batch), exIndex, "doc_id")
           .write.mode("append").parquet(out)
       }
       .start()
