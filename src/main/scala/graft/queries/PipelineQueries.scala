@@ -475,6 +475,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "t8_vocab" -> ((s, dir) => {
+      // tokenizer vocabulary induction, frequency stage: global token
+      // counts with document frequency, top-100 by (count DESC, token).
+      // One map-side-combinable groupBy then a BOUNDED top-k
+      // (TakeOrderedAndProject — K rows per partition to the driver,
+      // never a global sort, and no unpartitioned rank window); the
+      // shape word-level BPE/WordPiece vocab builders start from.
+      toks(s, dir).groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(100)
+        .select("token", "n_occurrences", "n_docs")
+    }),
+
     "p22_shardshuffle" -> ((s, dir) => {
       // deterministic training-export shuffle: every doc hashes to one
       // of 8 shards and an intra-shard position (row_number over the
@@ -1293,6 +1308,13 @@ object PipelineQueries {
         |         ORDER BY h, doc_id) AS BIGINT) AS pos,
         |       doc_id
         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "t8_vocab" ->
+      s"""WITH $ToksCte
+        |SELECT token, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs
+        |FROM toks GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
 
     "p23_increment" -> IncrementOracle,
     // the streaming wrapper must converge to the batch answer — the
