@@ -218,6 +218,58 @@ object TextAnalysis {
         (ratio > flagMin).as("flag_contaminated"))
   }
 
+  /** Gopher's document-quality stopword list (Rae et al. 2021 §A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule heuristic document filter (Rae et al. 2021 §A1.1, the
+    * rule family Dolma/RefinedWeb reuse): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio (# and … ), alphabetic-word
+    * ratio, and the ≥2-stopwords rule, each reported as its own flag
+    * plus the conjunction. All metrics are per-row array/regex
+    * expressions over one text scan — integer counts and one rounded
+    * division each, no shuffle, no UDF; ratios are rounded to 6
+    * decimals BEFORE every threshold compare (cross-engine stable).
+    *
+    * Symbol counting uses the replace-length trick (occurrences =
+    * (len(text) − len(replace(text, s, ''))) / len(s)) — identical
+    * greedy non-overlapping semantics on both engines.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                  minStopwords: Long = 2): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      split(col(textCol), " ").as("__w"))
+    val nWords = size(col("__w")).cast("long")
+    val nHash = (length(col("__t")) -
+      length(regexp_replace(col("__t"), "#", ""))).cast("long")
+    val nEllipsis = ((length(col("__t")) -
+      length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val metrics = base.select(col(idCol),
+      nWords.as("n_words"),
+      round((length(col("__t")) - (nWords - 1)).cast("double") / nWords, 6)
+        .as("mean_word_len"),
+      round((nHash + nEllipsis).cast("double") / nWords, 6).as("symbol_ratio"),
+      round(size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+        .cast("double") / nWords, 6).as("alpha_ratio"),
+      size(filter(col("__w"), w => w.isInCollection(GopherStopwords)))
+        .cast("long").as("n_stopwords"))
+    metrics.select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_ratio"), col("n_stopwords"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("ok_word_count"),
+        (col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+          .as("ok_mean_word_len"),
+        (col("symbol_ratio") <= maxSymbolRatio).as("ok_symbol_ratio"),
+        (col("alpha_ratio") >= minAlphaRatio).as("ok_alpha_ratio"),
+        (col("n_stopwords") >= minStopwords).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_ratio") && col("ok_stopwords"))
+  }
+
   /** Position-weighted rolling fingerprint over hashed token ids:
     * fp = Σ ((vid mod P) · ((31·pos + 7) mod P)) mod P — order-sensitive
     * (a permuted document fingerprints differently), integer-exact; the

@@ -575,6 +575,51 @@ object PipelineQueries {
       // witness selection runs over the union of all batch outputs, so
       // a doc matched in any batch reports its global best
       IncrementalDedup.bestWitness(s.read.parquet(out)).orderBy("doc_id")
+    }),
+
+    "p24_perplexity" -> ((s, dir) => {
+      // CCNet-style perplexity filtering (Wenzek et al. 2020): bigram
+      // LM trained on the lang='en' slice (the trusted reference),
+      // every doc scored by integer micro-log-prob, corpus split into
+      // head/middle/tail score tertiles. The LM count tables are
+      // vocab-bounded broadcasts; the scoring stream never shuffles
+      // before its per-doc partial aggregate.
+      val d = docs(s, dir)
+      val lm = LanguageModel.train(d.where(col("lang") === "en"),
+        "doc_id", "text")
+      LanguageModel.buckets(
+          LanguageModel.perplexityScore(d, "doc_id", "text", lm))
+        .select("doc_id", "n_tok", "llp_micro", "avg_llp", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    "p25_dsir" -> ((s, dir) => {
+      // DSIR importance weighting (Xie et al. 2023): hashed uni+bigram
+      // features over B=4096 buckets; target = lang='en', raw = rest;
+      // per-doc weight = integer sum of per-bucket log importance
+      // ratios; selection = likelihood-ratio rule (raw AND w > 0).
+      // The whole "model" is ONE 4096-row broadcast at any corpus size.
+      val d = docs(s, dir)
+      val B = 4096
+      val fb = Dsir.featureBuckets(d, "doc_id", "text", B)
+      val w = Dsir.bucketWeights(
+        Dsir.featureBuckets(d.where(col("lang") === "en"), "doc_id", "text", B),
+        Dsir.featureBuckets(d.where(col("lang") =!= "en"), "doc_id", "text", B),
+        B)
+      Dsir.score(fb, "doc_id", w)
+        .join(d.select(col("doc_id"),
+          when(col("lang") === "en", "target").otherwise("raw").as("side")),
+          "doc_id")
+        .withColumn("selected", col("side") === "raw" && col("w_micro") > 0)
+        .select("doc_id", "side", "n_feats", "w_micro", "avg_w", "selected")
+        .orderBy("doc_id")
+    }),
+
+    "t9_gopher" -> ((s, dir) => {
+      // Gopher-rule heuristic filter (Rae et al. 2021 §A1.1): per-rule
+      // pass flags + the conjunction, all single-scan column work.
+      TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -1319,7 +1364,123 @@ object PipelineQueries {
     "p23_increment" -> IncrementOracle,
     // the streaming wrapper must converge to the batch answer — the
     // strongest possible gate for a foreachBatch pipeline: same SQL.
-    "s4_streamincrement" -> IncrementOracle
+    "s4_streamincrement" -> IncrementOracle,
+
+    "p24_perplexity" ->
+      s"""WITH $ToksCte,
+        |st AS (
+        |  SELECT t.doc_id,
+        |    CAST(('0x' || substr(md5(lag(token) OVER
+        |      (PARTITION BY t.doc_id ORDER BY pos)), 1, 15)) AS BIGINT) AS pvid,
+        |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS vid,
+        |    d.lang
+        |  FROM toks t JOIN documents d USING (doc_id)),
+        |uni AS (
+        |  SELECT vid, COUNT(*) AS c1 FROM st WHERE lang = 'en' GROUP BY vid),
+        |bi AS (
+        |  SELECT pvid, vid, COUNT(*) AS c2 FROM st
+        |  WHERE lang = 'en' AND pvid IS NOT NULL GROUP BY pvid, vid),
+        |tot AS (SELECT SUM(c1) AS t, COUNT(*) + 1 AS v FROM uni),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CAST(ROUND(ln(CASE WHEN up.c1 IS NOT NULL
+        |      THEN CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE)
+        |           / CAST(up.c1 + tv.v AS DOUBLE)
+        |      ELSE CAST(COALESCE(uw.c1, 0) + 1 AS DOUBLE)
+        |           / CAST(tv.t + tv.v AS DOUBLE)
+        |      END) * 1000000, 0) AS BIGINT) AS llp_micro
+        |  FROM st s
+        |  LEFT JOIN uni up ON s.pvid = up.vid
+        |  LEFT JOIN bi b ON s.pvid = b.pvid AND s.vid = b.vid
+        |  LEFT JOIN uni uw ON s.vid = uw.vid
+        |  CROSS JOIN tot tv),
+        |ds AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |    CAST(SUM(llp_micro) AS BIGINT) AS llp_micro,
+        |    ROUND(CAST(SUM(llp_micro) AS DOUBLE) / 1000000 / COUNT(*), 6)
+        |      AS avg_llp
+        |  FROM sc GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT quantile_cont(avg_llp, 1.0/3) AS c_lo,
+        |         quantile_cont(avg_llp, 2.0/3) AS c_hi FROM ds)
+        |SELECT doc_id, n_tok, llp_micro, avg_llp,
+        |  CASE WHEN avg_llp >= c_hi THEN 'head'
+        |       WHEN avg_llp >= c_lo THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ds CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "p25_dsir" ->
+      s"""WITH $ToksCte,
+        |bigr AS (
+        |  SELECT doc_id, token || ' ' || lead(token, 1) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) AS feat
+        |  FROM toks QUALIFY feat IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, token AS feat FROM toks
+        |  UNION ALL SELECT doc_id, feat FROM bigr),
+        |fb AS (
+        |  SELECT f.doc_id,
+        |    CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 4096 AS b,
+        |    d.lang
+        |  FROM feats f JOIN documents d USING (doc_id)),
+        |spine AS (SELECT range AS b FROM range(0, 4096)),
+        |agg AS (
+        |  SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cr
+        |  FROM fb GROUP BY b),
+        |cnt AS (
+        |  SELECT s.b, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+        |  FROM spine s LEFT JOIN agg USING (b)),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+        |w AS (
+        |  SELECT b, CAST(ROUND(ln(
+        |      (CAST(ct + 1 AS DOUBLE) * CAST(tr + 4096 AS DOUBLE)) /
+        |      (CAST(cr + 1 AS DOUBLE) * CAST(tt + 4096 AS DOUBLE))
+        |    ) * 1000000, 0) AS BIGINT) AS llw_micro
+        |  FROM cnt CROSS JOIN tot),
+        |ds AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats,
+        |    CAST(SUM(llw_micro) AS BIGINT) AS w_micro
+        |  FROM fb JOIN w USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.lang = 'en' THEN 'target' ELSE 'raw' END AS side,
+        |  n_feats, w_micro,
+        |  ROUND(CAST(w_micro AS DOUBLE) / 1000000 / n_feats, 6) AS avg_w,
+        |  (d.lang <> 'en' AND w_micro > 0) AS selected
+        |FROM ds JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t9_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    ROUND(CAST(length(text) - (len(words) - 1) AS DOUBLE)
+        |      / len(words), 6) AS mean_word_len,
+        |    ROUND(CAST((length(text) - length(replace(text, '#', ''))) +
+        |      CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |        AS BIGINT) AS DOUBLE) / len(words), 6) AS symbol_ratio,
+        |    ROUND(CAST(len(list_filter(words,
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(words), 6) AS alpha_ratio,
+        |    CAST(len(list_filter(words, x -> x IN
+        |      ('the','be','to','of','and','that','have','with')))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+        |  n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AS ok_mean_word_len,
+        |  symbol_ratio <= 0.1 AS ok_symbol_ratio,
+        |  alpha_ratio >= 0.8 AS ok_alpha_ratio,
+        |  n_stopwords >= 2 AS ok_stopwords,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |   AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+        |   AND n_stopwords >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 
   private lazy val IncrementOracle: String =
