@@ -25,20 +25,31 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Hashed uni+bigram feature buckets per doc: (idCol, b) with
-    * b = hashId(feature) mod `buckets`, one row per occurrence.
-    * Narrow (split → explode); no shuffle.
+  /** Hashed uni+bigram feature buckets per doc: (idCols…, b) with
+    * b = hashId(feature) mod `buckets`, one row per occurrence; every
+    * column in `idCols` is carried through so membership tags (e.g.
+    * target/raw) ride the stream instead of requiring a corpus-sized
+    * join back. Narrow (split → transform → explode); no shuffle.
     */
-  def featureBuckets(docs: DataFrame, idCol: String, textCol: String,
+  def featureBuckets(docs: DataFrame, idCols: Seq[String], textCol: String,
                      buckets: Int): DataFrame = {
-    val uni = TextOps.tokens(docs, idCol, textCol)
-      .select(col(idCol), col("token").as("feat"))
-    val bi = TextOps.shinglesOfText(docs, idCol, textCol, 2)
-      .select(col(idCol), col("shingle").as("feat"))
+    val ids = idCols.map(col)
+    val arr = col("__arr")
+    val spans = when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1),
+        i => concat_ws(" ", slice(arr, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(ids :+ split(col(textCol), " ").as("__arr"): _*)
+    val uni = base.select(ids :+ explode(arr).as("feat"): _*)
+    val bi = base.select(ids :+ explode(spans).as("feat"): _*)
     uni.unionByName(bi)
-      .select(col(idCol),
-        pmod(TextOps.hashId(col("feat")), lit(buckets.toLong)).as("b"))
+      .select(ids :+
+        pmod(TextOps.hashId(col("feat")), lit(buckets.toLong)).as("b"): _*)
   }
+
+  def featureBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame =
+    featureBuckets(docs, Seq(idCol), textCol, buckets)
 
   /** Per-bucket integer log importance weights: llw_micro(b) =
     * round(ln((ct+1)(Tr+B) / ((cr+1)(Tt+B))) · 1e6) — Laplace-smoothed
@@ -46,11 +57,28 @@ object Dsir {
     * included, so the table is always exactly B rows).
     */
   def bucketWeights(featTarget: DataFrame, featRaw: DataFrame,
-                    buckets: Int): DataFrame = {
+                    buckets: Int): DataFrame =
+    weightsFromCounts(
+      featTarget.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        .join(featRaw.groupBy(col("b")).agg(count(lit(1)).as("cr")),
+          Seq("b"), "full"),
+      buckets)
+
+  /** Single-pass weight build over a TAGGED feature stream (one scan
+    * of the corpus instead of one per side): `isTarget` splits the
+    * per-bucket counts inside one map-side-combinable aggregation.
+    */
+  def bucketWeightsTagged(featB: DataFrame, isTarget: Column,
+                          buckets: Int): DataFrame =
+    weightsFromCounts(
+      featB.groupBy(col("b")).agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cr")),
+      buckets)
+
+  private def weightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     val spine = SparkSession.active.range(buckets).select(col("id").as("b"))
-    val ct = featTarget.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val cr = featRaw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val j = spine.join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+    val j = spine.join(counts, Seq("b"), "left")
       .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
     val tot = j.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
@@ -63,13 +91,18 @@ object Dsir {
   }
 
   /** Per-doc importance weight: broadcast-join the O(B) weight table
-    * to the feature stream, integer-sum per doc. Output: (idCol,
-    * n_feats, w_micro, avg_w).
+    * to the feature stream, integer-sum per doc (any carried tag
+    * columns stay in the group key). Output: (idCols…, n_feats,
+    * w_micro, avg_w).
     */
-  def score(featB: DataFrame, idCol: String, weights: DataFrame): DataFrame =
+  def score(featB: DataFrame, idCols: Seq[String],
+            weights: DataFrame): DataFrame =
     featB.join(broadcast(weights.select(col("b"), col("llw_micro"))), "b")
-      .groupBy(col(idCol))
+      .groupBy(idCols.map(col): _*)
       .agg(count(lit(1)).as("n_feats"), sum(col("llw_micro")).as("w_micro"))
       .withColumn("avg_w",
         round(col("w_micro").cast("double") / 1e6 / col("n_feats"), 6))
+
+  def score(featB: DataFrame, idCol: String, weights: DataFrame): DataFrame =
+    score(featB, Seq(idCol), weights)
 }

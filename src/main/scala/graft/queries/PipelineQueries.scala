@@ -598,18 +598,18 @@ object PipelineQueries {
       // features over B=4096 buckets; target = lang='en', raw = rest;
       // per-doc weight = integer sum of per-bucket log importance
       // ratios; selection = likelihood-ratio rule (raw AND w > 0).
-      // The whole "model" is ONE 4096-row broadcast at any corpus size.
+      // The whole "model" is ONE 4096-row broadcast at any corpus
+      // size, and the lang tag rides the feature stream, so the full
+      // query is exactly two corpus scans (weight build + scoring) —
+      // no per-side re-tokenization, no doc-level join back.
       val d = docs(s, dir)
       val B = 4096
-      val fb = Dsir.featureBuckets(d, "doc_id", "text", B)
-      val w = Dsir.bucketWeights(
-        Dsir.featureBuckets(d.where(col("lang") === "en"), "doc_id", "text", B),
-        Dsir.featureBuckets(d.where(col("lang") =!= "en"), "doc_id", "text", B),
-        B)
-      Dsir.score(fb, "doc_id", w)
-        .join(d.select(col("doc_id"),
-          when(col("lang") === "en", "target").otherwise("raw").as("side")),
-          "doc_id")
+      val fb = Dsir.featureBuckets(
+        d.withColumn("side",
+          when(col("lang") === "en", "target").otherwise("raw")),
+        Seq("doc_id", "side"), "text", B)
+      val w = Dsir.bucketWeightsTagged(fb, col("side") === "target", B)
+      Dsir.score(fb, Seq("doc_id", "side"), w)
         .withColumn("selected", col("side") === "raw" && col("w_micro") > 0)
         .select("doc_id", "side", "n_feats", "w_micro", "avg_w", "selected")
         .orderBy("doc_id")
