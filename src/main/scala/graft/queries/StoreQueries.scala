@@ -82,7 +82,45 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** Two-batch store through the DeltaAppend (LSM merge-on-read) write
+    * path, with a compaction between the batches: append-only commits
+    * + read-time lww + month folding must all converge to the same
+    * rollup as the rewrite strategies — hs6 shares hs2/hs3's oracle
+    * VERBATIM.
+    */
+  private val builtDelta = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeDelta(s: SparkSession, dir: String): HoardStore = {
+    val root = builtDelta.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-delta")
+        .toString + "/store"
+      val st = HoardStore.create(s, tmp, Policy, HoardStore.DeltaAppend)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      val cut = 1705406400L // 2024-01-16 12:00:00 UTC (same as hs3)
+      st.updateManyDf(ev.where(col("ts") < cut), Now)
+      st.compact(maxFilesPerMonth = 1) // fold mid-stream: must be invisible
+      st.updateManyDf(ev.where(col("ts") >= cut), Now)
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hs6_deltastore" -> ((s, dir) => {
+      // daily rollup level after two batches through the APPEND-ONLY
+      // write path (write-amp ∝ batch): must equal the from-scratch
+      // recomputation — the same oracle as the rewrite-strategy stores
+      val st = storeDelta(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs3_incremental" -> ((s, dir) => {
       // daily rollup level after TWO chronological batches — must equal
       // the from-scratch recomputation (same oracle as hs2)
@@ -137,6 +175,23 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the append-only (LSM) store must converge to the identical
+    // from-scratch rollup — same SQL as hs2/hs3 by design
+    "hs6_deltastore" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING COUNT(v) >= 12)
+        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value
+        |FROM daily ORDER BY series_id, bucket""".stripMargin,
+
     "hs3_incremental" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

@@ -27,14 +27,17 @@ import scala.jdk.CollectionConverters._
   * (batches may be arbitrarily large/parallel internally); concurrent
   * writers need the transactional-format swap in DESIGN.md.
   *
-  * Scale notes: merges rewrite only the month partitions a batch
-  * touches (dynamic partition overwrite); propagation recomputes only
-  * touched coarser intervals (§2.2.10) from the level above (§2.2.8),
-  * each hop one partial-aggregated groupBy. `localCheckpoint` breaks
-  * the read-overwrite cycle locally; a production deploy would swap the
-  * level tables to a transactional table format with the same plan —
-  * the exact substitution (record-level MERGE, unchanged partition
-  * spec, unchanged readers) is written up in DESIGN.md.
+  * Scale notes: under the default [[HoardStore.MonthRewrite]] merges
+  * rewrite only the month partitions a batch touches (dynamic
+  * partition overwrite; `localCheckpoint` breaks the read-overwrite
+  * cycle); under [[HoardStore.DeltaAppend]] merges APPEND per-batch
+  * winner deltas and readers resolve lww at read time (LSM
+  * merge-on-read — write-amp ∝ batch size, with inline month
+  * compaction bounding file counts), which is the record-level-merge
+  * behavior DESIGN.md's transactional-format swap targets, natively.
+  * Propagation recomputes only touched coarser intervals (§2.2.10)
+  * from the level above (§2.2.8), each hop one partial-aggregated
+  * groupBy.
   */
 final class HoardStore private (val spark: SparkSession, val root: String,
                                 val mergeStrategy: HoardStore.MergeStrategy) {
@@ -187,48 +190,103 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     try body finally Files.deleteIfExists(lock)
   }
 
+  /** Last-write-wins winner per (series, interval) by composite seq. */
+  private def lww(rows: DataFrame): DataFrame = Dedup.lastWriteWins(
+      rows,
+      Seq(col("series_id"), col("interval")), col("seq"),
+      Seq("value" -> col("value"), "seq_keep" -> col("seq")))
+    .withColumnRenamed("seq_keep", "seq")
+
   /** Merge new rows into a level: last-write-wins per (series, interval)
-    * by seq, rewriting only the touched month partitions. The winner
-    * computation is routed through [[mergeStrategy]] — the seam where a
-    * transactional table format's record-level MERGE slots in.
+    * by seq. The commit is routed through [[mergeStrategy]]:
+    * [[HoardStore.MonthRewrite]]/[[HoardStore.RecordMergeSim]] rewrite
+    * the touched month partitions (write-amp ∝ month volume);
+    * [[HoardStore.DeltaAppend]] is the native record-level merge —
+    * append-only delta commits resolved by lww at read time.
     */
   private def mergeLevel(ar: Archive, newRows: DataFrame,
-                         touched: DataFrame): Unit = {
-    // INVARIANT: filter existing rows by touched MONTH only, never by
-    // series — dynamic partition overwrite rewrites whole month
-    // partitions, so every series' rows in a touched month must ride
-    // along or they would be silently deleted. The month list is pushed
-    // as a PARTITION filter (an interval-derived semi-join would scan
-    // every month of the level before filtering).
-    val existing = readLevelWithSeq(ar, Some(touchedMonths(touched, 1)))
-    def lww(rows: DataFrame): DataFrame = Dedup.lastWriteWins(
-        rows,
-        Seq(col("series_id"), col("interval")), col("seq"),
-        Seq("value" -> col("value"), "seq_keep" -> col("seq")))
-      .withColumnRenamed("seq_keep", "seq")
-    val merged = (mergeStrategy match {
-      case HoardStore.MonthRewrite => lww(existing.unionByName(newRows))
-      case HoardStore.RecordMergeSim =>
-        // the record-level MERGE dataflow: upsert winners for touched
-        // keys, pass every untouched row through untouched — a
-        // transactional format would commit `untouched` implicitly and
-        // write ONLY the upserts (write-amp ∝ batch, not month volume);
-        // here both legs still land in the same month rewrite, which is
-        // exactly what makes the two strategies content-comparable
-        val keys = touched.select("series_id", "interval")
-        val matched = existing.join(keys, Seq("series_id", "interval"),
-          "left_semi")
-        val untouched = existing.join(keys, Seq("series_id", "interval"),
-          "left_anti").select("series_id", "interval", "value", "seq")
-        lww(matched.unionByName(newRows)).unionByName(untouched)
-    })
-      .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
-      .localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic") // only touched months
-      .partitionBy("p_month")
-      .parquet(levelPath(root, ar.step))
+                         touched: DataFrame): Unit = mergeStrategy match {
+    case HoardStore.DeltaAppend =>
+      // LSM write path: fold the batch to ONE winner per key (cost ∝
+      // batch size), then APPEND delta files into the touched month
+      // partitions. Existing data is neither read nor rewritten —
+      // write-amp ∝ batch, not month volume — and no checkpoint is
+      // needed because nothing being read is being replaced. Readers
+      // resolve lww across delta files ([[readLevelWithSeq]]); file
+      // counts stay bounded by the inline month compaction below.
+      lww(newRows)
+        .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
+        .write.mode(SaveMode.Append).partitionBy("p_month")
+        .parquet(levelPath(root, ar.step))
+      compactMonthsOver(ar, touchedMonths(touched, 1), CompactThreshold)
+    case _ =>
+      // INVARIANT: filter existing rows by touched MONTH only, never by
+      // series — dynamic partition overwrite rewrites whole month
+      // partitions, so every series' rows in a touched month must ride
+      // along or they would be silently deleted. The month list is pushed
+      // as a PARTITION filter (an interval-derived semi-join would scan
+      // every month of the level before filtering).
+      val existing = readLevelWithSeq(ar, Some(touchedMonths(touched, 1)))
+      val merged = (mergeStrategy match {
+        case HoardStore.RecordMergeSim =>
+          // the record-level MERGE dataflow: upsert winners for touched
+          // keys, pass every untouched row through untouched — what a
+          // transactional table format would commit natively; both legs
+          // still land in the same month rewrite, which is exactly what
+          // makes the strategies content-comparable
+          val keys = touched.select("series_id", "interval")
+          val matched = existing.join(keys, Seq("series_id", "interval"),
+            "left_semi")
+          val untouched = existing.join(keys, Seq("series_id", "interval"),
+            "left_anti").select("series_id", "interval", "value", "seq")
+          lww(matched.unionByName(newRows)).unionByName(untouched)
+        case _ => lww(existing.unionByName(newRows))
+      })
+        .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
+        .localCheckpoint(true)
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic") // only touched months
+        .partitionBy("p_month")
+        .parquet(levelPath(root, ar.step))
   }
+
+  /** Fold a level's delta files back to one winner per key, month by
+    * month — the background compaction every LSM needs. Only month
+    * partitions holding more than `maxFilesPerMonth` parquet files are
+    * read (that partition alone) and rewritten; contents are unchanged
+    * by construction (the same lww the readers apply). Public entry
+    * takes the write lock; the write path calls the inner form on the
+    * months it just touched, so file counts stay bounded without any
+    * external scheduler.
+    */
+  def compact(maxFilesPerMonth: Int = 1): Unit = withWriteLock {
+    policy.sorted.foreach { ar =>
+      val dir = Paths.get(levelPath(root, ar.step))
+      if (Files.exists(dir))
+        compactMonthsOver(ar,
+          listDir(dir).filter(_.startsWith("p_month="))
+            .map(_.stripPrefix("p_month=")),
+          maxFilesPerMonth)
+    }
+  }
+
+  private val CompactThreshold = 16
+
+  private def compactMonthsOver(ar: Archive, months: Seq[String],
+                                maxFiles: Int): Unit =
+    months.foreach { m =>
+      val pdir = Paths.get(levelPath(root, ar.step)).resolve(s"p_month=$m")
+      if (Files.exists(pdir) &&
+          listDir(pdir).count(_.endsWith(".parquet")) > maxFiles) {
+        val folded = lww(spark.read.parquet(pdir.toString)
+            .select("series_id", "interval", "value", "seq"))
+          .withColumn("p_month", lit(m))
+          .localCheckpoint(true) // read-overwrite cycle on this month
+        folded.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("p_month").parquet(levelPath(root, ar.step))
+      }
+    }
 
   // ---- series catalog ------------------------------------------------
 
@@ -316,7 +374,11 @@ final class HoardStore private (val spark: SparkSession, val root: String,
           case Some(ms) => df.where(col("p_month").isin(ms: _*))
           case None => df
         }
-        pruned.select("series_id", "interval", "value", "seq")
+        val rows = pruned.select("series_id", "interval", "value", "seq")
+        // merge-on-read: under DeltaAppend a key may have one row per
+        // delta file; resolve lww here so every reader (fetch,
+        // propagation, strategy comparisons) sees the merged view
+        if (mergeStrategy == HoardStore.DeltaAppend) lww(rows) else rows
       } catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
@@ -526,6 +588,34 @@ object HoardStore {
   case object MonthRewrite extends MergeStrategy
   case object RecordMergeSim extends MergeStrategy
 
+  /** The native record-level merge, no table-format jars required:
+    * writes APPEND per-batch winner rows as delta files into the
+    * touched month partitions (write-amp ∝ batch size — the property
+    * DESIGN.md's transactional swap was after), readers resolve
+    * last-write-wins across delta files at read time, and month
+    * compaction (inline past a file-count threshold, or explicit
+    * [[HoardStore.compact]]) folds partitions back to one row per key.
+    * Classic LSM merge-on-read, expressed as the same lww aggregation
+    * the other strategies run at write time. The choice is persisted in
+    * the store (`_merge`), so reopening always restores the right read
+    * semantics.
+    */
+  case object DeltaAppend extends MergeStrategy
+
+  private def strategyName(m: MergeStrategy): String = m match {
+    case MonthRewrite => "month_rewrite"
+    case RecordMergeSim => "record_merge_sim"
+    case DeltaAppend => "delta_append"
+  }
+
+  private def strategyFor(name: String): MergeStrategy = name match {
+    case "month_rewrite" => MonthRewrite
+    case "record_merge_sim" => RecordMergeSim
+    case "delta_append" => DeltaAppend
+  }
+
+  private def strategyFile(root: String): JPath = Paths.get(root, "_merge")
+
   /** DDL (`src/hoard.coffee:30-69`): rejects an existing store, persists
     * the policy catalog. No preallocation — Parquet levels appear on
     * first write.
@@ -538,13 +628,22 @@ object HoardStore {
     Files.createDirectories(dir)
     writePolicy(root, policy)
     writeSeqBase(root, 0L)
+    Files.writeString(strategyFile(root), strategyName(mergeStrategy))
     new HoardStore(spark, root, mergeStrategy)
   }
 
+  /** The persisted strategy wins over the argument (a DeltaAppend store
+    * read without merge-on-read would surface duplicate rows); the
+    * argument only applies to stores created before the marker existed.
+    */
   def open(spark: SparkSession, root: String,
            mergeStrategy: MergeStrategy = MonthRewrite): HoardStore = {
     require(Files.exists(policyFile(root)), s"No store at $root")
-    new HoardStore(spark, root, mergeStrategy)
+    val strategy =
+      if (Files.exists(strategyFile(root)))
+        strategyFor(Files.readString(strategyFile(root)).trim)
+      else mergeStrategy
+    new HoardStore(spark, root, strategy)
   }
 
   /** Catalog read (`src/hoard.coffee:392-424`) — policy + derived

@@ -291,6 +291,104 @@ class HoardStoreSpec extends SparkTestBase {
     }
   }
 
+  private def listParquet(dir: java.nio.file.Path): Set[String] = {
+    val st = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    } finally st.close()
+  }
+
+  test("DeltaAppend: identical contents to MonthRewrite, append-only commits") {
+    import org.apache.spark.sql.functions.col
+    val month = HoardStore.create(spark, tmpDir("hoard") + "/m", policy)
+    val delta = HoardStore.create(spark, tmpDir("hoard") + "/d", policy,
+      HoardStore.DeltaAppend)
+    val rnd = new scala.util.Random(53)
+    val batches = (0 until 3).map { b =>
+      (0 until 40).map { i =>
+        val series = s"s${rnd.nextInt(3)}"
+        RawPoint(series, now - 86400 * 2 + rnd.nextInt(48) * 3600, b * 100.0 + i)
+      }
+    }
+    val hourlyDir = java.nio.file.Paths.get(
+      delta.root, s"level=${policy.sorted.head.step}")
+    def allDeltaFiles: Set[String] = {
+      val st = java.nio.file.Files.list(hourlyDir)
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("p_month=")).toList
+      } finally st.close()
+      parts.flatMap(p => listParquet(p).map(f => s"${p.getFileName}/$f")).toSet
+    }
+    var prevFiles = Set.empty[String]
+    batches.foreach { pts =>
+      month.updateMany(pts, now); delta.updateMany(pts, now)
+      // append-only: every delta file from earlier batches survives
+      // (below the compaction threshold nothing is rewritten)
+      val nowFiles = allDeltaFiles
+      assert(prevFiles.subsetOf(nowFiles),
+        "DeltaAppend rewrote existing files below the compaction threshold")
+      prevFiles = nowFiles
+    }
+    policy.sorted.foreach { ar =>
+      def dump(s: HoardStore) = s.readLevel(ar)
+        .orderBy("series_id", "interval")
+        .select(col("series_id"), col("interval").cast("long"), col("value"))
+        .collect().toSeq
+      val (m, d) = (dump(month), dump(delta))
+      assert(m.nonEmpty && m == d, s"level ${ar.step}: strategies diverge")
+    }
+  }
+
+  test("DeltaAppend: compaction folds months to one file without changing contents") {
+    import org.apache.spark.sql.functions.col
+    val s = HoardStore.create(spark, tmpDir("hoard") + "/c", policy,
+      HoardStore.DeltaAppend)
+    (0 until 5).foreach { b =>
+      s.updateMany((0 until 10).map(i =>
+        RawPoint("cpu", now - 86400 + (b * 10 + i) * 3600 % 86400, b + i * 1.0)),
+        now)
+    }
+    def dump(ar: graft.core.Archive) = s.readLevel(ar)
+      .orderBy("series_id", "interval")
+      .select(col("series_id"), col("interval").cast("long"), col("value"))
+      .collect().toSeq
+    val before = policy.sorted.map(dump)
+    s.compact(maxFilesPerMonth = 1)
+    val after = policy.sorted.map(dump)
+    assert(before == after, "compaction changed level contents")
+    policy.sorted.foreach { ar =>
+      val dir = java.nio.file.Paths.get(s.root, s"level=${ar.step}")
+      if (java.nio.file.Files.exists(dir)) {
+        val st = java.nio.file.Files.list(dir)
+        val parts = try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.getFileName.toString.startsWith("p_month="))
+            .toList
+        } finally st.close()
+        parts.foreach(p => assert(listParquet(p).size == 1,
+          s"${p.getFileName} not folded to one file"))
+      }
+    }
+  }
+
+  test("DeltaAppend: persisted strategy survives a default open()") {
+    val root = tmpDir("hoard") + "/p"
+    val s = HoardStore.create(spark, root, policy, HoardStore.DeltaAppend)
+    val t = now - 7200
+    s.updateMany(Seq(RawPoint("cpu", t, 1.0)), now)
+    s.updateMany(Seq(RawPoint("cpu", t + 60, 2.0)), now) // same hourly slot
+    // open WITHOUT naming the strategy: merge-on-read must still apply,
+    // otherwise the two delta rows for the slot both surface
+    val reopened = HoardStore.open(spark, root)
+    assert(reopened.mergeStrategy == HoardStore.DeltaAppend)
+    val (_, vals) = reopened.fetchValues("cpu", t - 3600, t + 3600, now)
+    assert(vals.flatten == Seq(2.0))
+  }
+
   test("series catalog stays bounded in file count across many batches") {
     val s = freshStore()
     (0 until 20).foreach { i =>

@@ -71,6 +71,14 @@ class StorePropertySpec extends SparkTestBase {
   }
 
   test("engine == sequential mirror over random multi-batch workloads") {
+    runWorkload(HoardStore.MonthRewrite)
+  }
+
+  test("DeltaAppend engine == sequential mirror (merge-on-read + mid-stream compaction)") {
+    runWorkload(HoardStore.DeltaAppend)
+  }
+
+  private def runWorkload(strategy: HoardStore.MergeStrategy): Unit = {
     val rnd = new Random(1234)
     val series = Seq("a", "b")
     // ages spread across all three archives, plus too-old and future
@@ -87,8 +95,15 @@ class StorePropertySpec extends SparkTestBase {
     }
     // 3 arbitrary (non-chronological) batches — batch order semantics
     val batches = points.grouped(60).toSeq
-    val store = HoardStore.create(spark, tmpDir("prop-store") + "/store", policy)
-    batches.foreach(b => store.updateMany(b, now))
+    val store = HoardStore.create(spark, tmpDir("prop-store") + "/store",
+      policy, strategy)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      store.updateMany(b, now)
+      // compaction between batches must be invisible to every later
+      // read and merge — the LSM background-fold property
+      if (strategy == HoardStore.DeltaAppend && i == 1)
+        store.compact(maxFilesPerMonth = 1)
+    }
 
     val want = mirror(batches)
     policy.sorted.foreach { ar =>
