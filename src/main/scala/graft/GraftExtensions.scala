@@ -3,7 +3,8 @@ package graft
 import graft.functions.{ArrayDot, MersenneAffine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Session-extension entry point — lets a deploy wire the library's
   * custom expressions into every session via
@@ -22,5 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MersenneAffine].getName, "graft_mersenne"),
       (exprs: Seq[Expression]) =>
         MersenneAffine(exprs.head, exprs(1), exprs(2))))
+    // Spark's own Bloom expressions, not publicly registered upstream —
+    // see graft.functions.BloomFunctions
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        BloomFilterAggregate(exprs.head, exprs(1), exprs(2), 0, 0)))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) =>
+        BloomFilterMightContain(exprs.head, exprs(1))))
   }
 }

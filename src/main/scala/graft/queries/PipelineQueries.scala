@@ -620,6 +620,25 @@ object PipelineQueries {
       // pass flags + the conjunction, all single-scan column work.
       TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    "p26_bloomaudit" -> ((s, dir) => {
+      // Bloom semi-join reduction: incoming (odd) docs' distinct
+      // trigram spans audited against the existing (even) corpus, the
+      // corpus scan prefiltered by the incoming side's Bloom filter
+      // (Spark's own BloomFilterAggregate/MightContain, registered via
+      // GraftExtensions) so only candidate span ids ever shuffle. The
+      // exact membership join restores exactness — the oracle runs the
+      // SAME join with no bloom anywhere.
+      val ids = TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), TextOps.hashId(col("shingle")).as("vid"))
+        .distinct()
+      BloomPrefilter.spanMembership(
+          ids.where(pmod(col("doc_id"), lit(2)) === 1),
+          ids.where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "vid")
+        .withColumn("flag_contaminated", col("known_ratio") > 0.5)
+        .orderBy("doc_id")
     })
   )
 
@@ -1480,7 +1499,34 @@ object PipelineQueries {
         |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
         |   AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
         |   AND n_stopwords >= 2) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // no bloom in the oracle: the prefilter is provably invisible
+    // (no false negatives + exact verify), so plain joins define truth
+    "p26_bloomaudit" ->
+      s"""WITH $ToksCte,
+        |sh AS (
+        |  SELECT doc_id, pos,
+        |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+        |         lead(token, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+        |sid AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS vid
+        |  FROM sh),
+        |inc AS (SELECT * FROM sid WHERE doc_id % 2 = 1),
+        |ex AS (SELECT DISTINCT vid FROM sid WHERE doc_id % 2 = 0),
+        |kn AS (
+        |  SELECT i.doc_id, COUNT(*) AS n_known
+        |  FROM inc i JOIN ex USING (vid) GROUP BY i.doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM inc GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_spans, COALESCE(kn.n_known, 0) AS n_known,
+        |  ROUND(CAST(COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_spans, 6)
+        |    AS known_ratio,
+        |  ROUND(CAST(COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_spans, 6) > 0.5
+        |    AS flag_contaminated
+        |FROM tot t LEFT JOIN kn USING (doc_id) ORDER BY t.doc_id""".stripMargin
   )
 
   private lazy val IncrementOracle: String =

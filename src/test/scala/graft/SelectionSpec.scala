@@ -162,6 +162,48 @@ class SelectionSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  // --- Bloom prefilter -------------------------------------------------
+
+  test("bloom prefilter never drops a true member (no false negatives)") {
+    val rnd = new Random(17)
+    val probeVids = Seq.fill(400)(rnd.nextInt(1000).toLong).distinct
+    val corpusVids = Seq.fill(400)(rnd.nextInt(1000).toLong).distinct
+    val bloom = graft.pipeline.BloomPrefilter.buildBloom(
+      probeVids.toDF("vid"), "vid", 1000L, 10000L)
+    val kept = graft.pipeline.BloomPrefilter
+      .prefilter(corpusVids.toDF("vid"), "vid", bloom)
+      .collect().map(_.getLong(0)).toSet
+    val trueMembers = corpusVids.toSet.intersect(probeVids.toSet)
+    assert(trueMembers.subsetOf(kept),
+      s"lost true members: ${trueMembers -- kept}")
+  }
+
+  test("bloom-prefiltered span membership == plain exact join") {
+    val rnd = new Random(19)
+    def side(ids: Range) = ids.flatMap(id =>
+      Seq.fill(12)((id.toLong, rnd.nextInt(150).toLong))).distinct
+    val probeRows = side(0 until 25)
+    val corpusRows = side(100 until 125)
+    val got = graft.pipeline.BloomPrefilter
+      .spanMembership(probeRows.toDF("doc_id", "vid"),
+        corpusRows.toDF("doc_id", "vid"), "doc_id", "vid", 500L, 5000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val corpusSet = corpusRows.map(_._2).toSet
+    val expected = probeRows.groupBy(_._1).map { case (id, rows) =>
+      val vids = rows.map(_._2).distinct
+      id -> (vids.size.toLong, vids.count(corpusSet).toLong)
+    }
+    assert(got == expected)
+  }
+
+  test("empty probe side yields a bloom that keeps nothing") {
+    val empty = Seq.empty[Long].toDF("vid")
+    val bloom = graft.pipeline.BloomPrefilter.buildBloom(empty, "vid", 10L, 100L)
+    val kept = graft.pipeline.BloomPrefilter
+      .prefilter(Seq(1L, 2L).toDF("vid"), "vid", bloom)
+    assert(kept.count() == 0)
+  }
+
   // --- Gopher rules ----------------------------------------------------
 
   private def gopher(rows: Seq[(Long, String)]) =
