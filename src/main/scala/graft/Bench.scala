@@ -86,14 +86,20 @@ object Bench {
     // under that or it arrives truncated and unparseable (BENCH_r03:
     // "parsed": null). 3-decimal times keep 64 queries ≈ 1.6 KB.
     val total = results.map(_._2).filter(_ >= 0).sum
-    val p50 = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the median-of-3 re-run set rides stderr: per-query times need the
+    // whole 2000-char stdout tail now that the surface is 93 queries
+    System.err.println("[bench] p50of3: " + rerun.toSeq.sorted.mkString(","))
     // steady-state streaming throughput (rows/s over micro-batch
-    // processing time, startup excluded) next to the wall numbers
-    val streaming = Seq("s1_stream", "s2_sessions", "s3_streamdedup",
-        "s4_streamincrement")
+    // processing time, startup excluded) next to the wall numbers —
+    // compact {name:rps} form; batch/row counts go to stderr
+    val streamNames = Seq("s1_stream", "s2_sessions", "s3_streamdedup",
+      "s4_streamincrement", "s5_streamjoin")
+    streamNames.foreach(n => graft.streaming.StreamStats.get(n).foreach(st =>
+      System.err.println(s"[bench] $n: batches=${st.batches} " +
+        s"rows=${st.inputRows} rows_per_sec=${"%.0f".format(st.rowsPerSec)}")))
+    val streaming = streamNames
       .flatMap(n => graft.streaming.StreamStats.get(n).map(st =>
-        s""""$n":{"batches":${st.batches},"rows":${st.inputRows},""" +
-          s""""rows_per_sec":${"%.0f".format(st.rowsPerSec)}}"""))
+        s""""$n":${"%.0f".format(st.rowsPerSec)}"""))
       .mkString("{", ",", "}")
     // significant figures, not fixed decimals: "12.3"/"1.23"/"0.283"
     // is ≤0.2% error at any magnitude (plenty against the 1.3x
@@ -107,7 +113,7 @@ object Bench {
         "\"" + k + "\":" + fmt(v, sig) }.mkString("{", ",", "}")
       // sf as basename: the directory prefix spends tail budget on
       // what the driver already knows
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"p50of3":$p50,"streaming":$streaming,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"streaming":$streaming,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // stay comfortably inside the 2000-char output tail the snapshot
     // records (minus sbt's trailer): drop a sig-fig if the line grows.

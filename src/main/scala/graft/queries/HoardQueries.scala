@@ -282,6 +282,45 @@ object HoardQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("event_id")).as("n_distinct"))
         .orderBy("event_type")
+    }),
+
+    "s5_streamjoin" -> ((s, dir) => {
+      // stream-stream interval join: each click joined to the same
+      // user's purchases within the following 30 minutes. Watermarks on
+      // BOTH sides + the time-range predicate bound the join state to a
+      // sliding window (Spark drops a side's state once the other
+      // side's watermark passes the range) — the pattern that keeps a
+      // stream-stream join finite at any event rate. Inner join ⇒ the
+      // result is complete, so the oracle is the static self-join.
+      graft.Graft.configure(s)
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      def src(et: String) = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .where(col("event_type") === et)
+      val clicks = src("click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = src("purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      val name = "s5_join_" + StreamCounter.incrementAndGet()
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s5_streamjoin", q); q.stop()
+      s.table(name)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy("click_id", "purchase_id")
     })
   )
 
@@ -437,6 +476,19 @@ object HoardQueries {
       """SELECT event_type, COUNT(*) AS n,
         |       COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // inner stream-stream join is complete, so truth is the static
+    // self-join; gap in exact integer microseconds on both engines
+    "s5_streamjoin" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)  -- µs, matching Spark's truncation
+        | AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "s2_sessions" ->
       """WITH pts AS (

@@ -639,6 +639,101 @@ object PipelineQueries {
           "doc_id", "vid")
         .withColumn("flag_contaminated", col("known_ratio") > 0.5)
         .orderBy("doc_id")
+    }),
+
+    "p27_bm25" -> ((s, dir) => {
+      // exact Okapi BM25 top-20 for a fixed term query — the lexical
+      // retrieval path next to the dense ANN family. Corpus-sized work
+      // is two partial aggregates (doc length; tf over an isin-filtered
+      // scan); df + corpus stats broadcast back; top-k is
+      // TakeOrderedAndProject. Per-term scores round to 1e-6 and sum
+      // as DECIMAL so ranking is engine-stable.
+      val scored = Bm25.score(toks(s, dir), "doc_id",
+        Seq("spark", "merge", "window"))
+      scored
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20) // TakeOrderedAndProject — the 20-row window below is driver-scale
+        // pmod(doc_id, 1) = one genuine (non-foldable) partition: the
+        // global rank runs over the 20-row top-k result, never the corpus
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("rnk"), col("doc_id"),
+          round(col("score"), 6).as("score"), col("n_hit"))
+        .orderBy("rnk")
+    }),
+
+    "p28_quantrerank" -> ((s, dir) => {
+      // quantized-coarse + exact-rerank ANN: the serving-scale pattern
+      // where the int8 codes (4x smaller scan, integer SIMD dot) rank
+      // ALL candidates and the full-precision vectors only rerank the
+      // short list. Coarse score = cos of the quantized vectors,
+      // computed from EXACT integer dots (idot / sqrt(qq_a*qq_b) —
+      // IEEE-exact on both engines), so candidate selection is
+      // bit-deterministic; final sim = exact cosine rounded 1e-6 as in
+      // p7. Queries broadcast; the corpus side never shuffles until
+      // the per-query top-10 partial TopK.
+      val e = emb(s, dir)
+      val qz = e.select(col("vec_id"),
+          Embeddings.asDouble(col("embedding")).as("v"))
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+        .withColumn("q",
+          transform(col("v"), x => round(x * col("scale")).cast("long")))
+        .withColumn("qq",
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+        .select("vec_id", "q", "qq")
+      val cand = qz.select(col("vec_id").as("neighbor_id"),
+        col("q").as("qb"), col("qq").as("qqb"))
+      val coarse = cand
+        .crossJoin(broadcast(qz.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("q").as("qa"), col("qq").as("qqa"))))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("idot", aggregate(
+          zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("asim", col("idot").cast("double") /
+          sqrt((col("qqa") * col("qqb")).cast("double")))
+      val wC = Window.partitionBy(col("query_id"))
+        .orderBy(col("asim").desc, col("neighbor_id"))
+      val short = coarse
+        .withColumn("crn", row_number().over(wC)).where(col("crn") <= 10)
+        .select("query_id", "neighbor_id", "idot")
+      val uv = Embeddings.withUnitVector(e, "embedding", "uv")
+        .select(col("vec_id"), col("uv"))
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      short
+        .join(uv.select(col("vec_id").as("neighbor_id"), col("uv").as("cn")),
+          "neighbor_id")
+        .join(broadcast(uv.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("uv").as("qn"))),
+          "query_id")
+        .withColumn("sim", round(Embeddings.unitCosine("qn", "cn"), 6))
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("query_id", "rnk", "neighbor_id", "sim", "idot")
+        .orderBy("query_id", "rnk")
+    }),
+
+    "t10_normalize" -> ((s, dir) => {
+      // text normalization + content addressing: the canonicalization
+      // pass that fronts every exact-dedup / CC-style pipeline
+      // (lowercase, strip non-alphanumerics, collapse whitespace) with
+      // the md5 of the canonical form as the content address. Pure
+      // per-row string work — one scan, no shuffle before the sort.
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_raw"),
+          length(norm).cast("long").as("n_chars_norm"),
+          when(norm === "", 0L)
+            .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"),
+          md5(norm.cast("binary")).as("content_key"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1526,7 +1621,93 @@ object PipelineQueries {
         |    AS known_ratio,
         |  ROUND(CAST(COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_spans, 6) > 0.5
         |    AS flag_contaminated
-        |FROM tot t LEFT JOIN kn USING (doc_id) ORDER BY t.doc_id""".stripMargin
+        |FROM tot t LEFT JOIN kn USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // exact BM25 (k1=1.2, b=0.75): per-term scores rounded to 1e-6 and
+    // summed as DECIMAL, so the ranking is identical on both engines
+    "p27_bm25" ->
+      s"""WITH $ToksCte,
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        |  WHERE token IN ('spark', 'merge', 'window')
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6)
+        |      AS DECIMAL(28,6)) AS term_score
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score,
+        |         COUNT(*) AS n_hit
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |         AS rnk,
+        |       doc_id, ROUND(score, 6) AS score, n_hit
+        |FROM agg QUALIFY rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // int8-coarse + exact-rerank ANN: the shortlist is selected by the
+    // cosine of the QUANTIZED vectors, computed from exact integer dots
+    // (bit-deterministic), then reranked by p7's exact rounded cosine
+    "p28_quantrerank" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS d
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM ex GROUP BY vec_id),
+        |qx AS (
+        |  SELECT e.vec_id, d,
+        |         CAST(ROUND(x * CASE WHEN amax > 0 THEN 127.0/amax
+        |                             ELSE 0.0 END) AS BIGINT) AS qi
+        |  FROM ex e JOIN s USING (vec_id)),
+        |qq AS (SELECT vec_id, SUM(qi*qi) AS qq FROM qx GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS idot
+        |  FROM qx a JOIN qx b ON a.d = b.d AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10
+        |  GROUP BY 1, 2),
+        |appr AS (
+        |  SELECT query_id, neighbor_id, idot,
+        |         CAST(idot AS DOUBLE)
+        |           / sqrt(CAST(qa.qq * qb.qq AS DOUBLE)) AS asim
+        |  FROM dots JOIN qq qa ON qa.vec_id = query_id
+        |            JOIN qq qb ON qb.vec_id = neighbor_id),
+        |shortl AS (
+        |  SELECT query_id, neighbor_id, idot FROM appr
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY asim DESC, neighbor_id) <= 10),
+        |scored AS (
+        |  SELECT t.query_id, t.neighbor_id, t.idot,
+        |         ROUND(list_cosine_similarity(
+        |           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+        |           AS sim
+        |  FROM shortl t JOIN embeddings a ON a.vec_id = t.query_id
+        |                JOIN embeddings b ON b.vec_id = t.neighbor_id)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+        |       neighbor_id, sim, idot
+        |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "t10_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(n) AS BIGINT) AS n_chars_norm,
+        |  CAST(CASE WHEN n = '' THEN 0
+        |            ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_tokens,
+        |  md5(n) AS content_key
+        |FROM (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 
   private lazy val IncrementOracle: String =

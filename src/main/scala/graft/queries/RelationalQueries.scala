@@ -341,8 +341,47 @@ object RelationalQueries {
         .select(col("bucket").cast("date").cast("string").as("bucket"), col("click_v"),
           col("purchase_v"), col("n_click"), col("n"))
         .orderBy("bucket")
+    }),
+
+    "q27_bucketjoin" -> ((s, dir) => {
+      // bucket-co-located join: both fact tables are written bucketed +
+      // sorted by the join key, so the SortMergeJoin reads bucket i
+      // against bucket i with NO Exchange on either side — at 100 TB
+      // this is THE layout for repeatedly-joined fact tables (bucket
+      // once at ingest, every subsequent join is shuffle-free). The
+      // merge hint pins SMJ so the gate proves the bucketing (a
+      // broadcast would trivially skip the shuffle at fixture size);
+      // LayoutSpec asserts zero shuffles below the join.
+      val li = bucketed(s, dir, "lineitem", "l_orderkey")
+      val o = bucketed(s, dir, "orders", "o_orderkey")
+      li.hint("merge")
+        .join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
+            .cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
+
+  /** The table written as a bucketed+sorted copy (8 buckets on `key`),
+    * created once per (session, sfDir) and reused — the ingest-time cost
+    * that buys every later join its shuffle-freedom. External-path
+    * tables so the warehouse never lands inside the repo.
+    */
+  private[queries] def bucketed(s: SparkSession, dir: String, table: String,
+                                key: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val name = s"graft_bkt_${table}_$tag"
+    if (!s.catalog.tableExists(name)) {
+      val path = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft-buckets/$name").getAbsolutePath
+      graft.store.Layout.writeBucketedAt(
+        t(s, dir, table), name, path, Seq(key), buckets = 8)
+    }
+    s.table(name)
+  }
 
   val oracles: Map[String, String] = Map(
     "q1_scan" ->
@@ -569,6 +608,17 @@ object RelationalQueries {
         | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
         | COUNT(*) AS n
         |FROM events GROUP BY date_trunc('day', ts)
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    // the bucketed copies hold identical data to the source tables, so
+    // the oracle joins the sources directly — the bucketing is a plan
+    // property (gated in LayoutSpec), never a result property
+    "q27_bucketjoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -19,5 +19,18 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Persist `df` as an EXTERNAL bucketed table at `path` — for sessions
+    * whose static warehouse conf we don't own (e.g. the driver's), where a
+    * managed table would land in an unwanted default warehouse dir.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, path: String,
+                      bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

@@ -42,4 +42,16 @@ class LayoutSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("q27_bucketjoin consumes the bucketed layout: no exchange below the SMJ") {
+    val df = SparkEntry.queries("q27_bucketjoin")(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // tree text below the SMJ line is its inputs: bucketed scans only —
+    // the agg/sort exchanges above the join are expected and tiny
+    val joinPart = plan.split("SortMergeJoin").last
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"join inputs were shuffled despite bucketing:\n$plan")
+  }
 }

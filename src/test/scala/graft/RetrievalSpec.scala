@@ -1,0 +1,112 @@
+package graft
+
+import graft.pipeline.{Bm25, Embeddings, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Gates for the retrieval-shaped operators: BM25 lexical search (p27),
+  * int8-coarse + exact-rerank ANN (p28), and the t10 canonicalization
+  * pass. Exactness vs DuckDB is the oracle's job; these tests pin the
+  * semantic properties the oracle can't see (ranking monotonicity,
+  * shortlist recall, edge-case normalization).
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25: ranks are dense, ordered, and every hit contains a query term") {
+    val out = SparkEntry.queries("p27_bm25")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.map(_.getLong(0)).toSeq == (1L to out.length).toSeq)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val terms = Set("spark", "merge", "window")
+    val hitIds = out.map(_.getLong(1)).toSet
+    val withTerm = Tables.load(spark, dir, "documents")
+      .where(col("doc_id").isin(hitIds.toSeq: _*))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+      .toMap
+    hitIds.foreach { id =>
+      assert(withTerm(id).intersect(terms).nonEmpty, s"doc $id has no query term")
+    }
+  }
+
+  test("bm25: more occurrences of a term outrank fewer at equal doc length") {
+    import spark.implicits._
+    // same length, same single matching term, different tf
+    val docs = Seq(
+      (1L, "spark spark spark pad1 pad2 pad3"),
+      (2L, "spark spark pad1 pad2 pad3 pad4"),
+      (3L, "spark pad1 pad2 pad3 pad4 pad5"),
+      (4L, "pad0 pad1 pad2 pad3 pad4 pad5")).toDF("doc_id", "text")
+    val toks = TextOps.tokens(docs, "doc_id", "text")
+    val scored = Bm25.score(toks, "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.keySet == Set(1L, 2L, 3L)) // no-hit doc absent
+    assert(scored(1L) > scored(2L) && scored(2L) > scored(3L))
+  }
+
+  test("quantrerank: shortlist rerank recovers the exact top-3 (recall floor)") {
+    val exact = SparkEntry.queries("p7_anntopk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rerank = SparkEntry.queries("p28_quantrerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.size == rerank.size)
+    val recall = exact.intersect(rerank).size.toDouble / exact.size
+    // int8 on 64-dim unit-ish vectors: coarse top-10 should almost
+    // always contain the true top-3; gate well above chance, below 1.0
+    // so legitimate quantization misses don't flake the suite
+    assert(recall >= 0.8, s"recall@3 = $recall")
+  }
+
+  test("quantrerank: coarse integer cosine tracks the exact cosine") {
+    // the asim used for shortlisting is cos() of the quantized vectors;
+    // on the shortlist winners it must sit within int8 error of exact
+    val out = SparkEntry.queries("p28_quantrerank")(spark, dir)
+    val e = Tables.load(spark, dir, "embeddings")
+    val uv = Embeddings.withUnitVector(e, "embedding", "uv")
+      .select(col("vec_id"), col("uv"))
+    val qz = e.select(col("vec_id"),
+        Embeddings.asDouble(col("embedding")).as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+      .withColumn("q", transform(col("v"), x => round(x * col("scale")).cast("long")))
+      .withColumn("qq", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .select(col("vec_id"), col("q"), col("qq"))
+    val joined = out
+      .join(qz.select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("qq").as("qqa")), "query_id")
+      .join(qz.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("qq").as("qqb")), "neighbor_id")
+      .withColumn("asim",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          sqrt((col("qqa") * col("qqb")).cast("double")))
+      .select(col("sim"), col("asim")).collect()
+    joined.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.05,
+        s"quantized cosine drifted: exact=${r.getDouble(0)} coarse=${r.getDouble(1)}")
+    }
+  }
+
+  test("t10 normalization edge cases: punctuation, space runs, empty results") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!  This   is  A test."),
+      (2L, "!!! ??? ..."),
+      (3L, ""),
+      (4L, "already clean text")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t10docs")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val out = docs.select(col("doc_id"), norm.as("n"),
+        when(norm === "", 0L)
+          .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(out.contains((1L, "hello world this is a test", 6L)))
+    assert(out.contains((2L, "", 0L)))
+    assert(out.contains((3L, "", 0L)))
+    assert(out.contains((4L, "already clean text", 3L)))
+  }
+}

@@ -180,4 +180,24 @@ class StreamingSpec extends SparkTestBase {
         r.getLong(2), r.getDouble(3)))
     assert(streamed.nonEmpty && streamed.toSeq == batchAnswer.toSeq)
   }
+
+  test("stream-stream interval join (s5) == static self-join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("s5_streamjoin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.load(spark, dir, "events")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("cus"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pus"))
+    val static = c.join(p, col("user_id") === col("pu") &&
+        col("pus") >= col("cus") && col("pus") - col("cus") <= 1800000000L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("pus") - col("cus")).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == static.toSeq)
+  }
 }
