@@ -293,29 +293,39 @@ object HoardQueries {
       // stream-stream join finite at any event rate. Inner join ⇒ the
       // result is complete, so the oracle is the static self-join.
       graft.Graft.configure(s)
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      def src(et: String) = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .where(col("event_type") === et)
-      val clicks = src("click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val buys = src("purchase")
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user"), col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-      val joined = clicks.join(buys,
-        col("user_id") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      // a stream-stream join materializes 4 state stores per shuffle
+      // partition per side; at 32 partitions the per-batch store
+      // commits dominate a bounded replay. 8 state partitions bound
+      // that constant; on a live cluster this is sized to event rate,
+      // not to the batch-side core count. (Pinned at query START —
+      // state partitioning is immutable for the life of a stream.)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val name = "s5_join_" + StreamCounter.incrementAndGet()
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      q.processAllAvailable()
-      graft.streaming.StreamStats.record("s5_streamjoin", q); q.stop()
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val path = s"$dir/events.parquet"
+        val schema = s.read.parquet(path).schema
+        def src(et: String) = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .where(col("event_type") === et)
+        val clicks = src("click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val buys = src("purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(buys,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        graft.streaming.StreamStats.record("s5_streamjoin", q); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
