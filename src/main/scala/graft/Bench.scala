@@ -93,13 +93,15 @@ object Bench {
     // processing time, startup excluded) next to the wall numbers —
     // compact {name:rps} form; batch/row counts go to stderr
     val streamNames = Seq("s1_stream", "s2_sessions", "s3_streamdedup",
-      "s4_streamincrement", "s5_streamjoin")
+      "s4_streamincrement", "s5_streamjoin", "s6_streamstore")
     streamNames.foreach(n => graft.streaming.StreamStats.get(n).foreach(st =>
       System.err.println(s"[bench] $n: batches=${st.batches} " +
         s"rows=${st.inputRows} rows_per_sec=${"%.0f".format(st.rowsPerSec)}")))
+    // short keys (s1..s5): the full names already appear in "queries",
+    // and every char here competes with a per-query time for tail space
     val streaming = streamNames
       .flatMap(n => graft.streaming.StreamStats.get(n).map(st =>
-        s""""$n":${"%.0f".format(st.rowsPerSec)}"""))
+        s""""${n.takeWhile(_ != '_')}":${"%.0f".format(st.rowsPerSec)}"""))
       .mkString("{", ",", "}")
     // significant figures, not fixed decimals: "12.3"/"1.23"/"0.283"
     // is ≤0.2% error at any magnitude (plenty against the 1.3x
@@ -111,15 +113,19 @@ object Bench {
     def build(sig: Int): String = {
       val qs = results.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, sig) }.mkString("{", ",", "}")
-      // sf as basename: the directory prefix spends tail budget on
-      // what the driver already knows
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"streaming":$streaming,"sf":"${new java.io.File(sfDir).getName}"}"""
+      // no "sf" field: the driver's wrapper records it already, and at
+      // 95 queries those 13 chars are the difference between 2 and 1
+      // significant figures for every per-query time
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"streaming":$streaming}"""
     }
-    // stay comfortably inside the 2000-char output tail the snapshot
-    // records (minus sbt's trailer): drop a sig-fig if the line grows.
-    // sig-1 still resolves the 1.3x regression threshold (±5% worst
-    // case) — the last-resort format, never the preferred one.
-    val line = Seq(3, 2, 1).map(build).find(_.length <= 1800)
+    // tail budget, measured from the driver's snapshots: it captures
+    // the LAST 2000 chars of the merged output; after our line only
+    // sbt's "[success] Total time: …" trailer (~74 chars) follows
+    // (BENCH_r03's tail shows exactly that shape). 1880 + 74 leaves a
+    // ~46-char cushion for a stray shutdown WARN. sig-1 still resolves
+    // the 1.3x regression threshold (±5% worst case) — the last-resort
+    // format, never the preferred one.
+    val line = Seq(3, 2, 1).map(build).find(_.length <= 1880)
       .getOrElse(build(1))
     System.err.println(s"[bench] json line length: ${line.length} chars")
     // full-precision copy for the next run's regression baseline

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered per-series folds — the recurrence-shaped Graphite series
+  * functions (exponentialMovingAverage here) whose state at row t
+  * depends on the VALUE computed at row t-1, not just on row t-1's
+  * inputs. No window frame can express that (a frame aggregates source
+  * rows, it cannot read its own prior output), and the closed form
+  * (powers of 1-α) is cross-engine-fragile because `pow` is not
+  * correctly-rounded identically across libms. So this is the one
+  * series family computed as a typed per-group fold:
+  * groupByKey(series) → sort the group by bucket → left fold emitting
+  * every intermediate state.
+  *
+  * Scale contract: the group materialized per key is ONE series'
+  * points within retention — bounded by the archive's `points` (the
+  * Whisper ring-size invariant, reference `src/hoard.coffee:416`), not
+  * by corpus size. Work distributes across series exactly like every
+  * other per-series window in the engine; only the fold inside a key
+  * is sequential, as the recurrence itself demands.
+  *
+  * Determinism: the fold performs the same IEEE-754 ops in the same
+  * order on any partitioning (`α·x + (1-α)·e`, two multiplies + one
+  * add per step), so results are bit-identical to a sequential mirror
+  * — and to a DuckDB recursive CTE stepping the same recurrence.
+  */
+object SeriesFold {
+
+  /** Graphite's exponentialMovingAverage: ema_0 = x_0,
+    * ema_t = α·x_t + (1-α)·ema_{t-1}, emitted for every slot.
+    * Input columns: series (string), bucket (timestamp), value
+    * (double); output (series, bucket, ema) with bucket as epoch
+    * seconds preserved through the fold.
+    */
+  def exponentialMovingAverage(df: DataFrame, seriesCol: String,
+                               bucketCol: String, valueCol: String,
+                               alpha: Double): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    df.select(col(seriesCol).cast("string"),
+        col(bucketCol).cast("long"), col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        // one series within retention: bounded by the level's `points`
+        val rows = it.map(r => (r._2, r._3)).toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by((p: (Long, Double)) => p._1))
+        var e = 0.0
+        var first = true
+        rows.iterator.map { case (b, v) =>
+          e = if (first) { first = false; v } else alpha * v + beta * e
+          (key, b, e)
+        }
+      }
+      .toDF(seriesCol, bucketCol, "ema")
+      .withColumn(bucketCol, timestamp_seconds(col(bucketCol)))
+  }
+}

@@ -163,6 +163,22 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h13_ema" -> ((s, dir) => {
+      // Graphite's exponentialMovingAverage over the hourly lww series:
+      // a true recurrence (ema_t depends on ema_{t-1}'s OUTPUT), so it
+      // runs as the typed per-series fold in operators.SeriesFold —
+      // bounded by retention per key, bit-deterministic at any
+      // partitioning, and matched by a DuckDB recursive CTE stepping
+      // the identical IEEE ops. α=0.25 is exact in binary so the
+      // constant itself cannot differ across engines.
+      graft.operators.SeriesFold
+        .exponentialMovingAverage(hourlyByType(s, dir),
+          "event_type", "bucket", "value", alpha = 0.25)
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("ema"), 6).as("ema"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h6_asof" -> ((s, dir) => {
       AsOf.latestAtOrBefore(ev(s, dir), "user_id", "ts", "event_id", "value",
           expr("TIMESTAMP '2024-01-15 12:00:00'"))
@@ -446,6 +462,28 @@ object HoardQueries {
         | LEFT JOIN hourly p ON p.event_type = c.event_type
         |  AND p.h + INTERVAL 7 DAY = c.h
         |ORDER BY c.event_type, bucket""".stripMargin,
+
+    // the recursive CTE steps the SAME recurrence in the SAME IEEE op
+    // order as SeriesFold's fold (0.25*x + 0.75*e), so the match is
+    // bit-exact, not approximate — no pow(), no closed form
+    "h13_ema" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |o AS (
+        |  SELECT event_type, h, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hourly),
+        |rec AS (
+        |  SELECT event_type, h, rn, v AS ema FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.h, o.rn, 0.25 * o.v + 0.75 * r.ema
+        |  FROM rec r JOIN o ON o.event_type = r.event_type
+        |   AND o.rn = r.rn + 1)
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(ema, 6) AS ema
+        |FROM rec ORDER BY event_type, bucket""".stripMargin,
 
     "h6_asof" ->
       """SELECT user_id, ROUND(value, 6) AS value,

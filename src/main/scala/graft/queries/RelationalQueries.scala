@@ -343,6 +343,26 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
+    "q28_formats" -> ((s, dir) => {
+      // non-parquet sources: customer staged as CSV (header, quoted
+      // strings) and nation as JSON-lines, both read back with EXPLICIT
+      // schemas (no inference pass — at 100 TB schema inference is a
+      // full extra scan) through Spark's vectorized text readers, then
+      // a broadcast dim join + decimal-exact aggregate. The oracle runs
+      // the same query on the original parquet: the round-trip must be
+      // value-exact (doubles survive via shortest-round-trip repr).
+      val base = formatsDir(s, dir)
+      val cust = s.read.schema(t(s, dir, "customer").schema)
+        .option("header", "true").csv(s"$base/customer_csv")
+      val nat = s.read.schema(t(s, dir, "nation").schema)
+        .json(s"$base/nation_json")
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sumDec(col("c_acctbal")), 6).as("acctbal"))
+        .orderBy("n_name")
+    }),
+
     "q27_bucketjoin" -> ((s, dir) => {
       // bucket-co-located join: both fact tables are written bucketed +
       // sorted by the join key, so the SortMergeJoin reads bucket i
@@ -364,6 +384,23 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     })
   )
+
+  /** CSV/JSON staging for q28, once per (JVM, sfDir): the engine's own
+    * parquet rows re-exported through the text writers so the read path
+    * under test consumes files with real quoting/escaping, not
+    * hand-built fixtures.
+    */
+  private val stagedFormats = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def formatsDir(s: SparkSession, dir: String): String =
+    stagedFormats.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-formats")
+        .toString
+      t(s, dir, "customer").write.option("header", "true")
+        .mode("overwrite").csv(s"$tmp/customer_csv")
+      t(s, dir, "nation").write.mode("overwrite").json(s"$tmp/nation_json")
+      tmp
+    })
 
   /** The table written as a bucketed+sorted copy (8 buckets on `key`),
     * created once per (session, sfDir) and reused — the ingest-time cost
@@ -611,6 +648,15 @@ object RelationalQueries {
         |ORDER BY bucket""".stripMargin,
 
     // the bucketed copies hold identical data to the source tables, so
+    // the oracle reads the ORIGINAL parquet — the CSV/JSON round-trip
+    // must be value-exact for the hashes to meet
+    "q28_formats" ->
+      """SELECT n_name, COUNT(*) AS n,
+        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |   AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     // the oracle joins the sources directly — the bucketing is a plan
     // property (gated in LayoutSpec), never a result property
     "q27_bucketjoin" ->

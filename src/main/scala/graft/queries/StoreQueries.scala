@@ -108,7 +108,60 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** Streaming-ingested store: the events staged as TWO parquet files
+    * and delivered through Structured Streaming (`maxFilesPerTrigger=1`
+    * ⇒ two micro-batches) into `StreamIngest.start`'s foreachBatch →
+    * `updateManyDf` path — the production ingress shape of SURVEY
+    * §3.4. The store after the stream drains must equal the
+    * from-scratch batch store, so s6 shares hs2/hs3's oracle VERBATIM.
+    */
+  private val builtStream = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeStreamed(s: SparkSession, dir: String): HoardStore = {
+    val root = builtStream.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-stream")
+        .toString
+      val st = HoardStore.create(s, tmp + "/store", Policy)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      // stage as two files cut mid-day (hs3's boundary: Jan-16's daily
+      // interval spans both micro-batches, exercising re-propagation
+      // through the STREAMING path)
+      val cut = 1705406400L // 2024-01-16 12:00:00 UTC
+      val stage = tmp + "/in"
+      ev.where(col("ts") < cut).coalesce(1)
+        .write.mode("append").parquet(stage)
+      ev.where(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(stage)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.StreamIngest.start(stream, st, () => Now,
+        tmp + "/ckpt")
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s6_streamstore", q)
+      q.stop()
+      tmp + "/store"
+    })
+    HoardStore.open(s, root)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_streamstore" -> ((s, dir) => {
+      // daily rollup level after the events arrive as a STREAM (two
+      // micro-batches through foreachBatch → the real write path): must
+      // equal the from-scratch batch recomputation — same oracle as
+      // hs2/hs3/hs6
+      graft.Graft.configure(s)
+      val st = storeStreamed(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs6_deltastore" -> ((s, dir) => {
       // daily rollup level after two batches through the APPEND-ONLY
       // write path (write-amp ∝ batch): must equal the from-scratch
@@ -174,38 +227,32 @@ object StoreQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // the append-only (LSM) store must converge to the identical
-    // from-scratch rollup — same SQL as hs2/hs3 by design
-    "hs6_deltastore" ->
-      """WITH hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
-        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
-        |daily AS (
-        |  SELECT event_type, date_trunc('day', h) AS d,
-        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
-        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
-        |  HAVING COUNT(v) >= 12)
-        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
-        |       ROUND(v, 6) AS value
-        |FROM daily ORDER BY series_id, bucket""".stripMargin,
+  /** The from-scratch daily-rollup recomputation — the ONE oracle
+    * every store-convergence gate shares by design: hs2 (one batch),
+    * hs3 (two chronological batches), hs6 (append-only LSM strategy
+    * with mid-stream compaction), s6 (two micro-batches through the
+    * Structured Streaming ingress). Whatever the write path, the level
+    * contents must converge to this.
+    */
+  private val DailyRollupSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |daily AS (
+      |  SELECT event_type, date_trunc('day', h) AS d,
+      |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+      |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
+      |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+      |  HAVING COUNT(v) >= 12)
+      |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
+      |       ROUND(v, 6) AS value
+      |FROM daily ORDER BY series_id, bucket""".stripMargin
 
-    "hs3_incremental" ->
-      """WITH hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
-        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
-        |daily AS (
-        |  SELECT event_type, date_trunc('day', h) AS d,
-        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
-        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
-        |  HAVING COUNT(v) >= 12)
-        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
-        |       ROUND(v, 6) AS value
-        |FROM daily ORDER BY series_id, bucket""".stripMargin,
+  val oracles: Map[String, String] = Map(
+    "s6_streamstore" -> DailyRollupSql,
+    "hs6_deltastore" -> DailyRollupSql,
+    "hs3_incremental" -> DailyRollupSql,
 
     // the store's lww key is (epoch-second, ingest seq); the oracle
     // packs the same ordering into one BIGINT key
@@ -251,19 +298,6 @@ object StoreQueries {
         | t(step, points, retention, max_retention, xff, cf)
         |ORDER BY step""".stripMargin,
 
-    "hs2_storerollup" ->
-      """WITH hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
-        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
-        |daily AS (
-        |  SELECT event_type, date_trunc('day', h) AS d,
-        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
-        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
-        |  HAVING COUNT(v) >= 12)
-        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
-        |       ROUND(v, 6) AS value
-        |FROM daily ORDER BY series_id, bucket""".stripMargin
+    "hs2_storerollup" -> DailyRollupSql
   )
 }

@@ -103,6 +103,35 @@ class OperatorSpec extends SparkTestBase {
     assert(salted == direct) // integer-valued doubles: sums exact
   }
 
+  test("SeriesFold EMA == sequential per-series fold, any partitioning") {
+    // deterministic pseudo-random series via an LCG; shuffled input
+    // order + forced repartition so the group-side sort is load-bearing
+    var x = 12345L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val rows = for (s <- Seq("a", "b", "c"); i <- 0 until 200) yield
+      (s, i * 3600L, ((next() >>> 11) % 10000) / 100.0)
+    val shuffled = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(rows)
+    val df = shuffled.toDF("series_id", "bucket", "value")
+      .withColumn("bucket", timestamp_seconds($"bucket"))
+      .repartition(7)
+    val got = SeriesFold
+      .exponentialMovingAverage(df, "series_id", "bucket", "value", 0.25)
+      .select($"series_id", $"bucket".cast("long"), $"ema")
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = rows.groupBy(_._1).flatMap { case (s, pts) =>
+      var e = 0.0; var first = true
+      pts.sortBy(_._2).map { case (_, b, v) =>
+        e = if (first) { first = false; v } else 0.25 * v + 0.75 * e
+        (s, b) -> e
+      }
+    }
+    assert(got.size == want.size)
+    // bit-exact: same IEEE op sequence on both sides
+    want.foreach { case (k, v) => assert(got(k) == v, s"at $k") }
+  }
+
   private implicit class Tup5Map(rows: Array[(String, Double, Long, Double, Double)]) {
     def toMap0: Map[String, (Double, Long, Double, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
