@@ -73,9 +73,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val first = names.map(n => n -> run(n))
     val slow = first.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
-    val regressed = first.filter { case (n, t) =>
-      t >= 0 && baseline.get(n).exists(b => b > 0 && t > 1.3 * b)
-    }.map(_._1).toSet
+    // cap the regression re-runs at the 10 worst ratios: when ambient
+    // load slows the WHOLE pass, every query trips 1.3x and an
+    // uncapped rerun set triples the bench wall time without
+    // attributing anything (a 38-query rerun pass observed once)
+    val regressed = first
+      .flatMap { case (n, t) =>
+        baseline.get(n).collect {
+          case b if t >= 0 && b > 0 && t > 1.3 * b => n -> t / b } }
+      .sortBy(-_._2).take(10).map(_._1).toSet
     val rerun = slow ++ regressed
     val results = first.map { case (n, t0) =>
       if (!rerun(n) || t0 < 0) n -> t0
@@ -125,7 +131,7 @@ object Bench {
     // ~46-char cushion for a stray shutdown WARN. sig-1 still resolves
     // the 1.3x regression threshold (±5% worst case) — the last-resort
     // format, never the preferred one.
-    val line = Seq(3, 2, 1).map(build).find(_.length <= 1880)
+    val line = Seq(3, 2, 1).map(build).find(_.length <= 1900)
       .getOrElse(build(1))
     System.err.println(s"[bench] json line length: ${line.length} chars")
     // full-precision copy for the next run's regression baseline
