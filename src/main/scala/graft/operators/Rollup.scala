@@ -47,6 +47,9 @@ object Rollup {
       case "min"  => min(col(valueCol))
       case "max"  => max(col(valueCol))
       case "sum"  => sum(col(valueCol))
+      // decimal-exact sum (same determinism argument as avg_exact)
+      case "sum_exact" =>
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double")
       case "last" => max_by(col(valueCol), col("__fi"))
       case other  => throw new IllegalArgumentException(s"unknown cf: $other")
     }

@@ -179,6 +179,45 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h14_keeplast" -> ((s, dir) => {
+      // Graphite's keepLastValue over the dense gap-filled fetch frame:
+      // nulls forward-fill from the series' last known value (a running
+      // ignore-nulls `last` over a ROWS frame — partitioned per series,
+      // never a global window). The raw value rides alongside so the
+      // fill provenance stays visible.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = hourlyByUser(s, dir)
+      val users = ev(s, dir).select("user_id").distinct()
+      val dense = GapFill.densify(hourly, users, "user_id", "bucket",
+        Seq("value"),
+        fromInterval = 1704412800L, // 2024-01-05 00:00:00 UTC
+        toInterval = 1704585600L,   // 2024-01-07 00:00:00 UTC (exclusive)
+        step = 3600)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dense
+        .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("filled"), 6).as("filled"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    "h15_summarize" -> ((s, dir) => {
+      // Graphite's summarize("4h", "sum"): plain tumbling re-bucket of
+      // the hourly lww series with NO xff gate (xff=0) — the cf family
+      // the reference left as a TODO (hoard.coffee:156), here the
+      // decimal-exact sum. Buckets output as epoch seconds: exact
+      // integers on both engines, no timezone surface at all.
+      Rollup.downsample(hourlyByType(s, dir), "event_type", "bucket",
+          "value", finerStep = 3600, coarserStep = 14400, xff = 0.0,
+          cf = "sum_exact")
+        .select(col("event_type"),
+          unix_seconds(col("bucket")).as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h6_asof" -> ((s, dir) => {
       AsOf.latestAtOrBefore(ev(s, dir), "user_id", "ts", "event_id", "value",
           expr("TIMESTAMP '2024-01-15 12:00:00'"))
@@ -484,6 +523,40 @@ object HoardQueries {
         |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
         |       ROUND(ema, 6) AS ema
         |FROM rec ORDER BY event_type, bucket""".stripMargin,
+
+    "h14_keeplast" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |spine AS (
+        |  SELECT user_id, g AS h
+        |  FROM users CROSS JOIN generate_series(
+        |    TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-06 23:00:00',
+        |    INTERVAL 1 HOUR) AS t(g))
+        |SELECT s.user_id, CAST(s.h AS VARCHAR) AS bucket,
+        |       ROUND(h.v, 6) AS value,
+        |       ROUND(last_value(h.v IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |         AS filled
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.user_id = h.user_id AND s.h = h.h
+        |ORDER BY s.user_id, bucket""".stripMargin,
+
+    "h15_summarize" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type,
+        |       (epoch_us(h) // 1000000 // 14400) * 14400 AS bucket,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS value
+        |FROM hourly GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "h6_asof" ->
       """SELECT user_id, ROUND(value, 6) AS value,
