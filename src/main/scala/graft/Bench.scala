@@ -99,7 +99,8 @@ object Bench {
     // processing time, startup excluded) next to the wall numbers —
     // compact {name:rps} form; batch/row counts go to stderr
     val streamNames = Seq("s1_stream", "s2_sessions", "s3_streamdedup",
-      "s4_streamincrement", "s5_streamjoin", "s6_streamstore")
+      "s4_streamincrement", "s5_streamjoin", "s6_streamstore",
+      "s7_streamdim")
     streamNames.foreach(n => graft.streaming.StreamStats.get(n).foreach(st =>
       System.err.println(s"[bench] $n: batches=${st.batches} " +
         s"rows=${st.inputRows} rows_per_sec=${"%.0f".format(st.rowsPerSec)}")))
@@ -116,23 +117,28 @@ object Bench {
     def fmt(v: Double, sig: Int): String =
       BigDecimal(v).round(new java.math.MathContext(sig))
         .bigDecimal.stripTrailingZeros.toPlainString
-    def build(sig: Int): String = {
+    // mixed precision: sub-second entries sit below the ~50 ms
+    // scheduling-jitter noise floor, so they surrender a sig-fig
+    // before the expensive entries do
+    def build(bigSig: Int, smallSig: Int): String = {
       val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + fmt(v, sig) }.mkString("{", ",", "}")
+        "\"" + k + "\":" + fmt(v, if (v >= 1.0) bigSig else smallSig) }
+        .mkString("{", ",", "}")
       // no "sf" field: the driver's wrapper records it already, and at
-      // 95 queries those 13 chars are the difference between 2 and 1
+      // 98 queries those 13 chars are the difference between 2 and 1
       // significant figures for every per-query time
       s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"streaming":$streaming}"""
     }
     // tail budget, measured from the driver's snapshots: it captures
     // the LAST 2000 chars of the merged output; after our line only
     // sbt's "[success] Total time: …" trailer (~74 chars) follows
-    // (BENCH_r03's tail shows exactly that shape). 1880 + 74 leaves a
-    // ~46-char cushion for a stray shutdown WARN. sig-1 still resolves
-    // the 1.3x regression threshold (±5% worst case) — the last-resort
-    // format, never the preferred one.
-    val line = Seq(3, 2, 1).map(build).find(_.length <= 1900)
-      .getOrElse(build(1))
+    // (BENCH_r03's tail shows exactly that shape). 1900 + 74 leaves a
+    // ~26-char cushion. sig-1 still resolves the 1.3x regression
+    // threshold (±5% worst case) — the last-resort format, never the
+    // preferred one.
+    val line = Seq((3, 3), (3, 2), (2, 2), (2, 1), (1, 1))
+      .map { case (b, sm) => build(b, sm) }.find(_.length <= 1900)
+      .getOrElse(build(1, 1))
     System.err.println(s"[bench] json line length: ${line.length} chars")
     // full-precision copy for the next run's regression baseline
     scala.util.Try {

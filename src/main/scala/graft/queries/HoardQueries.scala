@@ -284,6 +284,35 @@ object HoardQueries {
         .orderBy("series_id", "start")
     }),
 
+    "s7_streamdim" -> ((s, dir) => {
+      // stream-static dimension join: the events stream enriched
+      // against the static customer table (BROADCAST — stateless, no
+      // state store at all, the join re-evaluates per micro-batch) and
+      // aggregated per (segment, type). The production shape for
+      // "enrich the firehose with a dim table": at any event rate the
+      // only streaming state is the aggregate itself.
+      graft.Graft.configure(s)
+      val path = s"$dir/events.parquet"
+      val raw = s.readStream.schema(s.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agged = raw.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+      val name = "s7_dim_" + StreamCounter.incrementAndGet()
+      val q = agged.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s7_streamdim", q); q.stop()
+      s.table(name)
+        .select(col("c_mktsegment"), col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     "s1_stream" -> ((s, dir) => {
       // the same events parquet driven through Structured Streaming:
       // micro-batched file source -> tumbling hourly aggregate -> memory
@@ -644,6 +673,16 @@ object HoardQueries {
         |             / COUNT(value), 6) AS mean_value,
         |       ROUND(MAX(value), 6) AS max_value
         |FROM events GROUP BY event_type, date_trunc('hour', ts)
-        |ORDER BY series_id, bucket""".stripMargin
+        |ORDER BY series_id, bucket""".stripMargin,
+
+    // stream-static join: stateless enrich, so the streamed aggregate
+    // must equal the static join+aggregate exactly
+    "s7_streamdim" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin
   )
 }
