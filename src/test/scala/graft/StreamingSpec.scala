@@ -200,4 +200,23 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(streamed.nonEmpty && streamed.toSeq == static.toSeq)
   }
+
+  test("stream-static dim join (s7) == static join+aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("s7_streamdim")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = Tables.load(spark, dir, "events")
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val static = ev.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == static.toSeq)
+  }
 }
