@@ -47,8 +47,11 @@ object SeriesFold {
       .flatMapGroups { (key, it) =>
         // one series within retention: bounded by the level's `points`
         val rows = it.map(r => (r._2, r._3)).toArray
+        // secondary key on value: a (series, bucket) collision would
+        // otherwise order by arrival and break the bit-determinism
+        // contract for callers that feed non-lww-deduped input
         java.util.Arrays.sort(rows,
-          Ordering.by((p: (Long, Double)) => p._1))
+          Ordering.by((p: (Long, Double)) => (p._1, p._2)))
         var e = 0.0
         var first = true
         rows.iterator.map { case (b, v) =>

@@ -45,7 +45,9 @@ object Bm25 {
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("term_score",
-        round(col("idf") * (col("tf") * (k1 + 1)) /
+        // tf*k1 + tf (not tf*(k1+1)): the oracle mirrors this exact form so
+        // both engines evaluate the same IEEE ops on the same doubles
+        round(col("idf") * (col("tf") * k1 + col("tf")) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
           .cast("decimal(28,6)"))
     scored.groupBy(col(idCol))

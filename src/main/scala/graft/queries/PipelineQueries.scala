@@ -1638,7 +1638,7 @@ object PipelineQueries {
         |sc AS (
         |  SELECT tf.doc_id,
         |    CAST(ROUND(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * 2.2)
+        |      * (tf.tf * 1.2 + tf.tf)
         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6)
         |      AS DECIMAL(28,6)) AS term_score
         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st),

@@ -411,9 +411,19 @@ object RelationalQueries {
                                 key: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val name = s"graft_bkt_${table}_$tag"
-    if (!s.catalog.tableExists(name)) {
-      val path = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft-buckets/$name").getAbsolutePath
+    val path = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-buckets/$name").getAbsolutePath
+    // a surviving catalog entry whose external data dir was cleaned (or
+    // predates a regenerated fixture) would otherwise serve stale rows:
+    // reuse only when the data path still exists AND is at least as new
+    // as the source fixture; drop and rewrite on any mismatch
+    val fresh = s.catalog.tableExists(name) && {
+      val d = new java.io.File(path)
+      d.isDirectory && d.lastModified >=
+        new java.io.File(s"$dir/$table.parquet").lastModified
+    }
+    if (!fresh) {
+      if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
       graft.store.Layout.writeBucketedAt(
         t(s, dir, table), name, path, Seq(key), buckets = 8)
     }

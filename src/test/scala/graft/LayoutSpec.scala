@@ -1,9 +1,47 @@
 package graft
 
 import graft.store.Layout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
 
 class LayoutSpec extends SparkTestBase {
+
+  /** The FINAL adaptive plan (not the initial one embedded in the
+    * treeString), flattened through query-stage wrappers so shuffle
+    * stages materialized by AQE are visible to the assertions.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  /** Every SortMergeJoinExec in the final plan must have zero shuffle
+    * exchanges (or shuffle query stages) anywhere in its subtree —
+    * traversing the executed tree, so an Exchange AQE injects into the
+    * final plan cannot hide behind the '== Initial Plan ==' text.
+    */
+  private def assertNoShuffleBelowSmj(df: DataFrame): Unit = {
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty,
+      s"expected SMJ:\n${df.queryExecution.executedPlan}")
+    smjs.foreach { j =>
+      val shuffles = flatten(j).drop(1).collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"join inputs were shuffled despite bucketing:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
 
   test("bucketed tables join with zero exchanges (co-located layout)") {
     val dir = "/root/testdata/sf0.001"
@@ -22,13 +60,7 @@ class LayoutSpec extends SparkTestBase {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
       joined.collect() // materialize so the adaptive plan is final
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
-      // the join itself must consume the bucketed layout directly — no
-      // shuffle before the join (the post-agg exchange is expected)
-      val joinPart = plan.split("SortMergeJoin").last
-      assert(!joinPart.contains("Exchange hashpartitioning"),
-        s"join inputs were shuffled:\n$plan")
+      assertNoShuffleBelowSmj(joined)
       // and values match the plain (unbucketed) join
       val direct = Tables.load(spark, dir, "orders")
         .join(Tables.load(spark, dir, "customer"),
@@ -46,12 +78,6 @@ class LayoutSpec extends SparkTestBase {
   test("q27_bucketjoin consumes the bucketed layout: no exchange below the SMJ") {
     val df = SparkEntry.queries("q27_bucketjoin")(spark, "/root/testdata/sf0.001")
     df.collect() // materialize so the adaptive plan is final
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
-    // tree text below the SMJ line is its inputs: bucketed scans only —
-    // the agg/sort exchanges above the join are expected and tiny
-    val joinPart = plan.split("SortMergeJoin").last
-    assert(!joinPart.contains("Exchange hashpartitioning"),
-      s"join inputs were shuffled despite bucketing:\n$plan")
+    assertNoShuffleBelowSmj(df)
   }
 }

@@ -21,11 +21,16 @@ class RetrievalSpec extends SparkTestBase {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     val terms = Set("spark", "merge", "window")
     val hitIds = out.map(_.getLong(1)).toSet
-    val withTerm = Tables.load(spark, dir, "documents")
-      .where(col("doc_id").isin(hitIds.toSeq: _*))
+    // derive hit-doc token sets through the engine's own tokenizer so
+    // any future normalization in TextOps.tokens is tracked, not
+    // re-implemented (and silently diverged from) here
+    val withTerm = TextOps.tokens(
+        Tables.load(spark, dir, "documents")
+          .where(col("doc_id").isin(hitIds.toSeq: _*)),
+        "doc_id", "text")
       .collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
-      .toMap
+      .map(r => r.getLong(0) -> r.getString(2))
+      .groupBy(_._1).map { case (id, ts) => id -> ts.map(_._2).toSet }
     hitIds.foreach { id =>
       assert(withTerm(id).intersect(terms).nonEmpty, s"doc $id has no query term")
     }
