@@ -218,6 +218,81 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h16_persecond" -> ((s, dir) => {
+      // Graphite's perSecond(): counter rate per series — the positive
+      // delta divided by the actual elapsed seconds between the two
+      // points (the sparse-series generalization of delta/step; on a
+      // gapless series they coincide). Same per-series lag window as
+      // h9; counter resets and series heads yield null.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      hourlyByType(s, dir)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .withColumn("prev_b", lag(col("bucket"), 1).over(w))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(when(col("value") >= col("prev"),
+            (col("value") - col("prev")) /
+              (unix_seconds(col("bucket")) - unix_seconds(col("prev_b")))
+                .cast("double")), 6).as("rate"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h17_seriesagg" -> ((s, dir) => {
+      // Graphite's sumSeries/averageSeries/countSeries: combine the
+      // whole series group into ONE output series per bucket. A single
+      // partial-aggregated groupBy on bucket — the across-series
+      // combine Whisper cannot express at all (one metric = one file).
+      hourlyByType(s, dir)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_series"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_all"),
+          (sum(col("value").cast("decimal(18,6)")).cast("double") /
+            count(col("value"))).as("avg_all"),
+          max(col("value")).as("max_all"))
+        .select(col("bucket").cast("string").as("bucket"), col("n_series"),
+          round(col("sum_all"), 6).as("sum_all"),
+          round(col("avg_all"), 6).as("avg_all"),
+          round(col("max_all"), 6).as("max_all"))
+        .orderBy("bucket")
+    }),
+
+    "h18_topseries" -> ((s, dir) => {
+      // Graphite's highestAverage(3): rank series by lifetime mean and
+      // keep the full series of the top 3. The ranking aggregate is
+      // O(n_series) rows — orderBy+limit is a TakeOrdered (total order
+      // via the event_type tie-break, never a partitionless window) and
+      // the survivors broadcast back onto the hourly stream.
+      val stats = hourlyByType(s, dir)
+        .groupBy(col("event_type"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(col("value"))).as("series_avg"))
+        .orderBy(col("series_avg").desc, col("event_type"))
+        .limit(3)
+      hourlyByType(s, dir)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("series_avg"), 6).as("series_avg"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h19_aspercent" -> ((s, dir) => {
+      // Graphite's asPercent(): each series' slot value as a share of
+      // that bucket's total across all series. The totals frame is one
+      // partial-aggregated groupBy on bucket (rows ∝ time range, not
+      // corpus) joined back on the same key the aggregate produced —
+      // AQE broadcasts it at any realistic series count.
+      val h = hourlyByType(s, dir)
+      val tot = h.groupBy(col("bucket"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("tot"))
+      h.join(tot, "bucket")
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("value") / col("tot").cast("double") * lit(100.0), 6)
+            .as("pct"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h6_asof" -> ((s, dir) => {
       AsOf.latestAtOrBefore(ev(s, dir), "user_id", "ts", "event_id", "value",
           expr("TIMESTAMP '2024-01-15 12:00:00'"))
@@ -585,6 +660,64 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
         |         AS value
         |FROM hourly GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h16_persecond" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(CASE WHEN v >= lag(v) OVER w
+        |                  THEN (v - lag(v) OVER w) /
+        |                       CAST(epoch_us(h) // 1000000
+        |                            - epoch_us(lag(h) OVER w) // 1000000
+        |                            AS DOUBLE) END, 6) AS rate
+        |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h17_seriesagg" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT CAST(h AS VARCHAR) AS bucket, COUNT(*) AS n_series,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS sum_all,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(v), 6) AS avg_all,
+        |       ROUND(MAX(v), 6) AS max_all
+        |FROM hourly GROUP BY h ORDER BY bucket""".stripMargin,
+
+    "h18_topseries" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v)
+        |           AS series_avg
+        |  FROM hourly GROUP BY event_type
+        |  QUALIFY row_number() OVER (ORDER BY series_avg DESC, event_type) <= 3)
+        |SELECT h.event_type, CAST(h.h AS VARCHAR) AS bucket,
+        |       ROUND(h.v, 6) AS value,
+        |       ROUND(s.series_avg, 6) AS series_avg
+        |FROM hourly h JOIN stats s USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h19_aspercent" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |tot AS (
+        |  SELECT h, SUM(CAST(v AS DECIMAL(18,6))) AS tot
+        |  FROM hourly GROUP BY h)
+        |SELECT hy.event_type, CAST(hy.h AS VARCHAR) AS bucket,
+        |       ROUND(hy.v, 6) AS value,
+        |       ROUND(hy.v / CAST(t.tot AS DOUBLE) * 100.0, 6) AS pct
+        |FROM hourly hy JOIN tot t USING (h)
         |ORDER BY event_type, bucket""".stripMargin,
 
     "h6_asof" ->

@@ -718,6 +718,94 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    "p29_matryoshka" -> ((s, dir) => {
+      // Matryoshka-style truncation fidelity: rank neighbors by the
+      // 16-dim embedding PREFIX (the cheap representation a tiered
+      // retrieval system scans first), then surface the full-precision
+      // cosine of each truncated winner so the fidelity loss is
+      // directly auditable per query. Same O(Q·N) bounded-query shape
+      // as p7 — the corpus side scans once per representation, and the
+      // prefix scan is the 4x-narrower one.
+      val e = emb(s, dir)
+      val t = e.withColumn("emb16", slice(col("embedding"), 1, 16))
+      val tq = Embeddings.withUnitVector(
+          t.where(col("vec_id") < 10), "emb16", "qn")
+        .select(col("vec_id").as("query_id"), col("qn"))
+      val tc = Embeddings.withUnitVector(t, "emb16", "cn")
+        .select(col("vec_id").as("neighbor_id"), col("cn"))
+      val truncScored = tc.crossJoin(broadcast(tq))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Embeddings.unitCosine("qn", "cn"), 6).as("trunc_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("trunc_sim").desc, col("neighbor_id"))
+      val top = truncScored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+      val uv = Embeddings.withUnitVector(e, "embedding", "uv")
+        .select(col("vec_id"), col("uv"))
+      top
+        .join(uv.select(col("vec_id").as("neighbor_id"), col("uv").as("cn2")),
+          "neighbor_id")
+        .join(broadcast(uv.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("uv").as("qn2"))),
+          "query_id")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("trunc_sim"),
+          round(Embeddings.unitCosine("qn2", "cn2"), 6).as("full_sim"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "p30_balance" -> ((s, dir) => {
+      // label-balanced downsampling: cap every class at the rarest
+      // class's count, choosing survivors by deterministic hash rank —
+      // the class-rebalancing step of a labeled-data pipeline,
+      // reproducible on any engine at any partitioning. The per-label
+      // window is PARTITIONED (labels are the parallelism unit) and
+      // the min-count frame is one O(|labels|) broadcast.
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val counts = e.groupBy("label").agg(count(lit(1)).as("n_total"))
+      val minN = counts.agg(min(col("n_total")).as("min_n"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("h"), col("vec_id"))
+      e.withColumn("h",
+          TextOps.hashId(concat_ws("|", col("label"), col("vec_id"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(minN))
+        .where(col("rk") <= col("min_n"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_checksum"))
+        .join(counts, "label")
+        .select(col("label"), col("n_total"), col("n_kept"),
+          col("id_checksum"))
+        .orderBy("label")
+    }),
+
+    "p31_priority" -> ((s, dir) => {
+      // source-priority canonical selection: within each near-dup
+      // cluster (p18's verified components) keep the copy from the
+      // most-trusted source tier (tie-break doc_id) instead of p18's
+      // min-id convention — "prefer the curated mirror over the crawl"
+      // policy. The per-component keeper is one min_by partial
+      // aggregate over O(cluster) rows; everything else reuses the
+      // bucketed dedup machinery unchanged.
+      val pairs = defs("p10_lshdedup")(s, dir)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = Components.componentsOver(docs(s, dir), "doc_id", pairs)
+      val tiers = docs(s, dir).select(col("doc_id"), col("source"),
+        pmod(substring(col("source"), 4, 10).cast("long"), lit(3)).as("tier"))
+      val labeled = comp.join(tiers, "doc_id")
+      val keepers = labeled.groupBy(col("component"))
+        .agg(min_by(col("doc_id"), struct(col("tier"), col("doc_id")))
+          .as("keeper_id"))
+      labeled.join(keepers, "component")
+        .select(col("doc_id"), col("component").as("component_id"),
+          col("source"), col("tier"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "t10_normalize" -> ((s, dir) => {
       // text normalization + content addressing: the canonicalization
       // pass that fronts every exact-dedup / CC-style pipeline
@@ -1695,6 +1783,89 @@ object PipelineQueries {
         |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
         |       neighbor_id, sim, idot
         |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // truncated-prefix ranking + full-precision audit; the 16-dim slice
+    // mirrors Spark's slice(embedding, 1, 16)
+    "p29_matryoshka" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e16,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ef
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         ROUND(list_cosine_similarity(a.e16, b.e16), 6) AS trunc_sim,
+        |         ROUND(list_cosine_similarity(a.ef, b.ef), 6) AS full_sim
+        |  FROM t a JOIN t b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10),
+        |top AS (
+        |  SELECT query_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY trunc_sim DESC, neighbor_id) AS BIGINT) AS rnk,
+        |         neighbor_id, trunc_sim, full_sim
+        |  FROM scored)
+        |SELECT query_id, rnk, neighbor_id, trunc_sim, full_sim
+        |FROM top WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // per-label hash-ranked cap at the rarest class's count — the same
+    // md5-15-hex-digit hash id as Spark's TextOps.hashId
+    "p30_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(('0x' || substr(md5(CAST(label AS VARCHAR) || '|' ||
+        |           CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM embeddings),
+        |counts AS (SELECT label, COUNT(*) AS n_total FROM e GROUP BY label),
+        |mn AS (SELECT MIN(n_total) AS min_n FROM counts),
+        |ranked AS (
+        |  SELECT vec_id, label,
+        |         CAST(row_number() OVER (PARTITION BY label
+        |           ORDER BY h, vec_id) AS BIGINT) AS rk
+        |  FROM e),
+        |kept AS (
+        |  SELECT label, COUNT(*) AS n_kept,
+        |         CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+        |  FROM ranked CROSS JOIN mn WHERE rk <= min_n GROUP BY label)
+        |SELECT label, n_total, n_kept, id_checksum
+        |FROM kept JOIN counts USING (label) ORDER BY label""".stripMargin,
+
+    // p18's exact component CTE + source-tier canonical selection
+    "p31_priority" ->
+      s"""WITH RECURSIVE $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |edges AS (
+         |  SELECT id_a, id_b FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION ALL SELECT id_b, id_a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+         |         FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT c.doc_id, c.component_id, d.source,
+         |         CAST(substr(d.source, 4) AS BIGINT) % 3 AS tier
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT doc_id, component_id, source, tier,
+         |       first_value(doc_id) OVER (PARTITION BY component_id
+         |         ORDER BY tier, doc_id) AS keeper_id,
+         |       doc_id = first_value(doc_id) OVER (PARTITION BY component_id
+         |         ORDER BY tier, doc_id) AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "t10_normalize" ->
       """SELECT doc_id,

@@ -129,6 +129,27 @@ object RelationalQueries {
         .orderBy("gid", "r_name", "n_name")
     }),
 
+    "q29_groupingsets" -> ((s, dir) => {
+      // explicit GROUPING SETS — the non-hierarchical slice list
+      // neither rollup (q10) nor cube (q21) expresses: both 1-D
+      // marginals plus the 2-D cell, and nothing else. One
+      // partial-aggregated expand; gid disambiguates the all-rows
+      // null from a genuine null exactly as in q10/q21.
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("o_orderstatus")),
+            Seq(col("c_mktsegment")), Seq(col("o_orderstatus"))),
+          col("c_mktsegment"), col("o_orderstatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sumDec(col("o_totalprice")), 6).as("revenue"))
+        .select(coalesce(col("c_mktsegment"), lit("(all)")).as("c_mktsegment"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy("gid", "c_mktsegment", "o_orderstatus")
+    }),
+
     "q11_rank" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val byPrice = Window.partitionBy(col("o_orderstatus"))
@@ -504,6 +525,18 @@ object RelationalQueries {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name, n_name""".stripMargin,
+
+    "q29_groupingsets" ->
+      """SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
+        |       COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+        |       CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+        |                        (c_mktsegment), (o_orderstatus))
+        |ORDER BY gid, c_mktsegment, o_orderstatus""".stripMargin,
 
     "q11_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
