@@ -25,7 +25,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // a query's localCheckpoint blocks live until its DataFrame is
+      // GC'd; across 100+ queries in one JVM they pile up in the block
+      // manager and the late-alphabet queries pay the memory pressure.
+      // Dropping them is outside the timer and safe between queries —
+      // nothing persisted is shared across SparkEntry invocations.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
     }
 
     // warm-up: a join+agg exercises scan, shuffle, codegen paths

@@ -58,6 +58,19 @@ object P14Diag {
     val tau = math.max(0.0, (if (verified.length < 50) 0.0 else verified.last.getDouble(0)) - 1e-6)
     println(s"[diag] tau = $tau")
 
+    // how much does the SimHash source actually buy? τ from the
+    // projection-adjacency candidates alone:
+    val projOnly = projPairs
+      .join(t.select(col("doc_id").as("id_a"), col("vid"), col("tf").as("tfa")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("vid"), col("tf").as("tfb")), Seq("id_b", "vid"))
+      .groupBy("id_a", "id_b").agg(sum(col("tfa") * col("tfb")).as("i"))
+      .join(n2.select(col("doc_id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(n2.select(col("doc_id").as("id_b"), col("n2").as("nb")), "id_b")
+      .withColumn("c", col("i").cast("double") / sqrt(col("na").cast("double") * col("nb")))
+      .select(round(col("c"), 6).as("c"))
+      .orderBy(col("c").desc).limit(50).collect()
+    println(s"[diag] proj-only: n=${projOnly.length} kth=${projOnly.lastOption.map(_.getDouble(0))}")
+
     // prefix stats at this tau
     if (tau > 0) {
       val dfreq = t.groupBy("vid").agg(count(lit(1)).as("df"))
