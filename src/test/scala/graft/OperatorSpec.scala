@@ -132,6 +132,27 @@ class OperatorSpec extends SparkTestBase {
     want.foreach { case (k, v) => assert(got(k) == v, s"at $k") }
   }
 
+  test("SeriesFold EMA is arrival-order-independent under bucket collisions") {
+    // two rows share a bucket: the secondary value sort key must make
+    // the fold identical no matter how the duplicates arrive
+    val base = Seq(("a", 0L, 5.0), ("a", 3600L, 2.0), ("a", 3600L, 9.0),
+      ("a", 7200L, 4.0), ("a", 7200L, 4.0), ("a", 10800L, 1.0))
+    def run(rows: Seq[(String, Long, Double)], parts: Int) = SeriesFold
+      .exponentialMovingAverage(
+        rows.toDF("series_id", "bucket", "value")
+          .withColumn("bucket", timestamp_seconds($"bucket"))
+          .repartition(parts),
+        "series_id", "bucket", "value", 0.25)
+      .select($"series_id", $"bucket".cast("long"), $"ema")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+      .toSeq
+    val a = run(base, 1)
+    val b = run(base.reverse, 5)
+    val c = run(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(3)).shuffle(base), 3)
+    assert(a == b && a == c)
+  }
+
   private implicit class Tup5Map(rows: Array[(String, Double, Long, Double, Double)]) {
     def toMap0: Map[String, (Double, Long, Double, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
