@@ -806,6 +806,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p32_subword" -> ((s, dir) => {
+      // subword tokenization (WordPiece-style greedy longest-match
+      // against the pinned piece vocabulary): encode DISTINCT words
+      // once (dictionary-encode — sublinear in the corpus), broadcast
+      // the piece table back onto token occurrences, aggregate per
+      // doc. `query` has no vocab coverage at its first char (no 'q'
+      // piece), so the unknown-char path is exercised by the fixture.
+      val words = toks(s, dir).select(col("token").as("word")).distinct()
+      val enc = Subword.encode(words, SubwordVocab)
+      toks(s, dir)
+        .join(broadcast(enc), col("token") === col("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_unk")).as("n_unk"),
+          sum(pmod(TextOps.hashId(col("pieces")), lit(1000000007L)))
+            .as("piece_checksum"))
+        .orderBy("doc_id")
+    }),
+
     "t10_normalize" -> ((s, dir) => {
       // text normalization + content addressing: the canonicalization
       // pass that fronts every exact-dedup / CC-style pipeline
@@ -824,6 +844,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** Pinned subword piece vocabulary for p32 — all lowercase singles
+    * EXCEPT 'q' (so the fixture's `query` exercises the unknown-char
+    * path) plus pieces chosen so some corpus words stay whole
+    * (`table`, `spark`) and others decompose (`merge` -> me r ge,
+    * `window` -> win dow, `customer` -> custom er). The oracle's
+    * VALUES list is generated from THIS constant, so the two engines
+    * cannot drift.
+    */
+  private val SubwordVocab: Seq[String] =
+    ("abcdefghijklmnoprstuvwxyz".map(_.toString) ++ Seq(
+      "th", "the", "ta", "table", "spark", "ar", "me", "ge", "row",
+      "sc", "scan", "an", "agg", "ba", "tch", "win", "dow", "va", "ue",
+      "ha", "hash", "li", "line", "so", "sort", "or", "key", "fa",
+      "fast", "st", "sl", "slow", "da", "data", "co", "um", "jo",
+      "join", "in", "gr", "group", "up", "fi", "ter", "pa", "part",
+      "du", "dup", "sm", "small", "all", "big", "custom", "er", "ve",
+      "vector", "str", "eam", "de", "order")).toSeq
 
   // Shared oracle CTE fragments (DuckDB dialect)
   private val ToksCte =
@@ -1783,6 +1821,44 @@ object PipelineQueries {
         |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
         |       neighbor_id, sim, idot
         |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // the same greedy longest-match walk as Subword.encode: lmp is the
+    // per-(word, pos) longest matching piece (join + arg_max), the
+    // recursive CTE steps the chain pos -> pos + len(piece), unknown
+    // chars consume 1 and emit '?'
+    "p32_subword" ->
+      s"""WITH RECURSIVE $ToksCte,
+         |vocab(piece) AS (VALUES ${SubwordVocab.map(p => s"('$p')").mkString(", ")}),
+         |words AS (SELECT DISTINCT token AS word FROM toks),
+         |wpos AS (
+         |  SELECT word, gs.g AS p
+         |  FROM words CROSS JOIN generate_series(1, 64) gs(g)
+         |  WHERE gs.g <= length(word)),
+         |lmp AS (
+         |  SELECT wp.word, wp.p,
+         |         arg_max(v.piece, length(v.piece)) AS piece
+         |  FROM wpos wp
+         |  LEFT JOIN vocab v ON substr(wp.word, wp.p, length(v.piece)) = v.piece
+         |  GROUP BY wp.word, wp.p),
+         |walk(word, wp, n_pieces, n_unk, pieces) AS (
+         |  SELECT word, 1, 0, 0, '' FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.wp + coalesce(length(l.piece), 1),
+         |         w.n_pieces + 1,
+         |         w.n_unk + CASE WHEN l.piece IS NULL THEN 1 ELSE 0 END,
+         |         w.pieces || coalesce(l.piece, '?') || ' '
+         |  FROM walk w JOIN lmp l ON l.word = w.word AND l.p = w.wp
+         |  WHERE w.wp <= length(w.word)),
+         |enc AS (
+         |  SELECT word, n_pieces, n_unk, trim(pieces) AS pieces
+         |  FROM walk WHERE wp > length(word))
+         |SELECT t.doc_id, COUNT(*) AS n_words,
+         |       CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(SUM(e.n_unk) AS BIGINT) AS n_unk,
+         |       CAST(SUM(CAST(('0x' || substr(md5(e.pieces), 1, 15)) AS BIGINT)
+         |                % 1000000007) AS BIGINT) AS piece_checksum
+         |FROM toks t JOIN enc e ON t.token = e.word
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // truncated-prefix ranking + full-precision audit; the 16-dim slice
     // mirrors Spark's slice(embedding, 1, 16)
