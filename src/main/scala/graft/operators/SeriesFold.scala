@@ -34,6 +34,47 @@ object SeriesFold {
     * (double); output (series, bucket, ema) with bucket as epoch
     * seconds preserved through the fold.
     */
+  /** Holt double-exponential (linear-trend) smoothing — the
+    * level+trend recurrence behind Graphite's holtWinters* family,
+    * without the seasonal term:
+    *   l_1 = x_1, b_1 = 0;
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * Emits (series, bucket, level, trend, forecast = l_t + b_t — the
+    * one-step-ahead prediction for the NEXT slot). Same typed
+    * per-series fold contract as the EMA above: group bounded by
+    * retention, IEEE op order fixed, bit-identical to a recursive-CTE
+    * mirror when α/β are binary-exact constants.
+    */
+  def holtLinear(df: DataFrame, seriesCol: String, bucketCol: String,
+                 valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    df.select(col(seriesCol).cast("string"),
+        col(bucketCol).cast("long"), col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.map(r => (r._2, r._3)).toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by((p: (Long, Double)) => (p._1, p._2)))
+        var l = 0.0; var b = 0.0; var first = true
+        rows.iterator.map { case (bkt, v) =>
+          if (first) { first = false; l = v; b = 0.0 }
+          else {
+            val lNew = alpha * v + a1 * (l + b)
+            b = beta * (lNew - l) + b1 * b
+            l = lNew
+          }
+          (key, bkt, l, b, l + b)
+        }
+      }
+      .toDF(seriesCol, bucketCol, "level", "trend", "forecast")
+      .withColumn(bucketCol, timestamp_seconds(col(bucketCol)))
+  }
+
   def exponentialMovingAverage(df: DataFrame, seriesCol: String,
                                bucketCol: String, valueCol: String,
                                alpha: Double): DataFrame = {

@@ -293,6 +293,28 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h20_holt" -> ((s, dir) => {
+      // Holt double-exponential smoothing (the level+trend recurrence
+      // behind Graphite's holtWinters* family, seasonal term omitted):
+      // a second true recurrence on the SeriesFold contract, α=0.5 /
+      // β=0.25 exact in binary so the recursive-CTE mirror is
+      // bit-identical, forecast = one-step-ahead level+trend.
+      // dyadic α/β over 2-decimal inputs make exact .xxxxxx5 values
+      // routine, where ROUND(x, 6) ties break differently across
+      // engines (BigDecimal-exact vs float-scaled). Rounding as
+      // round(x·1e6)/1e6 runs the IDENTICAL IEEE ops on both sides:
+      // same product double, same away-from-zero tie, same division.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      graft.operators.SeriesFold
+        .holtLinear(hourlyByType(s, dir), "event_type", "bucket", "value",
+          alpha = 0.5, beta = 0.25)
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          r6(col("level")).as("level"),
+          r6(col("trend")).as("trend"),
+          r6(col("forecast")).as("forecast"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h6_asof" -> ((s, dir) => {
       AsOf.latestAtOrBefore(ev(s, dir), "user_id", "ts", "event_id", "value",
           expr("TIMESTAMP '2024-01-15 12:00:00'"))
@@ -719,6 +741,32 @@ object HoardQueries {
         |       ROUND(hy.v / CAST(t.tot AS DOUBLE) * 100.0, 6) AS pct
         |FROM hourly hy JOIN tot t USING (h)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // steps the SAME recurrence in the SAME IEEE op order as
+    // SeriesFold.holtLinear (0.5·x + 0.5·(l+b); 0.25·(l'−l) + 0.75·b)
+    "h20_holt" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |o AS (
+        |  SELECT event_type, h, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hourly),
+        |rec AS (
+        |  SELECT event_type, h, rn, v AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.h, o.rn,
+        |         0.5 * o.v + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * o.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+        |  FROM rec r JOIN o ON o.event_type = r.event_type
+        |   AND o.rn = r.rn + 1)
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(l * 1e6) / 1e6 AS level,
+        |       ROUND(b * 1e6) / 1e6 AS trend,
+        |       ROUND((l + b) * 1e6) / 1e6 AS forecast
+        |FROM rec ORDER BY event_type, bucket""".stripMargin,
 
     "h6_asof" ->
       """SELECT user_id, ROUND(value, 6) AS value,

@@ -132,6 +132,32 @@ class OperatorSpec extends SparkTestBase {
     want.foreach { case (k, v) => assert(got(k) == v, s"at $k") }
   }
 
+  test("SeriesFold Holt == sequential level+trend recurrence, bit-exact") {
+    var x = 98765L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val rows = for (s <- Seq("a", "b"); i <- 0 until 150) yield
+      (s, i * 3600L, ((next() >>> 11) % 10000) / 100.0)
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(5))
+      .shuffle(rows).toDF("series_id", "bucket", "value")
+      .withColumn("bucket", timestamp_seconds($"bucket"))
+      .repartition(6)
+    val got = SeriesFold
+      .holtLinear(df, "series_id", "bucket", "value", alpha = 0.5, beta = 0.25)
+      .select($"series_id", $"bucket".cast("long"), $"level", $"trend", $"forecast")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val want = rows.groupBy(_._1).flatMap { case (s, pts) =>
+      var l = 0.0; var b = 0.0; var first = true
+      pts.sortBy(_._2).map { case (_, bkt, v) =>
+        if (first) { first = false; l = v; b = 0.0 }
+        else { val ln = 0.5 * v + 0.5 * (l + b); b = 0.25 * (ln - l) + 0.75 * b; l = ln }
+        (s, bkt) -> ((l, b, l + b))
+      }
+    }
+    assert(got.size == want.size)
+    want.foreach { case (k, v) => assert(got(k) == v, s"at $k") }
+  }
+
   test("SeriesFold EMA is arrival-order-independent under bucket collisions") {
     // two rows share a bucket: the secondary value sort key must make
     // the fold identical no matter how the duplicates arrive
