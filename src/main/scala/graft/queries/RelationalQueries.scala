@@ -107,6 +107,38 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    "q30_intervalbucket" -> ((s, dir) => {
+      // interval join with NO equi key — every event joined to the
+      // (non-aligned) busy-hour maintenance windows it falls in — via
+      // the bucketized decomposition: windows explode to the hour
+      // buckets they cover, events carry their single hour bucket,
+      // and the join is an EQUI join on bucket + exact overlap
+      // filter. A naive plan here is a BroadcastNestedLoopJoin that
+      // compares every event to every window (O(N·W)); bucketization
+      // keeps it a hash join whose probe cost is O(N) at any window
+      // count, because a window only meets the events of the ~2
+      // buckets it covers.
+      val e = t(s, dir, "events")
+      val hours = e.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("nh"))
+        .orderBy(col("nh").desc, col("h")).limit(50)
+      val win = hours.select(
+        (col("h") + expr("INTERVAL 17 MINUTES")).as("ws"),
+        (col("h") + expr("INTERVAL 107 MINUTES")).as("we"))
+      val winB = win.withColumn("bkt",
+        explode(sequence(date_trunc("hour", col("ws")),
+          date_trunc("hour", col("we")), expr("INTERVAL 1 HOUR"))))
+      e.select(col("ts"), col("value"), date_trunc("hour", col("ts")).as("bkt"))
+        .join(winB, "bkt")
+        .where(col("ts") >= col("ws") && col("ts") < col("we"))
+        .groupBy(col("ws"), col("we"))
+        .agg(count(lit(1)).as("n"),
+          round(sumDec(col("value")), 6).as("sum_value"))
+        .select(col("ws").cast("string").as("ws"),
+          col("we").cast("string").as("we"), col("n"), col("sum_value"))
+        .orderBy("ws")
+    }),
+
     "q9_distinct" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
@@ -525,6 +557,26 @@ object RelationalQueries {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name, n_name""".stripMargin,
+
+    // truth is the direct overlap join; the engine's bucketized plan
+    // must reproduce it exactly
+    "q30_intervalbucket" ->
+      """WITH hours AS (
+        |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS nh
+        |  FROM events GROUP BY date_trunc('hour', ts)
+        |  QUALIFY row_number() OVER (ORDER BY nh DESC, h) <= 50),
+        |win AS (
+        |  SELECT h + INTERVAL 17 MINUTE AS ws,
+        |         h + INTERVAL 107 MINUTE AS we
+        |  FROM hours)
+        |SELECT CAST(w.ws AS VARCHAR) AS ws, CAST(w.we AS VARCHAR) AS we,
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS sum_value
+        |FROM win w JOIN events e
+        |  ON date_trunc('microseconds', e.ts) >= w.ws
+        | AND date_trunc('microseconds', e.ts) < w.we
+        |GROUP BY w.ws, w.we ORDER BY ws""".stripMargin,
 
     "q29_groupingsets" ->
       """SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,

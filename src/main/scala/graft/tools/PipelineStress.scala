@@ -123,6 +123,19 @@ object PipelineStress {
         graft.pipeline.IncrementalDedup.crossMatches(inIds, exIndex,
           "doc_id").count()
       }
+      timed("p32 subword encode") {
+        // dictionary-encode scaling: the corpus grows k× but the
+        // distinct-word frame grows only with the (vowel-permuted)
+        // vocabulary — encode cost tracks DISTINCT words, the
+        // occurrence join is one broadcast, so wall time stays flat
+        // while token rows grow linearly
+        val words = toks.select(col("token").as("word")).distinct()
+        val enc = graft.pipeline.Subword.encode(words,
+          "abcdefghijklmnoprstuvwxyz".map(_.toString) ++
+            Seq("th", "ta", "me", "ge", "sc", "an", "ba", "va", "ue"))
+        toks.join(broadcast(enc), col("token") === col("word"))
+          .groupBy("doc_id").agg(sum(col("n_pieces")).as("np")).count()
+      }
       timed("p21 semdedup K~N") {
         // the SemDeDup contract under scaling: K grows with the corpus
         // (40 cells per copy — each copy keeps its own centroid set via
