@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+
+/** Plan-shape gates for the round-5 operators: the properties that make
+  * them 100 TB-viable are PLAN facts, not result facts, so the oracle
+  * can't see them — assert them on the executed tree directly.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def executed(name: String): Seq[SparkPlan] = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  test("q30 interval join runs as an equi join, not a nested loop") {
+    val nodes = executed("q30_intervalbucket")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "bucketized interval join degenerated to BroadcastNestedLoopJoin")
+  }
+
+  test("h18 ranks series via TakeOrdered, never a partitionless window") {
+    val nodes = executed("h18_topseries")
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject for the top-N series selection")
+    val badWindow = nodes.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+    assert(badWindow.isEmpty, "partitionless window in h18")
+  }
+
+  test("p32 subword encoding plans no window at all") {
+    val nodes = executed("p32_subword")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "p32 should be joins + aggregates + a typed per-word fold")
+  }
+}
