@@ -65,33 +65,51 @@ object Jaccard {
           .withColumn("j",
             col("i").cast("double") / (col("na") + col("nb") - col("i")))
       } else {
-        // phase 2: prefix-filter join at τ
-        val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
-        val prefix = bg.join(dfreq, "vid")
-          .withColumn("r", row_number().over(w))
-          .join(sizes, idCol)
-          // integer-safe prefix bound: back the float product off by
-          // 1e-9 before ceil so an epsilon-above-integral tau*n can
-          // only LENGTHEN the prefix (never prune a qualifying pair)
-          .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-        val pairs = prefix.select(col(idCol).as("id_a"), col("vid"))
-          .join(prefix.select(col(idCol).as("id_b"), col("vid")), "vid")
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-          .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
-          .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
-          .where(least(col("na"), col("nb")).cast("double") >=
-            lit(tau) * greatest(col("na"), col("nb")))
-          .select("id_a", "id_b")
-        // phase 3: exact verification on the surviving pairs only
-        verify(pairs, bg, sizes, idCol)
+        // phases 2+3: prefix-filter join at τ + exact verification
+        thresholdPairs(bg, idCol, tau)
       }
 
     scored
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(k)
+  }
+
+  /** Exact (id_a, id_b, i, na, nb, j) for EVERY pair with J ≥ τ —
+    * provably complete: the ppjoin/AllPairs prefix theorem (any pair
+    * with J ≥ τ shares a shingle among each side's first
+    * n − ⌈τ·n⌉ + 1 in ascending-df order) generates a candidate
+    * superset, the size-ratio filter (min/max ≥ τ) prunes it, and
+    * exact verification scores it. Unlike banded MinHash-LSH, no
+    * qualifying pair can escape — at sf0.1 banding with 32 hashes /
+    * r=3 drops a true J ≥ 0.7 pair, which is why the dedup operators
+    * candidate through THIS path. Callers wanting an integer-exact
+    * threshold apply their own filter on (i, na, nb); the τ given
+    * here only has to be ≤ the real cutoff (candidates are a
+    * superset).
+    */
+  def thresholdPairs(sets: DataFrame, idCol: String, tau: Double): DataFrame = {
+    val bg = sets.select(col(idCol), col("vid"))
+    val sizes = bg.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
+    val prefix = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, idCol)
+      // integer-safe prefix bound: back the float product off by
+      // 1e-9 before ceil so an epsilon-above-integral tau*n can
+      // only LENGTHEN the prefix (never prune a qualifying pair)
+      .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
+    val pairs = prefix.select(col(idCol).as("id_a"), col("vid"))
+      .join(prefix.select(col(idCol).as("id_b"), col("vid")), "vid")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(tau) * greatest(col("na"), col("nb")))
+      .select("id_a", "id_b")
+    verify(pairs, bg, sizes, idCol)
   }
 
   /** Exact (i, na, nb, j) for an explicit pair frame — cost bounded by

@@ -293,6 +293,23 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h21_movmedian" -> ((s, dir) => {
+      // Graphite's movingMedian(6h): EXACT median over a trailing ROWS
+      // frame per series — the robust-to-spikes sibling of h10's
+      // moving mean (exact percentile, Spark's median() alias rejects
+      // window frames). Order statistics need no accumulation, so the
+      // only cross-engine arithmetic is the even-count midpoint
+      // interpolation (identical doubles both sides).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-5, 0)
+      hourlyByType(s, dir)
+        .withColumn("med", expr("percentile(value, 0.5)").over(w))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("med"), 6).as("moving_median"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h20_holt" -> ((s, dir) => {
       // Holt double-exponential smoothing (the level+trend recurrence
       // behind Graphite's holtWinters* family, seasonal term omitted):
@@ -740,6 +757,17 @@ object HoardQueries {
         |       ROUND(hy.v, 6) AS value,
         |       ROUND(hy.v / CAST(t.tot AS DOUBLE) * 100.0, 6) AS pct
         |FROM hourly hy JOIN tot t USING (h)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h21_movmedian" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(median(v) OVER w, 6) AS moving_median
+        |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, bucket""".stripMargin,
 
     // steps the SAME recurrence in the SAME IEEE op order as

@@ -173,27 +173,20 @@ object PipelineQueries {
 
     "p10_lshdedup" -> ((s, dir) => {
       // the end-to-end production dedup path over xxhash64 shingle ids
-      // (engine-only hash): MinHash(32) → LSH bands (r=3) → candidate
-      // equi-join → EXACT jaccard verification on candidates only.
-      // Exact verification makes the output independent of the hash
-      // family, so the all-pairs DuckDB oracle checks it — the gate
-      // simultaneously proves the bucketed plan loses no pair >= the
-      // threshold on this fixture. τ=0.7; the filter is the
-      // integer-exact form 17·i >= 7·(na+nb)  ⟺  i/(na+nb-i) >= 0.7.
+      // (engine-only hash): provably-complete candidates at τ=0.7 via
+      // the ppjoin prefix filter (Jaccard.thresholdPairs) → EXACT
+      // verification → integer-exact threshold 17·i >= 7·(na+nb)
+      // ⟺ i/(na+nb-i) >= 0.7. Through round 4 the candidates came
+      // from banded MinHash-LSH (32 hashes, r=3); at sf0.1 that
+      // banding DROPS a true J >= 0.7 pair (a provable LSH false
+      // negative the sf0.01 gate can't see), so the dedup contract
+      // "every pair at or above τ" now candidates through the prefix
+      // theorem, which cannot miss. The MinHash-LSH machinery remains
+      // the declared probabilistic path as p2/p3.
       val ids = TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
         .distinct()
-      val sigs = MinHashLsh.signatures(ids, "doc_id", 32)
-      val cands = MinHashLsh.candidates(
-        MinHashLsh.bands(sigs, "doc_id", r = 3), "doc_id")
-      val sizes = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cands
-        .join(ids.select(col("doc_id").as("id_a"), col("vid")), "id_a")
-        .join(ids.select(col("doc_id").as("id_b"), col("vid")), Seq("id_b", "vid"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      Jaccard.thresholdPairs(ids, "doc_id", tau = 0.7)
         .where(col("i") * 17 >= (col("na") + col("nb")) * 7)
         .select(col("id_a"), col("id_b"),
           round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
