@@ -94,7 +94,11 @@ object LanguageModel {
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"), sum(llpMicro).as("llp_micro"))
       .withColumn("avg_llp",
-        round(col("llp_micro").cast("double") / 1e6 / col("n_tok"), 6))
+        // integer-ratio outputs land on exact .xxxxxx5 values, where
+        // ROUND(x, 6) tie-breaking is engine-specific; round(x·1e6)/1e6
+        // is the identical IEEE sequence on both engines
+        round(col("llp_micro").cast("double") / 1e6 / col("n_tok") * lit(1e6))
+          / lit(1e6))
   }
 
   /** CCNet's head/middle/tail split: global score tertiles (exact

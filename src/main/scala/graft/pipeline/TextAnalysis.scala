@@ -173,8 +173,10 @@ object TextAnalysis {
     val nTok = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
     scored.join(nTok, idCol)
       .select(col(idCol), col("n_feats"),
-        round(col("raw").cast("double") / (lit(2048.0) * col("n_tokens")), 6)
-          .as("quality_score"),
+        // tie-safe cross-engine rounding (see LanguageModel.avg_llp):
+        // integer ratios hit exact .xxxxxx5 values routinely
+        (round(col("raw").cast("double") / (lit(2048.0) * col("n_tokens"))
+          * lit(1e6)) / lit(1e6)).as("quality_score"),
         (col("raw") > 0).as("label_keep"))
   }
 

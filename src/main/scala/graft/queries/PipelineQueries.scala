@@ -1570,7 +1570,7 @@ object PipelineQueries {
         |  FROM feats GROUP BY doc_id),
         |nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
         |SELECT sc.doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-        |       ROUND(CAST(raw AS DOUBLE) / (2048.0 * n_tokens), 6)
+        |       ROUND(CAST(raw AS DOUBLE) / (2048.0 * n_tokens) * 1e6) / 1e6
         |         AS quality_score,
         |       raw > 0 AS label_keep
         |FROM sc JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
@@ -1630,8 +1630,8 @@ object PipelineQueries {
         |ds AS (
         |  SELECT doc_id, COUNT(*) AS n_tok,
         |    CAST(SUM(llp_micro) AS BIGINT) AS llp_micro,
-        |    ROUND(CAST(SUM(llp_micro) AS DOUBLE) / 1000000 / COUNT(*), 6)
-        |      AS avg_llp
+        |    ROUND(CAST(SUM(llp_micro) AS DOUBLE) / 1000000 / COUNT(*) * 1e6)
+        |      / 1e6 AS avg_llp
         |  FROM sc GROUP BY doc_id),
         |cuts AS (
         |  SELECT quantile_cont(avg_llp, 1.0/3) AS c_lo,
