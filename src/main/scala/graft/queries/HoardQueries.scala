@@ -226,14 +226,16 @@ object HoardQueries {
       // h9; counter resets and series heads yield null.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      // tie-safe rounding (the h20 pattern): 2-decimal deltas over
+      // integer seconds are rationals that can land on exact .xxxxxx5
       hourlyByType(s, dir)
         .withColumn("prev", lag(col("value"), 1).over(w))
         .withColumn("prev_b", lag(col("bucket"), 1).over(w))
         .select(col("event_type"), col("bucket").cast("string").as("bucket"),
-          round(when(col("value") >= col("prev"),
+          (round(when(col("value") >= col("prev"),
             (col("value") - col("prev")) /
               (unix_seconds(col("bucket")) - unix_seconds(col("prev_b")))
-                .cast("double")), 6).as("rate"))
+                .cast("double")) * lit(1e6)) / lit(1e6)).as("rate"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -707,11 +709,11 @@ object HoardQueries {
         |         arg_max(value, event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts))
         |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
-        |       ROUND(CASE WHEN v >= lag(v) OVER w
+        |       ROUND((CASE WHEN v >= lag(v) OVER w
         |                  THEN (v - lag(v) OVER w) /
         |                       CAST(epoch_us(h) // 1000000
         |                            - epoch_us(lag(h) OVER w) // 1000000
-        |                            AS DOUBLE) END, 6) AS rate
+        |                            AS DOUBLE) END) * 1e6) / 1e6 AS rate
         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
         |ORDER BY event_type, bucket""".stripMargin,
 
