@@ -429,6 +429,41 @@ object HoardQueries {
         .orderBy("c_mktsegment", "event_type")
     }),
 
+    "s8_streamfinal" -> ((s, dir) => {
+      // append-mode watermark-FINALIZED aggregate: unlike s1's
+      // complete-mode (which re-emits everything per batch), append
+      // mode emits a window exactly once — when the 2h watermark
+      // passes its end — and open windows stay in state, never
+      // emitted. The production shape for "publish closed buckets to
+      // downstream": state is bounded by the watermark horizon and
+      // the sink sees each bucket exactly once. The oracle recomputes
+      // the same finalization rule statically: windows whose end ≤
+      // max event time (µs) − 2h.
+      graft.Graft.configure(s)
+      val path = s"$dir/events.parquet"
+      val raw = s.readStream.schema(s.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agged = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+      val name = "s8_final_" + StreamCounter.incrementAndGet()
+      val q = agged
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"), col("sum_value"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s8_streamfinal", q); q.stop()
+      s.table(name)
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "s1_stream" -> ((s, dir) => {
       // the same events parquet driven through Structured Streaming:
       // micro-batched file source -> tumbling hourly aggregate -> memory
@@ -875,6 +910,22 @@ object HoardQueries {
         |WHERE sid < (SELECT MAX(s2.sid) FROM sessions s2
         |             WHERE s2.series_id = sessions.series_id)
         |ORDER BY series_id, start""".stripMargin,
+
+    // the static replay of append-mode finalization: only windows the
+    // final watermark (max event time − 2h) has passed are emitted
+    "s8_streamfinal" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('microseconds', MAX(ts)) - INTERVAL 2 HOUR AS w
+        |  FROM events),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |           AS sum_value
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(b AS VARCHAR) AS bucket, n, sum_value
+        |FROM hourly CROSS JOIN wm
+        |WHERE b + INTERVAL 1 HOUR <= w
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "s1_stream" ->
       """SELECT event_type AS series_id,
