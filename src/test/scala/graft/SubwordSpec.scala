@@ -34,6 +34,38 @@ class SubwordSpec extends SparkTestBase {
     assert(out("zzz") == (("? ? ?", 3L, 3L)))
   }
 
+  test("matches a sequential greedy mirror on random words and vocab") {
+    // deterministic LCG so the case set is stable across runs
+    var x = 424242L
+    def next(n: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % n).toInt + n) % n
+    }
+    val alpha = "abcde"
+    def randWord(len: Int): String =
+      (1 to len).map(_ => alpha(next(4))).mkString // only a-d: 'e' never appears
+    val pieces = Seq("a", "b", "c") ++ // 'd' unknown at single length
+      (1 to 20).map(_ => randWord(1 + next(3) + 1)).distinct
+    val words = (1 to 100).map(_ => randWord(1 + next(9))).distinct
+    def mirror(w: String): (String, Long, Long) = {
+      val sb = new StringBuilder; var pos = 0; var n = 0L; var unk = 0L
+      while (pos < w.length) {
+        val cands = pieces.filter(p => w.startsWith(p, pos))
+        val p = if (cands.isEmpty) null else cands.maxBy(_.length)
+        if (p == null) { unk += 1; n += 1; sb.append('?'); pos += 1 }
+        else { n += 1; sb.append(p); pos += p.length }
+        if (pos < w.length) sb.append(' ')
+      }
+      (sb.toString, n, unk)
+    }
+    import spark.implicits._
+    val got = Subword.encode(words.toDF("word").repartition(5), pieces)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == words.size)
+    words.foreach(w => assert(got(w) == mirror(w), s"word $w"))
+  }
+
   test("segmentation is partitioning-independent") {
     val words = Seq("table", "tab", "merge", "query", "a", "abcabc")
     assert(enc(words, 1) == enc(words, 7))
