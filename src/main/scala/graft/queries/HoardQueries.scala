@@ -295,6 +295,25 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h22_integralbyday" -> ((s, dir) => {
+      // Graphite's integralByInterval("1d"): the running sum RESETS at
+      // every day boundary — the partition key is (series, day), so
+      // the window frame never exceeds one day's slots per series and
+      // partition width is retention-independent (h11's unbounded
+      // expanding frame bounded by calendar interval instead).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("event_type"), date_trunc("day", col("bucket")))
+        .orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hourlyByType(s, dir)
+        .withColumn("cum",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("cum"), 6).as("day_running_sum"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h21_movmedian" -> ((s, dir) => {
       // Graphite's movingMedian(6h): EXACT median over a trailing ROWS
       // frame per series — the robust-to-spikes sibling of h10's
@@ -794,6 +813,19 @@ object HoardQueries {
         |       ROUND(hy.v, 6) AS value,
         |       ROUND(hy.v / CAST(t.tot AS DOUBLE) * 100.0, 6) AS pct
         |FROM hourly hy JOIN tot t USING (h)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "h22_integralbyday" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+        |         AS day_running_sum
+        |FROM hourly WINDOW w AS (
+        |  PARTITION BY event_type, date_trunc('day', h) ORDER BY h
+        |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_type, bucket""".stripMargin,
 
     "h21_movmedian" ->
