@@ -253,7 +253,10 @@ object HoardQueries {
           max(col("value")).as("max_all"))
         .select(col("bucket").cast("string").as("bucket"), col("n_series"),
           round(col("sum_all"), 6).as("sum_all"),
-          round(col("avg_all"), 6).as("avg_all"),
+          // integer-ratio average can land on exact .xxxxxx5 ties where
+          // ROUND(x, 6) tie-breaking is engine-specific; round via the
+          // identical IEEE sequence x*1e6 -> round -> /1e6 (h16 pattern)
+          (round(col("avg_all") * lit(1e6)) / lit(1e6)).as("avg_all"),
           round(col("max_all"), 6).as("max_all"))
         .orderBy("bucket")
     }),
@@ -274,7 +277,8 @@ object HoardQueries {
         .join(broadcast(stats), "event_type")
         .select(col("event_type"), col("bucket").cast("string").as("bucket"),
           round(col("value"), 6).as("value"),
-          round(col("series_avg"), 6).as("series_avg"))
+          // sum/count ratio: same .xxxxxx5 tie class as h16/h17
+          (round(col("series_avg") * lit(1e6)) / lit(1e6)).as("series_avg"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -290,8 +294,10 @@ object HoardQueries {
       h.join(tot, "bucket")
         .select(col("event_type"), col("bucket").cast("string").as("bucket"),
           round(col("value"), 6).as("value"),
-          round(col("value") / col("tot").cast("double") * lit(100.0), 6)
-            .as("pct"))
+          // share-of-total pct is a ratio of decimal-exact values — same
+          // engine-specific ROUND(x,6) tie hazard; use the x*1e6 pattern
+          (round(col("value") / col("tot").cast("double") * lit(100.0)
+            * lit(1e6)) / lit(1e6)).as("pct"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -780,7 +786,7 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
         |         AS sum_all,
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-        |             / COUNT(v), 6) AS avg_all,
+        |             / COUNT(v) * 1e6) / 1e6 AS avg_all,
         |       ROUND(MAX(v), 6) AS max_all
         |FROM hourly GROUP BY h ORDER BY bucket""".stripMargin,
 
@@ -797,7 +803,7 @@ object HoardQueries {
         |  QUALIFY row_number() OVER (ORDER BY series_avg DESC, event_type) <= 3)
         |SELECT h.event_type, CAST(h.h AS VARCHAR) AS bucket,
         |       ROUND(h.v, 6) AS value,
-        |       ROUND(s.series_avg, 6) AS series_avg
+        |       ROUND(s.series_avg * 1e6) / 1e6 AS series_avg
         |FROM hourly h JOIN stats s USING (event_type)
         |ORDER BY event_type, bucket""".stripMargin,
 
@@ -811,7 +817,7 @@ object HoardQueries {
         |  FROM hourly GROUP BY h)
         |SELECT hy.event_type, CAST(hy.h AS VARCHAR) AS bucket,
         |       ROUND(hy.v, 6) AS value,
-        |       ROUND(hy.v / CAST(t.tot AS DOUBLE) * 100.0, 6) AS pct
+        |       ROUND(hy.v / CAST(t.tot AS DOUBLE) * 100.0 * 1e6) / 1e6 AS pct
         |FROM hourly hy JOIN tot t USING (h)
         |ORDER BY event_type, bucket""".stripMargin,
 
@@ -947,7 +953,11 @@ object HoardQueries {
     // final watermark (max event time − 2h) has passed are emitted
     "s8_streamfinal" ->
       """WITH wm AS (
-        |  SELECT date_trunc('microseconds', MAX(ts)) - INTERVAL 2 HOUR AS w
+        |  -- millisecond floor mirrors Spark's watermark precision: the
+        |  -- event-time watermark advances at ms granularity, so a max
+        |  -- event time with sub-ms micros must not finalize a window
+        |  -- here that Spark keeps open
+        |  SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 HOUR AS w
         |  FROM events),
         |hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n,

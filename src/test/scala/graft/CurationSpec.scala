@@ -339,4 +339,26 @@ class CurationSpec extends SparkTestBase {
         assert(cos(s(i), s(j)) <= tau)
     }
   }
+
+  // --- shared near-dup stage materialization --------------------------
+
+  test("p10 pairs pipeline executes once per (session, dir) sweep") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.queries.PipelineQueries
+    // p10 (or a prior test) pays the one materialization...
+    SparkEntry.queries("p10_lshdedup")(spark, dir).count()
+    val pairsAfterP10 = PipelineQueries.pairsComputeCount.get()
+    SparkEntry.queries("p18_components")(spark, dir).count()
+    val compAfterP18 = PipelineQueries.componentsComputeCount.get()
+    // ...and every downstream consumer reads the materialized tables:
+    // no further pairs or components computation across the whole fan-out
+    SparkEntry.queries("p12_curation")(spark, dir).count()
+    SparkEntry.queries("p31_priority")(spark, dir).count()
+    SparkEntry.queries("p10_lshdedup")(spark, dir).count()
+    SparkEntry.queries("p18_components")(spark, dir).count()
+    assert(PipelineQueries.pairsComputeCount.get() == pairsAfterP10,
+      "near-dup pairs were recomputed by a downstream consumer")
+    assert(PipelineQueries.componentsComputeCount.get() == compAfterP18,
+      "components were recomputed by a downstream consumer")
+  }
 }
