@@ -147,6 +147,25 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** The reference's golden whisper fixture, imported once per JVM
+    * through the binary migration path (`HoardImport`). `WhisperNow`
+    * is the file's `lastUpdate` header word — the natural replay
+    * clock for archived data.
+    */
+  private val WhisperPath = "/root/reference/test/large.whisper"
+  private[graft] val WhisperNow = 1312504705L
+  private val builtWhisper = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def whisperStore(s: SparkSession): HoardStore = {
+    val root = builtWhisper.computeIfAbsent(WhisperPath, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-whisper")
+        .toString + "/store"
+      graft.store.HoardImport.intoStore(s, WhisperPath, tmp)
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_streamstore" -> ((s, dir) => {
       // daily rollup level after the events arrive as a STREAM (two
@@ -213,6 +232,21 @@ object StoreQueries {
           col("interval").cast("string").as("bucket"),
           round(col("value"), 6).as("value"))
         .orderBy("series_id", "bucket")
+    }),
+
+    "hs7_whisperimport" -> ((s, dir) => {
+      // the reference's own golden fetch (test/hoard.test.coffee:36-51)
+      // replayed through the BINARY IMPORT path: large.whisper →
+      // HoardImport.intoStore (ring decode, level bulk-load) → the
+      // engine's fetch planner. `now` pins to the file's lastUpdate
+      // header word so archive routing matches the reference test's
+      // 2011-era run (fetch clamps against wall clock otherwise).
+      val st = whisperStore(s)
+      val (_, dense) = st.fetch("large", 1311161605L, 1311179605L,
+        WhisperNow)
+      dense.select(col("interval").cast("long").as("interval_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("interval_s")
     }),
 
     "hs5_info" -> ((s, dir) => {
@@ -298,6 +332,20 @@ object StoreQueries {
         | t(step, points, retention, max_retention, xff, cf)
         |ORDER BY step""".stripMargin,
 
-    "hs2_storerollup" -> DailyRollupSql
+    "hs2_storerollup" -> DailyRollupSql,
+
+    // the reference's golden fetch values for large.whisper
+    // (test/hoard.test.coffee:36-51): [2048, 4546, 794, 805, 4718] at
+    // hourly intervals [1311163200, 1311181200) — the import gate is
+    // that the engine reproduces them from the BINARY file alone
+    "hs7_whisperimport" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1311163200 AS BIGINT), CAST(2048.0 AS DOUBLE)),
+        |  (CAST(1311166800 AS BIGINT), CAST(4546.0 AS DOUBLE)),
+        |  (CAST(1311170400 AS BIGINT), CAST(794.0 AS DOUBLE)),
+        |  (CAST(1311174000 AS BIGINT), CAST(805.0 AS DOUBLE)),
+        |  (CAST(1311177600 AS BIGINT), CAST(4718.0 AS DOUBLE)))
+        | t(interval_s, value)
+        |ORDER BY interval_s""".stripMargin
   )
 }

@@ -170,6 +170,34 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     writeSeqBase(root, base + 1)
   }
 
+  /** Bulk-load pre-aggregated rows into ONE level AS-IS — no age
+    * routing, no propagation cascade: the migration path for
+    * whisper/hoard archive rings ([[HoardImport]]), whose coarser
+    * archives hold independently-propagated history older than the
+    * finer archives' retention and therefore must NOT be recomputed
+    * from the fine level. Rows: `(series_id, ts` epoch-seconds`,
+    * value)`; intervals are aligned to the level's step. Later normal
+    * writes stamp newer seqs and win lww as usual.
+    */
+  def importArchive(ar: Archive, rows: DataFrame): Unit = withWriteLock {
+    require(policy.sorted.exists(_.step == ar.step),
+      s"no level with step ${ar.step} in this store's policy")
+    val base = nextSeqBase(root)
+    val newRows = rows.select(col("series_id"),
+        Time.align(timestamp_seconds(col("ts")), ar.step).as("interval"),
+        col("value"),
+        struct(lit(base + 1).as("b"), lit(1).as("k"),
+          col("ts").cast("long").as("t"), lit(0L).as("s")).as("seq"))
+      .localCheckpoint(true)
+    val touched = newRows.select("series_id", "interval").distinct()
+      .localCheckpoint(true)
+    if (touched.head(1).nonEmpty) {
+      mergeLevel(ar, newRows, touched)
+      appendCatalog(ar, touched)
+    }
+    writeSeqBase(root, base + 1)
+  }
+
   /** The single-writer assumption, enforced: a create-exclusive lock
     * file taken for the duration of ANY state mutation — batch writes
     * AND vacuum (which deletes partitions and rewrites the boundary

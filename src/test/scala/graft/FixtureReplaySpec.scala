@@ -51,4 +51,41 @@ class FixtureReplaySpec extends SparkTestBase {
       .head().getAs[Double]("value")
     assert(math.abs(hourly - daily) < 1e-9)
   }
+
+  test("whisper binary import reproduces the reference's header and fetch goldens") {
+    import graft.store.{HoardImport, WhisperFormat}
+    val path = "/root/reference/test/large.whisper"
+
+    // header golden (test/hoard.test.coffee:16-32)
+    val h = HoardImport.headerOf(path)
+    assert(h.maxRetention == 94608000L)
+    assert(h.xff == 0.5f)
+    assert(h.archives == Seq(
+      WhisperFormat.ArchiveInfo(40, 3600, 8760),
+      WhisperFormat.ArchiveInfo(105160, 86400, 1095)))
+    assert(h.archives.map(_.retention) == Seq(31536000L, 94608000L))
+    assert(h.archives.map(_.sizeBytes) == Seq(105120, 13140))
+
+    // ring decode: both archives are fully populated in the fixture
+    val rows = HoardImport.read(spark, path)
+    import org.apache.spark.sql.functions._
+    val counts = rows.groupBy("step").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(3600L -> 8760L, 86400L -> 1095L))
+
+    // import → store → fetch golden (test/hoard.test.coffee:36-51);
+    // now = the file's lastUpdate so routing matches the 2011 test run
+    val st = HoardImport.intoStore(spark, path, tmpDir("whisper") + "/store")
+    val (ti, vals) = st.fetchValues("large", 1311161605L, 1311179605L,
+      1312504705L)
+    assert(ti == HoardStore.TimeInfo(1311163200L, 1311181200L, 3600L))
+    assert(vals.map(_.get) == Seq(2048.0, 4546.0, 794.0, 805.0, 4718.0))
+
+    // the DAILY ring's independent deep history survives the import:
+    // its oldest point (2008) is far older than the hourly retention
+    val daily = st.readLevel(graft.core.ArchivePolicy.referenceTest.sorted.last)
+    val oldest = daily.agg(min(col("interval").cast("long"))).head().getLong(0)
+    assert(oldest == 1217894400L)
+    assert(daily.count() == 1095L)
+  }
 }
