@@ -371,13 +371,39 @@ object RelationalQueries {
     }),
 
     "q20_approx" -> ((s, dir) => {
-      // approx_count_distinct (HLL++) next to the exact count — sketch
-      // results are engine-specific, so this query is EXCLUDED from the
-      // DuckDB oracle (rows-only check) by design
-      t(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(countDistinct(col("o_custkey")).as("exact_cust"),
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+      // Deterministic KMV (k-minimum-values) distinct sketch, k=256
+      // (Bar-Yossef 2002): h = first 60 bits of md5(custkey), integer
+      // arithmetic both engines compute bit-identically — so unlike
+      // HLL++ the sketch IS oracle-checkable (HLL++ itself stays gated
+      // at 3*rsd in PipelineScaleSpec). Estimator: n<=k → exact, else
+      // (k-1)*2^60/h_(k); FLOOR (tie-free), never ROUND. exact_cust
+      // counts distinct 60-bit hashes (≡ distinct custkeys up to a
+      // ~2^-40 collision, identically on both engines).
+      //
+      // Scale shape: the per-group rank sorts only survivors of the
+      // n-adaptive hash cut h < 8k/n·2^60 (~2k rows per group at ANY
+      // n), not all n distinct hashes; the cut keeps ≥k rows w.p.
+      // 1-e^-200 and both engines apply it identically either way.
+      val k = 256
+      val two60 = 1.152921504606846976e18
+      val hashes = t(s, dir, "orders").select(col("o_orderstatus"),
+          conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val n = hashes.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val survivors = hashes.join(broadcast(n), "o_orderstatus")
+        .where(col("n") <= k * 8 ||
+          col("h") < (lit(8.0 * k) * lit(two60) / col("n").cast("double"))
+            .cast("long"))
+      val w = Window.partitionBy("o_orderstatus").orderBy("h")
+      survivors.withColumn("rn", row_number().over(w))
+        .groupBy(col("o_orderstatus"), col("n"))
+        .agg(max(when(col("rn") === k, col("h"))).as("hk"))
+        .select(col("o_orderstatus"), col("n").as("exact_cust"),
+          when(col("hk").isNull, col("n"))
+            .otherwise(floor(lit((k - 1).toDouble) * lit(two60) /
+              col("hk").cast("double")))
+            .as("approx_cust"))
         .orderBy("o_orderstatus")
     }),
 
@@ -484,6 +510,31 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the KMV sketch replayed in DuckDB with the identical integer/IEEE
+    // sequence: 60-bit md5 prefix, n-adaptive cut, rank, (k-1)*2^60/h_k
+    "q20_approx" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderstatus,
+        |         CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+        |              AS BIGINT) AS h
+        |  FROM orders),
+        |n AS (SELECT o_orderstatus, COUNT(*) AS n FROM h GROUP BY o_orderstatus),
+        |f AS (
+        |  SELECT h.o_orderstatus, h.h, n.n
+        |  FROM h JOIN n USING (o_orderstatus)
+        |  WHERE n.n <= 2048
+        |     OR h.h < CAST(2048.0 * 1.152921504606846976e18
+        |                   / CAST(n.n AS DOUBLE) AS BIGINT)),
+        |r AS (
+        |  SELECT o_orderstatus, n, h,
+        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+        |  FROM f)
+        |SELECT o_orderstatus, n AS exact_cust,
+        |       COALESCE(CAST(FLOOR(255.0 * 1.152921504606846976e18 /
+        |                CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE))
+        |                AS BIGINT), n) AS approx_cust
+        |FROM r GROUP BY o_orderstatus, n
+        |ORDER BY o_orderstatus""".stripMargin,
     "q1_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
