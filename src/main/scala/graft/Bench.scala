@@ -62,10 +62,18 @@ object Bench {
           val src = scala.io.Source.fromFile(p)
           val txt = try src.mkString finally src.close()
           val unescaped = txt.replace("\\\"", "\"")
+          // keys may be full names (old snapshots, local baseline
+          // file) or the short id before '_' (the tail-budget format
+          // below) — accept both
+          val byShort = SparkEntry.queries.keys
+            .map(n => n.takeWhile(_ != '_') -> n).toMap
           "\"([A-Za-z0-9_]+)\":(-?[0-9]+\\.?[0-9]*)".r
             .findAllMatchIn(unescaped)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter { case (k, _) => SparkEntry.queries.contains(k) }
+            .flatMap { m =>
+              val (k, v) = (m.group(1), m.group(2).toDouble)
+              if (SparkEntry.queries.contains(k)) Some(k -> v)
+              else byShort.get(k).map(_ -> v)
+            }
             .toMap
         }.toOption
       }.getOrElse(Map.empty)
@@ -127,9 +135,22 @@ object Bench {
     // mixed precision: sub-second entries sit below the ~50 ms
     // scheduling-jitter noise floor, so they surrender a sig-fig
     // before the expensive entries do
+    // per-query keys: the id before '_' ("p20_spandedup" → "p20") —
+    // unique across the surface by construction, and the ~10 chars
+    // saved per entry are what keeps 110+ queries inside the driver's
+    // 2000-char tail at FULL precision (r05's line with long names
+    // overflowed and arrived head-truncated). Full names stay in the
+    // local baseline file and BENCH_NOTES; the baseline parser above
+    // accepts both forms. A clash (none today) falls back to the full
+    // name rather than merging two queries' numbers.
+    val shortKey: Map[String, String] = {
+      val ids = results.map { case (n, _) => n.takeWhile(_ != '_') -> n }
+      val dup = ids.groupBy(_._1).filter(_._2.size > 1).keySet
+      ids.map { case (id, n) => n -> (if (dup(id)) n else id) }.toMap
+    }
     def build(bigSig: Int, smallSig: Int): String = {
       val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + fmt(v, if (v >= 1.0) bigSig else smallSig) }
+        "\"" + shortKey(k) + "\":" + fmt(v, if (v >= 1.0) bigSig else smallSig) }
         .mkString("{", ",", "}")
       // no "sf" field: the driver's wrapper records it already, and at
       // 98 queries those 13 chars are the difference between 2 and 1
