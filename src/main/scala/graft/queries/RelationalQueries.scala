@@ -95,12 +95,26 @@ object RelationalQueries {
     }),
 
     "q8_range" -> ((s, dir) => {
+      // equi+range join, hour-bucket decomposed (q30's shape): the join
+      // key is (user_id, hour-bucket of ts2), so a HOT user's group is
+      // split across time buckets instead of concentrating the SMJ's
+      // per-key O(n·m) residual scan in one task (SkewStress measured
+      // the undecomposed join quadratic on a hot-key fixture). A click's
+      // window (ts1, ts1+1h] spans exactly the buckets {b(ts1),
+      // b(ts1)+1}, so clicks probe both and every matching pair lands in
+      // exactly ONE bucket (the bucket of ts2) — same semantics, no
+      // dedup. Unmatched exploded rows count 0 under the left join.
       val e = t(s, dir, "events")
       val clicks = e.where(col("event_type") === "click")
         .select(col("user_id").as("u1"), col("event_id"), col("ts").as("ts1"))
-      val others = e.select(col("user_id").as("u2"), col("ts").as("ts2"))
+        .withColumn("cb", explode(array(
+          floor(col("ts1").cast("long") / 3600),
+          floor(col("ts1").cast("long") / 3600) + 1)))
+      val others = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
+        floor(col("ts").cast("long") / 3600).as("ob"))
       clicks.join(others,
-          col("u1") === col("u2") && col("ts2") > col("ts1") &&
+          col("u1") === col("u2") && col("cb") === col("ob") &&
+            col("ts2") > col("ts1") &&
             col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"), "left")
         .groupBy(col("event_id"))
         .agg(count(col("ts2")).as("n"))
