@@ -22,10 +22,17 @@ import scala.jdk.CollectionConverters._
   * Determinism: every write carries a monotone `seq` stamp; merges are
   * last-write-wins by seq (the distributed replacement for the
   * reference's single-fd write ordering). `now` is always an explicit
-  * parameter — never wall clock (SURVEY §5.3). Like the reference's
-  * single file descriptor, a store assumes ONE writer at a time
-  * (batches may be arbitrarily large/parallel internally); concurrent
-  * writers need the transactional-format swap in DESIGN.md.
+  * parameter — never wall clock (SURVEY §5.3). Mutations are
+  * serialized transactions: each takes the store lock with a bounded
+  * wait (concurrent writers queue; a writer that cannot acquire it in
+  * time fails cleanly with NO partial state), and every batch claims
+  * its seq base by atomically creating a `_commits/` marker — so a
+  * torn `_seq` write or a crashed predecessor can never duplicate a
+  * base. Compactions are non-destructive (write-new, move-in, delete
+  * exactly what was read), so a crash at any point leaves every
+  * reader a correct merge-on-read view. Full OPTIMISTIC concurrency
+  * (lock-free commit + conflict re-try) remains a DESIGN.md non-goal:
+  * it needs manifest-based reads, i.e. a transactional table format.
   *
   * Scale notes: under the default [[HoardStore.MonthRewrite]] merges
   * rewrite only the month partitions a batch touches (dynamic
@@ -99,7 +106,7 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     */
   def updateManyDf(batch0: DataFrame, now: Long): Unit = withWriteLock {
     val p = policy
-    val base = nextSeqBase(root)
+    val base = HoardStore.claimCommitBase(root) // this batch's seq base
     val levels = p.sorted
 
     val hasSeq = batch0.columns.contains("seq")
@@ -116,7 +123,7 @@ final class HoardStore private (val spark: SparkSession, val root: String,
       .withColumn("lvl", levelForAgeExpr(levels))
       .where(col("lvl").isNotNull) // too-old points silently dropped
       .withColumn("seq", struct(
-        lit(base + 1).as("b"), lit(1).as("k"),
+        lit(base).as("b"), lit(1).as("k"),
         col("ts").as("t"), tieBreak.cast("long").as("s")))
       .localCheckpoint(true)
 
@@ -151,7 +158,7 @@ final class HoardStore private (val spark: SparkSession, val root: String,
                   Time.align(col("interval"), ar.step) === col("i2"), "left_semi"),
               "series_id", "interval", "value",
               levels(i - 1).step, ar.step, p.xff, p.cf)
-            .withColumn("seq", struct(lit(base + 1).as("b"), lit(0).as("k"),
+            .withColumn("seq", struct(lit(base).as("b"), lit(0).as("k"),
               lit(0L).as("t"), lit(0L).as("s")))
           prop.unionByName(direct)
         }
@@ -167,7 +174,6 @@ final class HoardStore private (val spark: SparkSession, val root: String,
         else touchedBelow.select(col("series_id"), col("interval"))
           .unionByName(touchedHere).distinct().localCheckpoint(true)
     }
-    writeSeqBase(root, base + 1)
   }
 
   /** Bulk-load pre-aggregated rows into ONE level AS-IS — no age
@@ -182,11 +188,11 @@ final class HoardStore private (val spark: SparkSession, val root: String,
   def importArchive(ar: Archive, rows: DataFrame): Unit = withWriteLock {
     require(policy.sorted.exists(_.step == ar.step),
       s"no level with step ${ar.step} in this store's policy")
-    val base = nextSeqBase(root)
+    val base = HoardStore.claimCommitBase(root)
     val newRows = rows.select(col("series_id"),
         Time.align(timestamp_seconds(col("ts")), ar.step).as("interval"),
         col("value"),
-        struct(lit(base + 1).as("b"), lit(1).as("k"),
+        struct(lit(base).as("b"), lit(1).as("k"),
           col("ts").cast("long").as("t"), lit(0L).as("s")).as("seq"))
       .localCheckpoint(true)
     val touched = newRows.select("series_id", "interval").distinct()
@@ -195,7 +201,6 @@ final class HoardStore private (val spark: SparkSession, val root: String,
       mergeLevel(ar, newRows, touched)
       appendCatalog(ar, touched)
     }
-    writeSeqBase(root, base + 1)
   }
 
   /** The single-writer assumption, enforced: a create-exclusive lock
@@ -208,12 +213,26 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     */
   private def withWriteLock[T](body: => T): T = {
     val lock = Paths.get(root, "_lock")
-    try Files.createFile(lock)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"Store $root is locked by another writer " +
-            s"(stale lock from a crashed writer? delete $lock)")
+    // bounded wait: concurrent writers SERIALIZE (each mutation is a
+    // self-contained transaction, so FIFO-ish lock handoff gives the
+    // same state as any sequential order); a writer that cannot get
+    // the lock inside the wait budget fails CLEANLY with no partial
+    // state (nothing is staged before the lock). Tunable per session
+    // so tests can exercise the timeout path.
+    val waitMs = scala.util.Try(
+      spark.conf.get("graft.store.lockWaitMs").toLong).getOrElse(60000L)
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"Store $root is locked by another writer after ${waitMs} ms " +
+                s"(stale lock from a crashed writer? delete $lock)")
+          Thread.sleep(50)
+      }
     }
     try body finally Files.deleteIfExists(lock)
   }
@@ -304,15 +323,29 @@ final class HoardStore private (val spark: SparkSession, val root: String,
                                 maxFiles: Int): Unit =
     months.foreach { m =>
       val pdir = Paths.get(levelPath(root, ar.step)).resolve(s"p_month=$m")
-      if (Files.exists(pdir) &&
-          listDir(pdir).count(_.endsWith(".parquet")) > maxFiles) {
-        val folded = lww(spark.read.parquet(pdir.toString)
-            .select("series_id", "interval", "value", "seq"))
-          .withColumn("p_month", lit(m))
-          .localCheckpoint(true) // read-overwrite cycle on this month
-        folded.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("p_month").parquet(levelPath(root, ar.step))
+      if (Files.exists(pdir)) {
+        // transactional shape (the catalog-compaction pattern): list
+        // the delta files FIRST, read exactly those, write the folded
+        // file to a scratch dir, MOVE it into the month under a fresh
+        // name, then delete ONLY the files read. A file appended
+        // concurrently (or after the listing) is never touched; a
+        // crash at any point leaves a readable month — transient
+        // duplicate rows carry identical (key, seq) and collapse to
+        // the same winner under the lww every reader applies.
+        val files = listDir(pdir).filter(_.endsWith(".parquet"))
+        if (files.size > maxFiles) {
+          val folded = lww(spark.read
+              .parquet(files.map(f => pdir.resolve(f).toString): _*)
+              .select("series_id", "interval", "value", "seq"))
+            .localCheckpoint(true)
+          val tmp = levelPath(root, ar.step) + s"_compact_$m.tmp"
+          folded.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+          val tmpDir = Paths.get(tmp)
+          listDir(tmpDir).filter(_.endsWith(".parquet")).foreach(f =>
+            Files.move(tmpDir.resolve(f), pdir.resolve(s"compacted-$f")))
+          files.foreach(f => Files.deleteIfExists(pdir.resolve(f)))
+          deleteRecursively(tmpDir)
+        }
       }
     }
 
@@ -704,6 +737,37 @@ object HoardStore {
     }
     ArchivePolicy(archives, props.getProperty("xff").toDouble,
       Option(props.getProperty("cf")).getOrElse("avg"))
+  }
+
+  /** Transactional commit allocation: batch N is claimed by atomically
+    * creating `_commits/%012d` (create-exclusive is atomic), so no two
+    * writers — nor a writer and its own crashed predecessor — can ever
+    * share a seq base. This replaces the `_seq` overwrite, which a
+    * crash could tear mid-write and a concurrent writer could read
+    * stale (both would duplicate a base and scramble lww recency).
+    * The marker is durable evidence of the claim even if the batch
+    * itself never lands; commit ids are monotone, O(#batches) tiny
+    * empty files, folded implicitly by being listable in one readdir.
+    * Legacy stores seed from their `_seq` file.
+    */
+  private[store] def claimCommitBase(root: String): Long = {
+    val dir = Paths.get(root, "_commits")
+    Files.createDirectories(dir)
+    val seed = math.max(nextSeqBase(root), {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString).filter(_.matches("\\d{12}"))
+          .foldLeft(0L)((m, f) => math.max(m, f.toLong))
+      } finally s.close()
+    })
+    var n = seed + 1
+    while (true) {
+      try { Files.createFile(dir.resolve(f"$n%012d")); return n }
+      catch { case _: java.nio.file.FileAlreadyExistsException => n += 1 }
+    }
+    0L // unreachable
   }
 
   private def seqFile(root: String): JPath = Paths.get(root, "_seq")

@@ -143,4 +143,80 @@ class StorePropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // --- multi-writer transactions --------------------------------------
+
+  private def levelContents(st: HoardStore): Map[Long, Map[(String, Long), Double]] =
+    policy.sorted.map { ar =>
+      ar.step -> st.readLevel(ar).collect().map { r =>
+        (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond) ->
+          r.getDouble(2)
+      }.toMap
+    }.toMap
+
+  test("two concurrent writers serialize; result == sequential reference (DeltaAppend)") {
+    import java.nio.file.{Files, Paths}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = tmpDir("mw-store") + "/store"
+    val st = HoardStore.create(spark, root, policy, HoardStore.DeltaAppend)
+    val rnd = new Random(77)
+    def mkBatch(sid: String): Seq[RawPoint] = (0 until 80).map { _ =>
+      RawPoint(sid, now - rnd.between(0L, 20L * 86400),
+        rnd.nextInt(1000).toDouble)
+    }
+    // disjoint series, so the converged state is independent of which
+    // writer's commit lands first — the property under test is that
+    // BOTH land (bounded-wait lock serializes; no failure, no loss)
+    val (ba, bb) = (mkBatch("wa"), mkBatch("wb"))
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val second = HoardStore.open(spark, root, HoardStore.DeltaAppend)
+    val f1 = Future(st.updateMany(ba, now))
+    val f2 = Future(second.updateMany(bb, now))
+    Await.result(f1, 180.seconds)
+    Await.result(f2, 180.seconds)
+
+    // each batch claimed its own atomic commit marker
+    val commits = {
+      val s = Files.list(Paths.get(root, "_commits"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      } finally s.close()
+    }
+    assert(commits.size == 2 && commits.distinct.size == 2,
+      s"expected two distinct commit markers, got $commits")
+
+    val ref = HoardStore.create(spark, tmpDir("mw-ref") + "/store",
+      policy, HoardStore.DeltaAppend)
+    ref.updateMany(ba, now)
+    ref.updateMany(bb, now)
+    assert(levelContents(st) == levelContents(ref))
+  }
+
+  test("a writer that cannot acquire the lock fails cleanly, then succeeds after release") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("locked-store") + "/store"
+    val st = HoardStore.create(spark, root, policy, HoardStore.DeltaAppend)
+    val lock = Paths.get(root, "_lock")
+    Files.createFile(lock) // a stuck/crashed peer holds the lock
+    spark.conf.set("graft.store.lockWaitMs", "300")
+    try {
+      val batch = Seq(RawPoint("s", now - 30, 1.0))
+      val e = intercept[IllegalStateException](st.updateMany(batch, now))
+      assert(e.getMessage.contains("locked"))
+      // clean failure: nothing staged — no commit marker, no level rows
+      val commitsDir = Paths.get(root, "_commits")
+      assert(!Files.exists(commitsDir) || {
+        val s = Files.list(commitsDir)
+        try s.count() == 0 finally s.close()
+      })
+      assert(policy.sorted.forall(ar => st.readLevel(ar).isEmpty))
+      Files.delete(lock)
+      st.updateMany(batch, now) // lock released → the same write succeeds
+      assert(st.readLevel(policy.sorted.head).count() == 1)
+    } finally {
+      spark.conf.set("graft.store.lockWaitMs", "60000")
+      Files.deleteIfExists(lock)
+    }
+  }
 }
