@@ -83,6 +83,57 @@ object WhisperFormat {
     * a requested window is the fetch-time exact interval match, same
     * as the reference (`src/hoard.coffee:500-506`).
     */
+  /** Encode a whisper/hoard file: header + archive table + rings
+    * (`src/hoard.coffee:30-69` create layout; byte-parity with the
+    * reference's `test/testcreate.whisper` asserted in tests). Each
+    * archive's points (aligned epoch-second, value) are placed at ring
+    * slot `floorMod((ts - base) / step, points)` with base = the
+    * oldest exported interval — any congruent placement is a valid
+    * ring, since readers match slots by exact stored timestamp. Points
+    * older than the ring span (or colliding on a slot) resolve to the
+    * NEWEST timestamp, exactly like ring wraparound overwrites. The
+    * actual xff is written — the reference's create hardcodes 0.5 no
+    * matter what was asked (`src/hoard.coffee:40-46`, bug B1), which
+    * we fix by intent like the rest of the engine.
+    */
+  def write(lastUpdate: Long, xff: Float,
+            archives: Seq[(graft.core.Archive, Seq[(Long, Double)])]): Array[Byte] = {
+    require(archives.nonEmpty, "need at least one archive")
+    val sorted = archives.sortBy(_._1.step)
+    val headerSize = HeaderSize + sorted.size * ArchiveEntrySize
+    val offsets = sorted.map(_._1).scanLeft(headerSize) {
+      (o, ar) => o + ar.points.toInt * PointSize
+    }
+    val total = offsets.last
+    val buf = java.nio.ByteBuffer.allocate(total) // big-endian default
+    val maxRetention = sorted.map(_._1.retention).max
+    buf.putInt(lastUpdate.toInt)
+    buf.putInt(maxRetention.toInt)
+    buf.putFloat(xff)
+    buf.putInt(sorted.size)
+    sorted.zip(offsets).foreach { case ((ar, _), off) =>
+      buf.putInt(off); buf.putInt(ar.step.toInt); buf.putInt(ar.points.toInt)
+    }
+    sorted.zip(offsets).foreach { case ((ar, pts), off) =>
+      val step = ar.step
+      val n = ar.points.toInt
+      val live = pts.filter { case (t, _) =>
+        require(t % step == 0, s"point $t not aligned to step $step")
+        t > lastUpdate - ar.retention // ring span only
+      }
+      if (live.nonEmpty) {
+        val base = live.map(_._1).min
+        // newest wins a slot, like wraparound overwrites
+        live.sortBy(_._1).foreach { case (t, v) =>
+          val slot = java.lang.Math.floorMod((t - base) / step, n.toLong).toInt
+          buf.putInt(off + slot * PointSize, t.toInt)
+          buf.putDouble(off + slot * PointSize + 4, v)
+        }
+      }
+    }
+    buf.array()
+  }
+
   def slots(bytes: Array[Byte]): Iterator[Slot] = {
     val h = header(bytes)
     val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default

@@ -88,4 +88,58 @@ class FixtureReplaySpec extends SparkTestBase {
     assert(oldest == 1217894400L)
     assert(daily.count() == 1095L)
   }
+
+  test("whisper export: byte-parity with the reference's create fixture, and import round-trip") {
+    import graft.core.Archive
+    import graft.store.{HoardExport, HoardImport, WhisperFormat}
+    import java.nio.file.{Files, Paths}
+
+    // empty create: the reference test asserts its create() output has
+    // the same length as Python Whisper's testcreate.whisper
+    // (test/hoard.test.coffee:54-63); pinning the fixture's lastUpdate
+    // word, our encoder reproduces the file BYTE-IDENTICALLY
+    val refBytes = Files.readAllBytes(
+      Paths.get("/root/reference/test/testcreate.whisper"))
+    val ours = WhisperFormat.write(1312314443L, 0.5f,
+      Seq(Archive(1, 60) -> Seq.empty, Archive(10, 600) -> Seq.empty))
+    assert(ours.length == refBytes.length) // 7960, the reference's gate
+    assert(java.util.Arrays.equals(ours, refBytes))
+
+    // round-trip: import large.whisper → store → export → re-import;
+    // the re-imported store must serve the reference's golden fetch
+    val src = "/root/reference/test/large.whisper"
+    val lastUpdate = 1312504705L
+    val st = HoardImport.intoStore(spark, src, tmpDir("rt") + "/store")
+    val out = tmpDir("rt-out") + "/large.whisper"
+    HoardExport.toWhisper(st, "large", out, now = lastUpdate)
+
+    val h2 = HoardImport.headerOf(out)
+    assert(h2.maxRetention == 94608000L && h2.xff == 0.5f)
+    assert(h2.archives.map(a => (a.step, a.points)) ==
+      Seq((3600, 8760), (86400, 1095)))
+
+    // slot multisets preserved per step over the LIVE window (ring
+    // rotation may differ; slots older than lastUpdate − retention are
+    // unfetchable ghosts the export correctly drops — exactly one
+    // daily slot in this fixture)
+    def liveSlots(p: String) = {
+      val bytes = Files.readAllBytes(Paths.get(p))
+      val ret = WhisperFormat.header(bytes).archives
+        .map(a => a.step -> a.retention).toMap
+      WhisperFormat.slots(bytes).filter(s => s.ts > lastUpdate - ret(s.step))
+        .toSeq.groupBy(_.step).view
+        .mapValues(_.map(s => (s.ts, s.value)).toSet).toMap
+    }
+    val (orig, rt) = (liveSlots(src), liveSlots(out))
+    assert(rt.keySet == orig.keySet)
+    orig.foreach { case (step, want) =>
+      assert(rt(step) == want, s"step $step slot multiset diverged")
+    }
+
+    val st2 = HoardImport.intoStore(spark, out, tmpDir("rt2") + "/store")
+    val (ti, vals) = st2.fetchValues("large", 1311161605L, 1311179605L,
+      lastUpdate)
+    assert(ti == HoardStore.TimeInfo(1311163200L, 1311181200L, 3600L))
+    assert(vals.map(_.get) == Seq(2048.0, 4546.0, 794.0, 805.0, 4718.0))
+  }
 }

@@ -45,6 +45,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(badWindow.isEmpty, "partitionless window in h18")
   }
 
+  test("q8 range join runs as an equi join on the hour-bucket key") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val nodes = executed("q8_range")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "range join degenerated to BroadcastNestedLoopJoin")
+    // the equi key must carry BOTH user and hour-bucket: that is what
+    // splits a hot user across time buckets (SkewStress's 16×). At
+    // sf0.001 AQE may pick any hash-equi strategy — all three count.
+    val equiKeys = nodes.collect {
+      case j: SortMergeJoinExec    => j.leftKeys.length
+      case j: ShuffledHashJoinExec => j.leftKeys.length
+      case j: BroadcastHashJoinExec => j.leftKeys.length
+    }
+    assert(equiKeys.nonEmpty && equiKeys.max >= 2,
+      s"expected a 2-key (user, bucket) equi join, got key counts $equiKeys")
+  }
+
   test("p32 subword encoding plans no window at all") {
     val nodes = executed("p32_subword")
     assert(!nodes.exists(_.isInstanceOf[WindowExec]),
