@@ -142,4 +142,37 @@ class FixtureReplaySpec extends SparkTestBase {
     assert(ti == HoardStore.TimeInfo(1311163200L, 1311181200L, 3600L))
     assert(vals.map(_.get) == Seq(2048.0, 4546.0, 794.0, 805.0, 4718.0))
   }
+
+  test("directory import: a graphite tree becomes one multi-series store; new writes win lww") {
+    import graft.store.{HoardExport, HoardImport, HoardStore}
+    import org.apache.spark.sql.functions._
+    val lastUpdate = 1312504705L
+
+    // build a two-file "graphite tree" from the fixture (the exporter
+    // makes this self-contained), then import the DIRECTORY
+    val src = HoardImport.intoStore(spark,
+      "/root/reference/test/large.whisper", tmpDir("tree-src") + "/store")
+    val tree = tmpDir("tree")
+    HoardExport.toWhisper(src, "large", s"$tree/web01_cpu.whisper", lastUpdate)
+    HoardExport.toWhisper(src, "large", s"$tree/web02_cpu.hoard", lastUpdate)
+
+    val st = HoardImport.intoStore(spark, tree, tmpDir("tree-store") + "/store")
+    // both files landed as separate series named from their basenames
+    Seq("web01_cpu", "web02_cpu").foreach { sid =>
+      val (_, vals) = st.fetchValues(sid, 1311161605L, 1311179605L, lastUpdate)
+      assert(vals.map(_.get) == Seq(2048.0, 4546.0, 794.0, 805.0, 4718.0), sid)
+    }
+    // one dense multi-series frame across the whole imported tree
+    val (_, dense) = st.fetchMulti(lit(true), 1311161605L, 1311179605L,
+      lastUpdate)
+    assert(dense.select("series_id").distinct().count() == 2)
+
+    // migration is a beginning, not a snapshot: a post-import write
+    // claims a LATER commit base and wins lww over imported points
+    st.updateMany(Seq(HoardStore.RawPoint("web01_cpu", 1311166800L, 9999.0)),
+      now = lastUpdate)
+    val (_, after) = st.fetchValues("web01_cpu", 1311161605L, 1311179605L,
+      lastUpdate)
+    assert(after.map(_.get) == Seq(2048.0, 9999.0, 794.0, 805.0, 4718.0))
+  }
 }
