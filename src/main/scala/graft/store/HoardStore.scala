@@ -399,6 +399,40 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Graphite-style series glob → predicate for [[fetchMulti]]:
+    * `*` matches within one dotted path segment, `?` one non-dot char,
+    * `{a,b}` alternation, `[...]` a char class — the target syntax a
+    * graphite user brings to a tree imported by [[HoardImport]]
+    * (`web*.cpu.user`, `web{01,02}.load`). Evaluates as one RLIKE
+    * column: applied to the catalog for the fetch universe and pushed
+    * into the level scan like any predicate.
+    */
+  def seriesGlob(pattern: String): org.apache.spark.sql.Column = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    var inClass = false
+    var braces = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      c match {
+        case '[' => inClass = true; sb.append('[')
+        case ']' => inClass = false; sb.append(']')
+        case _ if inClass => sb.append(c) // classes pass through verbatim
+        case '*' => sb.append("[^.]*")
+        case '?' => sb.append("[^.]")
+        case '{' => braces += 1; sb.append('(')
+        case '}' => braces -= 1; sb.append(')')
+        case ',' if braces > 0 => sb.append('|')
+        case '.' => sb.append("\\.")
+        case ch if "\\^$+(),|".indexOf(ch) >= 0 => sb.append('\\').append(ch)
+        case ch => sb.append(ch)
+      }
+      i += 1
+    }
+    sb.append('$')
+    col("series_id").rlike(sb.toString)
+  }
+
   /** Distinct series ever written at a level: one small parquet read. */
   def readCatalog(ar: Archive): DataFrame = {
     val p = catalogPath(root)

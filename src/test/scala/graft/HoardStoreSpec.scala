@@ -422,4 +422,30 @@ class HoardStoreSpec extends SparkTestBase {
       from, from + 10, now)
     assert(ti2.fromInterval == ti2.toInterval && df2.isEmpty)
   }
+
+  test("seriesGlob selects graphite-style targets over an imported tree shape") {
+    val s = freshStore()
+    val names = Seq("web01.cpu.user", "web02.cpu.user", "web01.cpu.system",
+      "db01.cpu.user", "web01.load", "webXX.cpu.user")
+    names.foreach(n => s.update(n, 1.0, now - 1800, now))
+    def matches(pattern: String): Set[String] = {
+      val (_, df) = s.fetchMulti(s.seriesGlob(pattern), now - 3600, now, now)
+      df.select("series_id").distinct().collect().map(_.getString(0)).toSet
+    }
+    // * stays within one dotted segment
+    assert(matches("web*.cpu.user") ==
+      Set("web01.cpu.user", "web02.cpu.user", "webXX.cpu.user"))
+    assert(matches("*.cpu.*") == Set("web01.cpu.user", "web02.cpu.user",
+      "web01.cpu.system", "db01.cpu.user", "webXX.cpu.user"))
+    // ? is one non-dot char; classes and alternation pass through
+    assert(matches("web0?.cpu.user") ==
+      Set("web01.cpu.user", "web02.cpu.user"))
+    assert(matches("web[0-9][0-9].cpu.user") ==
+      Set("web01.cpu.user", "web02.cpu.user"))
+    assert(matches("web{01,02}.cpu.{user,system}") ==
+      Set("web01.cpu.user", "web02.cpu.user", "web01.cpu.system"))
+    // no cross-segment bleed: *.user must not match web01.load
+    assert(!matches("*.user").contains("web01.load"))
+    assert(matches("web01.*") == Set("web01.load"))
+  }
 }
