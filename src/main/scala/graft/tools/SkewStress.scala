@@ -27,7 +27,8 @@ object SkewStress {
   /** Deterministic synthetic events in the testdata schema (ts stored
     * as INT64 nanos like the driver's fixtures; Tables.load converts).
     */
-  private def gen(s: SparkSession, n: Long, hot: Boolean): DataFrame = {
+  private def gen(s: SparkSession, n: Long, hot: Boolean,
+                  burst: Boolean = false): DataFrame = {
     val users = 15000L
     val base = 1704067200L // 2024-01-01 UTC
     val span = 30L * 86400 // 30 days
@@ -37,9 +38,8 @@ object SkewStress {
       col("id").as("event_id"),
       // xxhash64-derived pseudo-randomness: deterministic, seedable by
       // an extra literal column
-      ((lit(base) + pmod(xxhash64(col("id"), lit(1)), lit(span))) *
-        lit(1000000000L) +
-        pmod(xxhash64(col("id"), lit(2)), lit(1000000000L))).as("ts"),
+      pmod(xxhash64(col("id"), lit(1)), lit(span)).as("off"),
+      pmod(xxhash64(col("id"), lit(2)), lit(1000000000L)).as("subsec"),
       pmod(xxhash64(col("id"), lit(3)), lit(users)).as("u_uniform"),
       pmod(xxhash64(col("id"), lit(4)), lit(20)).as("hotroll"),
       pmod(xxhash64(col("id"), lit(5)), lit(5)).cast("int").as("t_uniform"),
@@ -53,7 +53,14 @@ object SkewStress {
       if (!hot) element_at(types, col("t_uniform") + 1)
       else when(col("hottype") =!= 0, lit("click")) // 80% one series
         .otherwise(element_at(types, col("t_uniform") + 1))
-    df.select(col("event_id"), col("ts"), user.as("user_id"),
+    // burst: 80% of all rows land inside ONE wall-clock hour (a flash
+    // crowd) — the hot-TIME analogue of the hot-user fixture
+    val off =
+      if (!burst) col("off")
+      else when(col("hotroll") < 16, pmod(col("off"), lit(3600L)))
+        .otherwise(col("off"))
+    val ts = (lit(base) + off) * lit(1000000000L) + col("subsec")
+    df.select(col("event_id"), ts.as("ts"), user.as("user_id"),
       typ.as("event_type"), col("value"), lit("{}").as("props"))
   }
 
@@ -67,9 +74,10 @@ object SkewStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("graft-skew").toString
-    val dirs = Seq("uniform" -> false, "hot" -> true).map { case (name, h) =>
+    val dirs = Seq(("uniform", false, false), ("hot", true, false),
+      ("burst", false, true)).map { case (name, h, b) =>
       val d = s"$root/$name"
-      gen(spark, n, h).coalesce(8)
+      gen(spark, n, h, b).coalesce(8)
         .write.mode("overwrite").parquet(s"$d/events.parquet")
       name -> d
     }.toMap
@@ -90,12 +98,14 @@ object SkewStress {
         println(f"[skew] $q%-15s $name%-8s ${t}%.2f s")
         (q, name, t)
       }
-    println("[skew] ratios (hot / uniform):")
+    println("[skew] ratios vs uniform:")
     queries.foreach { q =>
       val m = results.collect { case (`q`, nm, t) => nm -> t }.toMap
-      val r = m("hot") / m("uniform")
-      val verdict = if (r <= 2.0) "OK (<=2x)" else "FAIL (>2x)"
-      println(f"[skew] $q%-15s ${r}%.2f  $verdict")
+      Seq("hot", "burst").foreach { variant =>
+        val r = m(variant) / m("uniform")
+        val verdict = if (r <= 2.0) "OK (<=2x)" else "FAIL (>2x)"
+        println(f"[skew] $q%-15s $variant%-6s ${r}%.2f  $verdict")
+      }
     }
 
     // q8 correctness under skew: bucketized plan ≡ naive join. The

@@ -193,6 +193,47 @@ class StorePropertySpec extends SparkTestBase {
     assert(levelContents(st) == levelContents(ref))
   }
 
+  test("readers tolerate compaction leftovers: duplicated delta files change nothing") {
+    // the non-destructive compaction contract: a crash between
+    // move-in and delete leaves BOTH the folded file and some
+    // superseded deltas — duplicate rows with identical (key, seq)
+    // that every reader's lww must collapse to the same winner
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("dup-store") + "/store"
+    val st = HoardStore.create(spark, root, policy, HoardStore.DeltaAppend)
+    val rnd = new Random(9)
+    (0 until 3).foreach { _ =>
+      st.updateMany((0 until 40).map(_ => RawPoint("s",
+        now - rnd.between(0L, 20L * 86400), rnd.nextInt(1000).toDouble)), now)
+    }
+    val before = levelContents(st)
+    // duplicate every delta file in every month of every level
+    policy.sorted.foreach { ar =>
+      val lvl = Paths.get(s"$root/level=${ar.step}")
+      if (Files.exists(lvl)) {
+        val months = Files.list(lvl)
+        try {
+          import scala.jdk.CollectionConverters._
+          months.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("p_month=")).foreach { m =>
+              val fs = Files.list(m)
+              try fs.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .toSeq.foreach { f =>
+                  Files.copy(f, m.resolve(s"leftover-${f.getFileName}"))
+                }
+              finally fs.close()
+            }
+        } finally months.close()
+      }
+    }
+    assert(levelContents(st) == before,
+      "duplicated delta files changed the merged view")
+    // and compaction folds the mess back to clean months, same contents
+    st.compact(maxFilesPerMonth = 1)
+    assert(levelContents(st) == before, "compaction changed contents")
+  }
+
   test("a writer that cannot acquire the lock fails cleanly, then succeeds after release") {
     import java.nio.file.{Files, Paths}
     val root = tmpDir("locked-store") + "/store"
