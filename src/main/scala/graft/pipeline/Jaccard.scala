@@ -70,7 +70,8 @@ object Jaccard {
       }
 
     scored
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        (round(col("j") * lit(1e6)) / lit(1e6)).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(k)
   }

@@ -83,7 +83,7 @@ object HoardQueries {
           count(col("value"))).as("value"), count(col("value")).as("known"))
         .where(col("known").cast("double") / lit(7.0) >= lit(0.5))
         .select(col("event_type"), col("bucket").cast("date").cast("string").as("bucket"),
-          round(col("value"), 6).as("value"), col("known"))
+          (round(col("value") * lit(1e6)) / lit(1e6)).as("value"), col("known"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -127,7 +127,7 @@ object HoardQueries {
           sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
             count(col("value")).over(w))
         .select(col("event_type"), col("bucket").cast("string").as("bucket"),
-          round(col("ma"), 6).as("moving_avg"))
+          (round(col("ma") * lit(1e6)) / lit(1e6)).as("moving_avg"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -394,7 +394,8 @@ object HoardQueries {
           col("n"),
           round(col("min_value").cast("double"), 6).as("min_value"),
           round(col("max_value").cast("double"), 6).as("max_value"),
-          round(col("sum_value").cast("double") / col("n"), 6).as("mean_value"))
+          (round(col("sum_value").cast("double") / col("n") * lit(1e6)) /
+            lit(1e6)).as("mean_value"))
         .orderBy("user_id")
     }),
 
@@ -510,7 +511,8 @@ object HoardQueries {
       graft.streaming.StreamStats.record("s1_stream", q); q.stop()
       s.table(name)
         .select(col("series_id"), col("bucket").cast("string").as("bucket"),
-          col("n"), round(col("mean_value"), 6).as("mean_value"),
+          col("n"),
+          (round(col("mean_value") * lit(1e6)) / lit(1e6)).as("mean_value"),
           round(col("max_value"), 6).as("max_value"))
         .orderBy("series_id", "bucket")
     }),
@@ -609,8 +611,8 @@ object HoardQueries {
         |         arg_max(value, event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts))
         |SELECT event_type, CAST(date_trunc('day', h) AS VARCHAR) AS bucket,
-        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-        |             / COUNT(v), 6) AS value
+        |       CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS value
         |FROM hourly GROUP BY event_type, date_trunc('day', h)
         |HAVING CAST(COUNT(v) AS DOUBLE) / 24 >= 0.5
         |ORDER BY event_type, bucket""".stripMargin,
@@ -644,7 +646,7 @@ object HoardQueries {
         |  FROM hourly GROUP BY event_type, date_trunc('day', h)
         |  HAVING CAST(COUNT(v) AS DOUBLE) / 24 >= 0.5)
         |SELECT event_type, CAST(date_trunc('week', d) AS VARCHAR) AS bucket,
-        |       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 6) AS value,
+        |       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v) * 1e6) / 1e6 AS value,
         |       COUNT(v) AS known
         |FROM daily GROUP BY event_type, date_trunc('week', d)
         |HAVING CAST(COUNT(v) AS DOUBLE) / 7 >= 0.5
@@ -676,7 +678,7 @@ object HoardQueries {
         |  FROM events GROUP BY event_type, date_trunc('hour', ts))
         |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
-        |             / COUNT(v) OVER w, 6) AS moving_avg
+        |             / COUNT(v) OVER w * 1e6) / 1e6 AS moving_avg
         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
         |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, bucket""".stripMargin,
@@ -902,7 +904,7 @@ object HoardQueries {
         |       ROUND(MIN(value), 6) AS min_value,
         |       ROUND(MAX(value), 6) AS max_value,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        |             / COUNT(value), 6) AS mean_value
+        |             / COUNT(value) * 1e6) / 1e6 AS mean_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the doubled stream must dedup back to exactly the raw table
@@ -974,7 +976,7 @@ object HoardQueries {
         |       CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
         |       COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        |             / COUNT(value), 6) AS mean_value,
+        |             / COUNT(value) * 1e6) / 1e6 AS mean_value,
         |       ROUND(MAX(value), 6) AS max_value
         |FROM events GROUP BY event_type, date_trunc('hour', ts)
         |ORDER BY series_id, bucket""".stripMargin,

@@ -79,8 +79,8 @@ object PipelineQueries {
       Jaccard.thresholdPairs(ids, "doc_id", tau = 0.7)
         .where(col("i") * 17 >= (col("na") + col("nb")) * 7)
         .select(col("id_a"), col("id_b"),
-          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
-            .as("jaccard"))
+          (round(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+            * lit(1e6)) / lit(1e6)).as("jaccard"))
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -1032,7 +1032,7 @@ object PipelineQueries {
          |  FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id_a, id_b,
-         |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6) / 1e6 AS jaccard
          |FROM inter
          | JOIN sizes sa ON sa.doc_id = id_a
          | JOIN sizes sb ON sb.doc_id = id_b
@@ -1180,7 +1180,7 @@ object PipelineQueries {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id_a, id_b,
-         |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6) / 1e6 AS jaccard
          |FROM inter
          | JOIN sizes sa ON sa.doc_id = id_a
          | JOIN sizes sb ON sb.doc_id = id_b

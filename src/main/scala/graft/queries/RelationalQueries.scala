@@ -224,8 +224,8 @@ object RelationalQueries {
           round(col("value"), 6).as("value"),
           round(lag(col("value"), 1).over(w), 6).as("lag_v"),
           round(lead(col("value"), 1).over(w), 6).as("lead_v"),
-          round((sum(col("value").cast("decimal(18,6)")).over(mw).cast("double") /
-            count(col("value")).over(mw)), 6).as("mavg4"),
+          (round((sum(col("value").cast("decimal(18,6)")).over(mw).cast("double") /
+            count(col("value")).over(mw)) * lit(1e6)) / lit(1e6)).as("mavg4"),
           count(lit(1)).over(rw).as("trail_1h_n"))
         .orderBy("user_id", "event_id")
     }),
@@ -671,7 +671,7 @@ object RelationalQueries {
         | ROUND(lag(value, 1) OVER w, 6) AS lag_v,
         | ROUND(lead(value, 1) OVER w, 6) AS lead_v,
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-        |         OVER w4 AS DOUBLE) / COUNT(value) OVER w4, 6) AS mavg4,
+        |         OVER w4 AS DOUBLE) / COUNT(value) OVER w4 * 1e6) / 1e6 AS mavg4,
         | COUNT(*) OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
         |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trail_1h_n
         |FROM events WHERE user_id < 10
