@@ -45,7 +45,7 @@ object RelationalQueries {
           round(sum(col("l_extendedprice").cast("decimal(18,6)") *
             (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
             .cast("double"), 6).as("sum_disc"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          (round(avg(col("l_quantity")) * lit(1e6)) / lit(1e6)).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -368,8 +368,10 @@ object RelationalQueries {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-          |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
-          |                      WHERE o2.o_custkey = o.o_custkey)
+          |WHERE o_totalprice > (
+          |        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+          |                    AS DOUBLE) / COUNT(*)
+          |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
@@ -562,7 +564,7 @@ object RelationalQueries {
         | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_base,
         | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
         |                CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc,
-        | ROUND(AVG(l_quantity), 6) AS avg_qty,
+        | ROUND(AVG(l_quantity) * 1e6) / 1e6 AS avg_qty,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -786,8 +788,10 @@ object RelationalQueries {
 
     "q17_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
+        |WHERE o_totalprice > (
+        |        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+        |                    AS DOUBLE) / COUNT(*)
+        |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q19_json" ->
