@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for corpus curation: language-ID scoring, quality
@@ -218,6 +219,44 @@ object TextAnalysis {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         ratio.as("dup_span_ratio"),
         (ratio > flagMin).as("flag_contaminated"))
+  }
+
+  /** C4-style corpus-level line dedup (Raffel et al. 2020 §2.2's
+    * keep-first rule, line = fixed `k`-token chunk since the fixtures
+    * carry no newlines): every distinct line keeps only its
+    * globally-first occurrence (smallest id, then position) and each
+    * document is rebuilt from its surviving lines in order.
+    *
+    * Line extraction is narrow array expressions over the scan (the
+    * shinglesOfText pattern — no token-stream shuffle). First-occurrence
+    * selection is ONE shuffle keyed by the 60-bit line hash with tiny
+    * per-key groups (same partitioned-window shape as exact dedup);
+    * the rebuild is a per-doc partial aggregate. Linear at any corpus
+    * size; no global sort, no UDF.
+    *
+    * Output: (idCol, n_lines, n_kept, dedup_text).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 8): DataFrame = {
+    val arr = col("__arr")
+    val nChunks = floor((size(arr) - lit(1)) / lit(k)).cast("int")
+    val lines = docs
+      .select(col(idCol), split(col(textCol), " ").as("__arr"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks),
+          i => concat_ws(" ", slice(arr, i * k + 1, lit(k)))))
+          .as(Seq("li", "line")))
+    val w = Window.partitionBy(col("lid"))
+      .orderBy(col(idCol), col("li"))
+    lines.withColumn("lid", TextOps.hashId(col("line")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(transform(filter(
+            array_sort(collect_list(
+              struct(col("li"), col("keep"), col("line")))),
+            x => x("keep")), x => x("line")), " ").as("dedup_text"))
   }
 
   /** Gopher's document-quality stopword list (Rae et al. 2021 §A1.1). */

@@ -872,6 +872,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p33_linededup" -> ((s, dir) => {
+      // C4/RefinedWeb-style corpus-level line dedup (Raffel et al.
+      // 2020 §2.2 keep-first rule): each doc splits into fixed 8-token
+      // lines (the fixture has no newlines), every distinct line keeps
+      // only its globally-FIRST occurrence (smallest doc_id, then
+      // position), and each document is rebuilt from its surviving
+      // lines. Line extraction is narrow array expressions over the
+      // scan (shinglesOfText's pattern — no token-stream shuffle);
+      // first-occurrence is ONE shuffle keyed by the 60-bit line hash
+      // with tiny per-key groups (p1's partitioned-window shape); the
+      // rebuild is a per-doc partial aggregate. Linear at any corpus.
+      TextAnalysis.lineDedup(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     "t10_normalize" -> ((s, dir) => {
       // text normalization + content addressing: the canonicalization
       // pass that fronts every exact-dedup / CC-style pipeline
@@ -1907,6 +1922,35 @@ object PipelineQueries {
          |                % 1000000007) AS BIGINT) AS piece_checksum
          |FROM toks t JOIN enc e ON t.token = e.word
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // fixed 8-token lines, keep-first by (doc_id, position) over the
+    // same md5-15-hex line hash as Spark's TextOps.hashId
+    "p33_linededup" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |idx AS (
+        |  SELECT doc_id, a,
+        |         unnest(range(0, (len(a) - 1) // 8 + 1)) AS li
+        |  FROM arrs),
+        |lines AS (
+        |  SELECT doc_id, CAST(li AS INT) AS li,
+        |         array_to_string(a[li * 8 + 1 : li * 8 + 8], ' ') AS line
+        |  FROM idx),
+        |hashed AS (
+        |  SELECT doc_id, li, line,
+        |         CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS lid
+        |  FROM lines),
+        |kept AS (
+        |  SELECT doc_id, li, line,
+        |         (row_number() OVER (PARTITION BY lid
+        |            ORDER BY doc_id, li)) = 1 AS keep
+        |  FROM hashed)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN keep THEN line END,
+        |                           ' ' ORDER BY li), '') AS dedup_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // truncated-prefix ranking + full-precision audit; the 16-dim slice
     // mirrors Spark's slice(embedding, 1, 16)

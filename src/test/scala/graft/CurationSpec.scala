@@ -214,6 +214,60 @@ class CurationSpec extends SparkTestBase {
     })
   }
 
+  // --- corpus-level line dedup (p33) ------------------------------------
+
+  test("line dedup keeps exactly the first occurrence and rebuilds docs") {
+    val line1 = (1 to 8).map("w" + _).mkString(" ")
+    val line2 = (1 to 8).map("x" + _).mkString(" ")
+    val tail = "y1 y2 y3 y4"
+    val docs = Seq(
+      (1L, s"$line1 $line2"), // both lines first-seen: unchanged
+      (2L, s"$line1 $line2"), // exact copy: everything dropped
+      (3L, s"$line1 $tail"),  // first line dup, short tail kept
+      (4L, "a")               // single-token doc: one 1-token line
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_lines") == 2L)
+    assert(r(0).getAs[Long]("n_kept") == 2L)
+    assert(r(0).getAs[String]("dedup_text") == s"$line1 $line2")
+    assert(r(1).getAs[Long]("n_kept") == 0L)
+    assert(r(1).getAs[String]("dedup_text") == "")
+    assert(r(2).getAs[Long]("n_lines") == 2L)
+    assert(r(2).getAs[Long]("n_kept") == 1L)
+    assert(r(2).getAs[String]("dedup_text") == tail)
+    assert(r(3).getAs[Long]("n_lines") == 1L)
+    assert(r(3).getAs[String]("dedup_text") == "a")
+  }
+
+  test("line dedup on sf0.001 matches a sequential keep-first mirror") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val got = TextAnalysis.lineDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = raw.map { case (id, text) =>
+      val lines = text.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      val kept = lines.filter(seen.add)
+      id -> (lines.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.toMap
+    assert(got.length == raw.length)
+    got.foreach { r =>
+      val (nl, nk, txt) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_lines") == nl)
+      assert(r.getAs[Long]("n_kept") == nk)
+      assert(r.getAs[String]("dedup_text") == txt,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the fixture exercises real removals and the kept lines are
+    // globally unique across the corpus
+    assert(got.map(_.getAs[Long]("n_kept")).sum <
+      got.map(_.getAs[Long]("n_lines")).sum)
+  }
+
   // --- incremental dedup ------------------------------------------------
 
   test("incremental dedup reports only cross-side matches over tau, with exact witnesses") {
