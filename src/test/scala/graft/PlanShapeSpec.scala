@@ -67,4 +67,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!nodes.exists(_.isInstanceOf[WindowExec]),
       "p32 should be joins + aggregates + a typed per-word fold")
   }
+
+  test("p33 line dedup: partitioned window only, three shuffles max") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = executed("p33_linededup")
+    // keep-first must ride a lid-PARTITIONED window (tiny groups) —
+    // a partitionless window would serialize the whole corpus
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "p33's keep-first window must be partitioned by line hash")
+    // line extraction stays narrow over the scan: the only shuffles
+    // are lid (window), doc_id (rebuild agg), and the output sort
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 3,
+      s"p33 planned ${shuffles.length} shuffles; expected <= 3 " +
+        "(lid window, per-doc rebuild, output order)")
+  }
 }
