@@ -903,6 +903,39 @@ object PipelineQueries {
             .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"),
           md5(norm.cast("binary")).as("content_key"))
         .orderBy("doc_id")
+    }),
+
+    "t11_fertility" -> ((s, dir) => {
+      // tokenizer fertility / domain-fit audit: per-source pieces per
+      // word, unknown rate, and chars per piece under the pinned p32
+      // vocabulary — the standard "how well does the tokenizer
+      // compress each domain" readout that drives vocab retraining.
+      // Same scaling shape as p32: encode DISTINCT words once
+      // (dictionary-encode, sublinear in the corpus), broadcast the
+      // piece table onto token occurrences carried WITH their source
+      // (no doc join), one partial agg per source. All three ratios
+      // are exact integer ratios → the tie-safe x*1e6 rounding.
+      val t = docs(s, dir).select(col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+      val words = t.select(col("token").as("word")).distinct()
+      val enc = Subword.encode(words, SubwordVocab)
+      def r6(c: org.apache.spark.sql.Column) =
+        round(c * lit(1e6)) / lit(1e6)
+      t.join(broadcast(enc), col("token") === col("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_unk")).as("n_unk"),
+          sum(length(col("token")).cast("long")).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_pieces"),
+          col("n_unk"),
+          r6(col("n_pieces").cast("double") / col("n_words"))
+            .as("pieces_per_word"),
+          r6(col("n_unk").cast("double") / col("n_pieces"))
+            .as("unk_rate"),
+          r6(col("n_chars").cast("double") / col("n_pieces"))
+            .as("chars_per_piece"))
+        .orderBy("source")
     })
   )
 
@@ -914,7 +947,7 @@ object PipelineQueries {
     * VALUES list is generated from THIS constant, so the two engines
     * cannot drift.
     */
-  private val SubwordVocab: Seq[String] =
+  private[graft] val SubwordVocab: Seq[String] =
     ("abcdefghijklmnoprstuvwxyz".map(_.toString) ++ Seq(
       "th", "the", "ta", "table", "spark", "ar", "me", "ge", "row",
       "sc", "scan", "an", "agg", "ba", "tch", "win", "dow", "va", "ue",
@@ -1922,6 +1955,50 @@ object PipelineQueries {
          |                % 1000000007) AS BIGINT) AS piece_checksum
          |FROM toks t JOIN enc e ON t.token = e.word
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // p32's greedy-walk encoding CTE aggregated per source; all three
+    // ratios are exact integer ratios -> tie-safe x*1e6 rounding
+    "t11_fertility" ->
+      s"""WITH RECURSIVE $ToksCte,
+         |vocab(piece) AS (VALUES ${SubwordVocab.map(p => s"('$p')").mkString(", ")}),
+         |words AS (SELECT DISTINCT token AS word FROM toks),
+         |wpos AS (
+         |  SELECT word, unnest(range(1, length(word) + 1)) AS p
+         |  FROM words),
+         |lmp AS (
+         |  SELECT wp.word, wp.p,
+         |         arg_max(v.piece, length(v.piece)) AS piece
+         |  FROM wpos wp
+         |  LEFT JOIN vocab v ON substr(wp.word, wp.p, length(v.piece)) = v.piece
+         |  GROUP BY wp.word, wp.p),
+         |walk(word, wp, n_pieces, n_unk) AS (
+         |  SELECT word, 1, 0, 0 FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.wp + coalesce(length(l.piece), 1),
+         |         w.n_pieces + 1,
+         |         w.n_unk + CASE WHEN l.piece IS NULL THEN 1 ELSE 0 END
+         |  FROM walk w JOIN lmp l ON l.word = w.word AND l.p = w.wp
+         |  WHERE w.wp <= length(w.word)),
+         |enc AS (
+         |  SELECT word, n_pieces, n_unk
+         |  FROM walk WHERE wp > length(word)),
+         |agg AS (
+         |  SELECT d.source, COUNT(*) AS n_words,
+         |         CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+         |         CAST(SUM(e.n_unk) AS BIGINT) AS n_unk,
+         |         CAST(SUM(length(t.token)) AS BIGINT) AS n_chars
+         |  FROM toks t
+         |  JOIN enc e ON t.token = e.word
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY d.source)
+         |SELECT source, n_words, n_pieces, n_unk,
+         |       ROUND(CAST(n_pieces AS DOUBLE) / n_words * 1e6) / 1e6
+         |         AS pieces_per_word,
+         |       ROUND(CAST(n_unk AS DOUBLE) / n_pieces * 1e6) / 1e6
+         |         AS unk_rate,
+         |       ROUND(CAST(n_chars AS DOUBLE) / n_pieces * 1e6) / 1e6
+         |         AS chars_per_piece
+         |FROM agg ORDER BY source""".stripMargin,
 
     // fixed 8-token lines, keep-first by (doc_id, position) over the
     // same md5-15-hex line hash as Spark's TextOps.hashId

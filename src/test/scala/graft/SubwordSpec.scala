@@ -70,4 +70,44 @@ class SubwordSpec extends SparkTestBase {
     val words = Seq("table", "tab", "merge", "query", "a", "abcabc")
     assert(enc(words, 1) == enc(words, 7))
   }
+
+  test("t11 fertility matches a sequential per-source mirror on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t11_fertility")(spark, dir).collect()
+
+    // mirror: encode every occurrence sequentially with the engine's
+    // own (already mirror-tested) per-word encoding, then aggregate
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val occ = docs.select(col("source"), explode(split(col("text"), " "))
+      .as("token")).collect().map(r => (r.getString(0), r.getString(1)))
+    import spark.implicits._
+    val encMap = graft.pipeline.Subword
+      .encode(occ.map(_._2).distinct.toSeq.toDF("word"),
+        graft.queries.PipelineQueries.SubwordVocab)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val expected = occ.groupBy(_._1).map { case (src, os) =>
+      val n = os.length.toLong
+      val pieces = os.map(o => encMap(o._2)._1).sum
+      val unk = os.map(o => encMap(o._2)._2).sum
+      val chars = os.map(_._2.length.toLong).sum
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      src -> (n, pieces, unk,
+        r6(pieces.toDouble / n), r6(unk.toDouble / pieces),
+        r6(chars.toDouble / pieces))
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, p, u, ppw, ur, cpp) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_words") == n)
+      assert(r.getAs[Long]("n_pieces") == p)
+      assert(r.getAs[Long]("n_unk") == u)
+      assert(r.getAs[Double]("pieces_per_word") == ppw)
+      assert(r.getAs[Double]("unk_rate") == ur)
+      assert(r.getAs[Double]("chars_per_piece") == cpp)
+    }
+    // the pinned vocab really exercises the unknown path somewhere
+    assert(got.map(_.getAs[Long]("n_unk")).sum > 0)
+  }
 }
