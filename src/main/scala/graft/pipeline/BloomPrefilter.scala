@@ -69,6 +69,6 @@ object BloomPrefilter {
       .select(col(idCol), col("n_spans"),
         coalesce(col("n_known"), lit(0L)).as("n_known"))
       .withColumn("known_ratio",
-        round(col("n_known").cast("double") / col("n_spans"), 6))
+        round(col("n_known").cast("double") / col("n_spans") * lit(1e6)) / lit(1e6))
   }
 }

@@ -101,7 +101,7 @@ object Dsir {
       .groupBy(idCols.map(col): _*)
       .agg(count(lit(1)).as("n_feats"), sum(col("llw_micro")).as("w_micro"))
       .withColumn("avg_w",
-        round(col("w_micro").cast("double") / 1e6 / col("n_feats"), 6))
+        round(col("w_micro").cast("double") / 1e6 / col("n_feats") * 1e6) / 1e6)
 
   def score(featB: DataFrame, idCol: String, weights: DataFrame): DataFrame =
     score(featB, Seq(idCol), weights)

@@ -65,8 +65,8 @@ object IncrementalDedup {
       .join(index.sizes.withColumnRenamed(idCol, "id_ex"), "id_ex")
       .where(col("i") * 17 >= (col("ni") + col("ne")) * 7)
       .select(col("id_in"), col("id_ex"),
-        round(col("i").cast("double") / (col("ni") + col("ne") - col("i")), 6)
-          .as("jaccard"))
+        (round(col("i").cast("double") / (col("ni") + col("ne") - col("i"))
+          * lit(1e6)) / lit(1e6)).as("jaccard"))
   }
 
   /** One row per matched incoming id: match count + best witness

@@ -143,7 +143,10 @@ object SparseCosine {
       }
 
     scored
-      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
+      // tie-safe *1e6 rounding: integer tf dots over a perfect-square
+      // norm product are exact ratios (the cross-engine ROUND tie class)
+      .select(col("id_a"), col("id_b"),
+        (round(col("c") * lit(1e6)) / lit(1e6)).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(k)
   }

@@ -44,6 +44,34 @@ object TextAnalysis {
   }
 
   /** Quality metrics per document, all from one pass over the text. */
+  /** Flesch-style readability scoring (Flesch 1948; the Flesch reading
+    * -ease formula as used in corpus quality filters): words by the
+    * corpus tokenizer, sentences as [.!?]+ runs (floored at 1), and a
+    * vowel-group syllable proxy. Score = 206.835 - 1.015*(W/S)
+    * - 84.6*(Y/W), an exact-rational output rounded with the tie-safe
+    * *1e6 sequence on both engines. Single scan, pure column
+    * expressions inside whole-stage codegen.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nWords = size(split(col(textCol), " ")).cast("long")
+    val nSents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val nSyll = greatest(
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+        .cast("long"),
+      lit(1L))
+    val flesch = lit(206.835) -
+      lit(1.015) * (nWords.cast("double") / nSents) -
+      lit(84.6) * (nSyll.cast("double") / nWords)
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      nSents.as("n_sents"),
+      nSyll.as("n_syllables"),
+      (round(flesch * lit(1e6)) / lit(1e6)).as("flesch"),
+      (flesch >= lit(60.0)).as("flag_easy"))
+  }
+
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
     val nTok = size(toks).cast("long")
@@ -53,8 +81,12 @@ object TextAnalysis {
       nTok.as("n_tokens"),
       nChar.as("n_chars"),
       nDistinct.as("n_distinct"),
-      round(nDistinct.cast("double") / nTok, 6).as("distinct_ratio"),
-      round((nChar - (nTok - 1)).cast("double") / nTok, 6).as("avg_token_len"),
+      // integer ratios are the ROUND tie class (Spark shortest-repr
+      // HALF_UP vs DuckDB scaled-float): round via *1e6 on both engines
+      (round(nDistinct.cast("double") / nTok * lit(1e6)) / lit(1e6))
+        .as("distinct_ratio"),
+      (round((nChar - (nTok - 1)).cast("double") / nTok * lit(1e6)) / lit(1e6))
+        .as("avg_token_len"),
       // crude quality: repetition-penalized log-length
       round(log(nTok.cast("double") + 1) * (nDistinct.cast("double") / nTok), 6)
         .as("quality"))
@@ -97,12 +129,15 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(
         sum(col("c")).as("n_bigrams"),
         count(lit(1)).as("n_distinct_bg"))
+    // tie-safe *1e6 rounding: these are exact integer ratios (the
+    // cross-engine ROUND tie class), and the flags compare them
     val dupTok = round((col("n_tokens") - col("n_distinct"))
-      .cast("double") / col("n_tokens"), 6)
-    val topTok = round(col("top_c").cast("double") / col("n_tokens"), 6)
+      .cast("double") / col("n_tokens") * lit(1e6)) / lit(1e6)
+    val topTok = round(col("top_c").cast("double") / col("n_tokens")
+      * lit(1e6)) / lit(1e6)
     // single-token docs have no bigram row: ratio 0 via coalesce
     val dupBg = coalesce(round((col("n_bigrams") - col("n_distinct_bg"))
-      .cast("double") / col("n_bigrams"), 6), lit(0.0))
+      .cast("double") / col("n_bigrams") * lit(1e6)) / lit(1e6), lit(0.0))
     tokStats.join(bgStats, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         dupTok.as("dup_token_ratio"),
@@ -212,7 +247,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_spans"),
         sum((col("nd") > 1).cast("long")).as("n_dup_spans"))
     val ratio = coalesce(
-      round(col("n_dup_spans").cast("double") / col("n_spans"), 6), lit(0.0))
+      round(col("n_dup_spans").cast("double") / col("n_spans") * lit(1e6))
+        / lit(1e6), lit(0.0))
     docs.select(col(idCol)).join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -290,11 +326,12 @@ object TextAnalysis {
       length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / lit(3)).cast("long")
     val metrics = base.select(col(idCol),
       nWords.as("n_words"),
-      round((length(col("__t")) - (nWords - 1)).cast("double") / nWords, 6)
-        .as("mean_word_len"),
-      round((nHash + nEllipsis).cast("double") / nWords, 6).as("symbol_ratio"),
-      round(size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
-        .cast("double") / nWords, 6).as("alpha_ratio"),
+      (round((length(col("__t")) - (nWords - 1)).cast("double") / nWords
+        * lit(1e6)) / lit(1e6)).as("mean_word_len"),
+      (round((nHash + nEllipsis).cast("double") / nWords * lit(1e6))
+        / lit(1e6)).as("symbol_ratio"),
+      (round(size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+        .cast("double") / nWords * lit(1e6)) / lit(1e6)).as("alpha_ratio"),
       size(filter(col("__w"), w => w.isInCollection(GopherStopwords)))
         .cast("long").as("n_stopwords"))
     metrics.select(col(idCol), col("n_words"), col("mean_word_len"),

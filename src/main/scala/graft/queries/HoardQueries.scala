@@ -320,6 +320,40 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h23_zband" -> ((s, dir) => {
+      // Graphite-style aberration detection (the three-sigma band of
+      // holtWintersAberration, over a trailing window instead of a
+      // forecast): flag hourly points sitting more than 2 sigma from
+      // the trailing 24h mean of their own series. The z-test runs
+      // ENTIRELY in integers — values scale to micro-units (exact:
+      // they carry <= 6 decimals) and |v-mu| > 2*sigma is compared as
+      // (n*v - S)^2 > 4*(n*S2 - S^2) in DECIMAL(38,0) (p19's
+      // integer-exact-predicate pattern), so the flag is
+      // bit-deterministic on both engines — no float stddev anywhere.
+      // Per-series partitioned ROWS frame; never a global window.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-23, 0)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      hourlyByType(s, dir)
+        .withColumn("vi",
+          (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .withColumn("n", count(col("vi")).over(w))
+        .withColumn("sv", sum(col("vi")).over(w))
+        .withColumn("s2", sum(dec(col("vi")) * dec(col("vi"))).over(w))
+        .withColumn("lhs", {
+          val a = dec(col("n") * col("vi")) - dec(col("sv"))
+          a * a
+        })
+        .withColumn("rhs",
+          dec(lit(4)) *
+            (dec(col("n")) * col("s2") - dec(col("sv")) * dec(col("sv"))))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"), col("n"),
+          (col("n") >= 12 && col("lhs") > col("rhs")).as("anomaly"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h21_movmedian" -> ((s, dir) => {
       // Graphite's movingMedian(6h): EXACT median over a trailing ROWS
       // frame per series — the robust-to-spikes sibling of h10's
@@ -835,6 +869,32 @@ object HoardQueries {
         |  PARTITION BY event_type, date_trunc('day', h) ORDER BY h
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // integer-exact trailing z-band: micro-unit values, HUGEINT
+    // replay of the (n*v - S)^2 > 4*n*(n*S2 - S^2) predicate
+    "h23_zband" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |z AS (
+        |  SELECT event_type, h, v,
+        |         CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM hourly),
+        |ws AS (
+        |  SELECT event_type, h, v, vi,
+        |         COUNT(vi) OVER w AS n,
+        |         SUM(vi) OVER w AS sv,
+        |         SUM(CAST(vi AS HUGEINT) * vi) OVER w AS s2
+        |  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value, n,
+        |       (n >= 12 AND
+        |        CAST(n*vi - sv AS HUGEINT) * CAST(n*vi - sv AS HUGEINT)
+        |        > 4 * (CAST(n AS HUGEINT)*s2 - CAST(sv AS HUGEINT)*sv))
+        |         AS anomaly
+        |FROM ws ORDER BY event_type, bucket""".stripMargin,
 
     "h21_movmedian" ->
       """WITH hourly AS (

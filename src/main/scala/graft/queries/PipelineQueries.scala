@@ -887,6 +887,67 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p34_pq" -> ((s, dir) => {
+      // Product quantization ANN (Jégou et al., "Product Quantization
+      // for Nearest Neighbor Search", TPAMI 2011): M=4 subspaces x 16
+      // dims, K=16 codewords per subspace drawn from vec_id < 16 (the
+      // p9 fixed-budget pattern — codebook is O(M*K) at any corpus
+      // size). Vectors are integer-gridded (floor(x*1000)) so every
+      // subspace L2 distance is an exact BIGINT on both engines — code
+      // assignment and ADC ranking are bit-deterministic. Corpus side:
+      // one narrow explode (M rows/vec), broadcast codebook join,
+      // partial-agg argmin per (vec, m) -> M codes/vec (the 16x-
+      // compressed representation a 100 TB index actually stores);
+      // ADC probe: the per-query lookup table (Q*M*K rows) broadcasts
+      // onto the code stream, one partial-agg sum per (query, vec),
+      // per-query top-5. Full-precision cosine joins AFTER the top-k
+      // filter (p29's audit pattern) so fidelity loss is visible.
+      val e = emb(s, dir)
+      val gi = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000)).cast("long")).as("g"))
+      val sub = gi
+        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("m"),
+          expr("slice(g, m*16 + 1, 16)").as("sv"))
+      val cb = sub.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("m").as("cm"),
+          col("sv").as("cv"))
+      val ad = sub.join(broadcast(cb), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("c_id"),
+          aggregate(zip_with(col("sv"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+            .as("d"))
+      val codes = ad.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("c_id"))).as("mc"))
+        .select(col("vec_id"), col("m"), col("mc.c_id").as("code"))
+      val lut = ad.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m").as("lm"),
+          col("c_id"), col("d").as("qd"))
+      val adc = codes
+        .join(broadcast(lut),
+          col("m") === col("lm") && col("code") === col("c_id"))
+        .where(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("adist"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("adist"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("neighbor_id"))
+      val top = adc.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+      val uv = Embeddings.withUnitVector(e, "embedding", "uv")
+        .select(col("vec_id"), col("uv"))
+      top
+        .join(uv.select(col("vec_id").as("query_id"), col("uv").as("qn")),
+          "query_id")
+        .join(uv.select(col("vec_id").as("neighbor_id"),
+          col("uv").as("cn")), "neighbor_id")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("adist"),
+          round(Embeddings.unitCosine("qn", "cn"), 6).as("true_sim"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "t10_normalize" -> ((s, dir) => {
       // text normalization + content addressing: the canonicalization
       // pass that fronts every exact-dedup / CC-style pipeline
@@ -936,6 +997,11 @@ object PipelineQueries {
           r6(col("n_chars").cast("double") / col("n_pieces"))
             .as("chars_per_piece"))
         .orderBy("source")
+    }),
+
+    "t12_readability" -> ((s, dir) => {
+      TextAnalysis.readability(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -1325,7 +1391,7 @@ object PipelineQueries {
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id_a, id_b,
          |       ROUND(CAST(i AS DOUBLE) /
-         |             sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+         |             sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) * 1e6) / 1e6 AS cosine
          |FROM inter
          | JOIN n2 na ON na.doc_id = id_a
          | JOIN n2 nb ON nb.doc_id = id_b
@@ -1363,9 +1429,9 @@ object PipelineQueries {
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
         | ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |       / len(string_split(text, ' ')), 6) AS distinct_ratio,
+        |       / len(string_split(text, ' ')) * 1e6) / 1e6 AS distinct_ratio,
         | ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-        |       / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |       / len(string_split(text, ' ')) * 1e6) / 1e6 AS avg_token_len,
         | ROUND(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
         |       * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |          / len(string_split(text, ' '))), 6) AS quality
@@ -1503,11 +1569,12 @@ object PipelineQueries {
          |  GROUP BY 1),
          |r AS (
          |  SELECT t.doc_id, t.n_tokens,
-         |    ROUND(CAST(t.n_tokens - t.n_distinct AS DOUBLE)/t.n_tokens, 6)
-         |      AS dup_token_ratio,
-         |    ROUND(CAST(t.top_c AS DOUBLE)/t.n_tokens, 6) AS top_token_ratio,
+         |    ROUND(CAST(t.n_tokens - t.n_distinct AS DOUBLE)/t.n_tokens * 1e6)
+         |      / 1e6 AS dup_token_ratio,
+         |    ROUND(CAST(t.top_c AS DOUBLE)/t.n_tokens * 1e6) / 1e6
+         |      AS top_token_ratio,
          |    COALESCE(ROUND(CAST(b.n_bigrams - b.n_distinct_bg AS DOUBLE)
-         |      /b.n_bigrams, 6), 0) AS dup_bigram_ratio
+         |      /b.n_bigrams * 1e6) / 1e6, 0) AS dup_bigram_ratio
          |  FROM ts t LEFT JOIN bs b USING (doc_id))
          |SELECT doc_id, n_tokens, dup_token_ratio, top_token_ratio,
          |       dup_bigram_ratio,
@@ -1613,10 +1680,10 @@ object PipelineQueries {
         |SELECT d.doc_id,
         |       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
-        |       COALESCE(ROUND(CAST(n_dup AS DOUBLE) / n_spans, 6), 0)
+        |       COALESCE(ROUND(CAST(n_dup AS DOUBLE) / n_spans * 1e6) / 1e6, 0)
         |         AS dup_span_ratio,
-        |       COALESCE(ROUND(CAST(n_dup AS DOUBLE) / n_spans, 6), 0) > 0.5
-        |         AS flag_contaminated
+        |       COALESCE(ROUND(CAST(n_dup AS DOUBLE) / n_spans * 1e6) / 1e6, 0)
+        |         > 0.5 AS flag_contaminated
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
@@ -1779,7 +1846,8 @@ object PipelineQueries {
         |SELECT d.doc_id,
         |  CASE WHEN d.lang = 'en' THEN 'target' ELSE 'raw' END AS side,
         |  n_feats, w_micro,
-        |  ROUND(CAST(w_micro AS DOUBLE) / 1000000 / n_feats, 6) AS avg_w,
+        |  ROUND(CAST(w_micro AS DOUBLE) / 1000000 / n_feats * 1e6) / 1e6
+        |    AS avg_w,
         |  (d.lang <> 'en' AND w_micro > 0) AS selected
         |FROM ds JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
 
@@ -1791,13 +1859,13 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CAST(len(words) AS BIGINT) AS n_words,
         |    ROUND(CAST(length(text) - (len(words) - 1) AS DOUBLE)
-        |      / len(words), 6) AS mean_word_len,
+        |      / len(words) * 1e6) / 1e6 AS mean_word_len,
         |    ROUND(CAST((length(text) - length(replace(text, '#', ''))) +
         |      CAST((length(text) - length(replace(text, '...', ''))) / 3
-        |        AS BIGINT) AS DOUBLE) / len(words), 6) AS symbol_ratio,
+        |        AS BIGINT) AS DOUBLE) / len(words) * 1e6) / 1e6 AS symbol_ratio,
         |    ROUND(CAST(len(list_filter(words,
         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-        |      / len(words), 6) AS alpha_ratio,
+        |      / len(words) * 1e6) / 1e6 AS alpha_ratio,
         |    CAST(len(list_filter(words, x -> x IN
         |      ('the','be','to','of','and','that','have','with')))
         |      AS BIGINT) AS n_stopwords
@@ -1837,10 +1905,10 @@ object PipelineQueries {
         |  FROM inc i JOIN ex USING (vid) GROUP BY i.doc_id),
         |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM inc GROUP BY doc_id)
         |SELECT t.doc_id, t.n_spans, COALESCE(kn.n_known, 0) AS n_known,
-        |  ROUND(CAST(COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_spans, 6)
-        |    AS known_ratio,
-        |  ROUND(CAST(COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_spans, 6) > 0.5
-        |    AS flag_contaminated
+        |  ROUND(CAST(COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_spans * 1e6)
+        |    / 1e6 AS known_ratio,
+        |  ROUND(CAST(COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_spans * 1e6)
+        |    / 1e6 > 0.5 AS flag_contaminated
         |FROM tot t LEFT JOIN kn USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // exact BM25 (k1=1.2, b=0.75): per-term scores rounded to 1e-6 and
@@ -2029,6 +2097,71 @@ object PipelineQueries {
         |                           ' ' ORDER BY li), '') AS dedup_text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Flesch reading-ease replay: identical tokenization, sentence and
+    // vowel-group regex counts, tie-safe *1e6 rounding on the score
+    "t12_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS n_sents,
+        |    GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT), 1) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  ROUND((206.835 - 1.015*(CAST(n_words AS DOUBLE)/n_sents)
+        |         - 84.6*(CAST(n_syllables AS DOUBLE)/n_words)) * 1e6) / 1e6
+        |    AS flesch,
+        |  (206.835 - 1.015*(CAST(n_words AS DOUBLE)/n_sents)
+        |   - 84.6*(CAST(n_syllables AS DOUBLE)/n_words)) >= 60.0 AS flag_easy
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // PQ replay: same integer grid, codebook argmin (ties to lowest
+    // codeword id) and exact-BIGINT ADC sums — hash-gated end to end
+    "p34_pq" ->
+      """WITH gi AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, list_slice(g, m*16 + 1, m*16 + 16) AS sv
+        |  FROM gi, (SELECT unnest([0,1,2,3]) AS m)),
+        |cb AS (SELECT vec_id AS c_id, m, sv AS cv FROM sub WHERE vec_id < 16),
+        |ad AS (
+        |  SELECT s.vec_id, s.m, c.c_id,
+        |         CAST(list_sum(list_transform(range(1, 17),
+        |           i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+        |           AS BIGINT) AS d
+        |  FROM sub s JOIN cb c USING (m)),
+        |codes AS (
+        |  SELECT vec_id, m, c_id AS code FROM (
+        |    SELECT vec_id, m, c_id,
+        |           row_number() OVER (PARTITION BY vec_id, m
+        |             ORDER BY d, c_id) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS query_id, m, c_id, d AS qd FROM ad
+        |  WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT l.query_id, k.vec_id AS neighbor_id,
+        |         CAST(SUM(l.qd) AS BIGINT) AS adist
+        |  FROM codes k JOIN lut l ON l.m = k.m AND l.c_id = k.code
+        |  WHERE k.vec_id <> l.query_id
+        |  GROUP BY l.query_id, k.vec_id),
+        |uv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY adist, neighbor_id) AS BIGINT) AS rnk,
+        |       neighbor_id, adist,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS true_sim
+        |FROM adc
+        | JOIN uv a ON a.vec_id = query_id
+        | JOIN uv b ON b.vec_id = neighbor_id
+        |QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // truncated-prefix ranking + full-precision audit; the 16-dim slice
     // mirrors Spark's slice(embedding, 1, 16)
     "p29_matryoshka" ->
@@ -2137,7 +2270,8 @@ object PipelineQueries {
         |  GROUP BY 1, 2),
         |v AS (
         |  SELECT id_in, id_ex,
-        |         ROUND(CAST(i AS DOUBLE) / (si.n + se.n - i), 6) AS jaccard
+        |         ROUND(CAST(i AS DOUBLE) / (si.n + se.n - i) * 1e6) / 1e6
+        |           AS jaccard
         |  FROM inter
         |   JOIN sizes si ON si.doc_id = id_in
         |   JOIN sizes se ON se.doc_id = id_ex

@@ -415,4 +415,39 @@ class CurationSpec extends SparkTestBase {
     assert(PipelineQueries.componentsComputeCount.get() == compAfterP18,
       "components were recomputed by a downstream consumer")
   }
+
+  // --- readability scoring (t12) ----------------------------------------
+
+  test("t12 readability: hand-computed Flesch on fixture docs") {
+    val docs = Seq(
+      // 6 words, 2 sentence runs ("." and "!"), vowel groups counted
+      // over [aeiouy]+ of the lowercased text
+      (1L, "The cat sat. The dog ran!"),
+      // no terminator: sentence count floors at 1
+      (2L, "no punctuation here"),
+      // degenerate: no vowels, syllable proxy floors at 1
+      (3L, "hmm")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    def flesch(w: Long, s: Long, y: Long): Double =
+      math.rint((206.835 - 1.015 * (w.toDouble / s)
+        - 84.6 * (y.toDouble / w)) * 1e6) / 1e6
+
+    // doc 1: "the cat sat. the dog ran!" vowel runs: e,a,a,e,o,a = 6
+    assert(r(0).getAs[Long]("n_words") == 6L)
+    assert(r(0).getAs[Long]("n_sents") == 2L)
+    assert(r(0).getAs[Long]("n_syllables") == 6L)
+    assert(r(0).getAs[Double]("flesch") == flesch(6, 2, 6))
+    assert(r(0).getAs[Boolean]("flag_easy"))
+    // doc 2: w=3, s=1 (floor), vowel runs: o,u,a,io,e,e = 6
+    assert(r(1).getAs[Long]("n_words") == 3L)
+    assert(r(1).getAs[Long]("n_sents") == 1L)
+    assert(r(1).getAs[Long]("n_syllables") == 6L)
+    assert(!r(1).getAs[Boolean]("flag_easy"))
+    // doc 3: both floors engage
+    assert(r(2).getAs[Long]("n_words") == 1L)
+    assert(r(2).getAs[Long]("n_sents") == 1L)
+    assert(r(2).getAs[Long]("n_syllables") == 1L)
+  }
 }

@@ -186,4 +186,45 @@ class OperatorSpec extends SparkTestBase {
 
   private def ts(epoch: Long) =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epoch))
+
+  test("h23 z-band == sequential BigInt mirror on sf0.001 (all rows)") {
+    // the anomaly predicate is integer-exact by construction, so a
+    // sequential replay (lww by hour, trailing-24 window, BigInt
+    // (n*v-S)^2 > 4*(n*S2-S^2)) must agree on EVERY row
+    val dir = "/root/testdata/sf0.001"
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val raw = Tables.load(spark, dir, "events")
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant,
+        r.getLong(2), r.getDouble(3)))
+    val lww = raw.groupBy { case (t, i, _, _) =>
+        (t, i.getEpochSecond / 3600 * 3600)
+      }
+      .map { case ((t, h), rows) => (t, h, rows.maxBy(_._3)._4) }.toSeq
+    val expected = lww.groupBy(_._1).flatMap { case (typ, rows) =>
+      val series = rows.sortBy(_._2).toIndexedSeq
+      series.zipWithIndex.map { case ((_, h, v), i) =>
+        val win = series.slice(math.max(0, i - 23), i + 1)
+        val vis = win.map { case (_, _, wv) =>
+          BigInt((BigDecimal(wv).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            * 1000000).toBigIntExact.get.toLong)
+        }
+        val n = BigInt(vis.size); val s = vis.sum
+        val s2 = vis.map(x => x * x).sum
+        val vi = vis.last
+        val lhs = (n * vi - s) * (n * vi - s)
+        val flag = vis.size >= 12 && lhs > 4 * (n * s2 - s * s)
+        (typ, fmt.format(java.time.Instant.ofEpochSecond(h)),
+          vis.size.toLong, flag)
+      }
+    }.toSet
+    val got = SparkEntry.queries("h23_zband")(spark, dir)
+      .select("event_type", "bucket", "n", "anomaly").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == expected, "h23 z-band diverged from the BigInt mirror")
+    // the band must actually separate: some rows flag, most do not
+    assert(got.exists(_._4) && got.count(_._4) * 4 < got.size)
+  }
 }

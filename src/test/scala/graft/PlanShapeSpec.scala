@@ -83,4 +83,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"p33 planned ${shuffles.length} shuffles; expected <= 3 " +
         "(lid window, per-doc rebuild, output order)")
   }
+
+  test("p34 PQ: codebook and LUT stay broadcast; windows partitioned") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val nodes = executed("p34_pq")
+    // the corpus side must meet codebook and LUT as broadcast hash
+    // joins — a shuffled or nested-loop join there would move O(N)
+    // rows for an O(M*K) table
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "PQ degenerated to a nested-loop join")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "expected codebook + LUT to join as broadcasts")
+    val badWindow = nodes.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+    assert(badWindow.isEmpty, "partitionless window in p34")
+  }
 }

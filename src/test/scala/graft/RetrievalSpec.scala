@@ -114,4 +114,54 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.contains((3L, "", 0L)))
     assert(out.contains((4L, "already clean text", 3L)))
   }
+
+  // --- product quantization ANN (p34) -----------------------------------
+
+  test("p34 PQ: codes, ADC distances and ranking == sequential mirror") {
+    // integer-exact end to end, so the distributed result must equal a
+    // sequential replay bit for bit (not just statistically)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+      .sortBy(_._1)
+    val M = 4; val D = 16
+    def sub(g: Array[Long], m: Int): Array[Long] = g.slice(m * D, m * D + D)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cb = vecs.filter(_._1 < 16)
+    def argminCode(g: Array[Long], m: Int): Long =
+      cb.map { case (cid, cg) => (l2(sub(g, m), sub(cg, m)), cid) }.min._2
+    val codes = vecs.map { case (id, g) =>
+      id -> (0 until M).map(m => argminCode(g, m)).toArray
+    }.toMap
+    val queries = vecs.filter(_._1 < 10)
+    val lut = queries.map { case (qid, qg) =>
+      qid -> (0 until M).map { m =>
+        cb.map { case (cid, cg) => cid -> l2(sub(qg, m), sub(cg, m)) }.toMap
+      }.toArray
+    }.toMap
+    val expected = queries.flatMap { case (qid, _) =>
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val adist = (0 until M).map(m => lut(qid)(m)(codes(nid)(m))).sum
+        (qid, nid, adist)
+      }.sortBy { case (_, nid, d) => (d, nid) }.take(5).zipWithIndex
+        .map { case ((q, n, d), i) => (q, i.toLong + 1, n, d) }
+    }.toSet
+
+    val got = SparkEntry.queries("p34_pq")(spark, dir)
+      .select("query_id", "rnk", "neighbor_id", "adist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "PQ ADC top-5 diverged from the sequential mirror")
+
+    // fidelity sanity: PQ must beat random — measure recall@5 against
+    // exact cosine top-5 (informational; the mirror above is the gate)
+    val exact = Embeddings.bruteForceTopK(
+        Tables.load(spark, dir, "embeddings").where(col("vec_id") < 10),
+        Tables.load(spark, dir, "embeddings"), k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.count { case (q, _, n, _) => exact.contains((q, n)) }
+    info(s"PQ recall@5 vs exact cosine: ${hits.toDouble / exact.size}")
+  }
 }
