@@ -257,6 +257,55 @@ object TextAnalysis {
         (ratio > flagMin).as("flag_contaminated"))
   }
 
+  /** ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §3.1's
+    * ExactSubstr, at fixed span length k instead of a suffix array):
+    * every k-token span keeps only its globally-first occurrence
+    * (smallest doc id, then position); all token positions covered by
+    * a NON-first occurrence are removed and each document is rebuilt
+    * from its surviving tokens in order. Overlapping duplicated spans
+    * merge their coverage (the distinct on covered positions).
+    *
+    * Scale shape: positional span generation is narrow array
+    * expressions over the scan (no token-stream shuffle); keep-first
+    * rides a span-hash-PARTITIONED window with tiny per-key groups
+    * (p33's shape); coverage is one distinct + one per-doc array
+    * aggregate, and the rebuild is pure per-row array expressions
+    * (index-filter inside codegen). Linear at any corpus size; no
+    * global sort, no UDF, no driver state.
+    *
+    * Output: (idCol, n_tokens, n_removed, dedup_text).
+    */
+  def substrDedup(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8): DataFrame = {
+    val arr = col("__arr")
+    val spans = when(size(arr) >= k,
+      transform(sequence(lit(1), size(arr) - (k - 1)),
+        i => struct(i.as("p"),
+          TextOps.hashId(concat_ws(" ", slice(arr, i, lit(k)))).as("sid"))))
+      .otherwise(array().cast("array<struct<p:int,sid:long>>"))
+    val sp = docs.select(col(idCol), split(col(textCol), " ").as("__arr"))
+      .select(col(idCol), explode(spans).as("s"))
+      .select(col(idCol), col("s.p").as("p"), col("s.sid").as("sid"))
+    val w = Window.partitionBy(col("sid")).orderBy(col(idCol), col("p"))
+    val covered = sp.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("cp"))
+      .distinct()
+    val covArr = covered.groupBy(col(idCol))
+      .agg(collect_set(col("cp")).as("cov"))
+    docs.join(covArr, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " ").as("toks"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("toks"), (_, i) => !array_contains(col("cov"), i + 1)))
+          .as("dedup_text"))
+  }
+
   /** C4-style corpus-level line dedup (Raffel et al. 2020 §2.2's
     * keep-first rule, line = fixed `k`-token chunk since the fixtures
     * carry no newlines): every distinct line keeps only its

@@ -1002,6 +1002,17 @@ object PipelineQueries {
     "t12_readability" -> ((s, dir) => {
       TextAnalysis.readability(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    "p35_substrdedup" -> ((s, dir) => {
+      // ExactSubstr removal (Lee et al. 2022 §3.1 at fixed k=8): p20
+      // DETECTS duplicated spans; this op actually rewrites the corpus
+      // — non-first occurrences of any duplicated 8-token span are cut
+      // and docs rebuilt from surviving tokens. Narrow span gen, span-
+      // hash-partitioned keep-first window, per-doc coverage array,
+      // pure-array rebuild (see TextAnalysis.substrDedup).
+      TextAnalysis.substrDedup(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -2115,6 +2126,37 @@ object PipelineQueries {
         |  (206.835 - 1.015*(CAST(n_words AS DOUBLE)/n_sents)
         |   - 84.6*(CAST(n_syllables AS DOUBLE)/n_words)) >= 60.0 AS flag_easy
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // ExactSubstr removal replay: same 60-bit span hashes, keep-first
+    // by (doc_id, p), merged coverage, index-filtered rebuild
+    "p35_substrdedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sp AS (
+        |  SELECT doc_id, p,
+        |         CAST(('0x' || substr(md5(
+        |           array_to_string(list_slice(toks, p, p + 7), ' ')), 1, 15))
+        |           AS BIGINT) AS sid
+        |  FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS u(p)
+        |  WHERE len(toks) >= 8),
+        |occ AS (
+        |  SELECT doc_id, p, sid,
+        |         row_number() OVER (PARTITION BY sid
+        |           ORDER BY doc_id, p) AS rn
+        |  FROM sp),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, cp
+        |  FROM occ, LATERAL unnest(range(p, p + 8)) AS u(cp)
+        |  WHERE rn > 1),
+        |cl AS (SELECT doc_id, list(cp) AS cov FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed,
+        |  -- array_to_string([]) is NULL in DuckDB; Spark concat_ws is ''
+        |  COALESCE(array_to_string(list_filter(toks,
+        |    (x, i) -> NOT list_contains(COALESCE(cov, []), i)), ' '), '')
+        |    AS dedup_text
+        |FROM t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // PQ replay: same integer grid, codebook argmin (ties to lowest
     // codeword id) and exact-BIGINT ADC sums — hash-gated end to end

@@ -416,6 +416,85 @@ class CurationSpec extends SparkTestBase {
       "components were recomputed by a downstream consumer")
   }
 
+  // --- ExactSubstr-style span removal (p35) -----------------------------
+
+  test("substr dedup removes non-first span occurrences and rebuilds") {
+    val span = (1 to 8).map("w" + _).mkString(" ")   // 8-token span
+    val tailT = "t1 t2 t3"
+    val docs = Seq(
+      (1L, s"$span $tailT"),       // first occurrence: untouched
+      (2L, s"a1 a2 $span"),        // repeat: 8 covered tokens cut
+      (3L, span),                  // exact repeat: everything cut
+      (4L, "short doc only")       // < 8 tokens: no spans, kept
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.substrDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_removed") == 0L)
+    assert(r(0).getAs[String]("dedup_text") == s"$span $tailT")
+    assert(r(1).getAs[Long]("n_removed") == 8L)
+    assert(r(1).getAs[String]("dedup_text") == "a1 a2")
+    assert(r(2).getAs[Long]("n_removed") == 8L)
+    assert(r(2).getAs[String]("dedup_text") == "")
+    assert(r(3).getAs[Long]("n_removed") == 0L)
+    assert(r(3).getAs[String]("dedup_text") == "short doc only")
+  }
+
+  test("substr dedup overlapping spans merge coverage (not double-cut)") {
+    // doc 2 repeats a 9-token run from doc 1: its two overlapping
+    // duplicated 8-spans cover 9 positions exactly once
+    val run = (1 to 9).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, run),
+      (2L, s"x1 $run x2")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.substrDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_removed") == 0L)
+    assert(r(1).getAs[Long]("n_removed") == 9L)
+    assert(r(1).getAs[String]("dedup_text") == "x1 x2")
+  }
+
+  test("substr dedup on sf0.001 matches a sequential keep-first mirror") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val got = TextAnalysis.substrDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).sortBy(_._1)
+    // pass 1: globally-first occurrence of each span, in (id, pos) order
+    val firstOf = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    raw.foreach { case (id, toks) =>
+      toks.sliding(8).zipWithIndex.foreach { case (s, p) =>
+        if (s.length == 8) {
+          val key = s.mkString(" ")
+          if (!firstOf.contains(key)) firstOf(key) = (id, p)
+        }
+      }
+    }
+    // pass 2: coverage from non-first occurrences
+    val expected = raw.map { case (id, toks) =>
+      val cov = scala.collection.mutable.Set.empty[Int]
+      toks.sliding(8).zipWithIndex.foreach { case (s, p) =>
+        if (s.length == 8 && firstOf(s.mkString(" ")) != ((id, p)))
+          (p until p + 8).foreach(cov.add)
+      }
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !cov.contains(i) => t
+      }
+      id -> (toks.length.toLong, cov.size.toLong, kept.mkString(" "))
+    }.toMap
+    assert(got.length == raw.length)
+    got.foreach { r =>
+      val (nt, nr, txt) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("n_removed") == nr)
+      assert(r.getAs[String]("dedup_text") == txt)
+    }
+    // the pass must actually fire on the fixture corpus
+    assert(got.exists(_.getAs[Long]("n_removed") > 0))
+  }
+
   // --- readability scoring (t12) ----------------------------------------
 
   test("t12 readability: hand-computed Flesch on fixture docs") {

@@ -84,6 +84,15 @@ class PlanShapeSpec extends SparkTestBase {
         "(lid window, per-doc rebuild, output order)")
   }
 
+  test("p35 substr dedup: keep-first rides a span-hash-partitioned window") {
+    val nodes = executed("p35_substrdedup")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "p35's keep-first window must be partitioned by span hash")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "p35 planned a nested-loop join")
+  }
+
   test("p34 PQ: codebook and LUT stay broadcast; windows partitioned") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val nodes = executed("p34_pq")
