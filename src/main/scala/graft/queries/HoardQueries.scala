@@ -320,6 +320,30 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h24_npercentile" -> ((s, dir) => {
+      // Graphite's nPercentile(95) per series-day: the k-th smallest
+      // hourly value with k = ceil(0.95*n) computed in INTEGERS
+      // (k = (19n+19) div 20) — float 0.95*n differs from the nominal
+      // rank at exact multiples (IEEE 19.000000000000004), so neither
+      // engine touches float rank math. Selection is a row_number over
+      // a (series, day)-partitioned window (<= 24 rows per group;
+      // ties in value make the k-th VALUE deterministic regardless of
+      // tie order). No percentile_approx, no interpolation ambiguity.
+      import org.apache.spark.sql.expressions.Window
+      val day = date_trunc("day", col("bucket"))
+      val wv = Window.partitionBy(col("event_type"), day)
+        .orderBy(col("value"))
+      val wn = Window.partitionBy(col("event_type"), day)
+      hourlyByType(s, dir)
+        .withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where(col("rn") === expr("(n * 19 + 19) div 20"))
+        .select(col("event_type"),
+          day.cast("date").cast("string").as("day"),
+          col("n"), round(col("value"), 6).as("p95"))
+        .orderBy("event_type", "day")
+    }),
+
     "h23_zband" -> ((s, dir) => {
       // Graphite-style aberration detection (the three-sigma band of
       // holtWintersAberration, over a trailing window instead of a
@@ -870,8 +894,26 @@ object HoardQueries {
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_type, bucket""".stripMargin,
 
+    // integer-rank nPercentile replay: k = (19n+19)//20, k-th smallest
+    "h24_npercentile" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |ranked AS (
+        |  SELECT event_type, date_trunc('day', h) AS d, v,
+        |         CAST(row_number() OVER (PARTITION BY event_type,
+        |           date_trunc('day', h) ORDER BY v) AS BIGINT) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type,
+        |           date_trunc('day', h)) AS n
+        |  FROM hourly)
+        |SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+        |       ROUND(v, 6) AS p95
+        |FROM ranked WHERE rn = (n * 19 + 19) // 20
+        |ORDER BY event_type, day""".stripMargin,
+
     // integer-exact trailing z-band: micro-unit values, HUGEINT
-    // replay of the (n*v - S)^2 > 4*n*(n*S2 - S^2) predicate
+    // replay of the (n*v - S)^2 > 4*(n*S2 - S^2) predicate
     "h23_zband" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

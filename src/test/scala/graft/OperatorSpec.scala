@@ -187,6 +187,32 @@ class OperatorSpec extends SparkTestBase {
   private def ts(epoch: Long) =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epoch))
 
+  test("h24 nPercentile == sequential k-th-smallest mirror on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Tables.load(spark, dir, "events")
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant,
+        r.getLong(2), r.getDouble(3)))
+    val lww = raw.groupBy { case (t, i, _, _) =>
+        (t, i.getEpochSecond / 3600 * 3600)
+      }
+      .map { case ((t, h), rows) => (t, h / 86400 * 86400, rows.maxBy(_._3)._4) }
+    val expected = lww.groupBy { case (t, d, _) => (t, d) }
+      .map { case ((t, d), rows) =>
+        val vs = rows.map(_._3).toSeq.sorted
+        val k = (vs.size * 19 + 19) / 20
+        val day = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(d))
+        (t, day, vs.size.toLong, vs(k - 1))
+      }.toSet
+    val got = SparkEntry.queries("h24_npercentile")(spark, dir)
+      .select("event_type", "day", "n", "p95").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected, "h24 p95 diverged from the k-th-smallest mirror")
+  }
+
   test("h23 z-band == sequential BigInt mirror on sf0.001 (all rows)") {
     // the anomaly predicate is integer-exact by construction, so a
     // sequential replay (lww by hour, trailing-24 window, BigInt
