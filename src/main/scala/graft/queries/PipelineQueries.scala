@@ -1004,6 +1004,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "t13_entropy" -> ((s, dir) => {
+      // token-distribution entropy per doc (Shannon 1948) — the
+      // gibberish/boilerplate signal quality pipelines pair with t2's
+      // distinct ratio: low bits = repetitive template text, high
+      // bits = near-uniform token soup. Cross-engine determinism via
+      // p24's micro-log trick: each ln(n/c) term rounds to integer
+      // MICROS first, the per-doc sum is then exact BIGINT, and only
+      // the final bits conversion (one double divide by a pinned ln2
+      // literal) is floated + tie-safe rounded. n_tokens rides the
+      // explode (no second scan, no join); one partial agg per doc.
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("n"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("c") *
+            round(log(col("n").cast("double") / col("c")) * 1e6, 0)
+              .cast("long")).as("h_micro"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("n_distinct"), col("h_micro"),
+          (round(col("h_micro").cast("double") / col("n") / 1e6
+            / lit(0.6931471805599453) * lit(1e6)) / lit(1e6))
+            .as("entropy_bits"))
+        .orderBy("doc_id")
+    }),
+
     "p35_substrdedup" -> ((s, dir) => {
       // ExactSubstr removal (Lee et al. 2022 §3.1 at fixed k=8): p20
       // DETECTS duplicated spans; this op actually rewrites the corpus
@@ -2126,6 +2155,23 @@ object PipelineQueries {
         |  (206.835 - 1.015*(CAST(n_words AS DOUBLE)/n_sents)
         |   - 84.6*(CAST(n_syllables AS DOUBLE)/n_words)) >= 60.0 AS flag_easy
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // entropy replay: identical micro-log terms, exact BIGINT sums,
+    // pinned ln2 literal for the single floated conversion
+    "t13_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |         t.token, COUNT(*) AS c
+        |  FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+        |  GROUP BY doc_id, n, t.token)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(c * CAST(ROUND(ln(CAST(n AS DOUBLE) / c) * 1e6, 0)
+        |    AS BIGINT)) AS BIGINT) AS h_micro,
+        |  ROUND(CAST(SUM(c * CAST(ROUND(ln(CAST(n AS DOUBLE) / c) * 1e6, 0)
+        |    AS BIGINT)) AS DOUBLE) / n / 1e6 / 0.6931471805599453 * 1e6)
+        |    / 1e6 AS entropy_bits
+        |FROM tf GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // ExactSubstr removal replay: same 60-bit span hashes, keep-first
     // by (doc_id, p), merged coverage, index-filtered rebuild

@@ -375,6 +375,29 @@ object RelationalQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "q31_lateral" -> ((s, dir) => {
+      // correlated LATERAL derived table (the modern SQL-standard
+      // surface for per-row top-N): for each region, the two nations
+      // with the largest summed customer balance. Catalyst
+      // decorrelates the lateral subquery into a join + partitioned
+      // rank — same physical shape as q11, declared through LATERAL.
+      t(s, dir, "region").createOrReplaceTempView("region")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT r_name, nation, bal
+          |FROM region,
+          |LATERAL (
+          |  SELECT n_name AS nation,
+          |         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+          |               AS DOUBLE), 6) AS bal
+          |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+          |  WHERE n_regionkey = r_regionkey
+          |  GROUP BY n_name
+          |  ORDER BY bal DESC, nation LIMIT 2)
+          |ORDER BY r_name, bal DESC, nation""".stripMargin)
+    }),
+
     "q19_json" -> ((s, dir) => {
       // props is a JSON object column; extract a typed field and
       // aggregate it (engine surface: get_json_object / from_json)
@@ -644,6 +667,21 @@ object RelationalQueries {
         |  ON date_trunc('microseconds', e.ts) >= w.ws
         | AND date_trunc('microseconds', e.ts) < w.we
         |GROUP BY w.ws, w.we ORDER BY ws""".stripMargin,
+
+    // same LATERAL text modulo dialect: decimal-exact sums, rounded
+    // before the correlated LIMIT ranks on them
+    "q31_lateral" ->
+      """SELECT r_name, nation, bal
+        |FROM region,
+        |LATERAL (
+        |  SELECT n_name AS nation,
+        |         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+        |               AS DOUBLE), 6) AS bal
+        |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY bal DESC, nation LIMIT 2)
+        |ORDER BY r_name, bal DESC, nation""".stripMargin,
 
     "q29_groupingsets" ->
       """SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,

@@ -495,6 +495,34 @@ class CurationSpec extends SparkTestBase {
     assert(got.exists(_.getAs[Long]("n_removed") > 0))
   }
 
+  // --- token entropy (t13) ----------------------------------------------
+
+  test("t13 entropy == sequential micro-log mirror on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val got = SparkEntry.queries("t13_entropy")(spark, dir)
+      .select("doc_id", "n_tokens", "n_distinct", "h_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      val n = toks.length
+      val counts = toks.groupBy(identity).view.mapValues(_.length)
+      val h = counts.values.map { c =>
+        val term = BigDecimal(math.log(n.toDouble / c) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        c.toLong * term
+      }.sum
+      (r.getLong(0), n.toLong, counts.size.toLong, h)
+    }.toSet
+    assert(got == expected, "t13 h_micro diverged from the mirror")
+    // entropy separates: a doc of distinct tokens scores log2(n) bits,
+    // repetitive docs score lower — both classes exist in the fixture
+    val bits = SparkEntry.queries("t13_entropy")(spark, dir)
+      .select("entropy_bits").collect().map(_.getDouble(0))
+    assert(bits.max > bits.min + 0.5)
+  }
+
   // --- readability scoring (t12) ----------------------------------------
 
   test("t12 readability: hand-computed Flesch on fixture docs") {

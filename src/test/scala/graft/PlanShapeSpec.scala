@@ -84,6 +84,20 @@ class PlanShapeSpec extends SparkTestBase {
         "(lid window, per-doc rebuild, output order)")
   }
 
+  test("q31 lateral decorrelates to broadcast joins + rank-limit pushdown") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val nodes = executed("q31_lateral")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "correlated LATERAL fell back to a nested-loop join")
+    // the per-region LIMIT 2 must plan as WindowGroupLimit (rank
+    // pushdown before the full window sort), not a per-row re-scan
+    assert(nodes.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      "expected WindowGroupLimit from the decorrelated LATERAL LIMIT")
+    val badWindow = nodes.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+    assert(badWindow.isEmpty, "partitionless window in q31")
+  }
+
   test("p35 substr dedup: keep-first rides a span-hash-partitioned window") {
     val nodes = executed("p35_substrdedup")
     val windows = nodes.collect { case w: WindowExec => w }
