@@ -321,20 +321,62 @@ object TextAnalysis {
     *
     * Output: (idCol, n_lines, n_kept, dedup_text).
     */
-  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 8): DataFrame = {
+  /** (idCol, li, line, lid): the k-token line chunks of each doc with
+    * their 60-bit content hash — narrow array expressions over the
+    * scan, shared by [[lineDedup]] (corpus keep-first) and
+    * [[lineFilter]] (filter against a persisted index).
+    */
+  def linesOf(docs: DataFrame, idCol: String, textCol: String,
+              k: Int): DataFrame = {
     val arr = col("__arr")
     val nChunks = floor((size(arr) - lit(1)) / lit(k)).cast("int")
-    val lines = docs
+    docs
       .select(col(idCol), split(col(textCol), " ").as("__arr"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), nChunks),
           i => concat_ws(" ", slice(arr, i * k + 1, lit(k)))))
           .as(Seq("li", "line")))
+      .withColumn("lid", TextOps.hashId(col("line")))
+  }
+
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("lid"))
       .orderBy(col(idCol), col("li"))
-    lines.withColumn("lid", TextOps.hashId(col("line")))
+    linesOf(docs, idCol, textCol, k)
       .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(transform(filter(
+            array_sort(collect_list(
+              struct(col("li"), col("keep"), col("line")))),
+            x => x("keep")), x => x("line")), " ").as("dedup_text"))
+  }
+
+  /** Line filter against a persisted corpus index (`known`: one `lid`
+    * column): a line is dropped when it already exists in the index
+    * OR occurred earlier in the SAME document; docs are rebuilt from
+    * surviving lines. Unlike [[lineDedup]]'s global keep-first, the
+    * result is independent of how the input is batched — any
+    * partition of the doc stream converges to the same answer, which
+    * is what makes it the streaming-ingest form (s9): per-batch
+    * foreachBatch filtering against the index needs no cross-batch
+    * coordination. Within-doc keep-first is a (doc, lid)-partitioned
+    * window (tiny groups); the index meets the line stream as a plain
+    * lid equi-join (shuffle hash at corpus scale — never a per-batch
+    * rebuild of the index).
+    *
+    * Output: (idCol, n_lines, n_kept, dedup_text).
+    */
+  def lineFilter(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int, known: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol), col("lid")).orderBy(col("li"))
+    linesOf(docs, idCol, textCol, k)
+      .withColumn("rn", row_number().over(w))
+      .join(known.select(col("lid"), lit(true).as("__known")),
+        Seq("lid"), "left")
+      .withColumn("keep", col("rn") === 1 && col("__known").isNull)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("keep").cast("long")).as("n_kept"),

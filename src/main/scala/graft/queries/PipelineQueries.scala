@@ -1004,6 +1004,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "s9_streamlinefilter" -> ((s, dir) => {
+      // the STREAMING form of p33's line dedup for continuous crawl
+      // ingest: incoming (odd) docs arrive as a Structured Streaming
+      // file source and each micro-batch drops every line already in
+      // the persisted corpus index (even docs' distinct line hashes,
+      // built once) or repeated within the same doc, then rebuilds
+      // the doc. lineFilter is batch-partition-INDEPENDENT by
+      // construction (no cross-batch keep-first), so AvailableNow
+      // must converge to the batch answer exactly — the s4 gate
+      // shape, with a doc REWRITE instead of a match report.
+      graft.Graft.configure(s)
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val known = TextAnalysis.linesOf(
+          s.read.parquet(path).where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", 8)
+        .select(col("lid")).distinct().localCheckpoint(true)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-s9-out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-s9-ckpt").toString
+      val incoming = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+      val q = incoming.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextAnalysis.lineFilter(batch, "doc_id", "text", 8, known)
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s9_streamlinefilter", q); q.stop()
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
     "t13_entropy" -> ((s, dir) => {
       // token-distribution entropy per doc (Shannon 1948) — the
       // gibberish/boilerplate signal quality pipelines pair with t2's
@@ -2155,6 +2192,39 @@ object PipelineQueries {
         |  (206.835 - 1.015*(CAST(n_words AS DOUBLE)/n_sents)
         |   - 84.6*(CAST(n_syllables AS DOUBLE)/n_words)) >= 60.0 AS flag_easy
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // streaming line filter: batch replay (the stream is partition-
+    // independent, so the converged answer IS the batch answer) —
+    // index = even docs' distinct line hashes, within-doc keep-first
+    "s9_streamlinefilter" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |idx AS (
+        |  SELECT doc_id, a,
+        |         unnest(range(0, (len(a) - 1) // 8 + 1)) AS li
+        |  FROM arrs),
+        |lines AS (
+        |  SELECT doc_id, CAST(li AS INT) AS li,
+        |         array_to_string(a[li * 8 + 1 : li * 8 + 8], ' ') AS line
+        |  FROM idx),
+        |hashed AS (
+        |  SELECT doc_id, li, line,
+        |         CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS lid
+        |  FROM lines),
+        |ex AS (SELECT DISTINCT lid FROM hashed WHERE doc_id % 2 = 0),
+        |kept AS (
+        |  SELECT h.doc_id, h.li, h.line,
+        |         ((row_number() OVER (PARTITION BY h.doc_id, h.lid
+        |             ORDER BY h.li)) = 1
+        |          AND e.lid IS NULL) AS keep
+        |  FROM hashed h LEFT JOIN ex e USING (lid)
+        |  WHERE h.doc_id % 2 = 1)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN keep THEN line END,
+        |                           ' ' ORDER BY li), '') AS dedup_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // entropy replay: identical micro-log terms, exact BIGINT sums,
     // pinned ln2 literal for the single floated conversion

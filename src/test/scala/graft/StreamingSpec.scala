@@ -219,4 +219,42 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(streamed.nonEmpty && streamed.toSeq == static.toSeq)
   }
+
+  test("line filter (s9) is batch-partition-independent and drops known lines") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val known1 = (1 to 8).map("k" + _).mkString(" ")   // in the index
+    val fresh = (1 to 8).map("f" + _).mkString(" ")    // not in the index
+    val corpus = Seq(
+      (1L, s"$known1 $fresh"),          // index line dropped, fresh kept
+      (3L, s"$fresh $fresh"),           // within-doc repeat: second dropped
+      (5L, known1),                     // everything dropped
+      (7L, "tail only")                 // short line, kept
+    ).toDF("doc_id", "text")
+    val known = TextAnalysis
+      .linesOf(Seq((0L, known1)).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .select("lid")
+
+    def run(batches: Seq[Seq[Long]]): Map[Long, (Long, Long, String)] =
+      batches.flatMap { ids =>
+        TextAnalysis.lineFilter(
+            corpus.where(col("doc_id").isInCollection(ids)),
+            "doc_id", "text", 8, known)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+              r.getAs[String]("dedup_text"))))
+      }.toMap
+
+    val oneBatch = run(Seq(Seq(1L, 3L, 5L, 7L)))
+    // semantics
+    assert(oneBatch(1L) == ((2L, 1L, fresh)))
+    assert(oneBatch(3L) == ((2L, 1L, fresh)))
+    assert(oneBatch(5L) == ((1L, 0L, "")))
+    assert(oneBatch(7L) == ((1L, 1L, "tail only")))
+    // ANY batching converges to the same answer — the property that
+    // makes the foreachBatch stream exact with zero cross-batch state
+    assert(run(Seq(Seq(1L), Seq(3L), Seq(5L), Seq(7L))) == oneBatch)
+    assert(run(Seq(Seq(5L, 7L), Seq(1L, 3L))) == oneBatch)
+  }
 }
