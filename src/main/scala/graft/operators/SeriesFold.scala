@@ -75,6 +75,60 @@ object SeriesFold {
       .withColumn(bucketCol, timestamp_seconds(col(bucketCol)))
   }
 
+  /** Additive seasonal Holt-Winters (triple exponential smoothing) —
+    * the full recurrence behind Graphite's holtWintersForecast
+    * (Graphite docs credit Brutlag 2000; the method is Winters 1960):
+    *   t = 0:  l = x_0, b = 0, s_i = 0
+    *   t ≥ 1, i = t mod m:
+    *     l_t = α·(x_t − s_i) + (1−α)·(l_{t−1} + b_{t−1})
+    *     b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *     s_i = γ·(x_t − l_t) + (1−γ)·s_i
+    * Emits (series, bucket, level, trend, season = s_i after the
+    * update, forecast = l_t + b_t + s_{(t+1) mod m} — the one-step-
+    * ahead prediction including the NEXT slot's seasonal index).
+    * Cold-start seasonal indices are zero, so the fold needs no
+    * dedicated init season — indices converge within a few periods,
+    * identically on both engines. Same typed per-series fold contract
+    * as the EMA/Holt above: group bounded by retention, IEEE op order
+    * fixed, bit-identical to a DuckDB recursive CTE carrying the
+    * season vector as a LIST when α/β/γ are binary-exact constants.
+    */
+  def holtWinters(df: DataFrame, seriesCol: String, bucketCol: String,
+                  valueCol: String, alpha: Double, beta: Double,
+                  gamma: Double, period: Int): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    val g1 = 1.0 - gamma
+    df.select(col(seriesCol).cast("string"),
+        col(bucketCol).cast("long"), col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.map(r => (r._2, r._3)).toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by((p: (Long, Double)) => (p._1, p._2)))
+        var l = 0.0; var b = 0.0
+        val s = Array.fill(period)(0.0)
+        var t = 0
+        rows.iterator.map { case (bkt, v) =>
+          val idx = t % period
+          if (t == 0) { l = v; b = 0.0 }
+          else {
+            val lNew = alpha * (v - s(idx)) + a1 * (l + b)
+            b = beta * (lNew - l) + b1 * b
+            s(idx) = gamma * (v - lNew) + g1 * s(idx)
+            l = lNew
+          }
+          t += 1
+          (key, bkt, l, b, s(idx), l + b + s(t % period))
+        }
+      }
+      .toDF(seriesCol, bucketCol, "level", "trend", "season", "forecast")
+      .withColumn(bucketCol, timestamp_seconds(col(bucketCol)))
+  }
+
   def exponentialMovingAverage(df: DataFrame, seriesCol: String,
                                bucketCol: String, valueCol: String,
                                alpha: Double): DataFrame = {

@@ -320,6 +320,25 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h25_holtwinters" -> ((s, dir) => {
+      // FULL seasonal Holt-Winters (Graphite holtWintersForecast,
+      // daily season m=24 over the hourly series) — completes the
+      // forecast family h13 (EMA) and h20 (Holt) started. All three
+      // smoothing constants dyadic (α=0.5, β=γ=0.25) so the DuckDB
+      // recursive CTE carrying the 24-slot season vector as a LIST
+      // replays the identical IEEE ops; outputs tie-safe rounded.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      graft.operators.SeriesFold
+        .holtWinters(hourlyByType(s, dir), "event_type", "bucket", "value",
+          alpha = 0.5, beta = 0.25, gamma = 0.25, period = 24)
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          r6(col("level")).as("level"),
+          r6(col("trend")).as("trend"),
+          r6(col("season")).as("season"),
+          r6(col("forecast")).as("forecast"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h24_npercentile" -> ((s, dir) => {
       // Graphite's nPercentile(95) per series-day: the k-th smallest
       // hourly value with k = ceil(0.95*n) computed in INTEGERS
@@ -893,6 +912,45 @@ object HoardQueries {
         |  PARTITION BY event_type, date_trunc('day', h) ORDER BY h
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // seasonal Holt-Winters replay: the recursive CTE carries the
+    // 24-slot season vector as a LIST; dyadic constants keep every
+    // step's IEEE ops identical to the Spark fold (l/b inline as in
+    // h20; the updated season slot inlines l_new twice)
+    "h25_holtwinters" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |o AS (
+        |  SELECT event_type, h, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hourly),
+        |rec AS (
+        |  SELECT event_type, h, rn, v AS l, CAST(0.0 AS DOUBLE) AS b,
+        |         list_transform(range(1, 25), i -> CAST(0.0 AS DOUBLE)) AS s
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.h, o.rn,
+        |         0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |           + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                  + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+        |         list_transform(range(1, 25), i ->
+        |           CASE WHEN i = ((o.rn - 1) % 24) + 1
+        |             THEN 0.25 * (o.v -
+        |               (0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                + 0.5 * (r.l + r.b)))
+        |               + 0.75 * r.s[((o.rn - 1) % 24) + 1]
+        |             ELSE r.s[i] END)
+        |  FROM rec r JOIN o ON o.event_type = r.event_type
+        |   AND o.rn = r.rn + 1)
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(l * 1e6) / 1e6 AS level,
+        |       ROUND(b * 1e6) / 1e6 AS trend,
+        |       ROUND(s[((rn - 1) % 24) + 1] * 1e6) / 1e6 AS season,
+        |       ROUND((l + b + s[(rn % 24) + 1]) * 1e6) / 1e6 AS forecast
+        |FROM rec ORDER BY event_type, bucket""".stripMargin,
 
     // integer-rank nPercentile replay: k = (19n+19)//20, k-th smallest
     "h24_npercentile" ->

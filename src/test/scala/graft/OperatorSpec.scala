@@ -158,6 +158,46 @@ class OperatorSpec extends SparkTestBase {
     want.foreach { case (k, v) => assert(got(k) == v, s"at $k") }
   }
 
+  test("SeriesFold seasonal Holt-Winters == sequential recurrence, bit-exact") {
+    var x = 24681L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    // 150 points per series over a 24-slot season: 6+ full periods so
+    // the seasonal indices move well away from their zero cold start
+    val rows = for (s <- Seq("a", "b"); i <- 0 until 150) yield
+      (s, i * 3600L, ((next() >>> 11) % 10000) / 100.0)
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(rows).toDF("series_id", "bucket", "value")
+      .withColumn("bucket", timestamp_seconds($"bucket"))
+      .repartition(6)
+    val got = SeriesFold
+      .holtWinters(df, "series_id", "bucket", "value",
+        alpha = 0.5, beta = 0.25, gamma = 0.25, period = 24)
+      .select($"series_id", $"bucket".cast("long"),
+        $"level", $"trend", $"season", $"forecast")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val want = rows.groupBy(_._1).flatMap { case (s, pts) =>
+      var l = 0.0; var b = 0.0; var t = 0
+      val sz = Array.fill(24)(0.0)
+      pts.sortBy(_._2).map { case (_, bkt, v) =>
+        val idx = t % 24
+        if (t == 0) { l = v; b = 0.0 }
+        else {
+          val ln = 0.5 * (v - sz(idx)) + 0.5 * (l + b)
+          b = 0.25 * (ln - l) + 0.75 * b
+          sz(idx) = 0.25 * (v - ln) + 0.75 * sz(idx)
+          l = ln
+        }
+        t += 1
+        (s, bkt) -> ((l, b, sz(idx), l + b + sz(t % 24)))
+      }
+    }
+    assert(got.size == want.size)
+    want.foreach { case (k, v) => assert(got(k) == v, s"at $k") }
+    // seasonality engaged: some season index is materially non-zero
+    assert(got.values.exists(v => math.abs(v._3) > 1.0))
+  }
+
   test("SeriesFold EMA is arrival-order-independent under bucket collisions") {
     // two rows share a bucket: the secondary value sort key must make
     // the fold identical no matter how the duplicates arrive
