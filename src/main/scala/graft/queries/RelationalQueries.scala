@@ -398,6 +398,37 @@ object RelationalQueries {
           |ORDER BY r_name, bal DESC, nation""".stripMargin)
     }),
 
+    "q32_recursive" -> ((s, dir) => {
+      // WITH RECURSIVE (new SQL surface in Spark 4) driving a TRUE
+      // recurrence — a per-customer exponentially-decayed running
+      // spend (acc = 0.5*acc_prev + price): no window frame can read
+      // its own prior output, and the dyadic decay keeps every step's
+      // IEEE ops identical across engines (the h20 recursive-CTE
+      // argument, here on the RELATIONAL surface). Recursion depth is
+      // each customer's order count — bounded per key, parallel
+      // across keys.
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE o AS (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         CAST(row_number() OVER (PARTITION BY o_custkey
+          |           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+          |  FROM orders),
+          |oc AS (SELECT * FROM o WHERE rn <= 12),
+          |r AS (
+          |  SELECT o_custkey, o_orderkey, rn,
+          |         CAST(o_totalprice AS DOUBLE) AS acc
+          |  FROM oc WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.o_custkey, o.o_orderkey, o.rn,
+          |         0.5 * r.acc + o.o_totalprice
+          |  FROM r JOIN oc o ON o.o_custkey = r.o_custkey
+          |   AND o.rn = r.rn + 1)
+          |SELECT o_custkey, rn, o_orderkey,
+          |       ROUND(acc * 1e6) / 1e6 AS decayed_spend
+          |FROM r ORDER BY o_custkey, rn""".stripMargin)
+    }),
+
     "q19_json" -> ((s, dir) => {
       // props is a JSON object column; extract a typed field and
       // aggregate it (engine surface: get_json_object / from_json)
@@ -667,6 +698,27 @@ object RelationalQueries {
         |  ON date_trunc('microseconds', e.ts) >= w.ws
         | AND date_trunc('microseconds', e.ts) < w.we
         |GROUP BY w.ws, w.we ORDER BY ws""".stripMargin,
+
+    // identical recursion on the DuckDB side — same IEEE step ops
+    "q32_recursive" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders),
+        |oc AS (SELECT * FROM o WHERE rn <= 12),
+        |r AS (
+        |  SELECT o_custkey, o_orderkey, rn,
+        |         CAST(o_totalprice AS DOUBLE) AS acc
+        |  FROM oc WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.o_custkey, o.o_orderkey, o.rn,
+        |         0.5 * r.acc + o.o_totalprice
+        |  FROM r JOIN oc o ON o.o_custkey = r.o_custkey
+        |   AND o.rn = r.rn + 1)
+        |SELECT o_custkey, rn, o_orderkey,
+        |       ROUND(acc * 1e6) / 1e6 AS decayed_spend
+        |FROM r ORDER BY o_custkey, rn""".stripMargin,
 
     // same LATERAL text modulo dialect: decimal-exact sums, rounded
     // before the correlated LIMIT ranks on them
