@@ -267,12 +267,19 @@ object TextAnalysis {
     * merge their coverage (the distinct on covered positions).
     *
     * Scale shape: positional span generation is narrow array
-    * expressions over the scan (no token-stream shuffle); keep-first
-    * rides a span-hash-PARTITIONED window with tiny per-key groups
-    * (p33's shape); coverage is one distinct + one per-doc array
-    * aggregate, and the rebuild is pure per-row array expressions
-    * (index-filter inside codegen). Linear at any corpus size; no
-    * global sort, no UDF, no driver state.
+    * expressions over the scan (no token-stream shuffle). Keep-first
+    * is deliberately NOT a span-hash window: a span duplicated a
+    * million times (exactly what a dedup pass exists for) would make
+    * one task sort the whole hot-key group. Instead the first
+    * occurrence per span is a min(struct(id, p)) aggregate —
+    * map-side-combinable, so the shuffle carries one row per (span,
+    * mapper) however hot the span — and non-first occurrences are
+    * identified by a streaming hash-join probe against that O(1
+    * row/span) table, which accumulates nothing per key. Coverage is
+    * one distinct + one per-doc array aggregate, and the rebuild is
+    * pure per-row array expressions (index-filter inside codegen).
+    * Linear at any corpus size; skew-robust; no global sort, no UDF,
+    * no driver state.
     *
     * Output: (idCol, n_tokens, n_removed, dedup_text).
     */
@@ -287,9 +294,10 @@ object TextAnalysis {
     val sp = docs.select(col(idCol), split(col(textCol), " ").as("__arr"))
       .select(col(idCol), explode(spans).as("s"))
       .select(col(idCol), col("s.p").as("p"), col("s.sid").as("sid"))
-    val w = Window.partitionBy(col("sid")).orderBy(col(idCol), col("p"))
-    val covered = sp.withColumn("rn", row_number().over(w))
-      .where(col("rn") > 1)
+    val firsts = sp.groupBy(col("sid"))
+      .agg(min(struct(col(idCol), col("p"))).as("f"))
+    val covered = sp.join(firsts, "sid")
+      .where(col(idCol) =!= col(s"f.$idCol") || col("p") =!= col("f.p"))
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + lit(k - 1))).as("cp"))
       .distinct()

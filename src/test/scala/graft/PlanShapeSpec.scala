@@ -98,11 +98,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(badWindow.isEmpty, "partitionless window in q31")
   }
 
-  test("p35 substr dedup: keep-first rides a span-hash-partitioned window") {
+  test("p35 substr dedup: keep-first is an aggregate, never a hot-key window") {
     val nodes = executed("p35_substrdedup")
-    val windows = nodes.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
-      "p35's keep-first window must be partitioned by span hash")
+    // first-occurrence selection must be the map-side-combinable
+    // min(struct) aggregate + streaming join probe — a span-hash
+    // window would sort the whole group of a million-fold duplicated
+    // span in one task
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "p35 planned a window; keep-first must be the skew-robust aggregate")
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "p35 planned a nested-loop join")
   }
