@@ -349,10 +349,17 @@ object TextAnalysis {
 
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 8): DataFrame = {
-    val w = Window.partitionBy(col("lid"))
-      .orderBy(col(idCol), col("li"))
-    linesOf(docs, idCol, textCol, k)
-      .withColumn("keep", row_number().over(w) === 1)
+    // keep-first as a map-side-combinable min(struct) aggregate + a
+    // streaming join probe rather than a lid-partitioned window: a
+    // boilerplate line duplicated across the whole corpus is the
+    // expected input here, and a window would sort that hot key's
+    // entire group in one task (see substrDedup's scale note)
+    val lines = linesOf(docs, idCol, textCol, k)
+    val firsts = lines.groupBy(col("lid"))
+      .agg(min(struct(col(idCol), col("li"))).as("f"))
+    lines.join(firsts, "lid")
+      .withColumn("keep",
+        col(idCol) === col(s"f.$idCol") && col("li") === col("f.li"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("keep").cast("long")).as("n_kept"),

@@ -68,20 +68,20 @@ class PlanShapeSpec extends SparkTestBase {
       "p32 should be joins + aggregates + a typed per-word fold")
   }
 
-  test("p33 line dedup: partitioned window only, three shuffles max") {
+  test("p33 line dedup: keep-first is an aggregate, four shuffles max") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val nodes = executed("p33_linededup")
-    // keep-first must ride a lid-PARTITIONED window (tiny groups) —
-    // a partitionless window would serialize the whole corpus
-    val windows = nodes.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
-      "p33's keep-first window must be partitioned by line hash")
-    // line extraction stays narrow over the scan: the only shuffles
-    // are lid (window), doc_id (rebuild agg), and the output sort
+    // keep-first must be the map-side-combinable min(struct) agg + a
+    // streaming join probe — a lid window would sort a corpus-wide
+    // boilerplate line's whole group in one task
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "p33 planned a window; keep-first must be the skew-robust aggregate")
+    // line extraction stays narrow over the scan: shuffles are lid
+    // (firsts agg + join probe), doc_id (rebuild), the output sort
     val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.length <= 3,
-      s"p33 planned ${shuffles.length} shuffles; expected <= 3 " +
-        "(lid window, per-doc rebuild, output order)")
+    assert(shuffles.length <= 4,
+      s"p33 planned ${shuffles.length} shuffles; expected <= 4 " +
+        "(lid agg, lid join probe, per-doc rebuild, output order)")
   }
 
   test("q31 lateral decorrelates to broadcast joins + rank-limit pushdown") {
