@@ -106,10 +106,18 @@ object PipelineQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exactdedup" -> ((s, dir) => {
+      // keep-first by content hash as a map-side-combinable min
+      // aggregate + streaming join probe, NOT a text_md5-partitioned
+      // window: a million-fold duplicated doc (the reason exact dedup
+      // exists) would sort its whole group in one task under the
+      // window form (the p33/p35 skew note)
       val d = docs(s, dir).select(col("doc_id"),
         md5(col("text").cast("binary")).as("text_md5"))
-      val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))
-      d.withColumn("keep", row_number().over(w) === 1)
+      val firsts = d.groupBy(col("text_md5"))
+        .agg(min(col("doc_id")).as("first_id"))
+      d.join(firsts, "text_md5")
+        .select(col("doc_id"), col("text_md5"),
+          (col("doc_id") === col("first_id")).as("keep"))
         .orderBy("doc_id")
     }),
 
