@@ -408,14 +408,21 @@ object RelationalQueries {
       // each customer's order count — bounded per key, parallel
       // across keys.
       t(s, dir, "orders").createOrReplaceTempView("orders")
+      // Spark INLINES non-recursive CTEs, so the ranked+capped order
+      // table would be re-windowed on every recursion level (one join
+      // job per level); materialize it once and recurse over the
+      // cached view — DuckDB materializes multiply-referenced CTEs on
+      // its own, so the oracle keeps the single-statement form
       s.sql(
-        """WITH RECURSIVE o AS (
-          |  SELECT o_custkey, o_orderkey, o_totalprice,
-          |         CAST(row_number() OVER (PARTITION BY o_custkey
-          |           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
-          |  FROM orders),
-          |oc AS (SELECT * FROM o WHERE rn <= 12),
-          |r AS (
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |       CAST(row_number() OVER (PARTITION BY o_custkey
+          |         ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+          |FROM orders""".stripMargin)
+        .where(col("rn") <= 12)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("oc")
+      s.sql(
+        """WITH RECURSIVE r AS (
           |  SELECT o_custkey, o_orderkey, rn,
           |         CAST(o_totalprice AS DOUBLE) AS acc
           |  FROM oc WHERE rn = 1
