@@ -234,6 +234,23 @@ object StoreQueries {
         .orderBy("series_id", "bucket")
     }),
 
+    "hs8_seriesglob" -> ((s, dir) => {
+      // Graphite-target selection over the store: the `*r*` glob
+      // (one-segment wildcard semantics) compiles to ONE RLIKE
+      // predicate applied to the catalog for the fetch universe and
+      // pushed into the level scan — the target syntax a Graphite
+      // user brings to an imported tree. The oracle replays the
+      // documented glob -> regex contract ('^[^.]*r[^.]*$') so the
+      // translation itself is gated, not just the fetch.
+      val st = storeFor(s, dir)
+      val (_, dense) = st.fetchMulti(st.seriesGlob("*r*"),
+        1704412800L, 1704499200L, Now)
+      dense.select(col("series_id"),
+          col("interval").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs7_whisperimport" -> ((s, dir) => {
       // the reference's own golden fetch (test/hoard.test.coffee:36-51)
       // replayed through the BINARY IMPORT path: large.whisper →
@@ -303,6 +320,27 @@ object StoreQueries {
         |SELECT CAST(s.h AS VARCHAR) AS bucket, ROUND(hh.v, 6) AS value
         |FROM spine s LEFT JOIN hourly hh ON s.h = hh.h
         |ORDER BY bucket""".stripMargin,
+
+    // glob fetch replay: identical frame, series universe filtered by
+    // the glob's documented regex translation
+    "hs8_seriesglob" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS series_id, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |series AS (
+        |  SELECT DISTINCT event_type AS series_id FROM events
+        |  WHERE regexp_matches(event_type, '^[^.]*r[^.]*$')),
+        |spine AS (
+        |  SELECT series_id, g AS h
+        |  FROM series CROSS JOIN generate_series(
+        |    TIMESTAMP '2024-01-05 01:00:00',
+        |    TIMESTAMP '2024-01-06 00:00:00', INTERVAL 1 HOUR) t(g))
+        |SELECT s.series_id, CAST(s.h AS VARCHAR) AS bucket,
+        |       ROUND(hh.v, 6) AS value
+        |FROM spine s LEFT JOIN hourly hh
+        |  ON s.series_id = hh.series_id AND s.h = hh.h
+        |ORDER BY s.series_id, bucket""".stripMargin,
 
     "hs4_multifetch" ->
       """WITH hourly AS (
