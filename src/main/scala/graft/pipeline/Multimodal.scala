@@ -167,6 +167,63 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash row: 64-bit aHash + same-hash mate count. */
+  final case class PHashRow(doc_id: Long, media_type: String,
+                            n_bytes: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint — the near-dup IMAGE
+    * detection primitive (public aHash recipe: 8x8 grayscale
+    * downsample, bit i = pixel_i > mean): REAL grid-sampled integer
+    * luma for decodable images, the deterministic fake pixel formula
+    * otherwise (this fixture's payloads are text, so the oracle
+    * replays the fake; the real path is gated in ScalaTest with
+    * constructed PNGs — identical images must collide, altered ones
+    * must not). Integer arithmetic end to end: pixel grid, floor
+    * mean, bit pack — bit 63 lands in the sign position, which the
+    * SQL replay reproduces with an explicit -2^63 term. Downstream,
+    * equal hashes bucket near-identical images exactly like p1's
+    * content md5 buckets exact text — one partial-agg groupBy at any
+    * corpus size.
+    */
+  def perceptualHash(tasks: Dataset[MediaTask]): Dataset[PHashRow] = {
+    import tasks.sparkSession.implicits._
+    tasks.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.iterator.map { t =>
+          val nb = t.payload.length.toLong
+          val pix = new Array[Long](64)
+          safeDecode(t.payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var i = 0
+              while (i < 64) {
+                val x = ((i % 8) * w) / 8
+                val y = ((i / 8) * h) / 8
+                val rgb = img.getRGB(x, y)
+                pix(i) = (299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)) / 1000L
+                i += 1
+              }
+            case None =>
+              var i = 0
+              while (i < 64) {
+                pix(i) = (nb * (i + 3) + t.doc_id * (i % 7 + 1)) % 256
+                i += 1
+              }
+          }
+          val mean = pix.sum / 64
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (pix(i) > mean) hash |= 1L << i
+            i += 1
+          }
+          PHashRow(t.doc_id, t.media_type, nb, hash)
+        }
+      }
+    }
+  }
+
   /** Feature row — per-channel integer means + integer Rec.601 luma. */
   final case class ImageFeatures(doc_id: Long, media_type: String,
                                  n_bytes: Long, ch1_mean: Long, ch2_mean: Long,

@@ -375,6 +375,21 @@ object PipelineQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    "m5_phash" -> ((s, dir) => {
+      // aHash perceptual fingerprints + same-hash mate counts: the
+      // image-side analogue of p1's exact text dedup (equal hashes =
+      // near-identical images; one partial-agg groupBy + streaming
+      // join, the skew-robust keep-first shape)
+      val h = Multimodal.perceptualHash(
+          Multimodal.tasksFromDocuments(s, docs(s, dir)))
+        .toDF()
+      val mates = h.groupBy(col("phash")).agg(count(lit(1)).as("nh"))
+      h.join(mates, "phash")
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("phash"), (col("nh") - 1).cast("long").as("n_mates"))
+        .orderBy("doc_id")
+    }),
+
     "p15_decontam" -> ((s, dir) => {
       // eval-set decontamination: the held-out source (src0) defines a
       // 7-gram fingerprint set; every training doc is flagged with its
@@ -1562,6 +1577,37 @@ object PipelineQueries {
         |      64 + CAST(octet_length(encode(text)) % 448 AS BIGINT) AS h
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // aHash replay over the deterministic fake pixels (fixture
+    // payloads are text): integer grid, floor mean, bit pack with the
+    // sign bit as an explicit -2^63 term (SUM(BIGINT) is HUGEINT in
+    // DuckDB, so the accumulate is exact before the final BIGINT cast)
+    "m5_phash" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS media_type,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |pix AS (
+        |  SELECT doc_id, media_type, n_bytes, i,
+        |         (n_bytes * (i + 3) + doc_id * (i % 7 + 1)) % 256 AS p
+        |  FROM base, (SELECT unnest(range(0, 64)) AS i)),
+        |m AS (
+        |  SELECT doc_id, CAST(SUM(p) // 64 AS BIGINT) AS mean
+        |  FROM pix GROUP BY doc_id),
+        |bits AS (
+        |  SELECT p.doc_id, p.media_type, p.n_bytes,
+        |         CAST(SUM(CASE WHEN p.p > m.mean AND p.i < 63
+        |               THEN (CAST(1 AS BIGINT) << CAST(p.i AS INT))
+        |               ELSE 0 END)
+        |           + SUM(CASE WHEN p.p > m.mean AND p.i = 63
+        |               THEN -9223372036854775808 ELSE 0 END)
+        |           AS BIGINT) AS phash
+        |  FROM pix p JOIN m USING (doc_id)
+        |  GROUP BY p.doc_id, p.media_type, p.n_bytes),
+        |cnt AS (SELECT phash, COUNT(*) AS nh FROM bits GROUP BY phash)
+        |SELECT b.doc_id, b.media_type, b.n_bytes, b.phash,
+        |       CAST(c.nh - 1 AS BIGINT) AS n_mates
+        |FROM bits b JOIN cnt c USING (phash) ORDER BY b.doc_id""".stripMargin,
 
     "m4_features" ->
       """SELECT doc_id, media_type, n_bytes, ch1_mean, ch2_mean, ch3_mean,

@@ -336,6 +336,43 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got(4L).width == 64 + (4L * 7) % 448 && got(4L).height == 64 + nb % 448)
   }
 
+  test("perceptual aHash: identical real images collide, altered ones do not") {
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaTask
+    // a 16x16 gradient: enough luma spread that the aHash has both 0
+    // and 1 bits (a flat image hashes to all-zero and collides trivially)
+    def grad(invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = (x * 16 + y) & 0xFF
+        val vv = if (invert) 255 - v else v
+        img.setRGB(x, y, (vv << 16) | (vv << 8) | vv)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val tasks = Seq(
+      MediaTask(1L, "image", grad(invert = false)),
+      MediaTask(2L, "image", grad(invert = false)), // byte-identical
+      MediaTask(3L, "image", grad(invert = true)),  // complement
+      MediaTask(4L, "text", "plain text payload".getBytes("UTF-8")))
+    val got = Multimodal.perceptualHash(tasks.toDS()).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    assert(got(1L) == got(2L), "identical images must share an aHash")
+    assert(got(1L) != got(3L), "the inverted image must not collide")
+    assert(got(1L) != 0L && got(1L) != -1L, "gradient hash is non-degenerate")
+    // the fake path replays the oracle's formula exactly
+    val nb = "plain text payload".getBytes("UTF-8").length.toLong
+    val pix = (0 until 64).map(i => (nb * (i + 3) + 4L * (i % 7 + 1)) % 256)
+    val mean = pix.sum / 64
+    val want = (0 until 64).foldLeft(0L) { (h, i) =>
+      if (pix(i) > mean) h | (1L << i) else h
+    }
+    assert(got(4L) == want)
+  }
+
   test("Multimodal resize + features compute real pixel stats on real images") {
     import graft.pipeline.Multimodal
     import graft.pipeline.Multimodal.MediaTask
