@@ -320,6 +320,34 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h26_movstdev" -> ((s, dir) => {
+      // Graphite's stdev(series, 24) — trailing moving population
+      // stddev per series. Deterministic across engines WITHOUT an
+      // integer predicate trick this time: the inner value
+      // n*S2 - S^2 is an exact integer (micro-unit sums, h23's
+      // machinery), its cast to double rounds half-even identically,
+      // sqrt is IEEE CORRECTLY-rounded (unlike pow/ln), and the
+      // remaining ops are plain divisions — so the double result is
+      // bit-identical and the *1e6 rounding is belt-and-braces.
+      // stdev = sqrt(n*S2 - S^2) / (n * 1e6), micro units scaled out.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-23, 0)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      hourlyByType(s, dir)
+        .withColumn("vi",
+          (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .withColumn("n", count(col("vi")).over(w))
+        .withColumn("sv", sum(col("vi")).over(w))
+        .withColumn("s2", sum(dec(col("vi")) * dec(col("vi"))).over(w))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          col("n"),
+          (round(sqrt((dec(col("n")) * col("s2") -
+              dec(col("sv")) * dec(col("sv"))).cast("double"))
+            / (col("n") * lit(1e6)) * lit(1e6)) / lit(1e6)).as("stdev"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h25_holtwinters" -> ((s, dir) => {
       // FULL seasonal Holt-Winters (Graphite holtWintersForecast,
       // daily season m=24 over the hourly series) — completes the
@@ -912,6 +940,30 @@ object HoardQueries {
         |  PARTITION BY event_type, date_trunc('day', h) ORDER BY h
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // moving-stdev replay: exact HUGEINT inner value, correctly-
+    // rounded sqrt, identical divisions
+    "h26_movstdev" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |z AS (
+        |  SELECT event_type, h,
+        |         CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM hourly),
+        |ws AS (
+        |  SELECT event_type, h,
+        |         COUNT(vi) OVER w AS n,
+        |         SUM(vi) OVER w AS sv,
+        |         SUM(CAST(vi AS HUGEINT) * vi) OVER w AS s2
+        |  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket, n,
+        |       ROUND(sqrt(CAST(CAST(n AS HUGEINT) * s2 -
+        |               CAST(sv AS HUGEINT) * sv AS DOUBLE))
+        |             / (n * 1e6) * 1e6) / 1e6 AS stdev
+        |FROM ws ORDER BY event_type, bucket""".stripMargin,
 
     // seasonal Holt-Winters replay: the recursive CTE carries the
     // 24-slot season vector as a LIST; dyadic constants keep every
