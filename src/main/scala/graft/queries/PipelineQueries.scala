@@ -390,6 +390,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p36_filterstack" -> ((s, dir) => {
+      // the quality filter STACK a curation pipeline actually ships:
+      // four independent signal families (t2 lexical diversity, t5
+      // repetition, t9 Gopher rules, t12 readability) composed into
+      // one per-doc keep decision. Each signal is a single scan and
+      // the composition joins on doc_id (co-partitioned partial
+      // aggregates; at corpus scale AQE plans these as one shuffle
+      // stage per signal, never a re-scan of upstream signals).
+      // Thresholds compare tie-safe-rounded ratios, so the booleans
+      // are engine-deterministic by the same argument as t5/t9.
+      val d = docs(s, dir)
+      val q = TextAnalysis.quality(d, "doc_id", "text")
+        .select(col("doc_id"),
+          (col("distinct_ratio") >= 0.3).as("pass_diversity"))
+      val r = TextAnalysis.repetition(d, "doc_id", "text")
+        .select(col("doc_id"), (!col("flag_repetitive")).as("pass_repetition"))
+      val g = TextAnalysis.gopherRules(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("pass_gopher"))
+      val f = TextAnalysis.readability(d, "doc_id", "text")
+        .select(col("doc_id"), (col("flesch") >= 0.0).as("pass_readability"))
+      q.join(r, "doc_id").join(g, "doc_id").join(f, "doc_id")
+        .withColumn("keep",
+          col("pass_diversity") && col("pass_repetition") &&
+            col("pass_gopher") && col("pass_readability"))
+        .orderBy("doc_id")
+    }),
+
     "p15_decontam" -> ((s, dir) => {
       // eval-set decontamination: the held-out source (src0) defines a
       // 7-gram fingerprint set; every training doc is flagged with its
@@ -1577,6 +1604,79 @@ object PipelineQueries {
         |      64 + CAST(octet_length(encode(text)) % 448 AS BIGINT) AS h
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // filter-stack replay: each signal family's formula verbatim
+    // (t2 diversity, t5 repetition, t9 gopher, t12 readability),
+    // conjunction at the end
+    "p36_filterstack" ->
+      s"""WITH $ToksCte,
+         |dv AS (
+         |  SELECT doc_id,
+         |    (ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |       / len(string_split(text, ' ')) * 1e6) / 1e6 >= 0.3)
+         |      AS pass_diversity
+         |  FROM documents),
+         |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |ts AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS n_distinct, MAX(c) AS top_c
+         |  FROM tc GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id, token || ' ' || lead(token, 1)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |  FROM toks QUALIFY b IS NOT NULL),
+         |bs AS (
+         |  SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct_bg
+         |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |rp AS (
+         |  SELECT t.doc_id,
+         |    NOT (ROUND(CAST(t.top_c AS DOUBLE)/t.n_tokens * 1e6) / 1e6 > 0.12
+         |      OR COALESCE(ROUND(CAST(b.n_bigrams - b.n_distinct_bg AS DOUBLE)
+         |           /b.n_bigrams * 1e6) / 1e6, 0) > 0.25) AS pass_repetition
+         |  FROM ts t LEFT JOIN bs b USING (doc_id)),
+         |gm AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1)
+         |      AS DOUBLE) / len(string_split(text, ' ')) * 1e6) / 1e6
+         |      AS mean_word_len,
+         |    ROUND(CAST((length(text) - length(replace(text, '#', ''))) +
+         |      CAST((length(text) - length(replace(text, '...', ''))) / 3
+         |        AS BIGINT) AS DOUBLE) / len(string_split(text, ' ')) * 1e6)
+         |      / 1e6 AS symbol_ratio,
+         |    ROUND(CAST(len(list_filter(string_split(text, ' '),
+         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) * 1e6) / 1e6 AS alpha_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN
+         |      ('the','be','to','of','and','that','have','with')))
+         |      AS BIGINT) AS n_stopwords
+         |  FROM documents),
+         |gp AS (
+         |  SELECT doc_id,
+         |    ((n_words >= 50 AND n_words <= 100000)
+         |     AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |     AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+         |     AND n_stopwords >= 2) AS pass_gopher
+         |  FROM gm),
+         |rd AS (
+         |  SELECT doc_id,
+         |    (ROUND((206.835
+         |       - 1.015*(CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |          / GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |              AS BIGINT), 1))
+         |       - 84.6*(CAST(GREATEST(CAST(len(regexp_extract_all(lower(text),
+         |              '[aeiouy]+')) AS BIGINT), 1) AS DOUBLE)
+         |          / len(string_split(text, ' ')))) * 1e6) / 1e6 >= 0.0)
+         |      AS pass_readability
+         |  FROM documents)
+         |SELECT dv.doc_id, pass_diversity, pass_repetition, pass_gopher,
+         |       pass_readability,
+         |       (pass_diversity AND pass_repetition AND pass_gopher
+         |        AND pass_readability) AS keep
+         |FROM dv JOIN rp USING (doc_id) JOIN gp USING (doc_id)
+         | JOIN rd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // aHash replay over the deterministic fake pixels (fixture
     // payloads are text): integer grid, floor mean, bit pack with the
