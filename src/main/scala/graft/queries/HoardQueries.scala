@@ -515,7 +515,7 @@ object HoardQueries {
       val raw = s.readStream.schema(s.read.parquet(path).schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val pts = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .select(concat(lit("u"), col("user_id")).as("series_id"),
           col("ts").cast("long").as("ts"), col("value"))
         .as[(String, Long, Double)]
@@ -575,7 +575,7 @@ object HoardQueries {
       val raw = s.readStream.schema(s.read.parquet(path).schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val agged = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -606,7 +606,7 @@ object HoardQueries {
       val raw = s.readStream.schema(s.read.parquet(path).schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val stream = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .select(col("event_type").as("series_id"), col("ts"), col("value"))
       val name = "s1_agg_" + StreamCounter.incrementAndGet()
       val q = graft.streaming.StreamIngest.hourlyAggregates(stream)
@@ -634,7 +634,7 @@ object HoardQueries {
       val schema = s.read.parquet(path).schema
       def src() = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .select(col("event_id"), col("event_type"), col("ts"))
       val deduped = src().unionByName(src())
         .withWatermark("ts", "1 hour")
@@ -674,7 +674,7 @@ object HoardQueries {
         val schema = s.read.parquet(path).schema
         def src(et: String) = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(Tables.normalizeEventTs)
           .where(col("event_type") === et)
         val clicks = src("click")
           .select(col("event_id").as("click_id"), col("user_id"),
