@@ -348,6 +348,50 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h27_linreg" -> ((s, dir) => {
+      // Graphite's linearRegression(): per-(series, day) least-squares
+      // fit over the hourly points. ALL sums are exact integers —
+      // x = hour-of-day (0..23), y in micro-units (h23's machinery) —
+      // so slope/intercept numerators and the shared denominator
+      // n*Sxx - Sx^2 are exact DECIMAL(38,0) values; each output is
+      // CAST(num)/CAST(den)/1e6: two correctly-rounded IEEE divisions
+      // on identical operands, bit-identical cross-engine before the
+      // belt-and-braces tie-safe rounding. predict_eod extends the fit
+      // to x=23 with an integer numerator (iNum + 23*sNum), not by
+      // combining the two rounded outputs. A plain groupBy — partial
+      // aggregation map-side, no window, no skew surface.
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      val day = date_trunc("day", col("bucket"))
+      val grouped = hourlyByType(s, dir)
+        .withColumn("vi",
+          (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .withColumn("x", hour(col("bucket")).cast("long"))
+        .groupBy(col("event_type"), day.as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("vi")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(dec(col("x")) * dec(col("vi"))).as("sxy"))
+        .where(col("n") >= 2)
+        .withColumn("den", dec(col("n")) * dec(col("sxx")) -
+          dec(col("sx")) * dec(col("sx")))
+        .withColumn("snum", dec(col("n")) * col("sxy") -
+          dec(col("sx")) * dec(col("sy")))
+        .withColumn("inum", dec(col("sy")) * dec(col("sxx")) -
+          dec(col("sx")) * col("sxy"))
+      grouped.select(col("event_type"),
+          col("day").cast("date").cast("string").as("day"),
+          col("n"),
+          r6(col("snum").cast("double") / col("den").cast("double")
+            / lit(1e6)).as("slope"),
+          r6(col("inum").cast("double") / col("den").cast("double")
+            / lit(1e6)).as("intercept"),
+          r6((col("inum") + dec(lit(23)) * col("snum")).cast("double")
+            / col("den").cast("double") / lit(1e6)).as("predict_eod"))
+        .orderBy("event_type", "day")
+    }),
+
     "h25_holtwinters" -> ((s, dir) => {
       // FULL seasonal Holt-Winters (Graphite holtWintersForecast,
       // daily season m=24 over the hourly series) — completes the
@@ -964,6 +1008,39 @@ object HoardQueries {
         |               CAST(sv AS HUGEINT) * sv AS DOUBLE))
         |             / (n * 1e6) * 1e6) / 1e6 AS stdev
         |FROM ws ORDER BY event_type, bucket""".stripMargin,
+
+    // least-squares replay: exact HUGEINT sums, the same two-division
+    // shape (num/den/1e6) so every double op is identical
+    "h27_linreg" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |z AS (
+        |  SELECT event_type, date_trunc('day', h) AS d,
+        |         CAST(EXTRACT(hour FROM h) AS BIGINT) AS x,
+        |         CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM hourly),
+        |g AS (
+        |  SELECT event_type, d, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(vi) AS sy, SUM(x * x) AS sxx,
+        |         SUM(CAST(x AS HUGEINT) * vi) AS sxy
+        |  FROM z GROUP BY event_type, d
+        |  HAVING COUNT(*) >= 2),
+        |f AS (
+        |  SELECT event_type, d, n,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS snum,
+        |         CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
+        |  FROM g)
+        |SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+        |       ROUND(CAST(snum AS DOUBLE) / CAST(den AS DOUBLE) / 1e6 * 1e6)
+        |         / 1e6 AS slope,
+        |       ROUND(CAST(inum AS DOUBLE) / CAST(den AS DOUBLE) / 1e6 * 1e6)
+        |         / 1e6 AS intercept,
+        |       ROUND(CAST(inum + 23 * snum AS DOUBLE) / CAST(den AS DOUBLE)
+        |         / 1e6 * 1e6) / 1e6 AS predict_eod
+        |FROM f ORDER BY event_type, day""".stripMargin,
 
     // seasonal Holt-Winters replay: the recursive CTE carries the
     // 24-slot season vector as a LIST; dyadic constants keep every

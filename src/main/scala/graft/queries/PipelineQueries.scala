@@ -417,6 +417,61 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p37_domaincap" -> ((s, dir) => {
+      // per-domain document cap (RefinedWeb-style "no domain dominates
+      // the mix"): keep the top K=10 docs per source by length (tie
+      // doc_id). The rank is computed in TWO phases so a hot domain —
+      // at crawl scale one domain can be 30% of the corpus — never
+      // sorts as one window group in one task: phase 1 ranks inside
+      // (source, salt=doc_id mod 16) partitions and keeps each salt's
+      // top K, phase 2 re-ranks only the <= 16*K survivors per source.
+      // The total order (n_chars DESC, doc_id) is deterministic, so the
+      // two-phase result equals the oracle's single window exactly.
+      val K = 10
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(16)))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      d.withColumn("rk1", row_number().over(w1))
+        .where(col("rk1") <= K)
+        .withColumn("rank", row_number().over(w2).cast("long"))
+        .where(col("rank") <= K)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rank")
+    }),
+
+    "p38_cmsketch" -> ((s, dir) => {
+      // count-min sketch heavy hitters (Cormode & Muthukrishnan '05):
+      // THE bounded-memory frequency structure for a 100 TB token
+      // stream — d=4 rows x w=1024 counters, h_j = the p2 Mersenne
+      // affine family mod w, est(x) = min_j cell[j][h_j(x)], always an
+      // OVERcount. Everything is exact integer arithmetic, so sketch
+      // and estimates are bit-identical cross-engine. Scale shape: the
+      // stream pre-aggregates per token id FIRST (map-side combine to
+      // vocab size), the 4096-cell sketch is a second tiny aggregate,
+      // and the top-15 probe re-hashes 15 rows and broadcast-joins the
+      // sketch — the token stream itself shuffles exactly once.
+      graft.functions.MersenneAffine.register(s)
+      def buckets(df: DataFrame) = df.select(col("token"), col("true_n"),
+        expr("stack(4, " + (0 until 4).map(j =>
+          s"${j}L, pmod(graft_mersenne(vid, ${2 * j + 3}, ${5 * j + 7}), 1024)")
+          .mkString(", ") + ") AS (j, bucket)"))
+      val counts = toks(s, dir)
+        .groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+        .withColumn("vid", TextOps.hashId(col("token")))
+      val sketch = buckets(counts)
+        .groupBy("j", "bucket").agg(sum(col("true_n")).as("cell"))
+      val top = counts.orderBy(col("true_n").desc, col("token")).limit(15)
+      buckets(top)
+        .join(broadcast(sketch), Seq("j", "bucket"))
+        .groupBy(col("token"), col("true_n"))
+        .agg(min(col("cell")).as("est_n"))
+        .select(col("token"), col("true_n"), col("est_n"),
+          (col("est_n") - col("true_n")).as("overcount"))
+        .orderBy(col("true_n").desc, col("token"))
+    }),
+
     "p15_decontam" -> ((s, dir) => {
       // eval-set decontamination: the held-out source (src0) defines a
       // 7-gram fingerprint set; every training doc is flagged with its
@@ -1677,6 +1732,45 @@ object PipelineQueries {
          |FROM dv JOIN rp USING (doc_id) JOIN gp USING (doc_id)
          | JOIN rd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // domain-cap replay: one window — the deterministic total order
+    // (n_chars DESC, doc_id) makes the engine's two-phase rank
+    // identical to the single-window rank
+    "p37_domaincap" ->
+      """SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
+
+    // count-min replay: same Mersenne affine family mod 1024 in
+    // HUGEINT, exact integer cells and min-estimates
+    "p38_cmsketch" ->
+      s"""WITH $ToksCte,
+         |cnt AS (SELECT token, COUNT(*) AS true_n FROM toks GROUP BY token),
+         |v AS (
+         |  SELECT token, true_n,
+         |         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS vid
+         |  FROM cnt),
+         |b AS (
+         |  SELECT token, true_n, j,
+         |         CAST(((2*j+3)::HUGEINT * (vid % 2305843009213693951)
+         |               + (5*j+7)) % 2305843009213693951 % 1024 AS BIGINT)
+         |           AS bucket
+         |  FROM v CROSS JOIN range(4) t(j)),
+         |sk AS (SELECT j, bucket, SUM(true_n) AS cell FROM b GROUP BY j, bucket),
+         |top AS (SELECT token, true_n FROM v
+         |        ORDER BY true_n DESC, token LIMIT 15),
+         |est AS (
+         |  SELECT b.token, b.true_n, MIN(sk.cell) AS est_n
+         |  FROM b JOIN top USING (token) JOIN sk USING (j, bucket)
+         |  GROUP BY b.token, b.true_n)
+         |SELECT token, CAST(true_n AS BIGINT) AS true_n,
+         |       CAST(est_n AS BIGINT) AS est_n,
+         |       CAST(est_n - true_n AS BIGINT) AS overcount
+         |FROM est ORDER BY true_n DESC, token""".stripMargin,
 
     // aHash replay over the deterministic fake pixels (fixture
     // payloads are text): integer grid, floor mean, bit pack with the

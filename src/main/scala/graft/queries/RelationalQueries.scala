@@ -210,6 +210,29 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "rn")
     }),
 
+    "q33_distwindow" -> ((s, dir) => {
+      // distribution window functions — ntile / percent_rank /
+      // cume_dist, the ANSI window family q11 (ranks) and q12 (frames)
+      // leave undeclared. The order key ends in the unique o_orderkey
+      // so no row has peers: ntile's split, percent_rank's
+      // (rn-1)/(n-1) and cume_dist's rn/n are integer-derived single
+      // divisions, deterministic cross-engine; the two ratios still
+      // get the tie-safe rounding (rn/n CAN land on .xxxxxx5 exactly).
+      // Partitioned by order month — the parallelism unit; never an
+      // unpartitioned window.
+      def r6(c: Column) = round(c * lit(1e6)) / lit(1e6)
+      val o = t(s, dir, "orders")
+      val m = date_format(col("o_orderdate"), "yyyy-MM")
+      val w = Window.partitionBy(m)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(m.as("month"), col("o_orderkey"),
+          round(col("o_totalprice"), 6).as("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cume"))
+        .orderBy("month", "o_orderkey")
+    }),
+
     "q12_frames" -> ((s, dir) => {
       val e = t(s, dir, "events").where(col("user_id") < 10)
         .withColumn("ts_sec", col("ts").cast("long"))
@@ -764,6 +787,19 @@ object RelationalQueries {
         |                    ORDER BY o_totalprice DESC) AS drk
         |FROM orders QUALIFY rn <= 5
         |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    // no peers (order key ends in the unique o_orderkey), so all three
+    // distribution functions are integer-derived on both engines
+    "q33_distwindow" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
+        | ROUND(o_totalprice, 6) AS o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | ROUND(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
+        | ROUND(cume_dist() OVER w * 1e6) / 1e6 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY month, o_orderkey""".stripMargin,
 
     "q12_frames" ->
       """SELECT user_id, event_id, ROUND(value, 6) AS value,

@@ -394,6 +394,36 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("p37 two-phase domain cap == single-window rank (sf0.001)") {
+    // the salted phase-1 prune may only ever DROP rows that cannot be
+    // in the per-source top-10 under the deterministic total order, so
+    // the two-phase result must equal one flat window exactly
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val flat = d.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 10)
+      .select("source", "rank", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = SparkEntry.queries("p37_domaincap")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == flat, "two-phase cap diverged from the flat window")
+    // the cap binds: every source with >10 docs is clipped to exactly 10
+    val bySrc = got.groupBy(_._1).view.mapValues(_.size)
+    val full = d.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    full.foreach { case (src, n) =>
+      assert(bySrc.getOrElse(src, 0) == math.min(n, 10L).toInt,
+        s"source $src kept ${bySrc.getOrElse(src, 0)} of $n")
+    }
+  }
+
   // --- shared near-dup stage materialization --------------------------
 
   test("p10 pairs pipeline executes once per (session, dir) sweep") {

@@ -293,4 +293,51 @@ class OperatorSpec extends SparkTestBase {
     // the band must actually separate: some rows flag, most do not
     assert(got.exists(_._4) && got.count(_._4) * 4 < got.size)
   }
+
+  test("h27 linreg == sequential BigInt least-squares mirror on sf0.001") {
+    // every sum is an exact integer and each output is two IEEE
+    // divisions on identical operands, so a sequential BigInt replay
+    // must agree on EVERY row at full declared precision
+    val dir = "/root/testdata/sf0.001"
+    def r6(x: Double): Double =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble / 1e6
+    val raw = Tables.load(spark, dir, "events")
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant,
+        r.getLong(2), r.getDouble(3)))
+    val lww = raw.groupBy { case (t, i, _, _) =>
+        (t, i.getEpochSecond / 3600 * 3600)
+      }
+      .map { case ((t, h), rows) => (t, h, rows.maxBy(_._3)._4) }.toSeq
+    val expected = lww.groupBy { case (t, h, _) => (t, h / 86400 * 86400) }
+      .filter(_._2.size >= 2)
+      .map { case ((typ, day), rows) =>
+        val pts = rows.map { case (_, h, v) =>
+          (BigInt(h % 86400 / 3600),
+            BigInt((BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              * 1000000).toBigIntExact.get.toLong))
+        }
+        val n = BigInt(pts.size)
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val den = n * sxx - sx * sx
+        val snum = n * sxy - sx * sy
+        val inum = sy * sxx - sx * sxy
+        (typ, java.time.LocalDate.ofEpochDay(day / 86400).toString,
+          pts.size.toLong,
+          r6(snum.toDouble / den.toDouble / 1e6),
+          r6(inum.toDouble / den.toDouble / 1e6),
+          r6((inum + 23 * snum).toDouble / den.toDouble / 1e6))
+      }.toSet
+    val got = SparkEntry.queries("h27_linreg")(spark, dir)
+      .select("event_type", "day", "n", "slope", "intercept", "predict_eod")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected, "h27 linreg diverged from the BigInt mirror")
+    // the fit must actually move: slopes of both signs somewhere
+    assert(got.exists(_._4 > 0) && got.exists(_._4 < 0))
+  }
 }

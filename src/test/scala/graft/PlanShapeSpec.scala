@@ -62,6 +62,32 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected a 2-key (user, bucket) equi join, got key counts $equiKeys")
   }
 
+  test("p37 domain cap: both rank windows are partitioned") {
+    // phase 1 partitions by (source, salt), phase 2 by source — a
+    // partitionless window here would re-create exactly the hot-domain
+    // single-task sort the two-phase design exists to avoid
+    val nodes = executed("p37_domaincap")
+    val bad = nodes.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+    assert(bad.isEmpty, "partitionless window in p37")
+  }
+
+  test("p38 count-min: sketch probe is a broadcast join, no windows") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val nodes = executed("p38_cmsketch")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected the 4096-cell sketch to broadcast onto the top-15 probe")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "count-min path should be pure aggregation, no window")
+  }
+
+  test("q33 distribution windows are partitioned by month") {
+    val nodes = executed("q33_distwindow")
+    val bad = nodes.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+    assert(bad.isEmpty, "partitionless window in q33")
+  }
+
   test("p32 subword encoding plans no window at all") {
     val nodes = executed("p32_subword")
     assert(!nodes.exists(_.isInstanceOf[WindowExec]),
