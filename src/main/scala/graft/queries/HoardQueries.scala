@@ -218,6 +218,24 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h28_hitcount" -> ((s, dir) => {
+      // Graphite's hitcount("1d"): rate-to-total conversion — each
+      // hourly point contributes value x 3600 seconds, summed per day
+      // (unlike h15's summarize, the output is integral-of-rate, the
+      // form billing/SLO counters need). The sum runs in DECIMAL so
+      // partial-aggregation order cannot perturb it; x3600 stays
+      // decimal-exact; the one double cast is half-even on both
+      // engines. Plain groupBy — map-side partials, no window.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      hourlyByType(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("bucket")).as("day"))
+        .agg(count(lit(1)).as("n_points"),
+          (sum(col("value").cast("decimal(18,6)")) * lit(3600)).as("hitsum"))
+        .select(col("event_type"), col("day").cast("date").cast("string").as("day"),
+          col("n_points"), r6(col("hitsum").cast("double")).as("hits"))
+        .orderBy("event_type", "day")
+    }),
+
     "h16_persecond" -> ((s, dir) => {
       // Graphite's perSecond(): counter rate per series — the positive
       // delta divided by the actual elapsed seconds between the two
@@ -1008,6 +1026,19 @@ object HoardQueries {
         |               CAST(sv AS HUGEINT) * sv AS DOUBLE))
         |             / (n * 1e6) * 1e6) / 1e6 AS stdev
         |FROM ws ORDER BY event_type, bucket""".stripMargin,
+
+    // hitcount replay: decimal-exact sum x 3600, one double cast
+    "h28_hitcount" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(date_trunc('day', h) AS VARCHAR) AS day,
+        |       COUNT(*) AS n_points,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) * 3600 AS DOUBLE)
+        |             * 1e6) / 1e6 AS hits
+        |FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |ORDER BY event_type, day""".stripMargin,
 
     // least-squares replay: exact HUGEINT sums, the same two-division
     // shape (num/den/1e6) so every double op is identical

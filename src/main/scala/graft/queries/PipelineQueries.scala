@@ -472,6 +472,31 @@ object PipelineQueries {
         .orderBy(col("true_n").desc, col("token"))
     }),
 
+    "p39_freqspectrum" -> ((s, dir) => {
+      // token frequency-of-frequencies (the Good-Turing spectrum): how
+      // many vocabulary types occur exactly k times, with the GT
+      // adjusted-count ratio r* = (k+1)·N_{k+1}/N_k where the spectrum
+      // is contiguous — the corpus statistic LM smoothing and
+      // vocabulary-growth (Heaps' law) estimates read. Two exact
+      // integer aggregates; the lead() window is UNpartitioned by
+      // design but runs over the spectrum, whose size is bounded by
+      // O(sqrt(2·corpus_tokens)) distinct k values — kilobytes at
+      // 100 TB — never over the corpus or the vocabulary.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      val w = Window.orderBy(col("k"))
+      toks(s, dir)
+        .groupBy(col("token")).agg(count(lit(1)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_types"))
+        .withColumn("k_next", lead(col("k"), 1).over(w))
+        .withColumn("n_next", lead(col("n_types"), 1).over(w))
+        .select(col("k"), col("n_types"),
+          (col("k") * col("n_types")).as("n_tokens"),
+          when(col("k_next") === col("k") + 1,
+            r6(((col("k") + 1) * col("n_next")).cast("double")
+              / col("n_types"))).as("gt_next"))
+        .orderBy("k")
+    }),
+
     "p15_decontam" -> ((s, dir) => {
       // eval-set decontamination: the held-out source (src0) defines a
       // 7-gram fingerprint set; every training doc is flagged with its
@@ -1744,6 +1769,19 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin,
+
+    // frequency-spectrum replay: two integer aggregates + one lead
+    "p39_freqspectrum" ->
+      s"""WITH $ToksCte,
+         |cnt AS (SELECT token, COUNT(*) AS k FROM toks GROUP BY token),
+         |spec AS (SELECT k, COUNT(*) AS n_types FROM cnt GROUP BY k)
+         |SELECT k, n_types, k * n_types AS n_tokens,
+         |       CASE WHEN lead(k, 1) OVER w = k + 1
+         |         THEN ROUND(CAST((k + 1) * (lead(n_types, 1) OVER w)
+         |                AS DOUBLE) / n_types * 1e6) / 1e6
+         |         END AS gt_next
+         |FROM spec WINDOW w AS (ORDER BY k)
+         |ORDER BY k""".stripMargin,
 
     // count-min replay: same Mersenne affine family mod 1024 in
     // HUGEINT, exact integer cells and min-estimates
