@@ -147,6 +147,33 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** Two-batch store through the ManifestAppend (transactional
+    * manifest) write path: lock-free optimistic commits, manifest-
+    * planned reads, a mid-stream compaction rewrite AND a snapshot
+    * reclaim — all of it must converge to the same rollup as every
+    * other strategy, so hs9 shares hs2/hs3/hs6's oracle VERBATIM.
+    */
+  private val builtManifest = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeManifest(s: SparkSession, dir: String): HoardStore = {
+    val root = builtManifest.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-manifest")
+        .toString + "/store"
+      val st = HoardStore.create(s, tmp, Policy, HoardStore.ManifestAppend)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      val cut = 1705406400L // 2024-01-16 12:00:00 UTC (same as hs3/hs6)
+      st.updateManyDf(ev.where(col("ts") < cut), Now)
+      st.compact(maxFilesPerMonth = 1)   // manifest rewrite mid-stream
+      st.updateManyDf(ev.where(col("ts") >= cut), Now)
+      st.expireSnapshots(keepLast = 1)   // reclaim must not change reads
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
+
   /** The reference's golden whisper fixture, imported once per JVM
     * through the binary migration path (`HoardImport`). `WhisperNow`
     * is the file's `lastUpdate` header word — the natural replay
@@ -186,6 +213,19 @@ object StoreQueries {
       // write path (write-amp ∝ batch): must equal the from-scratch
       // recomputation — the same oracle as the rewrite-strategy stores
       val st = storeDelta(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
+    "hs9_manifeststore" -> ((s, dir) => {
+      // daily rollup level after two optimistic manifest commits with a
+      // compaction rewrite between them and a snapshot-expire after:
+      // must equal the from-scratch recomputation — the same oracle as
+      // every other write strategy
+      val st = storeManifest(s, dir)
       st.readLevel(Policy.sorted.last)
         .select(col("series_id"),
           col("interval").cast("date").cast("string").as("bucket"),
@@ -303,6 +343,7 @@ object StoreQueries {
   val oracles: Map[String, String] = Map(
     "s6_streamstore" -> DailyRollupSql,
     "hs6_deltastore" -> DailyRollupSql,
+    "hs9_manifeststore" -> DailyRollupSql,
     "hs3_incremental" -> DailyRollupSql,
 
     // the store's lww key is (epoch-second, ingest seq); the oracle

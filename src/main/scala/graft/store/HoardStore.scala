@@ -47,7 +47,8 @@ import scala.jdk.CollectionConverters._
   * groupBy.
   */
 final class HoardStore private (val spark: SparkSession, val root: String,
-                                val mergeStrategy: HoardStore.MergeStrategy) {
+                                val mergeStrategy: HoardStore.MergeStrategy,
+                                val pinnedVersion: Option[Long] = None) {
 
   import HoardStore._
 
@@ -104,9 +105,20 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * reference's commit ordering (archive commits happen after earlier
     * archives' propagation).
     */
-  def updateManyDf(batch0: DataFrame, now: Long): Unit = withWriteLock {
+  def updateManyDf(batch0: DataFrame, now: Long): Unit = mergeStrategy match {
+    case HoardStore.ManifestAppend =>
+      // lock-FREE optimistic commit: stage against a pinned snapshot,
+      // validate at publish time, re-run the whole cascade on conflict
+      // (the re-run IS the propagation recompute — it re-reads the
+      // finer levels at the new snapshot)
+      runOptimistic(txn => cascade(batch0, now, Some(txn)))
+    case _ => withWriteLock(cascade(batch0, now, None))
+  }
+
+  private def cascade(batch0: DataFrame, now: Long, txn: Option[Txn]): Unit = {
     val p = policy
     val base = HoardStore.claimCommitBase(root) // this batch's seq base
+    txn.foreach(_.commitId = base)
     val levels = p.sorted
 
     val hasSeq = batch0.columns.contains("seq")
@@ -149,7 +161,7 @@ final class HoardStore private (val spark: SparkSession, val root: String,
           // propagation cost ∝ touched intervals (§2.2.10) down to the
           // I/O: read only the finer level's touched month partitions
           val finer = readLevelWithSeq(levels(i - 1),
-              Some(touchedMonths(touched, ar.step)))
+              Some(touchedMonths(touched, ar.step)), txn)
             .select("series_id", "interval", "value")
           val prop = Rollup.downsample(
               finer.join(touched.select(col("series_id").as("s2"),
@@ -166,8 +178,13 @@ final class HoardStore private (val spark: SparkSession, val root: String,
       val touchedHere = newRows.select("series_id", "interval").distinct()
         .localCheckpoint(true)
       if (touchedHere.head(1).nonEmpty) {
-        mergeLevel(ar, newRows, touchedHere)
-        appendCatalog(ar, touchedHere)
+        mergeLevel(ar, newRows, touchedHere, txn)
+        txn match {
+          // catalog appends are deferred past the optimistic commit: a
+          // conflicted-and-retried attempt must not leave phantom series
+          case Some(t) => t.catalogQueue += ((ar, touchedHere))
+          case None => appendCatalog(ar, touchedHere)
+        }
       }
       touchedBelow =
         if (touchedBelow == null) touchedHere
@@ -185,10 +202,18 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * value)`; intervals are aligned to the level's step. Later normal
     * writes stamp newer seqs and win lww as usual.
     */
-  def importArchive(ar: Archive, rows: DataFrame): Unit = withWriteLock {
+  def importArchive(ar: Archive, rows: DataFrame): Unit = mergeStrategy match {
+    case HoardStore.ManifestAppend =>
+      runOptimistic(txn => importBody(ar, rows, Some(txn)))
+    case _ => withWriteLock(importBody(ar, rows, None))
+  }
+
+  private def importBody(ar: Archive, rows: DataFrame,
+                         txn: Option[Txn]): Unit = {
     require(policy.sorted.exists(_.step == ar.step),
       s"no level with step ${ar.step} in this store's policy")
     val base = HoardStore.claimCommitBase(root)
+    txn.foreach(_.commitId = base)
     val newRows = rows.select(col("series_id"),
         Time.align(timestamp_seconds(col("ts")), ar.step).as("interval"),
         col("value"),
@@ -198,8 +223,11 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     val touched = newRows.select("series_id", "interval").distinct()
       .localCheckpoint(true)
     if (touched.head(1).nonEmpty) {
-      mergeLevel(ar, newRows, touched)
-      appendCatalog(ar, touched)
+      mergeLevel(ar, newRows, touched, txn)
+      txn match {
+        case Some(t) => t.catalogQueue += ((ar, touched))
+        case None => appendCatalog(ar, touched)
+      }
     }
   }
 
@@ -237,6 +265,236 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     try body finally Files.deleteIfExists(lock)
   }
 
+  // ---- optimistic manifest transactions (ManifestAppend) -------------
+
+  /** Test seam: fires once immediately before the first commit-validate
+    * of the next optimistic transaction (lets a test inject a competing
+    * commit deterministically between stage and publish).
+    */
+  @volatile private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** Attempts the last optimistic transaction took (1 = no conflict). */
+  @volatile var lastCommitAttempts: Int = 0
+
+  /** Lock-free optimistic commit: stage data files against a pinned
+    * snapshot, validate the conflict footprint at publish time, and on
+    * conflict DISCARD the staged files and re-run the whole body from a
+    * fresh snapshot — the re-run is what recomputes propagation against
+    * data a concurrent writer landed after our snapshot (the lost-update
+    * hazard a blind append would have). Plain appends whose (level,
+    * month) footprint is untouched by concurrent commits publish
+    * first-try; the version claim itself is atomic (hard-link publish),
+    * so losing the race to the version number alone just re-validates
+    * and re-claims without re-running the body.
+    */
+  private def runOptimistic(body: Txn => Unit): Unit = synchronized {
+    require(pinnedVersion.isEmpty, "snapshot views are read-only")
+    val maxAttempts = scala.util.Try(
+      spark.conf.get("graft.store.commitRetries").toInt).getOrElse(10)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val txn = new Txn(latestManifestVersion(root))
+      body(txn)
+      val hook = beforeCommitHook; beforeCommitHook = () => (); hook()
+      if (commitTxn(txn)) {
+        // catalog appends deferred past the publish: a conflicted
+        // attempt must not leave phantom series behind
+        txn.catalogQueue.foreach { case (ar, t) => appendCatalog(ar, t) }
+        done = true
+      } else {
+        txn.staged.map(e => Paths.get(root, e.rel).getParent.getParent)
+          .distinct.foreach(deleteRecursively)
+        if (attempt > maxAttempts) throw new IllegalStateException(
+          s"optimistic commit on $root lost $maxAttempts validation " +
+            "rounds to concurrent writers; raise graft.store.commitRetries")
+      }
+    }
+    lastCommitAttempts = attempt
+  }
+
+  /** Publish an append transaction. Returns false on a SEMANTIC
+    * conflict (a commit since our snapshot added files to a (level,
+    * month) this txn read or wrote — its propagation inputs may be
+    * stale); internally re-claims on a plain version race.
+    */
+  private def commitTxn(txn: Txn): Boolean = {
+    var v = latestManifestVersion(root)
+    while (true) {
+      if (v != txn.snapVer) {
+        val base = manifestEntries(root, txn.snapVer).toSet
+        val added = manifestEntries(root, v).filterNot(base)
+        if (added.exists(e => txn.touched((e.step, e.month)))) return false
+        // entries REMOVED since the snapshot are compaction/vacuum
+        // rewrites: contents are lww-identical (compaction) or a
+        // retention filter (vacuum) — serializable as this-txn-first
+      }
+      if (tryPublish(v + 1, manifestEntries(root, v) ++ txn.staged.toSeq))
+        return true
+      v = latestManifestVersion(root)
+    }
+    false // unreachable
+  }
+
+  /** Publish a rewrite (compaction/vacuum): `removed` must all still be
+    * live — if another rewrite already took any of them, abandon (the
+    * caller deletes its scratch output). Appends landed since the
+    * snapshot are unaffected: they stay in the manifest and the
+    * read-time lww folds them with the rewrite's output.
+    */
+  private def commitRewrite(removed: Set[ManifestEntry],
+                            added: Seq[ManifestEntry]): Boolean = {
+    var v = latestManifestVersion(root)
+    while (true) {
+      val cur = manifestEntries(root, v)
+      if (!removed.subsetOf(cur.toSet)) return false
+      if (tryPublish(v + 1, cur.filterNot(removed) ++ added)) return true
+      v = latestManifestVersion(root)
+    }
+    false // unreachable
+  }
+
+  /** Atomic manifest publish: full content to a temp file, then a hard
+    * link at the version name — the link either appears complete or
+    * fails (`FileAlreadyExistsException`) if that version was claimed;
+    * readers can never observe a torn manifest. (On an object store
+    * this seam is where a catalog/commit service plugs in.)
+    */
+  private def tryPublish(ver: Long, entries: Seq[ManifestEntry]): Boolean = {
+    val dir = Paths.get(root, "_manifests")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, entries.distinct
+      .map(e => s"${e.step}|${e.month}|${e.rel}").mkString("\n"))
+    try { Files.createLink(dir.resolve(f"v$ver%012d"), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** A read-only view pinned to the current manifest version: immune to
+    * every later commit, compaction and vacuum — snapshot isolation for
+    * readers overlapping a rewrite. Valid until [[expireSnapshots]]
+    * reclaims versions older than its keep horizon (the reader-lease
+    * contract every snapshot table format has).
+    */
+  def snapshot(): HoardStore = {
+    require(mergeStrategy == HoardStore.ManifestAppend,
+      "snapshots require the ManifestAppend strategy")
+    new HoardStore(spark, root, mergeStrategy,
+      Some(latestManifestVersion(root)))
+  }
+
+  /** Reclaim space: drop manifest versions older than the last
+    * `keepLast` and physically delete data files no retained version
+    * references. This is the ONLY place ManifestAppend deletes a data
+    * file, which is what makes every pinned snapshot read stable.
+    */
+  def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
+    require(mergeStrategy == HoardStore.ManifestAppend,
+      "expireSnapshots requires the ManifestAppend strategy")
+    val dir = Paths.get(root, "_manifests")
+    if (!Files.exists(dir)) return
+    val keep = math.max(1, keepLast)
+    val vers = listDir(dir).filter(_.matches("v\\d{12}")).sorted
+    val live = vers.takeRight(keep)
+      .flatMap(v => manifestEntries(root, v.stripPrefix("v").toLong))
+      .map(_.rel).toSet
+    vers.dropRight(keep).foreach(v => Files.deleteIfExists(dir.resolve(v)))
+    val dataDir = Paths.get(dataPath(root))
+    if (Files.exists(dataDir)) {
+      val rootP = Paths.get(root)
+      val st = Files.walk(dataDir)
+      val files = try st.iterator().asScala.filter(p =>
+          Files.isRegularFile(p)).toList
+        finally st.close()
+      files.foreach { p =>
+        val rel = rootP.relativize(p).toString
+        if (rel.endsWith(".parquet")) {
+          if (!live.contains(rel)) Files.deleteIfExists(p)
+        } else Files.deleteIfExists(p) // _SUCCESS / .crc markers
+      }
+      // prune commit dirs emptied of every referenced file
+      val dd = Files.walk(dataDir)
+      try dd.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .filter(p => p != dataDir && Files.isDirectory(p))
+        .foreach { p =>
+          val ls = Files.list(p)
+          val empty = try !ls.iterator().hasNext finally ls.close()
+          if (empty) Files.deleteIfExists(p)
+        }
+      finally dd.close()
+    }
+  }
+
+  /** Fold a (level, month)'s manifest entries past the file-count
+    * threshold into one file — the ManifestAppend compaction. Publish
+    * removes the inputs and adds the fold; a lost race (another
+    * compactor took the inputs) abandons the scratch output. Superseded
+    * files stay on disk for pinned snapshots until [[expireSnapshots]].
+    */
+  private def compactManifest(maxFiles: Int): Unit = synchronized {
+    require(pinnedVersion.isEmpty, "snapshot views are read-only")
+    val ver = latestManifestVersion(root)
+    manifestEntries(root, ver).groupBy(e => (e.step, e.month))
+      .filter(_._2.size > maxFiles).foreach { case ((step, month), inputs) =>
+        val folded = lww(spark.read.schema(levelSchema)
+            .parquet(inputs.map(e => s"$root/${e.rel}"): _*))
+          .localCheckpoint(true)
+        val cid = HoardStore.claimCommitBase(root)
+        val sub = f"c$cid%012d_fold_l${step}_$month"
+        folded.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"${dataPath(root)}/$sub")
+        val outs = listDir(Paths.get(dataPath(root), sub))
+          .filter(_.endsWith(".parquet"))
+          .map(f => ManifestEntry(step, month, s"_data/$sub/$f"))
+        if (!commitRewrite(inputs.toSet, outs))
+          deleteRecursively(Paths.get(dataPath(root), sub))
+      }
+  }
+
+  /** Retention vacuum under ManifestAppend: a manifest edit, not a
+    * physical delete. Fully-expired months drop their entries; the one
+    * boundary month is rewritten (filtered) into a fresh file like a
+    * compaction. Pinned snapshots keep reading the superseded files
+    * until [[expireSnapshots]].
+    */
+  private def vacuumManifest(now: Long): Unit = synchronized {
+    require(pinnedVersion.isEmpty, "snapshot views are read-only")
+    policy.sorted.foreach { ar =>
+      val cutoff = now - ar.retention
+      val cutoffMonth = monthsCovering(cutoff, cutoff + 1).head
+      val ents = manifestEntries(root, latestManifestVersion(root))
+        .filter(_.step == ar.step)
+      var removed = ents.filter(_.month < cutoffMonth).toSet
+      var added = Seq.empty[ManifestEntry]
+      var scratch: Option[JPath] = None
+      val boundary = ents.filter(_.month == cutoffMonth)
+      if (boundary.nonEmpty) {
+        val part = lww(spark.read.schema(levelSchema)
+          .parquet(boundary.map(e => s"$root/${e.rel}"): _*))
+        val pred = col("interval") >= timestamp_seconds(lit(cutoff))
+        if (part.where(!pred).head(1).nonEmpty) {
+          removed ++= boundary
+          val kept = part.where(pred).localCheckpoint(true)
+          if (kept.head(1).nonEmpty) {
+            val cid = HoardStore.claimCommitBase(root)
+            val sub = f"c$cid%012d_vac_l${ar.step}_$cutoffMonth"
+            kept.coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(s"${dataPath(root)}/$sub")
+            added = listDir(Paths.get(dataPath(root), sub))
+              .filter(_.endsWith(".parquet"))
+              .map(f => ManifestEntry(ar.step, cutoffMonth, s"_data/$sub/$f"))
+            scratch = Some(Paths.get(dataPath(root), sub))
+          }
+        }
+      }
+      if (removed.nonEmpty && !commitRewrite(removed, added))
+        scratch.foreach(deleteRecursively)
+    }
+  }
+
   /** Last-write-wins winner per (series, interval) by composite seq. */
   private def lww(rows: DataFrame): DataFrame = Dedup.lastWriteWins(
       rows,
@@ -252,7 +510,28 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * append-only delta commits resolved by lww at read time.
     */
   private def mergeLevel(ar: Archive, newRows: DataFrame,
-                         touched: DataFrame): Unit = mergeStrategy match {
+                         touched: DataFrame,
+                         txn: Option[Txn] = None): Unit = mergeStrategy match {
+    case HoardStore.ManifestAppend =>
+      // stage: fold the batch to one winner per key, write the delta
+      // files into this commit's OWN directory (nobody else writes
+      // there — enumeration is race-free), record manifest entries in
+      // the txn. Nothing is visible until the manifest publish.
+      val t = txn.getOrElse(throw new IllegalStateException(
+        "ManifestAppend mergeLevel requires a transaction"))
+      val dir = f"${dataPath(root)}/c${t.commitId}%012d_l${ar.step}"
+      lww(newRows)
+        .withColumn("p_month", date_format(col("interval"), "yyyy-MM"))
+        .write.mode(SaveMode.Overwrite).partitionBy("p_month").parquet(dir)
+      val dirP = Paths.get(dir)
+      listDir(dirP).filter(_.startsWith("p_month=")).foreach { mdir =>
+        val month = mdir.stripPrefix("p_month=")
+        listDir(dirP.resolve(mdir)).filter(_.endsWith(".parquet")).foreach { f =>
+          t.staged += ManifestEntry(ar.step, month,
+            s"_data/c${"%012d".format(t.commitId)}_l${ar.step}/$mdir/$f")
+        }
+        t.touched += ((ar.step, month))
+      }
     case HoardStore.DeltaAppend =>
       // LSM write path: fold the batch to ONE winner per key (cost ∝
       // batch size), then APPEND delta files into the touched month
@@ -306,14 +585,17 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * months it just touched, so file counts stay bounded without any
     * external scheduler.
     */
-  def compact(maxFilesPerMonth: Int = 1): Unit = withWriteLock {
-    policy.sorted.foreach { ar =>
-      val dir = Paths.get(levelPath(root, ar.step))
-      if (Files.exists(dir))
-        compactMonthsOver(ar,
-          listDir(dir).filter(_.startsWith("p_month="))
-            .map(_.stripPrefix("p_month=")),
-          maxFilesPerMonth)
+  def compact(maxFilesPerMonth: Int = 1): Unit = mergeStrategy match {
+    case HoardStore.ManifestAppend => compactManifest(maxFilesPerMonth)
+    case _ => withWriteLock {
+      policy.sorted.foreach { ar =>
+        val dir = Paths.get(levelPath(root, ar.step))
+        if (Files.exists(dir))
+          compactMonthsOver(ar,
+            listDir(dir).filter(_.startsWith("p_month="))
+              .map(_.stripPrefix("p_month=")),
+            maxFilesPerMonth)
+      }
     }
   }
 
@@ -456,7 +738,10 @@ final class HoardStore private (val spark: SparkSession, val root: String,
       StructField("t", LongType), StructField("s", LongType))))))
 
   private def readLevelWithSeq(ar: Archive,
-                               months: Option[Seq[String]] = None): DataFrame = {
+                               months: Option[Seq[String]] = None,
+                               txn: Option[Txn] = None): DataFrame = {
+    if (mergeStrategy == HoardStore.ManifestAppend)
+      return readManifestLevel(ar, months, txn)
     val p = levelPath(root, ar.step)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
@@ -496,6 +781,37 @@ final class HoardStore private (val spark: SparkSession, val root: String,
       if (r.isNullAt(0)) Seq.empty
       else monthsCovering(r.getLong(0), r.getLong(1) + spanSec)
     }
+
+  /** Manifest-planned read: the file list comes from the pinned (or
+    * latest) manifest — NO directory listing, which at object-store
+    * scale is the difference between one small metadata read and a
+    * recursive LIST over millions of files. Month pruning selects
+    * manifest entries, so partition pruning happens before Spark ever
+    * sees a path. An in-flight transaction overlays its own staged
+    * files (its propagation must read what it just wrote) and records
+    * the (level, month) pairs it read — the conflict footprint.
+    */
+  private def readManifestLevel(ar: Archive, months: Option[Seq[String]],
+                                txn: Option[Txn]): DataFrame = {
+    val ver = pinnedVersion.orElse(txn.map(_.snapVer))
+      .getOrElse(latestManifestVersion(root))
+    val committed = manifestEntries(root, ver).filter(_.step == ar.step)
+    val staged = txn.map(_.staged.toSeq.filter(_.step == ar.step))
+      .getOrElse(Seq.empty)
+    val selected = (committed ++ staged).filter(e =>
+      months.forall(_.contains(e.month)))
+    txn.foreach { t =>
+      // reads feed propagation: record their footprint for validation
+      selected.foreach(e => t.touched += ((e.step, e.month)))
+      months.foreach(_.foreach(m => t.touched += ((ar.step, m))))
+    }
+    if (selected.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
+    else
+      lww(spark.read.schema(levelSchema)
+        .parquet(selected.map(e => s"$root/${e.rel}").distinct: _*))
+  }
 
   def readLevel(ar: Archive): DataFrame =
     readLevelWithSeq(ar).select("series_id", "interval", "value")
@@ -610,7 +926,12 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * month partition), not O(level), and repeated vacuums are no-op
     * idempotent (an emptied level is never re-read).
     */
-  def vacuum(now: Long): Unit = withWriteLock {
+  def vacuum(now: Long): Unit = mergeStrategy match {
+    case HoardStore.ManifestAppend => vacuumManifest(now)
+    case _ => withWriteLock(vacuumLevels(now))
+  }
+
+  private def vacuumLevels(now: Long): Unit = {
     policy.sorted.foreach { ar =>
       val dir = Paths.get(levelPath(root, ar.step))
       if (Files.exists(dir)) {
@@ -697,16 +1018,74 @@ object HoardStore {
     */
   case object DeltaAppend extends MergeStrategy
 
+  /** The transactional-table strategy, no external jars: data files are
+    * immutable and live in per-commit directories under `_data/`; the
+    * store's state is whatever file list the LATEST manifest in
+    * `_manifests/` names (readers plan from metadata — no directory
+    * listing); writers commit lock-FREE by optimistic validate-and-
+    * publish with conflict re-try; readers can pin a version
+    * ([[HoardStore.snapshot]]) and stay isolated from every concurrent
+    * rewrite until [[HoardStore.expireSnapshots]]. This closes the two
+    * properties DESIGN.md deferred to a real table format: optimistic
+    * commit and snapshot isolation.
+    */
+  case object ManifestAppend extends MergeStrategy
+
+  /** One immutable data file the manifest points at, keyed by the
+    * (level, month) partition it belongs to — the conflict and pruning
+    * granularity.
+    */
+  private[store] final case class ManifestEntry(step: Long, month: String,
+                                                rel: String)
+
+  /** In-flight optimistic transaction: the snapshot it reads, the files
+    * it staged, its (level, month) conflict footprint, and catalog
+    * appends deferred until the publish succeeds.
+    */
+  private[store] final class Txn(val snapVer: Long) {
+    var commitId: Long = 0L
+    val staged = scala.collection.mutable.Buffer.empty[ManifestEntry]
+    val touched = scala.collection.mutable.Set.empty[(Long, String)]
+    val catalogQueue =
+      scala.collection.mutable.Buffer.empty[(Archive, DataFrame)]
+  }
+
+  private[store] def dataPath(root: String): String = s"$root/_data"
+
+  private[store] def latestManifestVersion(root: String): Long = {
+    val dir = Paths.get(root, "_manifests")
+    if (!Files.exists(dir)) 0L
+    else {
+      val st = Files.list(dir)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d{12}"))
+        .foldLeft(0L)((m, f) => math.max(m, f.stripPrefix("v").toLong))
+      finally st.close()
+    }
+  }
+
+  /** Entries of manifest `ver` (0 = the empty pre-creation state). */
+  private[store] def manifestEntries(root: String,
+                                     ver: Long): Seq[ManifestEntry] =
+    if (ver == 0L) Seq.empty
+    else Files.readString(Paths.get(root, "_manifests", f"v$ver%012d"))
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(step, month, rel) = line.split("\\|", 3)
+        ManifestEntry(step.toLong, month, rel)
+      }.toSeq
+
   private def strategyName(m: MergeStrategy): String = m match {
     case MonthRewrite => "month_rewrite"
     case RecordMergeSim => "record_merge_sim"
     case DeltaAppend => "delta_append"
+    case ManifestAppend => "manifest_append"
   }
 
   private def strategyFor(name: String): MergeStrategy = name match {
     case "month_rewrite" => MonthRewrite
     case "record_merge_sim" => RecordMergeSim
     case "delta_append" => DeltaAppend
+    case "manifest_append" => ManifestAppend
   }
 
   private def strategyFile(root: String): JPath = Paths.get(root, "_merge")

@@ -78,6 +78,10 @@ class StorePropertySpec extends SparkTestBase {
     runWorkload(HoardStore.DeltaAppend)
   }
 
+  test("ManifestAppend engine == sequential mirror (manifest reads + optimistic commits)") {
+    runWorkload(HoardStore.ManifestAppend)
+  }
+
   private def runWorkload(strategy: HoardStore.MergeStrategy): Unit = {
     val rnd = new Random(1234)
     val series = Seq("a", "b")
@@ -101,7 +105,8 @@ class StorePropertySpec extends SparkTestBase {
       store.updateMany(b, now)
       // compaction between batches must be invisible to every later
       // read and merge — the LSM background-fold property
-      if (strategy == HoardStore.DeltaAppend && i == 1)
+      if ((strategy == HoardStore.DeltaAppend ||
+           strategy == HoardStore.ManifestAppend) && i == 1)
         store.compact(maxFilesPerMonth = 1)
     }
 
@@ -232,6 +237,105 @@ class StorePropertySpec extends SparkTestBase {
     // and compaction folds the mess back to clean months, same contents
     st.compact(maxFilesPerMonth = 1)
     assert(levelContents(st) == before, "compaction changed contents")
+  }
+
+  // --- lock-free optimistic commits (ManifestAppend) ------------------
+
+  test("ManifestAppend: two racing writers commit lock-FREE; result == sequential reference") {
+    import java.nio.file.{Files, Paths}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = tmpDir("opt-store") + "/store"
+    val st = HoardStore.create(spark, root, policy, HoardStore.ManifestAppend)
+    val rnd = new Random(42)
+    def mkBatch(sid: String): Seq[RawPoint] = (0 until 60).map { _ =>
+      RawPoint(sid, now - rnd.between(0L, 20L * 86400),
+        rnd.nextInt(1000).toDouble)
+    }
+    // disjoint series: the converged state is order-independent, so the
+    // property is purely that both commits LAND without any lock
+    val (ba, bb) = (mkBatch("wa"), mkBatch("wb"))
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val second = HoardStore.open(spark, root)
+    val f1 = Future(st.updateMany(ba, now))
+    val f2 = Future(second.updateMany(bb, now))
+    Await.result(f1, 180.seconds)
+    Await.result(f2, 180.seconds)
+    assert(Files.notExists(Paths.get(root, "_lock")),
+      "ManifestAppend writers must never take the store lock")
+
+    val ref = HoardStore.create(spark, tmpDir("opt-ref") + "/store",
+      policy, HoardStore.ManifestAppend)
+    ref.updateMany(ba, now)
+    ref.updateMany(bb, now)
+    assert(levelContents(st) == levelContents(ref))
+  }
+
+  test("ManifestAppend: a conflicting commit forces retry; propagation recomputes over the winner's rows") {
+    val root = tmpDir("conflict-store") + "/store"
+    val a = HoardStore.create(spark, root, policy, HoardStore.ManifestAppend)
+    val b = HoardStore.open(spark, root)
+    // both batches hit the SAME minute-archive hour, so the hourly (and
+    // daily) propagated means depend on the UNION of fine rows — the
+    // lost-update case a blind append would get wrong
+    val batchA = Seq(RawPoint("s", now - 100, 10.0), RawPoint("s", now - 200, 20.0))
+    val batchB = Seq(RawPoint("s", now - 300, 99.0), RawPoint("s", now - 150, 5.0))
+    // inject B's full commit between A's stage and A's publish
+    a.beforeCommitHook = () => b.updateMany(batchB, now)
+    a.updateMany(batchA, now)
+    assert(a.lastCommitAttempts == 2,
+      s"expected exactly one conflict retry, took ${a.lastCommitAttempts} attempts")
+
+    // A retried AFTER B, so the store must equal the sequential replay
+    // B-then-A — in particular every propagated level reflects both
+    val ref = HoardStore.create(spark, tmpDir("conflict-ref") + "/store",
+      policy, HoardStore.ManifestAppend)
+    ref.updateMany(batchB, now)
+    ref.updateMany(batchA, now)
+    assert(levelContents(a) == levelContents(ref))
+  }
+
+  test("ManifestAppend: snapshots isolate readers from later commits and rewrites") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("snap-store") + "/store"
+    val st = HoardStore.create(spark, root, policy, HoardStore.ManifestAppend)
+    val rnd = new Random(7)
+    def batch(): Seq[RawPoint] = (0 until 40).map(_ =>
+      RawPoint("s", now - rnd.between(0L, 20L * 86400), rnd.nextInt(1000).toDouble))
+    st.updateMany(batch(), now)
+    st.updateMany(batch(), now)
+    val before = levelContents(st)
+    val snap = st.snapshot()
+
+    st.updateMany(batch(), now)      // new commit
+    st.compact(maxFilesPerMonth = 1) // rewrite: folds every month
+    assert(levelContents(snap) == before,
+      "pinned snapshot must not see later commits or compactions")
+    assert(levelContents(st) != before, "live view must see the new commit")
+
+    // snapshots are read-only
+    intercept[IllegalArgumentException](snap.updateMany(batch(), now))
+
+    // expire reclaims: old manifests gone, unreferenced data files deleted
+    def parquetFiles(): Int = {
+      val s = Files.walk(Paths.get(root, "_data"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    val filesBefore = parquetFiles()
+    st.expireSnapshots(keepLast = 1)
+    val manifests = {
+      val s = Files.list(Paths.get(root, "_manifests"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith("v"))
+      } finally s.close()
+    }
+    assert(manifests == 1, s"expected one retained manifest, got $manifests")
+    assert(parquetFiles() < filesBefore,
+      "expireSnapshots should physically delete unreferenced files")
+    // the live view is unchanged by the reclaim
+    assert(levelContents(st) == levelContents(HoardStore.open(spark, root)))
   }
 
   test("a writer that cannot acquire the lock fails cleanly, then succeeds after release") {
