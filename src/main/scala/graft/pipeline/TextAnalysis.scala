@@ -401,6 +401,46 @@ object TextAnalysis {
             x => x("keep")), x => x("line")), " ").as("dedup_text"))
   }
 
+  /** Per-domain boilerplate strip (the CCNet/RefinedWeb rule family:
+    * Wenzek 2020 §3.1 paragraph dedup, Penedo 2023 line-wise filters):
+    * a line occurring in >= `minDocs` DISTINCT documents of the SAME
+    * source is boilerplate (headers, footers, nav chrome — the text
+    * that repeats across a domain) and is removed from every doc,
+    * including the first; docs are rebuilt from surviving lines.
+    * Differs from [[lineDedup]]'s global keep-first: boilerplate
+    * removal keeps NO copy, and the scope is per-source.
+    *
+    * Scale shape: the doc-frequency is a (source, lid) partial
+    * aggregate over distinct (source, lid, doc) triples — map-side
+    * combinable, no windows, so a line repeated across a whole domain
+    * costs one hot REDUCE key, not a single-task sort; the verdict
+    * rejoins the line stream on (source, lid) as a plain equi-join.
+    *
+    * Output: (idCol, n_lines, n_boiler, clean_text).
+    */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, k: Int = 8,
+                       minDocs: Int = 2): DataFrame = {
+    val lines = linesOf(docs.select(col(idCol), col(textCol)), idCol,
+        textCol, k)
+      .join(docs.select(col(idCol), col(srcCol)), idCol)
+    val docFreq = lines.select(col(srcCol), col("lid"), col(idCol))
+      .distinct()
+      .groupBy(col(srcCol), col("lid"))
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col(srcCol), col("lid"), lit(true).as("__boiler"))
+    lines.join(docFreq, Seq(srcCol, "lid"), "left")
+      .withColumn("keep", col("__boiler").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((!col("keep")).cast("long")).as("n_boiler"),
+        array_join(transform(filter(
+            array_sort(collect_list(
+              struct(col("li"), col("keep"), col("line")))),
+            x => x("keep")), x => x("line")), " ").as("clean_text"))
+  }
+
   /** Gopher's document-quality stopword list (Rae et al. 2021 §A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

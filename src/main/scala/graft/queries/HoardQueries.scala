@@ -429,6 +429,47 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h29_movminmax" -> ((s, dir) => {
+      // Graphite movingMin/movingMax (trailing 6h) per series: pure
+      // order statistics over a (series)-partitioned ROWS frame — no
+      // float accumulation at all, so no tie or ordering hazard on
+      // either engine. Frames never cross series; the sort is
+      // per-series (bounded by retention), never global.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-5, 0)
+      hourlyByType(s, dir)
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round(min(col("value")).over(w), 6).as("mov_min"),
+          round(max(col("value")).over(w), 6).as("mov_max"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h30_removeabove" -> ((s, dir) => {
+      // Graphite removeAbovePercentile(95): drop every hourly point
+      // strictly above its series' p95, where the threshold is the
+      // k-th smallest value with k = (19n+19) div 20 — h24's
+      // integer-rank selection lifted from per-day to whole-series.
+      // The per-series threshold frame is tiny (one row per series,
+      // broadcast onto the stream); the rank window is per-series and
+      // bounded by retention (a Graphite series is <= points slots).
+      import org.apache.spark.sql.expressions.Window
+      val hourly = hourlyByType(s, dir)
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wn = Window.partitionBy(col("event_type"))
+      val thr = hourly
+        .withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where(col("rn") === expr("(n * 19 + 19) div 20"))
+        .select(col("event_type"), col("value").as("p95"))
+      hourly.join(broadcast(thr), "event_type")
+        .where(col("value") <= col("p95"))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"), round(col("p95"), 6).as("p95"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h24_npercentile" -> ((s, dir) => {
       // Graphite's nPercentile(95) per series-day: the k-th smallest
       // hourly value with k = ceil(0.95*n) computed in INTEGERS
@@ -1111,6 +1152,41 @@ object HoardQueries {
         |       ROUND(s[((rn - 1) % 24) + 1] * 1e6) / 1e6 AS season,
         |       ROUND((l + b + s[(rn % 24) + 1]) * 1e6) / 1e6 AS forecast
         |FROM rec ORDER BY event_type, bucket""".stripMargin,
+
+    // trailing min/max: order statistics only — no float accumulation
+    "h29_movminmax" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket, ROUND(v, 6) AS value,
+        |       ROUND(MIN(v) OVER (PARTITION BY event_type ORDER BY h
+        |         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS mov_min,
+        |       ROUND(MAX(v) OVER (PARTITION BY event_type ORDER BY h
+        |         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS mov_max
+        |FROM hourly ORDER BY event_type, bucket""".stripMargin,
+
+    // whole-series integer-rank p95 threshold, then a keep filter —
+    // the k-th VALUE is deterministic regardless of tie order
+    "h30_removeabove" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v) AS BIGINT) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM hourly),
+        |thr AS (
+        |  SELECT event_type, v AS p95 FROM ranked
+        |  WHERE rn = (n * 19 + 19) // 20)
+        |SELECT h.event_type, CAST(h.h AS VARCHAR) AS bucket,
+        |       ROUND(h.v, 6) AS value, ROUND(t.p95, 6) AS p95
+        |FROM hourly h JOIN thr t ON h.event_type = t.event_type
+        |WHERE h.v <= t.p95
+        |ORDER BY h.event_type, bucket""".stripMargin,
 
     // integer-rank nPercentile replay: k = (19n+19)//20, k-th smallest
     "h24_npercentile" ->

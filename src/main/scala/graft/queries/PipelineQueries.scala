@@ -1017,6 +1017,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p40_boilerplate" -> ((s, dir) => {
+      // per-domain boilerplate strip (CCNet/RefinedWeb rule): an
+      // 8-token line present in >= 2 DISTINCT docs of the same source
+      // is domain chrome — removed from EVERY doc (no keep-first),
+      // docs rebuilt from surviving lines. Doc-frequency is a
+      // map-side-combinable (source, lid) aggregate; the verdict
+      // rejoins the line stream as a plain equi-join — no windows.
+      TextAnalysis.boilerplateStrip(docs(s, dir), "doc_id", "text",
+          "source", k = 8, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    "p41_blocklist" -> ((s, dir) => {
+      // C4-style blocklist filter (Raffel 2020 §2.2 "bad words" rule):
+      // per doc, the fraction of tokens on a pinned blocklist; the
+      // keep decision compares IN INTEGERS (10*flagged <= tokens ⇔
+      // frac <= 0.1) so the gate is bit-deterministic — the reported
+      // frac is display-only (tie-safe *1e6 rounding). One narrow
+      // projection over the scan; the blocklist is a literal array
+      // (broadcast-free), aggregation is per-row array math.
+      val bad = array(BlockList.map(lit): _*)
+      val toks = split(col("text"), " ")
+      docs(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, t => array_contains(bad, t))).cast("long")
+            .as("n_flagged"))
+        .withColumn("frac",
+          round(col("n_flagged").cast("double") / col("n_tokens") * lit(1e6))
+            / lit(1e6))
+        .withColumn("keep", col("n_flagged") * lit(10) <= col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "p34_pq" -> ((s, dir) => {
       // Product quantization ANN (Jégou et al., "Product Quantization
       // for Nearest Neighbor Search", TPAMI 2011): M=4 subspaces x 16
@@ -1229,6 +1263,11 @@ object PipelineQueries {
       "join", "in", "gr", "group", "up", "fi", "ter", "pa", "part",
       "du", "dup", "sm", "small", "all", "big", "custom", "er", "ve",
       "vector", "str", "eam", "de", "order")).toSeq
+
+  /** Pinned blocklist for p41 (the C4 bad-words rule, fixture-scaled):
+    * shared verbatim by the Spark query and the oracle SQL.
+    */
+  private[graft] val BlockList: Seq[String] = Seq("slow", "dup", "big")
 
   // Shared oracle CTE fragments (DuckDB dialect)
   private val ToksCte =
@@ -2433,6 +2472,54 @@ object PipelineQueries {
 
     // fixed 8-token lines, keep-first by (doc_id, position) over the
     // same md5-15-hex line hash as Spark's TextOps.hashId
+    // per-source line doc-frequency >= 2 -> boilerplate, removed from
+    // EVERY doc (no keep-first); same line CTEs as p33
+    "p40_boilerplate" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS a
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, source, a,
+        |         unnest(range(0, (len(a) - 1) // 8 + 1)) AS li
+        |  FROM arrs),
+        |lines AS (
+        |  SELECT doc_id, source, CAST(li AS INT) AS li,
+        |         array_to_string(a[li * 8 + 1 : li * 8 + 8], ' ') AS line
+        |  FROM idx),
+        |hashed AS (
+        |  SELECT doc_id, source, li, line,
+        |         CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS lid
+        |  FROM lines),
+        |df AS (
+        |  SELECT source, lid
+        |  FROM (SELECT DISTINCT source, lid, doc_id FROM hashed)
+        |  GROUP BY source, lid HAVING COUNT(*) >= 2),
+        |marked AS (
+        |  SELECT h.doc_id, h.li, h.line, (d.lid IS NOT NULL) AS boiler
+        |  FROM hashed h LEFT JOIN df d
+        |    ON h.source = d.source AND h.lid = d.lid)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_boiler,
+        |       COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+        |                           ' ' ORDER BY li), '') AS clean_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // integer keep gate (10*flagged <= tokens); frac display-only
+    "p41_blocklist" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> list_contains([${BlockList.map(w => s"'$w'").mkString(", ")}], t)))
+         |           AS BIGINT) AS n_flagged
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_flagged,
+         |       ROUND(CAST(n_flagged AS DOUBLE) / n_tokens * 1e6) / 1e6
+         |         AS frac,
+         |       n_flagged * 10 <= n_tokens AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "p33_linededup" ->
       """WITH arrs AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -80,6 +80,27 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    "q34_fullouter" -> ((s, dir) => {
+      // FULL OUTER join: per-(user, day) click totals vs purchase
+      // totals — a user-day with only one activity survives with nulls
+      // on the other side, which no left/right pair expresses in one
+      // pass. Both sides partial-aggregate BEFORE the join, so the
+      // shuffle carries one row per (user, day) per side, never raw
+      // events, and the join key equals the aggregation key (AQE
+      // reuses the exchange — no second shuffle).
+      val e = t(s, dir, "events")
+      def side(kind: String, nAs: String, vAs: String) =
+        e.where(col("event_type") === kind)
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as(nAs), round(sumDec(col("value")), 6).as(vAs))
+      side("click", "n_clicks", "click_val")
+        .join(side("purchase", "n_buys", "buy_val"),
+          Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"), col("day").cast("date").cast("string").as("day"),
+          col("n_clicks"), col("click_val"), col("n_buys"), col("buy_val"))
+        .orderBy("user_id", "day")
+    }),
+
     "q6_semi" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
@@ -672,6 +693,28 @@ object RelationalQueries {
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    // FULL OUTER with explicit key coalesce (USING-coalesce semantics
+    // match Spark's Seq-key full outer); NULL ordering: day is cast to
+    // VARCHAR so the total ORDER BY key set is never null
+    "q34_fullouter" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         COUNT(*) AS n_clicks,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |           AS click_val
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         COUNT(*) AS n_buys,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |           AS buy_val
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+        |       CAST(CAST(COALESCE(c.day, b.day) AS DATE) AS VARCHAR) AS day,
+        |       c.n_clicks, c.click_val, b.n_buys, b.buy_val
+        |FROM c FULL JOIN b ON c.user_id = b.user_id AND c.day = b.day
+        |ORDER BY user_id, day""".stripMargin,
 
     "q6_semi" ->
       """SELECT c_custkey FROM customer c
