@@ -663,6 +663,34 @@ object HoardQueries {
         .orderBy("c_mktsegment", "event_type")
     }),
 
+    "s10_streamtopk" -> ((s, dir) => {
+      // streaming heavy hitters: per 6h tumbling window, the top-5
+      // users by event count, published EXACTLY ONCE when the 2h
+      // watermark closes the window (event-time timeout on custom
+      // keyed state — neither windowed aggregation nor rank is
+      // otherwise expressible exactly-once in Append mode). Open
+      // windows stay in state, never emitted; the oracle replays the
+      // strict watermark-passed-end rule statically.
+      graft.Graft.configure(s)
+      val path = s"$dir/events.parquet"
+      val raw = s.readStream.schema(s.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = raw
+        .transform(Tables.normalizeEventTs)
+        .select(col("ts"), concat(lit("u"), col("user_id")).as("key"))
+      val name = "s10_topk_" + StreamCounter.incrementAndGet()
+      val q = graft.streaming.StreamIngest
+        .windowedTopK(ev, windowSec = 21600, k = 5, delay = "2 hours")
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s10_streamtopk", q); q.stop()
+      s.table(name)
+        .select(col("wstart"), col("rnk"), col("key"), col("n"))
+        .orderBy("wstart", "rnk")
+    }),
+
     "s8_streamfinal" -> ((s, dir) => {
       // append-mode watermark-FINALIZED aggregate: unlike s1's
       // complete-mode (which re-emits everything per batch), append
@@ -1349,6 +1377,33 @@ object HoardQueries {
 
     // the static replay of append-mode finalization: only windows the
     // final watermark (max event time − 2h) has passed are emitted
+    // streaming top-k replay: exact per-window counts + deterministic
+    // rank, windows published iff the final ms-floored watermark moved
+    // STRICTLY past the window end (the EventTimeTimeout contract —
+    // note `<` here vs s8's `<=`, aggregate eviction fires AT the
+    // watermark, state timeouts fire only BEYOND it)
+    "s10_streamtopk" ->
+      """WITH wm AS (
+        |  -- the watermark rides on the FLOORED window-start column, so
+        |  -- it is whole-second exact: floor(max ts) - 2h
+        |  SELECT (epoch_us(MAX(ts)) // 1000000 // 21600) * 21600 - 7200
+        |    AS wsec
+        |  FROM events),
+        |b AS (
+        |  SELECT (epoch_us(ts) // 1000000 // 21600) * 21600 AS wstart,
+        |         'u' || CAST(user_id AS VARCHAR) AS key
+        |  FROM events),
+        |c AS (SELECT wstart, key, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT wstart, key, n,
+        |         CAST(row_number() OVER (PARTITION BY wstart
+        |           ORDER BY n DESC, key) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT wstart, rnk, key, n
+        |FROM r CROSS JOIN wm
+        |WHERE rnk <= 5 AND wstart + 21600 < wsec
+        |ORDER BY wstart, rnk""".stripMargin,
+
     "s8_streamfinal" ->
       """WITH wm AS (
         |  -- millisecond floor mirrors Spark's watermark precision: the

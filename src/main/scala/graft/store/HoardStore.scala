@@ -1120,6 +1120,30 @@ object HoardStore {
     new HoardStore(spark, root, strategy)
   }
 
+  /** Time travel: a read-only view of a ManifestAppend store at a
+    * historical manifest version (what [[HoardStore.snapshot]] pins
+    * implicitly, addressed explicitly). Note versions are per-LEVEL
+    * commits: an updateMany over an N-level policy publishes N
+    * versions, so intermediate versions show a partially-cascaded
+    * batch — consistent reads come from versions between transactions
+    * (each level's content is still internally exact). Valid while the
+    * version survives `expireSnapshots`.
+    */
+  def openVersion(spark: SparkSession, root: String,
+                  version: Long): HoardStore = {
+    require(Files.exists(policyFile(root)), s"No store at $root")
+    require(Files.exists(strategyFile(root)) &&
+      strategyFor(Files.readString(strategyFile(root)).trim) == ManifestAppend,
+      "time travel requires the ManifestAppend strategy")
+    val latest = latestManifestVersion(root)
+    require(version >= 1 && version <= latest,
+      s"version $version out of range [1, $latest] (older versions may " +
+        "have been expired)")
+    require(Files.exists(Paths.get(root, "_manifests", f"v$version%012d")),
+      s"manifest v$version was expired")
+    new HoardStore(spark, root, ManifestAppend, Some(version))
+  }
+
   /** Catalog read (`src/hoard.coffee:392-424`) — policy + derived
     * retention, without touching data files (fixing B4's whole-file
     * read per op).

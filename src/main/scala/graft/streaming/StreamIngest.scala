@@ -89,6 +89,58 @@ object StreamIngest {
       }
   }
 
+  final case class WindowKeyEvent(wstart: Long, key: String)
+  final case class TopKRow(wstart: Long, rnk: Long, key: String, n: Long)
+
+  /** Exactly-once per-window top-k (streaming heavy hitters): counts
+    * per key ride in GroupState keyed by the tumbling window start; an
+    * EVENT-TIME TIMEOUT at the window end publishes the ranked top-k
+    * the moment the watermark passes it, then drops the state. The
+    * sink sees each window exactly once (Append), open windows are
+    * never emitted, and state is bounded by (#open windows within the
+    * watermark horizon) × (#distinct keys) — never by stream length.
+    * Ties rank deterministically (count DESC, key ASC).
+    *
+    * `events`: (ts TIMESTAMP, key STRING). The watermark rides on the
+    * FLOORED window-start column (it must survive to the stateful
+    * operator, and the floor makes the rule integer-exact), so the
+    * emission rule replayable in batch is: a window [w, w+windowSec)
+    * is published iff floor(max event time) − delay moved STRICTLY
+    * past its end — the GroupStateTimeout.EventTimeTimeout contract.
+    */
+  def windowedTopK(events: DataFrame, windowSec: Long, k: Int,
+                   delay: String): Dataset[TopKRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(timestamp_seconds(
+          floor(col("ts").cast("long") / windowSec) * windowSec).as("wts"),
+        col("key"))
+      .withWatermark("wts", delay)
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._1.getTime / 1000L)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, rows: Iterator[(java.sql.Timestamp, String)],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (key, n) => (-n, key) }.take(k)
+              .zipWithIndex
+              .map { case ((key, n), i) => TopKRow(wstart, i + 1L, key, n) }
+              .iterator
+          } else {
+            val m = scala.collection.mutable.Map.empty[String, Long]
+            state.getOption.foreach(m ++= _)
+            rows.foreach(r => m.update(r._2, m.getOrElse(r._2, 0L) + 1L))
+            state.update(m.toMap)
+            state.setTimeoutTimestamp((wstart + windowSec) * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming aggregation example over the events shape: watermarked
     * tumbling hourly counts/means per series — the declarative
     * streaming analogue of the finest archive.

@@ -316,6 +316,11 @@ class StorePropertySpec extends SparkTestBase {
     // snapshots are read-only
     intercept[IllegalArgumentException](snap.updateMany(batch(), now))
 
+    // explicit time travel addresses the same pinned version
+    val tt = HoardStore.openVersion(spark, root, snap.pinnedVersion.get)
+    assert(levelContents(tt) == before,
+      "openVersion at the snapshot's version must reproduce its view")
+
     // expire reclaims: old manifests gone, unreferenced data files deleted
     def parquetFiles(): Int = {
       val s = Files.walk(Paths.get(root, "_data"))
