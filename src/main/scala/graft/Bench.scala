@@ -115,7 +115,8 @@ object Bench {
     // compact {name:rps} form; batch/row counts go to stderr
     val streamNames = Seq("s1_stream", "s2_sessions", "s3_streamdedup",
       "s4_streamincrement", "s5_streamjoin", "s6_streamstore",
-      "s7_streamdim", "s8_streamfinal")
+      "s7_streamdim", "s8_streamfinal", "s9_streamlinefilter",
+      "s10_streamtopk")
     streamNames.foreach(n => graft.streaming.StreamStats.get(n).foreach(st =>
       System.err.println(s"[bench] $n: batches=${st.batches} " +
         s"rows=${st.inputRows} rows_per_sec=${"%.0f".format(st.rowsPerSec)}")))

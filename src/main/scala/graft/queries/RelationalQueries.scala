@@ -101,6 +101,34 @@ object RelationalQueries {
         .orderBy("user_id", "day")
     }),
 
+    "q35_kmvquantile" -> ((s, dir) => {
+      // deterministic sample-quantile sketch — q20's KMV idea applied
+      // to quantiles: the sample is the K=256 rows whose unique row
+      // key has the smallest 60-bit md5 prefix, a FIXED uniform row
+      // sample reproducible on any engine or partitioning. Corpus-side
+      // cost is ONE TakeOrderedAndProject (per-partition top-K by
+      // hash, no global sort, no data shuffle); estimates read integer
+      // ranks ceil(q*K) over the 256-row sample (the rank window sorts
+      // 256 rows — a single tiny task by design). Estimator accuracy
+      // vs the exact percentile is a separate ScalaTest gate; what IS
+      // cross-engine exact is the sketch itself, so unlike
+      // percentile_approx it CAN be oracle-checked.
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val sample = li.select(col("l_extendedprice").as("v"),
+          graft.pipeline.TextOps.hashId(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"))).as("hk"))
+        .orderBy("hk").limit(256)
+      val ranked = sample.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"))).cast("long"))
+      val probe = s.createDataFrame(
+        Seq((0.5d, 128L), (0.9d, 231L), (0.99d, 254L))) // k = ceil(q*256)
+        .toDF("q", "k")
+      ranked.join(broadcast(probe), col("rn") === col("k"))
+        .select(col("q"), col("k"), round(col("v"), 6).as("est"))
+        .orderBy("q")
+    }),
+
     "q6_semi" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
@@ -715,6 +743,25 @@ object RelationalQueries {
         |       c.n_clicks, c.click_val, b.n_buys, b.buy_val
         |FROM c FULL JOIN b ON c.user_id = b.user_id AND c.day = b.day
         |ORDER BY user_id, day""".stripMargin,
+
+    // the identical fixed hash-sample and integer ranks — the sketch,
+    // not the estimate, is what the two engines must agree on
+    "q35_kmvquantile" ->
+      """WITH h AS (
+        |  SELECT l_extendedprice AS v,
+        |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) ||
+        |           '|' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+        |           AS BIGINT) AS hk
+        |  FROM lineitem),
+        |s AS (SELECT v FROM h ORDER BY hk LIMIT 256),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)
+        |        AS rn FROM s)
+        |SELECT p.q, p.k, ROUND(r.v, 6) AS est
+        |FROM r JOIN (VALUES (CAST(0.5 AS DOUBLE), CAST(128 AS BIGINT)),
+        |                    (CAST(0.9 AS DOUBLE), CAST(231 AS BIGINT)),
+        |                    (CAST(0.99 AS DOUBLE), CAST(254 AS BIGINT)))
+        |       p(q, k) ON r.rn = p.k
+        |ORDER BY p.q""".stripMargin,
 
     "q6_semi" ->
       """SELECT c_custkey FROM customer c

@@ -54,7 +54,12 @@ object DupStress {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       ("p1_exact", exactDedup),
       ("p33_line", d => TextAnalysis.lineDedup(d, "doc_id", "text", k = 8)),
-      ("p35_substr", d => TextAnalysis.substrDedup(d, "doc_id", "text", k = 8)))
+      ("p35_substr", d => TextAnalysis.substrDedup(d, "doc_id", "text", k = 8)),
+      // one domain, every line shared by ALL docs: the hottest possible
+      // (source, lid) doc-frequency key — must stay combiner-shaped
+      ("p40_boiler", d => TextAnalysis.boilerplateStrip(
+        d.withColumn("source", lit("s0")), "doc_id", "text", "source",
+        k = 8, minDocs = 2)))
 
     val results = for ((name, op) <- ops) yield {
       def run(d: DataFrame): Double = {

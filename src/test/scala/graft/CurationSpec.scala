@@ -240,6 +240,29 @@ class CurationSpec extends SparkTestBase {
     assert(r(3).getAs[String]("dedup_text") == "a")
   }
 
+  test("boilerplate strip: per-source scope, no copy kept, clean rebuild") {
+    val boiler = (1 to 8).map("b" + _).mkString(" ")
+    val uniq1 = (1 to 8).map("u" + _).mkString(" ")
+    val uniq2 = (1 to 8).map("v" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $uniq1", "sA"), // boiler in 2 sA docs: stripped BOTH
+      (2L, s"$boiler $uniq2", "sA"),
+      (3L, s"$boiler $uniq1", "sB"), // same line, only ONE sB doc: kept
+      (4L, boiler, "sA")             // all-boiler doc -> empty rebuild
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.boilerplateStrip(docs, "doc_id", "text", "source",
+        k = 8, minDocs = 2).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_boiler") == 1L &&
+      r(0).getAs[String]("clean_text") == uniq1)
+    assert(r(1).getAs[Long]("n_boiler") == 1L &&
+      r(1).getAs[String]("clean_text") == uniq2)
+    // sB's copy is chrome for sA but content for sB — per-source scope
+    assert(r(2).getAs[Long]("n_boiler") == 0L &&
+      r(2).getAs[String]("clean_text") == s"$boiler $uniq1")
+    assert(r(3).getAs[Long]("n_boiler") == 1L &&
+      r(3).getAs[String]("clean_text") == "")
+  }
+
   test("line dedup on sf0.001 matches a sequential keep-first mirror") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, dir, "documents")

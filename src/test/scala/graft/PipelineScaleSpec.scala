@@ -434,6 +434,25 @@ class PipelineScaleSpec extends SparkTestBase {
     }
   }
 
+  test("q35 KMV-sample quantiles within 3-sigma rank tolerance on sf0.01") {
+    // a K=256 uniform sample's q-quantile sits at CDF position
+    // q ± 3*sqrt(q(1-q)/K) with ~99.7% confidence; the sample is FIXED
+    // by hash, so this is a one-time property of the fixture, not flaky
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q35_kmvquantile")(spark, Sf01).collect()
+    assert(rows.length == 3)
+    val li = graft.Tables.load(spark, Sf01, "lineitem")
+    val n = li.count().toDouble
+    rows.foreach { r =>
+      val q = r.getDouble(0); val est = r.getDouble(2)
+      val pos = li.where(col("l_extendedprice") <= est).count() / n
+      val tol = 3 * math.sqrt(q * (1 - q) / 256) + 0.005
+      info(s"q=$q est=$est cdf_pos=$pos tol=$tol")
+      assert(math.abs(pos - q) <= tol,
+        s"quantile estimate for q=$q lands at CDF $pos (tolerance $tol)")
+    }
+  }
+
   test("approx_count_distinct (HLL++, rsd=0.02) within 3*rsd on sf0.01") {
     // the Spark-native sketch, kept engine-side only (HLL++ results are
     // not cross-engine stable, so q20's oracle uses the KMV sketch)
