@@ -337,6 +337,26 @@ object PipelineQueries {
       TextAnalysis.languageId(toks(s, dir), "doc_id").orderBy("doc_id")
     }),
 
+    "t14_langconfusion" -> ((s, dir) => {
+      // language-ID audit: confusion matrix of t1's n-gram classifier
+      // against the fixture's labeled lang column, with per-label
+      // fractions — the eval every pipeline langid stage ships with.
+      // The per-doc prediction is t1's machinery verbatim; the matrix
+      // is one partial-agg groupBy over (label, prediction) and the
+      // per-label totals broadcast back (|langs|² rows at any corpus).
+      val pred = TextAnalysis.languageId(toks(s, dir), "doc_id")
+      val labeled = docs(s, dir).select(col("doc_id"), col("lang"))
+      val cm = labeled.join(pred, "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      cm.join(broadcast(totals), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          (round(col("n").cast("double") / col("n_lang") * lit(1e6))
+            / lit(1e6)).as("frac"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     "t2_quality" -> ((s, dir) => {
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
@@ -1668,6 +1688,34 @@ object PipelineQueries {
          |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred,
          |  GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
          |FROM scores ORDER BY doc_id""".stripMargin,
+
+    // t1's prediction CTE verbatim, joined back to the labeled column
+    "t14_langconfusion" ->
+      s"""WITH $ToksCte,
+         |scores AS (
+         |  SELECT doc_id,
+         |   CAST(SUM(CASE WHEN token IN ('der','die','und','das','ein') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |   CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |   CAST(SUM(CASE WHEN token IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |   CAST(SUM(CASE WHEN token IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |   CAST(SUM(CASE WHEN token IN ('的','是','了','在','和') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+         |  FROM toks GROUP BY doc_id),
+         |pred AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+         |         WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+         |         WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+         |         WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+         |  FROM scores),
+         |cm AS (
+         |  SELECT d.lang, p.lang_pred, COUNT(*) AS n
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  GROUP BY d.lang, p.lang_pred),
+         |t AS (SELECT lang, SUM(n) AS n_lang FROM cm GROUP BY lang)
+         |SELECT cm.lang, cm.lang_pred, cm.n,
+         |       ROUND(CAST(cm.n AS DOUBLE) / t.n_lang * 1e6) / 1e6 AS frac
+         |FROM cm JOIN t ON cm.lang = t.lang
+         |ORDER BY cm.lang, cm.lang_pred""".stripMargin,
 
     "t2_quality" ->
       """SELECT doc_id,

@@ -174,6 +174,41 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** Streaming ingest through the ManifestAppend strategy: the same
+    * two micro-batches as s6, each foreachBatch committing LOCK-FREE
+    * via the optimistic manifest protocol — the streaming ×
+    * transactional-store cross-product, gated on the same oracle.
+    */
+  private val builtStreamManifest = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeStreamedManifest(s: SparkSession, dir: String): HoardStore = {
+    val root = builtStreamManifest.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-smani")
+        .toString
+      val st = HoardStore.create(s, tmp + "/store", Policy,
+        HoardStore.ManifestAppend)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      val cut = 1705406400L // 2024-01-16 12:00:00 UTC (same as s6/hs3)
+      val stage = tmp + "/in"
+      ev.where(col("ts") < cut).coalesce(1)
+        .write.mode("append").parquet(stage)
+      ev.where(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(stage)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.StreamIngest.start(stream, st, () => Now,
+        tmp + "/ckpt")
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s11_streammanifest", q)
+      q.stop()
+      tmp + "/store"
+    })
+    HoardStore.open(s, root)
+  }
+
   /** The reference's golden whisper fixture, imported once per JVM
     * through the binary migration path (`HoardImport`). `WhisperNow`
     * is the file's `lastUpdate` header word — the natural replay
@@ -213,6 +248,19 @@ object StoreQueries {
       // write path (write-amp ∝ batch): must equal the from-scratch
       // recomputation — the same oracle as the rewrite-strategy stores
       val st = storeDelta(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
+    "s11_streammanifest" -> ((s, dir) => {
+      // daily rollup after the events arrive as a STREAM with each
+      // micro-batch committing through the lock-free optimistic
+      // manifest path — must equal the from-scratch recomputation
+      graft.Graft.configure(s)
+      val st = storeStreamedManifest(s, dir)
       st.readLevel(Policy.sorted.last)
         .select(col("series_id"),
           col("interval").cast("date").cast("string").as("bucket"),
@@ -344,6 +392,7 @@ object StoreQueries {
     "s6_streamstore" -> DailyRollupSql,
     "hs6_deltastore" -> DailyRollupSql,
     "hs9_manifeststore" -> DailyRollupSql,
+    "s11_streammanifest" -> DailyRollupSql,
     "hs3_incremental" -> DailyRollupSql,
 
     // the store's lww key is (epoch-second, ingest seq); the oracle

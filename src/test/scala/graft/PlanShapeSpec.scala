@@ -110,6 +110,57 @@ class PlanShapeSpec extends SparkTestBase {
         "(lid agg, lid join probe, per-doc rebuild, output order)")
   }
 
+  test("p40 boilerplate strip: doc-frequency is an aggregate, no window") {
+    val nodes = executed("p40_boilerplate")
+    // the (source, lid) doc-frequency must be a map-side-combinable
+    // aggregate chain — a window would sort a domain-wide boilerplate
+    // line's whole group in one task (DupStress covers the wall-time)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "p40 planned a window; doc-frequency must be the combinable aggregate")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "p40 planned a nested-loop join")
+  }
+
+  test("q35 KMV quantile: the sample is TakeOrdered, never a global sort of the data") {
+    import org.apache.spark.sql.execution.SortExec
+    val nodes = executed("q35_kmvquantile")
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject for the bottom-K hash sample")
+    // any full Sort must sit above the 256-row sample boundary: a
+    // global sort that reaches the scan WITHOUT passing through the
+    // TakeOrdered node would be sorting the raw table
+    val bigSorts = nodes.collect { case s: SortExec if s.global => s }
+    bigSorts.foreach { s =>
+      val sub = flatten(s)
+      val touchesScan = sub.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.FileSourceScanExec])
+      val throughSample = sub.exists(_.isInstanceOf[TakeOrderedAndProjectExec])
+      assert(!touchesScan || throughSample,
+        "q35 globally sorts the raw scan — the sample must come from TakeOrdered")
+    }
+  }
+
+  test("q34 full outer: both sides pre-aggregated below the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val nodes = executed("q34_fullouter")
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "expected a sort-merge full outer join")
+    // aggregates must sit BELOW the join (the shuffle carries one row
+    // per (user, day) per side, never raw events)
+    smj.foreach { j =>
+      def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        flatten(p).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+      assert(hasAgg(j.left) && hasAgg(j.right),
+        "q34's join consumes raw events; aggregates must be below the join")
+    }
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 3,
+      s"q34 planned ${shuffles.length} shuffles; expected <= 3 " +
+        "(one per aggregate side + the output order)")
+  }
+
   test("q31 lateral decorrelates to broadcast joins + rank-limit pushdown") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     val nodes = executed("q31_lateral")
