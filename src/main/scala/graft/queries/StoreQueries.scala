@@ -174,6 +174,30 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** Store with a series DELETED after ingest (the reference's
+    * `rm <series>.whisper` as a store op): built through DeltaAppend so
+    * the delete also exercises month folding over delta files; the
+    * oracle is the shared rollup recomputation minus the deleted
+    * series — per-series rollups mean other series are untouched.
+    */
+  private val builtDeleted = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeDeleted(s: SparkSession, dir: String): HoardStore = {
+    val root = builtDeleted.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-del")
+        .toString + "/store"
+      val st = HoardStore.create(s, tmp, Policy, HoardStore.DeltaAppend)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      st.updateManyDf(ev, Now)
+      st.deleteSeries(st.seriesGlob("click"))
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
+
   /** Streaming ingest through the ManifestAppend strategy: the same
     * two micro-batches as s6, each foreachBatch committing LOCK-FREE
     * via the optimistic manifest protocol — the streaming ×
@@ -261,6 +285,18 @@ object StoreQueries {
       // manifest path — must equal the from-scratch recomputation
       graft.Graft.configure(s)
       val st = storeStreamedManifest(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
+    "hs10_delete" -> ((s, dir) => {
+      // daily rollup after deleteSeries('click'): the deleted series is
+      // gone from every level AND from the fetch universe; the rest is
+      // bit-identical to the undeleted recomputation
+      val st = storeDeleted(s, dir)
       st.readLevel(Policy.sorted.last)
         .select(col("series_id"),
           col("interval").cast("date").cast("string").as("bucket"),
@@ -393,6 +429,23 @@ object StoreQueries {
     "hs6_deltastore" -> DailyRollupSql,
     "hs9_manifeststore" -> DailyRollupSql,
     "s11_streammanifest" -> DailyRollupSql,
+
+    // the shared recomputation minus the deleted series
+    "hs10_delete" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events WHERE event_type <> 'click'
+        |  GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING COUNT(v) >= 12)
+        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value
+        |FROM daily ORDER BY series_id, bucket""".stripMargin,
     "hs3_incremental" -> DailyRollupSql,
 
     // the store's lww key is (epoch-second, ingest seq); the oracle

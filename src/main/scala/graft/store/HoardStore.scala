@@ -915,6 +915,108 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     (ti, vals)
   }
 
+  /** Series deletion — the reference's `rm <series>.whisper`, as a
+    * store operation (and the right-to-be-forgotten path a shared
+    * 100 TB store needs, which per-series files got for free): every
+    * point of every matching series is removed from every level, and
+    * the catalog forgets the series so fetchMulti's universe shrinks.
+    * `pred` composes with [[seriesGlob]]. Later writes may recreate
+    * the series.
+    *
+    * Cost shape: one scan per level to locate the months that contain
+    * matching rows (a delete by arbitrary predicate cannot do better
+    * without a per-series index), then a rewrite of ONLY those months.
+    * Under [[HoardStore.ManifestAppend]] the rewrite is a manifest
+    * commit — snapshot readers pinned before the delete still see the
+    * series until [[expireSnapshots]] physically reclaims it (call it
+    * to actually forget the bytes).
+    */
+  def deleteSeries(pred: org.apache.spark.sql.Column): Unit =
+    mergeStrategy match {
+      case HoardStore.ManifestAppend => deleteSeriesManifest(pred)
+      case _ => withWriteLock {
+        policy.sorted.foreach { ar =>
+          val dir = Paths.get(levelPath(root, ar.step))
+          if (Files.exists(dir)) {
+            val level = readLevelWithSeq(ar)
+            val months = level.where(pred)
+              .select(date_format(col("interval"), "yyyy-MM").as("m"))
+              .distinct().collect().map(_.getString(0)).toSeq
+            months.foreach { m =>
+              val pdir = dir.resolve(s"p_month=$m")
+              val part = spark.read.parquet(pdir.toString)
+                .select("series_id", "interval", "value", "seq")
+              // fold (merge-on-read for DeltaAppend months) + filter
+              val kept0 =
+                if (mergeStrategy == HoardStore.DeltaAppend) lww(part)
+                else part
+              val kept = kept0.where(!pred)
+                .withColumn("p_month", lit(m)).localCheckpoint(true)
+              if (kept.head(1).nonEmpty)
+                kept.write.mode(SaveMode.Overwrite)
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("p_month").parquet(levelPath(root, ar.step))
+              else deleteRecursively(pdir) // all-matching month: drop it
+            }
+          }
+        }
+        forgetCatalog(pred)
+      }
+    }
+
+  private def deleteSeriesManifest(pred: org.apache.spark.sql.Column): Unit =
+    synchronized {
+      require(pinnedVersion.isEmpty, "snapshot views are read-only")
+      policy.sorted.foreach { ar =>
+        val ents = manifestEntries(root, latestManifestVersion(root))
+          .filter(_.step == ar.step)
+        ents.groupBy(_.month).foreach { case (month, inputs) =>
+          val part = lww(spark.read.schema(levelSchema)
+            .parquet(inputs.map(e => s"$root/${e.rel}"): _*))
+          if (part.where(pred).head(1).nonEmpty) {
+            val kept = part.where(!pred).localCheckpoint(true)
+            var added = Seq.empty[ManifestEntry]
+            var scratch: Option[JPath] = None
+            if (kept.head(1).nonEmpty) {
+              val cid = HoardStore.claimCommitBase(root)
+              val sub = f"c$cid%012d_del_l${ar.step}_$month"
+              kept.coalesce(1).write.mode(SaveMode.Overwrite)
+                .parquet(s"${dataPath(root)}/$sub")
+              added = listDir(Paths.get(dataPath(root), sub))
+                .filter(_.endsWith(".parquet"))
+                .map(f => ManifestEntry(ar.step, month, s"_data/$sub/$f"))
+              scratch = Some(Paths.get(dataPath(root), sub))
+            }
+            if (!commitRewrite(inputs.toSet, added))
+              scratch.foreach(deleteRecursively)
+          }
+        }
+      }
+      forgetCatalog(pred)
+    }
+
+  /** Rewrite the series catalog without the matching series — the
+    * compact-catalog transactional shape (write-new, move-in, delete
+    * what was read), so a crash leaves a readable catalog.
+    */
+  private def forgetCatalog(pred: org.apache.spark.sql.Column): Unit = {
+    val dir = Paths.get(catalogPath(root))
+    if (Files.exists(dir)) {
+      val old = listDir(dir).filter(_.endsWith(".parquet"))
+      if (old.nonEmpty) {
+        val tmp = catalogPath(root) + "_forget.tmp"
+        spark.read.parquet(catalogPath(root))
+          .select("series_id", "level").where(!pred).distinct()
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+        val tmpDir = Paths.get(tmp)
+        listDir(tmpDir).filter(_.endsWith(".parquet")).foreach(f =>
+          Files.move(tmpDir.resolve(f), dir.resolve(s"forgot-$f")))
+        old.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+        deleteRecursively(tmpDir)
+      }
+    }
+  }
+
   /** Retention vacuum: drop rows beyond each level's retention —
     * the Parquet analogue of ring-buffer wraparound reclaiming slots.
     *

@@ -239,6 +239,59 @@ class StorePropertySpec extends SparkTestBase {
     assert(levelContents(st) == before, "compaction changed contents")
   }
 
+  // --- series deletion ------------------------------------------------
+
+  test("deleteSeries removes exactly the matching series on every strategy") {
+    import org.apache.spark.sql.functions.{col, lit}
+    Seq(HoardStore.MonthRewrite, HoardStore.DeltaAppend,
+        HoardStore.ManifestAppend).foreach { strategy =>
+      val root = tmpDir(s"del-$strategy") + "/store"
+      val st = HoardStore.create(spark, root, policy, strategy)
+      val rnd = new Random(31)
+      def mk(sid: String) = (0 until 50).map(_ =>
+        RawPoint(sid, now - rnd.between(0L, 20L * 86400),
+          rnd.nextInt(1000).toDouble))
+      st.updateMany(mk("gone") ++ mk("kept"), now)
+      val before = levelContents(st)
+      st.deleteSeries(col("series_id") === "gone")
+
+      policy.sorted.foreach { ar =>
+        val got = st.readLevel(ar).collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond) ->
+            r.getDouble(2)).toMap
+        val want = before(ar.step).filter(_._1._1 == "kept")
+        assert(got == want, s"$strategy step ${ar.step}: delete diverged")
+      }
+      // the fetch universe forgets the series
+      val (_, dense) = st.fetchMulti(lit(true), now - 3000, now, now)
+      assert(!dense.select("series_id").distinct().collect()
+        .map(_.getString(0)).contains("gone"),
+        s"$strategy: deleted series still in the fetchMulti universe")
+      // and the series can be recreated afterwards
+      st.updateMany(Seq(RawPoint("gone", now - 60, 7.0)), now)
+      assert(st.readLevel(policy.sorted.head).where(col("series_id") === "gone")
+        .count() == 1, s"$strategy: recreate after delete failed")
+    }
+  }
+
+  test("ManifestAppend delete: pinned snapshot still sees the series until expire") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("del-snap") + "/store"
+    val st = HoardStore.create(spark, root, policy, HoardStore.ManifestAppend)
+    val rnd = new Random(5)
+    st.updateMany((0 until 40).map(_ => RawPoint("pii",
+      now - rnd.between(0L, 20L * 86400), rnd.nextInt(1000).toDouble)), now)
+    val snap = st.snapshot()
+    st.deleteSeries(col("series_id") === "pii")
+    // the daily level certainly holds rows (ages span 20 days)
+    assert(st.readLevel(policy.sorted.last).count() == 0)
+    assert(snap.readLevel(policy.sorted.last).count() > 0,
+      "pre-delete snapshot must still read the series (reader lease)")
+    st.expireSnapshots(keepLast = 1) // the actual forget-the-bytes step
+    assert(HoardStore.open(spark, root)
+      .readLevel(policy.sorted.last).count() == 0)
+  }
+
   // --- lock-free optimistic commits (ManifestAppend) ------------------
 
   test("ManifestAppend: two racing writers commit lock-FREE; result == sequential reference") {
