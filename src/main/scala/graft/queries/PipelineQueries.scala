@@ -625,6 +625,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p42_leaksafesplit" -> ((s, dir) => {
+      // contamination-safe train/val/test assignment: the split is
+      // decided per near-dup COMPONENT (p18's verified clustering),
+      // not per document, so near-duplicates can never straddle a
+      // split boundary and leak eval data into training — the
+      // dedup-aware split step after any Lee-2022-style dedup. Hash
+      // rule: 60-bit md5 of the component label into 10 bands →
+      // 8/1/1; the same integer comparison on both engines,
+      // independent of partitioning. Cost beyond the shared component
+      // table: one narrow projection.
+      val comp = nearDupComponents(s, dir)
+      val band = (TextOps.hashId(concat(lit("split-"),
+        col("component").cast("string"))) % 10).as("band")
+      comp.select(col("doc_id"), col("component").as("component_id"), band)
+        .select(col("doc_id"), col("component_id"),
+          when(col("band") < 8, "train")
+            .when(col("band") === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     "p19_mix" -> ((s, dir) => {
       // domain-mixture sampling to target weights under a token
       // budget: even-numbered sources get 2x target weight, budget =
@@ -2088,6 +2109,44 @@ object PipelineQueries {
          |       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
          |       doc_id = component_id AS keep
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // p18's reachability components + the same md5 band rule
+    "p42_leaksafesplit" ->
+      s"""WITH RECURSIVE $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |edges AS (
+         |  SELECT id_a, id_b FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION ALL SELECT id_b, id_a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+         |         FROM reach GROUP BY id),
+         |banded AS (
+         |  SELECT doc_id, component_id,
+         |         CAST(('0x' || substr(md5('split-' ||
+         |           CAST(component_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
+         |           AS band
+         |  FROM comp)
+         |SELECT doc_id, component_id,
+         |       CASE WHEN band < 8 THEN 'train'
+         |            WHEN band = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM banded ORDER BY doc_id""".stripMargin,
 
     "p19_mix" ->
       """WITH d AS (

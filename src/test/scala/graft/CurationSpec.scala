@@ -417,6 +417,26 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("p42: no verified near-dup pair straddles a split boundary (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("p42_leaksafesplit")(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val pairs = graft.queries.PipelineQueries.nearDupPairs(spark, dir)
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), "id_a")
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), "id_b")
+      .where(col("split_a") =!= col("split_b"))
+    assert(straddling.count() == 0,
+      "a near-dup pair was split across train/val/test — leakage")
+    // and the split is non-degenerate on the fixture
+    val splits = split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(splits.contains("train") && splits.size >= 2,
+      s"degenerate split assignment: $splits")
+  }
+
   test("p37 two-phase domain cap == single-window rank (sf0.001)") {
     // the salted phase-1 prune may only ever DROP rows that cannot be
     // in the per-source top-10 under the deterministic total order, so
