@@ -429,6 +429,57 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h31_groupbynode" -> ((s, dir) => {
+      // Graphite groupByNode(0, 'sumSeries') over a dotted namespace:
+      // fine series '<type>.u<user>' roll up per first path segment
+      // and bucket — the tree rollup every Graphite dashboard runs
+      // against an imported whisper hierarchy (hs7/hs8's domain). Fine
+      // lww first (the store's read semantics), then ONE partial-agg
+      // groupBy on (node, bucket); the path split is a narrow codegen
+      // projection, never a shuffle key explosion.
+      val fine = Dedup.lastWriteWins(ev(s, dir),
+        Seq(concat(col("event_type"), lit(".u"), col("user_id"))
+            .as("series_id"),
+          Time.align(col("ts"), 3600).as("bucket")),
+        col("event_id"), Seq("value" -> col("value")))
+      fine
+        .withColumn("node", split(col("series_id"), "\\.").getItem(0))
+        .groupBy(col("node"), col("bucket"))
+        .agg(count(lit(1)).as("n_series_points"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("total"))
+        .select(col("node"), col("bucket").cast("string").as("bucket"),
+          col("n_series_points"), col("total"))
+        .orderBy("node", "bucket")
+    }),
+
+    "h32_maxdatapoints" -> ((s, dir) => {
+      // Graphite's maxDataPoints consolidation: the render API promise
+      // "never more than N points per series" — the hourly range
+      // consolidates by factor ceil(slots/N) (N=50), each consolidated
+      // bucket the decimal-exact mean of its hourly values. The range
+      // probe is one tiny agg broadcast back; consolidation is one
+      // partial-agg groupBy; all bucket math in integers.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      val hourly = hourlyByType(s, dir)
+        .withColumn("hsec", col("bucket").cast("long"))
+      val range = hourly.agg(
+        min(col("hsec")).as("lo"), max(col("hsec")).as("hi"),
+        (((max(col("hsec")) - min(col("hsec"))) / 3600 + 50) / 50)
+          .cast("long").as("factor")) // ceil((slots)/50) via (x+49+1)/50 on slot count
+      hourly.join(broadcast(range))
+        .withColumn("cb",
+          col("lo") + ((col("hsec") - col("lo")) / (col("factor") * 3600))
+            .cast("long") * col("factor") * lit(3600))
+        .groupBy(col("event_type"), col("cb"))
+        .agg(count(lit(1)).as("n"),
+          r6(sum(col("value").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_value"))
+        .select(col("event_type"), col("cb").as("bucket_s"), col("n"),
+          col("mean_value"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
     "h29_movminmax" -> ((s, dir) => {
       // Graphite movingMin/movingMax (trailing 6h) per series: pure
       // order statistics over a (series)-partitioned ROWS frame — no
@@ -1180,6 +1231,42 @@ object HoardQueries {
         |       ROUND(s[((rn - 1) % 24) + 1] * 1e6) / 1e6 AS season,
         |       ROUND((l + b + s[(rn % 24) + 1]) * 1e6) / 1e6 AS forecast
         |FROM rec ORDER BY event_type, bucket""".stripMargin,
+
+    // dotted-namespace tree rollup: same fine lww, path-segment group
+    "h31_groupbynode" ->
+      """WITH fine AS (
+        |  SELECT event_type || '.u' || CAST(user_id AS VARCHAR) AS sid,
+        |         date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT string_split(sid, '.')[1] AS node, CAST(h AS VARCHAR) AS bucket,
+        |       COUNT(*) AS n_series_points,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS total
+        |FROM fine GROUP BY 1, 2 ORDER BY node, bucket""".stripMargin,
+
+    // integer consolidation math: factor = ceil(slots/50), buckets
+    // re-anchored at the range floor — all BIGINT until the mean
+    "h32_maxdatapoints" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY 1, 2),
+        |hs AS (SELECT event_type,
+        |              CAST(epoch_us(h) // 1000000 AS BIGINT) AS hsec, v
+        |       FROM hourly),
+        |r AS (SELECT MIN(hsec) AS lo,
+        |             ((MAX(hsec) - MIN(hsec)) // 3600 + 50) // 50 AS factor
+        |      FROM hs)
+        |SELECT event_type,
+        |       lo + ((hsec - lo) // (factor * 3600)) * factor * 3600
+        |         AS bucket_s,
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*) * 1e6) / 1e6 AS mean_value
+        |FROM hs CROSS JOIN r
+        |GROUP BY event_type, 2
+        |ORDER BY event_type, bucket_s""".stripMargin,
 
     // trailing min/max: order statistics only — no float accumulation
     "h29_movminmax" ->
