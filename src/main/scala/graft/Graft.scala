@@ -40,6 +40,11 @@ object Graft {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // month-partition pruning derived from interval predicates on raw
+    // level scans (graft.plans.MonthPrune) — idempotent add
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MonthPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MonthPrune
     spark
   }
 }
