@@ -429,6 +429,27 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h33_pointwise" -> ((s, dir) => {
+      // Graphite's pointwise-transform family in one pass: scale(10),
+      // offset(-50), absolute of the offset, invert (safeDiv 1/v —
+      // zero → null, graphite's None). Pure codegen'd column
+      // arithmetic over the hourly lww series, one scan, zero
+      // shuffles before the output sort. The decimal detour keeps
+      // scale/offset exact on 2-decimal inputs; invert is one IEEE
+      // division rounded tie-safe.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      val v = col("value").cast("decimal(18,6)")
+      hourlyByType(s, dir)
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round((v * lit(10)).cast("double"), 6).as("scaled"),
+          round((v - lit(50)).cast("double"), 6).as("offset"),
+          round(abs((v - lit(50)).cast("double")), 6).as("abs_offset"),
+          when(col("value") === 0, lit(null).cast("double"))
+            .otherwise(r6(lit(1.0) / col("value"))).as("inverted"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h31_groupbynode" -> ((s, dir) => {
       // Graphite groupByNode(0, 'sumSeries') over a dotted namespace:
       // fine series '<type>.u<user>' roll up per first path segment
@@ -1231,6 +1252,24 @@ object HoardQueries {
         |       ROUND(s[((rn - 1) % 24) + 1] * 1e6) / 1e6 AS season,
         |       ROUND((l + b + s[(rn % 24) + 1]) * 1e6) / 1e6 AS forecast
         |FROM rec ORDER BY event_type, bucket""".stripMargin,
+
+    // pointwise transforms: decimal-exact scale/offset, tie-safe invert
+    "h33_pointwise" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value,
+        |       ROUND(CAST(CAST(v AS DECIMAL(18,6)) * 10 AS DOUBLE), 6)
+        |         AS scaled,
+        |       ROUND(CAST(CAST(v AS DECIMAL(18,6)) - 50 AS DOUBLE), 6)
+        |         AS offset,
+        |       ROUND(ABS(CAST(CAST(v AS DECIMAL(18,6)) - 50 AS DOUBLE)), 6)
+        |         AS abs_offset,
+        |       CASE WHEN v = 0 THEN NULL
+        |            ELSE ROUND(1.0 / v * 1e6) / 1e6 END AS inverted
+        |FROM hourly ORDER BY event_type, bucket""".stripMargin,
 
     // dotted-namespace tree rollup: same fine lww, path-segment group
     "h31_groupbynode" ->

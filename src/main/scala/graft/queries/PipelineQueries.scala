@@ -625,6 +625,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p43_dupmatrix" -> ((s, dir) => {
+      // cross-source duplication matrix: verified near-dup pairs
+      // aggregated by UNORDERED source pair (least/greatest normalizes
+      // orientation) — which domains mirror which, the curation
+      // dashboard behind "drop the aggregator site, keep the origin".
+      // Cost beyond the shared pair table: one broadcast-joined source
+      // lookup per side + a |sources|²-bounded aggregate.
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      nearDupPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     "p42_leaksafesplit" -> ((s, dir) => {
       // contamination-safe train/val/test assignment: the split is
       // decided per near-dup COMPONENT (p18's verified clustering),
@@ -2109,6 +2128,33 @@ object PipelineQueries {
          |       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
          |       doc_id = component_id AS keep
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // p10's exact tau-pair CTE aggregated by unordered source pair
+    "p43_dupmatrix" ->
+      s"""WITH $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7)
+         |SELECT LEAST(da.source, db.source) AS src_lo,
+         |       GREATEST(da.source, db.source) AS src_hi,
+         |       COUNT(*) AS n_pairs
+         |FROM pairs
+         | JOIN documents da ON da.doc_id = id_a
+         | JOIN documents db ON db.doc_id = id_b
+         |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
 
     // p18's reachability components + the same md5 band rule
     "p42_leaksafesplit" ->
