@@ -625,6 +625,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p44_datasetcard" -> ((s, dir) => {
+      // the per-source dataset card: docs, token mass, language mix,
+      // exact-duplicate rate — the summary table a corpus release
+      // ships. One doc-level scan derives (tokens, lang, content md5);
+      // exact-dup firsts are p1's map-side-combinable min aggregate;
+      // everything folds to one |sources|-bounded groupBy with
+      // integer-exact ratios rounded tie-safe.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("h"))
+      val firsts = d.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      d.join(firsts, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L))
+            .as("n_exact_dup"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          r6(col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+          col("n_exact_dup"),
+          r6(col("n_tokens").cast("double") / col("n_docs"))
+            .as("mean_doc_tokens"))
+        .orderBy("source")
+    }),
+
     "p43_dupmatrix" -> ((s, dir) => {
       // cross-source duplication matrix: verified near-dup pairs
       // aggregated by UNORDERED source pair (least/greatest normalizes
@@ -2128,6 +2155,25 @@ object PipelineQueries {
          |       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
          |       doc_id = component_id AS keep
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // one scan + md5 keep-first + a |sources|-bounded fold
+    "p44_datasetcard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         md5(text) AS h
+        |  FROM documents),
+        |firsts AS (SELECT h, MIN(doc_id) AS first_id FROM d GROUP BY h),
+        |j AS (SELECT d.*, f.first_id FROM d JOIN firsts f ON d.h = f.h)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS pct_en,
+        |       CAST(SUM(CASE WHEN doc_id <> first_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_exact_dup,
+        |       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+        |         AS mean_doc_tokens
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // p10's exact tau-pair CTE aggregated by unordered source pair
     "p43_dupmatrix" ->
