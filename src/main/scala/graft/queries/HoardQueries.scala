@@ -450,6 +450,52 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h34_timestack" -> ((s, dir) => {
+      // Graphite's timeStack("1w", 0, 3): the same series overlaid at
+      // 0/1/2-week shifts onto the current bucket frame — the
+      // seasonality-overlay view. One exploded spine (3 rows per
+      // slot) equi-joined on (series, shifted bucket): shuffle key is
+      // the join key, no window, and the fan-out factor is the shift
+      // count (a constant), so the plan is h12's single join at 3x
+      // row multiplicity regardless of retention.
+      val h = hourlyByType(s, dir)
+      val spine = h.select(col("event_type"), col("bucket"))
+        .withColumn("k", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("src",
+          expr("bucket - make_interval(0, 0, k, 0, 0, 0, 0)"))
+      val shifted = h.select(col("event_type"), col("bucket").as("src"),
+        col("value"))
+      spine.join(shifted, Seq("event_type", "src"))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          concat(col("k").cast("string"), lit("w")).as("shift"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_type", "bucket", "shift")
+    }),
+
+    "h35_weightedavg" -> ((s, dir) => {
+      // Graphite's weightedAverage(values, weights, node): the
+      // across-series mean per bucket where each series' lww value is
+      // weighted by its event count in that slot — sum(v·w)/sum(w).
+      // One partial-aggregated groupBy per level: (series, bucket)
+      // stats first (max_by lww + count, both map-side combinable),
+      // then the bucket combine; the v·w inner product stays decimal
+      // (2-decimal value × integer weight is exact) so partial-agg
+      // order can't show, and the single final division rounds
+      // tie-safe.
+      val perSeries = ev(s, dir)
+        .groupBy(col("event_type"), Time.align(col("ts"), 3600).as("bucket"))
+        .agg(max_by(col("value"), col("event_id")).as("v"),
+          count(lit(1)).as("w"))
+      perSeries.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_series"), sum(col("w")).as("w_total"),
+          sum(col("v").cast("decimal(18,6)") * col("w")).as("vw"))
+        .select(col("bucket").cast("string").as("bucket"),
+          col("n_series"), col("w_total"),
+          (round(col("vw").cast("double") / col("w_total") * lit(1e6)) /
+            lit(1e6)).as("wavg"))
+        .orderBy("bucket")
+    }),
+
     "h31_groupbynode" -> ((s, dir) => {
       // Graphite groupByNode(0, 'sumSeries') over a dotted namespace:
       // fine series '<type>.u<user>' roll up per first path segment
@@ -761,6 +807,68 @@ object HoardQueries {
       s.table(name)
         .select(col("wstart"), col("rnk"), col("key"), col("n"))
         .orderBy("wstart", "rnk")
+    }),
+
+    "s12_streamkmv" -> ((s, dir) => {
+      // incremental sketch maintenance: the q20 deterministic KMV
+      // distinct sketch kept up to date by a stream. The fixture is
+      // split into three files so AvailableNow delivers real
+      // successive micro-batches; each batch folds its distinct
+      // 60-bit hashes into the survivor set and re-cuts to the k
+      // smallest per group (min-k is associative, commutative and
+      // idempotent, so the maintained sketch equals the batch sketch
+      // EXACTLY — order, batching and duplication cannot show). State
+      // is k·|groups| rows per round (here localCheckpoint'd; a
+      // production pipeline persists the survivor table). The oracle
+      // recomputes the same sketch from the raw table in one pass.
+      graft.Graft.configure(s)
+      import s.implicits._
+      val k = 256
+      val two60 = 1.152921504606846976e18
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-s12-in").toString
+      (0 until 3).foreach { i =>
+        s.read.parquet(s"$dir/events.parquet")
+          .where(pmod(col("event_id"), lit(3)) === i)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$inDir/b$i")
+      }
+      val schema = s.read.parquet(s"$inDir/b0").schema
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-s12-ckpt").toString
+      var surv = Seq.empty[(String, Long)].toDF("event_type", "h")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("h"))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bh = batch.select(col("event_type"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 15),
+              16, 10).cast("long").as("h")).distinct()
+          surv = surv.unionByName(bh).distinct()
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") <= k).drop("rn")
+            .localCheckpoint(true)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s12_streamkmv", q); q.stop()
+      surv.withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_survivors"),
+          max(when(col("rn") === k, col("h"))).as("hk"))
+        .select(col("event_type"), col("n_survivors"),
+          when(col("hk").isNull, col("n_survivors"))
+            .otherwise(floor(lit((k - 1).toDouble) * lit(two60) /
+              col("hk").cast("double")))
+            .as("approx_users"))
+        .orderBy("event_type")
     }),
 
     "s8_streamfinal" -> ((s, dir) => {
@@ -1271,6 +1379,35 @@ object HoardQueries {
         |            ELSE ROUND(1.0 / v * 1e6) / 1e6 END AS inverted
         |FROM hourly ORDER BY event_type, bucket""".stripMargin,
 
+    // week-shift overlay: exploded spine joined on the shifted bucket
+    "h34_timestack" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |spine AS (
+        |  SELECT event_type, h, k
+        |  FROM hourly, generate_series(0, 2) t(k))
+        |SELECT s.event_type, CAST(s.h AS VARCHAR) AS bucket,
+        |       CAST(k AS VARCHAR) || 'w' AS shift,
+        |       ROUND(hy.v, 6) AS value
+        |FROM spine s JOIN hourly hy
+        |  ON hy.event_type = s.event_type
+        | AND hy.h = s.h - to_days(CAST(7 * k AS INTEGER))
+        |ORDER BY s.event_type, bucket, shift""".stripMargin,
+
+    // event-count-weighted across-series mean; v*w exact in decimal
+    "h35_weightedavg" ->
+      """WITH per_series AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v, COUNT(*) AS w
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT CAST(h AS VARCHAR) AS bucket, COUNT(*) AS n_series,
+        |       CAST(SUM(w) AS BIGINT) AS w_total,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
+        |             / SUM(w) * 1e6) / 1e6 AS wavg
+        |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
     // dotted-namespace tree rollup: same fine lww, path-segment group
     "h31_groupbynode" ->
       """WITH fine AS (
@@ -1529,6 +1666,27 @@ object HoardQueries {
         |FROM r CROSS JOIN wm
         |WHERE rnk <= 5 AND wstart + 21600 < wsec
         |ORDER BY wstart, rnk""".stripMargin,
+
+    // the maintained min-k survivor set equals the one-pass sketch
+    "s12_streamkmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_survivors,
+        |         MAX(CASE WHEN rn = 256 THEN h END) AS hk
+        |  FROM r WHERE rn <= 256 GROUP BY event_type)
+        |SELECT event_type, n_survivors,
+        |       CASE WHEN hk IS NULL THEN n_survivors
+        |            ELSE CAST(FLOOR(255 * 1.152921504606846976e18 / hk)
+        |                 AS BIGINT) END AS approx_users
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "s8_streamfinal" ->
       """WITH wm AS (

@@ -625,6 +625,89 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "p45_containment" -> ((s, dir) => {
+      // Asymmetric n-gram CONTAINMENT (Broder 1997's resemblance
+      // companion): C(a→b) = |S_a ∩ S_b| / |S_a| over distinct
+      // 3-shingle ids — the excerpt/quotation detector symmetric
+      // Jaccard misses (a short doc pasted into a long one has
+      // J ≈ |S_a|/|S_b| → 0 but C(a→b) = 1). Ordered pairs at
+      // C ≥ 0.8; the threshold compares integers (i*10 ≥ n_a*8) so no
+      // float decides membership. Shape: distinct posting lists
+      // equi-joined on the shingle id, work ∝ Σ_sh df² — at corpus
+      // scale the uninformative high-df head gets capped (the standard
+      // rare-evidence cut); on this fixture df_max = 7 so the exact
+      // and capped forms coincide.
+      val sh = shingleIds(s, dir).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+        .withColumnRenamed("doc_id", "id_a")
+      val inter = sh.select(col("doc_id").as("id_a"), col("vid"))
+        .join(sh.select(col("doc_id").as("id_b"), col("vid")), "vid")
+        .where(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+      inter.join(sizes, "id_a")
+        .where(col("i") * 10 >= col("n_a") * 8)
+        .select(col("id_a"), col("id_b"),
+          (round(col("i").cast("double") / col("n_a") * lit(1e6)) /
+            lit(1e6)).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p46_chunking" -> ((s, dir) => {
+      // RAG/embedding chunk export: fixed 32-token windows at stride 24
+      // (8-token overlap), stable (doc_id, chunk_idx) ids, 1-based token
+      // offsets, and the chunk content hash — the deterministic chunk
+      // table an embedding or retrieval index builds from. Pure per-row
+      // array arithmetic (sequence → slice → md5) inside whole-stage
+      // codegen over the scan; the only shuffle is the output ORDER BY.
+      // chunk count = 1 + ceil((n-W)/stride) computed in integers on
+      // both engines, so the tail chunk rule can never drift.
+      val W = 32; val S0 = 24
+      // `div` = integral division (Catalyst IntegralDivide): the chunk
+      // count stays in 64-bit integers end to end
+      val nchunks = expr(
+        s"CASE WHEN n <= $W THEN CAST(1 AS BIGINT) " +
+          s"ELSE CAST(1 AS BIGINT) + ((n - $W + ${S0 - 1}) div $S0) END")
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .withColumn("n", size(col("arr")).cast("long"))
+        .withColumn("c", explode(sequence(lit(0L), nchunks - 1)))
+        .select(col("doc_id"), col("c").as("chunk_idx"),
+          (col("c") * S0 + 1).as("tok_start"),
+          least(col("c") * S0 + W, col("n")).as("tok_end"),
+          md5(concat_ws(" ",
+            slice(col("arr"), (col("c") * S0 + 1).cast("int"), lit(W)))
+            .cast("binary")).as("chunk_md5"))
+        .withColumn("n_tok", col("tok_end") - col("tok_start") + 1)
+        .select("doc_id", "chunk_idx", "tok_start", "tok_end", "n_tok",
+          "chunk_md5")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "p47_upsample" -> ((s, dir) => {
+      // Data-constrained epoch upsampling (Muennighoff et al. 2023:
+      // repeat scarce sources, cap the epoch count): per-source repeat
+      // factor r_s = min(4, ceil(max_supply / supply_s)) over token
+      // supply, evaluated as pure integer arithmetic — then each doc
+      // explodes into epochs 1..r_s. The per-source supply table is
+      // O(|sources|) and broadcasts; the explode is map-side (no
+      // shuffle before the ORDER BY), so the output is produced at
+      // scan throughput even when small sources repeat 4x.
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val supply = d.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("supply"))
+      val maxSupply = supply.agg(max(col("supply")).as("max_supply"))
+      val rates = supply.crossJoin(broadcast(maxSupply))
+        .select(col("source"),
+          expr("least(CAST(4 AS BIGINT), " +
+            "(max_supply + supply - 1) div supply)").as("epochs"))
+      d.join(broadcast(rates), "source")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .select(col("doc_id"), col("source"), col("epoch"), col("n_tok"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     "p44_datasetcard" -> ((s, dir) => {
       // the per-source dataset card: docs, token mass, language mix,
       // exact-duplicate rate — the summary table a corpus release
@@ -2157,6 +2240,72 @@ object PipelineQueries {
          |FROM comp ORDER BY doc_id""".stripMargin,
 
     // one scan + md5 keep-first + a |sources|-bounded fold
+    // ordered-pair containment over the same hashed 3-shingle ids
+    "p45_containment" ->
+      s"""WITH $ToksCte,
+         |sh AS (
+         |  SELECT doc_id, pos,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sid AS (
+         |  SELECT DISTINCT doc_id,
+         |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS vid
+         |  FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sid GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sid a JOIN sid b
+         |    ON a.vid = b.vid AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |       ROUND(CAST(i AS DOUBLE) / sa.n * 1e6) / 1e6 AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |WHERE i * 10 >= sa.n * 8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // integer chunk-count rule mirrored exactly; list_slice clamps at
+    // the array end like Spark's slice
+    "p46_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |nc AS (
+        |  SELECT doc_id, arr, n,
+        |         CASE WHEN n <= 32 THEN 1
+        |              ELSE 1 + (n - 32 + 23) // 24 END AS nchunks
+        |  FROM d),
+        |cx AS (SELECT doc_id, arr, n, unnest(range(0, nchunks)) AS c FROM nc)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+        |       CAST(c * 24 + 1 AS BIGINT) AS tok_start,
+        |       CAST(LEAST(c * 24 + 32, n) AS BIGINT) AS tok_end,
+        |       CAST(LEAST(c * 24 + 32, n) - c * 24 AS BIGINT) AS n_tok,
+        |       md5(array_to_string(
+        |         list_slice(arr, c * 24 + 1, c * 24 + 32), ' ')) AS chunk_md5
+        |FROM cx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // integer-exact epoch rule: min(4, ceil(max_supply / supply_s))
+    "p47_upsample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |supply AS (SELECT source, SUM(n_tok) AS supply FROM d GROUP BY source),
+        |mx AS (SELECT MAX(supply) AS max_supply FROM supply),
+        |rates AS (
+        |  SELECT source,
+        |         LEAST(4, (max_supply + supply - 1) // supply) AS epochs
+        |  FROM supply CROSS JOIN mx),
+        |ex AS (
+        |  SELECT doc_id, d.source, n_tok,
+        |         unnest(range(1, CAST(epochs + 1 AS BIGINT))) AS e
+        |  FROM d JOIN rates r ON d.source = r.source)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch, n_tok
+        |FROM ex ORDER BY doc_id, epoch""".stripMargin,
+
     "p44_datasetcard" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang,

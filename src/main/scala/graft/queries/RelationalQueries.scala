@@ -101,6 +101,36 @@ object RelationalQueries {
         .orderBy("user_id", "day")
     }),
 
+    "q36_listagg" -> ((s, dir) => {
+      // Ordered string aggregation (LISTAGG / string_agg): per region,
+      // the sorted CSV of its nations and of the distinct market
+      // segments of those nations' customers. Deterministic by
+      // construction — collect_list order is partitioning-dependent,
+      // so the contract sorts INSIDE the aggregate (array_sort before
+      // array_join), which also keeps it map-side combinable. Group
+      // cardinality is bounded by the dimension (nations per region),
+      // the precondition any listagg needs at scale.
+      val n = t(s, dir, "nation").select(col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val c = t(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"))
+      val segs = c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey"), col("c_mktsegment")).distinct()
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("c_mktsegment"))), ",")
+          .as("segments"))
+      n.groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+        .join(segs, "n_regionkey")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_nations"),
+          col("nations"), col("segments"))
+        .orderBy("region")
+    }),
+
     "q35_kmvquantile" -> ((s, dir) => {
       // deterministic sample-quantile sketch — q20's KMV idea applied
       // to quantiles: the sample is the K=256 rows whose unique row
@@ -743,6 +773,23 @@ object RelationalQueries {
         |       c.n_clicks, c.click_val, b.n_buys, b.buy_val
         |FROM c FULL JOIN b ON c.user_id = b.user_id AND c.day = b.day
         |ORDER BY user_id, day""".stripMargin,
+
+    // sort-inside-the-aggregate makes listagg order engine-neutral
+    "q36_listagg" ->
+      """WITH segs AS (
+        |  SELECT n_regionkey,
+        |         string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+        |           AS segments
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_regionkey),
+        |nats AS (
+        |  SELECT n_regionkey, COUNT(*) AS n_nations,
+        |         string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |  FROM nation GROUP BY n_regionkey)
+        |SELECT r_name AS region, n_nations, nations, segments
+        |FROM nats JOIN segs USING (n_regionkey)
+        |          JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY region""".stripMargin,
 
     // the identical fixed hash-sample and integer ranks — the sketch,
     // not the estimate, is what the two engines must agree on

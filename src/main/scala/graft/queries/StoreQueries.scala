@@ -147,6 +147,33 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** ManifestAppend store whose version after batch 1 is remembered:
+    * batch 2 and a compaction land AFTER the pin, so a time-travel
+    * read at the pinned version must see exactly the batch-1 state.
+    * expireSnapshots is deliberately NOT run here (hs9 covers
+    * reclaim) — the pinned version must stay readable, the
+    * reader-lease contract.
+    */
+  private val builtSnapshotted =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def storeSnapshotted(s: SparkSession, dir: String): (String, Long) =
+    builtSnapshotted.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-snap")
+        .toString + "/store"
+      val st = HoardStore.create(s, tmp, Policy, HoardStore.ManifestAppend)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      val cut = 1705406400L // 2024-01-16 12:00:00 UTC (same as hs3/hs6/hs9)
+      st.updateManyDf(ev.where(col("ts") < cut), Now)
+      val pinned = st.snapshot().pinnedVersion.get
+      st.updateManyDf(ev.where(col("ts") >= cut), Now)
+      st.compact(maxFilesPerMonth = 1)
+      (tmp, pinned)
+    })
+
   /** Two-batch store through the ManifestAppend (transactional
     * manifest) write path: lock-free optimistic commits, manifest-
     * planned reads, a mid-stream compaction rewrite AND a snapshot
@@ -292,6 +319,22 @@ object StoreQueries {
         .orderBy("series_id", "bucket")
     }),
 
+    "hs11_snapshot" -> ((s, dir) => {
+      // TIME TRAVEL: the daily level read through the manifest version
+      // pinned after batch 1, while the live store has since absorbed
+      // batch 2 AND a compaction rewrite. The pinned read must equal
+      // the from-scratch recomputation over batch 1 ONLY — later
+      // commits and file rewrites are invisible to a historical
+      // version, the snapshot-isolation contract (SURVEY §8.3).
+      val (root, ver) = storeSnapshotted(s, dir)
+      HoardStore.openVersion(s, root, ver)
+        .readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs10_delete" -> ((s, dir) => {
       // daily rollup after deleteSeries('click'): the deleted series is
       // gone from every level AND from the fetch universe; the rest is
@@ -429,6 +472,24 @@ object StoreQueries {
     "hs6_deltastore" -> DailyRollupSql,
     "hs9_manifeststore" -> DailyRollupSql,
     "s11_streammanifest" -> DailyRollupSql,
+
+    // the shared recomputation over batch 1 ONLY (ts < the hs3 cut):
+    // what a reader pinned before batch 2 must see
+    "hs11_snapshot" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events WHERE (epoch_us(ts) // 1000000) < 1705406400
+        |  GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING COUNT(v) >= 12)
+        |SELECT event_type AS series_id, CAST(CAST(d AS DATE) AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value
+        |FROM daily ORDER BY series_id, bucket""".stripMargin,
 
     // the shared recomputation minus the deleted series
     "hs10_delete" ->
