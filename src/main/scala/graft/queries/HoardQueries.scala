@@ -1009,6 +1009,33 @@ object HoardQueries {
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
             .as("gap_us"))
         .orderBy("click_id", "purchase_id")
+    }),
+
+    "h36_seriesdiv" -> ((s, dir) => {
+      // Graphite's divideSeries + diffSeries in one aligned pass: the
+      // error/click ratio and spread per hourly slot. A FULL OUTER
+      // join on the bucket keeps slots either series missed (graphite
+      // emits None there — ratio/diff stay null, and a 0 divisor also
+      // nulls the ratio rather than inf). The two series are filters
+      // over the SAME hourly lww aggregate, so one scan + one shuffle
+      // feeds both sides; diff rides a decimal subtract (2-decimal
+      // inputs, exact), ratio is one IEEE division tie-safe rounded.
+      val h = hourlyByType(s, dir)
+      val e = h.where(col("event_type") === "error")
+        .select(col("bucket"), col("value").as("err_v"))
+      val c = h.where(col("event_type") === "click")
+        .select(col("bucket"), col("value").as("clk_v"))
+      e.join(c, Seq("bucket"), "full_outer")
+        .select(col("bucket").cast("string").as("bucket"),
+          round(col("err_v"), 6).as("err_v"),
+          round(col("clk_v"), 6).as("clk_v"),
+          when(col("clk_v").isNull || col("clk_v") === 0
+            || col("err_v").isNull, lit(null).cast("double"))
+            .otherwise(round(col("err_v") / col("clk_v") * lit(1e6))
+              / lit(1e6)).as("ratio"),
+          (col("err_v").cast("decimal(18,6)")
+            - col("clk_v").cast("decimal(18,6)")).cast("double").as("diff"))
+        .orderBy("bucket")
     })
   )
 
@@ -1724,6 +1751,25 @@ object HoardQueries {
         |         AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // divideSeries/diffSeries alignment: full outer on the hourly
+    // bucket; 0-or-missing divisor nulls the ratio, diff exact decimal
+    "h36_seriesdiv" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |e AS (SELECT h, v FROM hourly WHERE event_type = 'error'),
+        |c AS (SELECT h, v FROM hourly WHERE event_type = 'click')
+        |SELECT CAST(COALESCE(e.h, c.h) AS VARCHAR) AS bucket,
+        |       ROUND(e.v, 6) AS err_v,
+        |       ROUND(c.v, 6) AS clk_v,
+        |       CASE WHEN c.v IS NULL OR c.v = 0 OR e.v IS NULL THEN NULL
+        |            ELSE ROUND(e.v / c.v * 1e6) / 1e6 END AS ratio,
+        |       CAST(CAST(e.v AS DECIMAL(18,6)) - CAST(c.v AS DECIMAL(18,6))
+        |            AS DOUBLE) AS diff
+        |FROM e FULL JOIN c ON e.h = c.h
+        |ORDER BY bucket""".stripMargin
   )
 }

@@ -1413,6 +1413,100 @@ object PipelineQueries {
       // pure-array rebuild (see TextAnalysis.substrDedup).
       TextAnalysis.substrDedup(docs(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")
+    }),
+
+    "p48_kneserney" -> ((s, dir) => {
+      // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+      // Goodman 1998 eq. 4.25 at fixed discount D=0.75) over the
+      // corpus — the smoothing every n-gram LM data pipeline computes
+      // before filtering by LM score. All four count families ride
+      // map-side-combinable groupBys over the exploded bigram stream
+      // (zip_with of two array slices, no window): c12 per bigram,
+      // c1 = Σ_w2 c12, nf = |{w2 : c(w1,w2)>0}| (both from the SAME
+      // O(types) table, one pass), nb = |{w1 : c(w1,w2)>0}|, and the
+      // type total T is an O(1) broadcast. P_KN stays deterministic
+      // cross-engine because every operand is an exact integer and
+      // the float expression has the identical IEEE evaluation order
+      // on both sides, tie-safe x*1e6 rounded.
+      val bg = docs(s, dir)
+        .select(explode(expr(
+          """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val left = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+      val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+      val types = c12.agg(count(lit(1)).as("t"))
+      c12.join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("nf"), col("nb"),
+          (round(((col("c12") - lit(0.75)) / col("c1")
+            + lit(0.75) * col("nf") / col("c1") * col("nb") / col("t"))
+            * lit(1e6)) / lit(1e6)).as("pkn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
+    "p49_novelty" -> ((s, dir) => {
+      // N-gram novelty score (the "how much of this doc is new to the
+      // corpus" curation signal, the streaming-ingest cousin of
+      // decontamination): a 3-shingle is NOVEL to the doc with the
+      // smallest doc_id containing it; each doc reports the fraction
+      // of its distinct shingles it introduced. Two linear
+      // map-side-combinable aggregations over the hashed shingle
+      // stream (min per shingle id, then count+conditional count per
+      // doc after one equi-join) — no window, no pair join, so the
+      // shape survives any corpus size.
+      val sh = shingleIds(s, dir).distinct()
+      val first = sh.groupBy(col("vid")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "vid")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (round(col("n_novel").cast("double") / col("n_shingles")
+            * lit(1e6)) / lit(1e6)).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    "p50_pmi" -> ((s, dir) => {
+      // PMI collocation mining (Church & Hanks 1990; the word2phrase
+      // step of Mikolov 2013): rank adjacent word pairs by
+      // pmi = ln(c12·N / (c1·c2)) with a min-count cut of 5. The
+      // ORDER itself never touches a float — pairs rank by the exact
+      // integer ratio_micro = (c12·N·1e6) div (c1·c2) (all products
+      // < 2^53, overflow-checked at sf0.1 scale) — and the pmi column
+      // is p24's micro-log trick: both engines feed libm the
+      // bit-identical double ratio. Unigram and bigram counts are the
+      // same two map-side groupBys as p48; N is an O(1) broadcast.
+      val tk = toks(s, dir).select(col("token"))
+      val uni = tk.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      val bg = docs(s, dir)
+        .select(explode(expr(
+          """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 5)
+      val n = bg.agg(count(lit(1)).as("n"))
+      c12.join(uni.select(col("token").as("w1"), col("cu").as("c1")), "w1")
+        .join(uni.select(col("token").as("w2"), col("cu").as("c2")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          expr("(c12 * n * CAST(1000000 AS BIGINT)) div (c1 * c2)")
+            .as("ratio_micro"),
+          (round(log((col("c12") * col("n")).cast("double")
+            / (col("c1") * col("c2")).cast("double")) * lit(1e6))
+            / lit(1e6)).as("pmi"))
+        .orderBy(col("ratio_micro").desc, col("w1"), col("w2"))
+        .limit(100)
     })
   )
 
@@ -3135,7 +3229,75 @@ object PipelineQueries {
         |        trim(regexp_replace(regexp_replace(lower(text),
         |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // KN counts are all integers; the float P_KN expression mirrors the
+    // Spark evaluation order operator-for-operator (tie-safe x*1e6)
+    "p48_kneserney" ->
+      s"""WITH $ToksCte,
+         |bg AS (
+         |  SELECT doc_id, token AS w1, lead(token, 1) OVER w AS w2
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 1) OVER w IS NOT NULL),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+         |lf AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |              COUNT(*) AS nf
+         |       FROM c12 GROUP BY w1),
+         |rt AS (SELECT w2, COUNT(*) AS nb FROM c12 GROUP BY w2),
+         |tt AS (SELECT COUNT(*) AS t FROM c12)
+         |SELECT c.w1, c.w2, c.c12, l.c1, l.nf, r.nb,
+         |       ROUND(((c.c12 - 0.75) / l.c1
+         |              + 0.75 * l.nf / l.c1 * r.nb / t.t) * 1e6) / 1e6 AS pkn
+         |FROM c12 c
+         | JOIN lf l ON l.w1 = c.w1
+         | JOIN rt r ON r.w2 = c.w2
+         | CROSS JOIN tt t
+         |ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
+
+    "p49_novelty" ->
+      s"""WITH $ToksCte,
+         |sh AS (
+         |  SELECT doc_id, pos,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sid AS (
+         |  SELECT DISTINCT doc_id,
+         |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS vid
+         |  FROM sh),
+         |fst AS (SELECT vid, MIN(doc_id) AS first_doc FROM sid GROUP BY vid)
+         |SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1
+         |                           ELSE 0 END) AS DOUBLE)
+         |             / COUNT(*) * 1e6) / 1e6 AS novelty
+         |FROM sid s JOIN fst f ON f.vid = s.vid
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // ordering key is the exact integer ratio; pmi is the micro-log of
+    // the bit-identical double ratio (p24 trick)
+    "p50_pmi" ->
+      s"""WITH $ToksCte,
+         |bg AS (
+         |  SELECT doc_id, token AS w1, lead(token, 1) OVER w AS w2
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 1) OVER w IS NOT NULL),
+         |uni AS (SELECT token, COUNT(*) AS cu FROM toks GROUP BY token),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+         |        GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+         |nn AS (SELECT COUNT(*) AS n FROM bg)
+         |SELECT c.w1, c.w2, c.c12, u1.cu AS c1, u2.cu AS c2,
+         |       CAST((c.c12 * n.n * CAST(1000000 AS BIGINT))
+         |            // (u1.cu * u2.cu) AS BIGINT) AS ratio_micro,
+         |       ROUND(ln(CAST(c.c12 * n.n AS DOUBLE)
+         |                / CAST(u1.cu * u2.cu AS DOUBLE)) * 1e6) / 1e6 AS pmi
+         |FROM c12 c
+         | JOIN uni u1 ON u1.token = c.w1
+         | JOIN uni u2 ON u2.token = c.w2
+         | CROSS JOIN nn n
+         |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin
   )
 
   private lazy val IncrementOracle: String =
