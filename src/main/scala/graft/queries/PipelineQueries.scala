@@ -1507,6 +1507,47 @@ object PipelineQueries {
             / lit(1e6)).as("pmi"))
         .orderBy(col("ratio_micro").desc, col("w1"), col("w2"))
         .limit(100)
+    }),
+
+    "p51_stratified" -> ((s, dir) => {
+      // Stratified sampling with EXACT largest-remainder apportionment
+      // (Hamilton's method): a fixed budget of 100 docs split across
+      // sources proportionally to supply — floor quotas first, the
+      // leftover seats to the largest remainders (source-name
+      // tiebreak), so Σ alloc = 100 always, no float ever deciding a
+      // seat. The apportionment runs on the O(|sources|) aggregate via
+      // one sorted-array posexplode (no unpartitioned window, nothing
+      // driver-side); doc selection is the usual deterministic
+      // md5-order rank per source — a partitioned window over each
+      // stratum only.
+      val N = 100
+      val counts = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("t"))
+      val q = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("cnt"),
+          expr(s"($N * cnt) div t").as("quota"),
+          ((lit(N) * col("cnt")) % col("t")).as("rem"))
+      // rank remainders inside ONE tiny aggregated row: array_sort of
+      // (-rem, source) structs sorts rem desc with name tiebreak
+      val ranked = q.agg(collect_list(
+          struct((-col("rem")).as("nr"), col("source").as("source"),
+            col("quota").as("quota"))).as("arr"),
+          sum(col("quota")).as("qsum"))
+        .select(col("qsum"),
+          posexplode(array_sort(col("arr"))).as(Seq("pos", "st")))
+        .select(col("st.source").as("source"), col("st.quota").as("quota"),
+          (col("quota") + when(col("pos") < lit(N) - col("qsum"), 1L)
+            .otherwise(0L)).as("alloc"))
+      val rk = docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+      rk.join(broadcast(ranked), "source")
+        .where(col("rk") <= col("alloc"))
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3297,7 +3338,35 @@ object PipelineQueries {
          | JOIN uni u1 ON u1.token = c.w1
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
-         |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin
+         |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // Hamilton apportionment in integers; md5-order rank per stratum
+    "p51_stratified" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |tt AS (SELECT SUM(cnt) AS t FROM counts),
+        |q AS (
+        |  SELECT source, cnt, (100 * cnt) // t AS quota,
+        |         (100 * cnt) % t AS rem
+        |  FROM counts, tt),
+        |l AS (SELECT 100 - SUM(quota) AS lft FROM q),
+        |r AS (
+        |  SELECT source, quota,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) - 1 AS pos
+        |  FROM q),
+        |alloc AS (
+        |  SELECT source,
+        |         quota + CASE WHEN pos < lft THEN 1 ELSE 0 END AS alloc
+        |  FROM r, l),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT rk.doc_id, rk.source, CAST(rk.rk AS BIGINT) AS rk
+        |FROM rk JOIN alloc ON alloc.source = rk.source
+        |WHERE rk.rk <= alloc.alloc
+        |ORDER BY doc_id""".stripMargin
   )
 
   private lazy val IncrementOracle: String =

@@ -131,6 +131,71 @@ object RelationalQueries {
         .orderBy("region")
     }),
 
+    "q37_funnel" -> ((s, dir) => {
+      // Funnel conversion: each user's first click, the first purchase
+      // STRICTLY after it, and the conversion gap — the ordered-event
+      // analysis sessionization (q24) doesn't answer. Two partial
+      // min-aggregates and one equi-join on user_id (the natural
+      // shuffle key); no window touches the raw event stream, so the
+      // plan is two map-side-combinable aggs at any event volume.
+      val e = t(s, dir, "events")
+      val fc = e.where(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val fp = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(fc, "user_id").where(col("ts") > col("first_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      fc.join(fp.drop("first_click"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("first_click")).as("first_click_us"),
+          unix_micros(col("first_purchase")).as("first_purchase_us"),
+          when(col("first_purchase").isNotNull, 1L).otherwise(0L)
+            .as("converted"),
+          (unix_micros(col("first_purchase"))
+            - unix_micros(col("first_click"))).as("gap_us"))
+        .orderBy("user_id")
+    }),
+
+    "q38_moments" -> ((s, dir) => {
+      // Distributed higher-order statistics from EXACT integer power
+      // sums: per event_type mean/variance/skewness/kurtosis where the
+      // four power sums Σx..Σx⁴ accumulate in cents as DECIMAL(38,0)
+      // (x⁴ of a 560.21 max value overflows BIGINT per-row — it rides
+      // decimal too), so partial-aggregation order can NEVER show.
+      // Only the final moment conversion floats, with the identical
+      // IEEE operator order on both engines and m2·sqrt(m2) instead of
+      // pow(m2,1.5) (sqrt is correctly rounded per IEEE-754; libm pow
+      // is not) — skew/kurt are scale-invariant so cents cancel.
+      val e = t(s, dir, "events")
+        .withColumn("c",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumn("x2", col("c") * col("c"))
+      val agg = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s1"),
+        sum(col("x2").cast("decimal(38,0)")).as("s2"),
+        sum((col("x2") * col("c")).cast("decimal(38,0)")).as("s3"),
+        sum(col("x2").cast("decimal(38,0)") * col("x2")).as("s4"))
+      def r6(c: Column) = round(c * lit(1e6)) / lit(1e6)
+      val nd = col("n").cast("double")
+      val (s1, s2, s3, s4) = (col("s1").cast("double"),
+        col("s2").cast("double"), col("s3").cast("double"),
+        col("s4").cast("double"))
+      val mean = s1 / nd
+      val m2 = s2 / nd - mean * mean
+      val m3 = s3 / nd - lit(3.0) * mean * (s2 / nd) +
+        lit(2.0) * mean * mean * mean
+      val m4 = s4 / nd - lit(4.0) * mean * (s3 / nd) +
+        lit(6.0) * mean * mean * (s2 / nd) -
+        lit(3.0) * mean * mean * mean * mean
+      agg.select(col("event_type"), col("n"),
+        r6(mean / lit(100.0)).as("mean"),
+        r6(m2 / lit(10000.0)).as("variance"),
+        r6(m3 / (m2 * sqrt(m2))).as("skewness"),
+        r6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+        .orderBy("event_type")
+    }),
+
     "q35_kmvquantile" -> ((s, dir) => {
       // deterministic sample-quantile sketch — q20's KMV idea applied
       // to quantiles: the sample is the K=256 rows whose unique row
@@ -790,6 +855,60 @@ object RelationalQueries {
         |FROM nats JOIN segs USING (n_regionkey)
         |          JOIN region ON n_regionkey = r_regionkey
         |ORDER BY region""".stripMargin,
+
+    // epoch-micros ints, not ts strings — fractional-second VARCHAR
+    // trimming is the one formatting seam the engines could disagree on
+    "q37_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(ts) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS first_purchase
+        |  FROM events e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+        |  GROUP BY e.user_id)
+        |SELECT fc.user_id,
+        |       epoch_us(fc.first_click) AS first_click_us,
+        |       epoch_us(fp.first_purchase) AS first_purchase_us,
+        |       CAST(CASE WHEN fp.first_purchase IS NULL THEN 0 ELSE 1 END
+        |            AS BIGINT) AS converted,
+        |       epoch_us(fp.first_purchase) - epoch_us(fc.first_click)
+        |         AS gap_us
+        |FROM fc LEFT JOIN fp ON fp.user_id = fc.user_id
+        |ORDER BY fc.user_id""".stripMargin,
+
+    // exact HUGEINT power sums in cents; the float moment conversion
+    // mirrors the Spark operator order, sqrt not pow
+    "q38_moments" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(c) AS s1, SUM(c*c) AS s2, SUM(c*c*c) AS s3,
+        |         SUM(CAST(c*c AS HUGEINT) * (c*c)) AS s4
+        |  FROM b GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+        |         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+        |  FROM a)
+        |SELECT event_type, n,
+        |  ROUND((s1/nd) / 100.0 * 1e6) / 1e6 AS mean,
+        |  ROUND((s2/nd - (s1/nd)*(s1/nd)) / 10000.0 * 1e6) / 1e6
+        |    AS variance,
+        |  ROUND((s3/nd - 3.0*(s1/nd)*(s2/nd)
+        |         + 2.0*(s1/nd)*(s1/nd)*(s1/nd))
+        |        / ((s2/nd - (s1/nd)*(s1/nd))
+        |           * sqrt(s2/nd - (s1/nd)*(s1/nd))) * 1e6) / 1e6
+        |    AS skewness,
+        |  ROUND(((s4/nd - 4.0*(s1/nd)*(s3/nd)
+        |          + 6.0*(s1/nd)*(s1/nd)*(s2/nd)
+        |          - 3.0*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd))
+        |         / ((s2/nd - (s1/nd)*(s1/nd)) * (s2/nd - (s1/nd)*(s1/nd)))
+        |         - 3.0) * 1e6) / 1e6 AS kurtosis
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // the identical fixed hash-sample and integer ranks — the sketch,
     // not the estimate, is what the two engines must agree on

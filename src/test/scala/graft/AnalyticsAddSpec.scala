@@ -1,0 +1,152 @@
+package graft
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+
+/** Gates for the round-6 fourth-session relational/sampling additions:
+  * funnel conversion (q37), exact-power-sum statistical moments (q38),
+  * and largest-remainder stratified sampling (p51).
+  */
+class AnalyticsAddSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  // --- q37 funnel -------------------------------------------------------
+
+  test("q37: first-click/first-purchase matches a sequential mirror") {
+    val rows = RelationalQueries.defs("q37_funnel")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, Sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val purchases = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3)).toMap
+    assert(rows.length == clicks.size, "one row per clicking user")
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val fc = clicks(u)
+      assert(r.getLong(1) == fc)
+      val fp = purchases.getOrElse(u, Array.empty[Long]).filter(_ > fc)
+        .sorted.headOption
+      fp match {
+        case Some(p) =>
+          assert(r.getLong(2) == p && r.getLong(3) == 1L &&
+            r.getLong(4) == p - fc)
+        case None =>
+          assert(r.isNullAt(2) && r.getLong(3) == 0L && r.isNullAt(4))
+      }
+    }
+    // the dense month-long fixture converts every clicking user; the
+    // no-purchase branch is proven by the mirror's None arm above
+    assert(rows.exists(_.getLong(3) == 1L))
+  }
+
+  test("q37: non-converting and pre-click-purchase users null out") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 converts; user 2 never purchases; user 3's only purchase
+    // PRECEDES its first click (strictly-after must exclude it)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 3L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("q37")
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.defs("q37_funnel")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  // --- q38 moments ------------------------------------------------------
+
+  test("q38: moments equal a BigInt power-sum mirror; symmetric data 0-skew") {
+    val rows = RelationalQueries.defs("q38_moments")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables.load(spark, Sf, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val cents = vals.filter(_._1 == tpe)
+        .map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toBigIntExact.get)
+      val n = cents.length
+      assert(r.getLong(1) == n.toLong)
+      val s1 = cents.sum; val s2 = cents.map(x => x * x).sum
+      val s3 = cents.map(x => x * x * x).sum
+      val s4 = cents.map(x => x * x * x * x).sum
+      val nd = n.toDouble
+      val mean = s1.toDouble / nd
+      val m2 = s2.toDouble / nd - mean * mean
+      val m3 = s3.toDouble / nd - 3.0 * mean * (s2.toDouble / nd) +
+        2.0 * mean * mean * mean
+      val m4 = s4.toDouble / nd - 4.0 * mean * (s3.toDouble / nd) +
+        6.0 * mean * mean * (s2.toDouble / nd) -
+        3.0 * mean * mean * mean * mean
+      assert(math.abs(r.getDouble(2) - mean / 100.0) < 1e-6, s"mean $tpe")
+      assert(math.abs(r.getDouble(3) - m2 / 10000.0) < 1e-5, s"var $tpe")
+      assert(math.abs(r.getDouble(4) - m3 / (m2 * math.sqrt(m2))) < 1e-6,
+        s"skew $tpe")
+      assert(math.abs(r.getDouble(5) - (m4 / (m2 * m2) - 3.0)) < 1e-6,
+        s"kurt $tpe")
+    }
+  }
+
+  test("q38 shape: exact power sums survive the BIGINT-overflow value") {
+    // a single 560.21 puts x^4 at 9.85e18 > Long.MaxValue: the decimal
+    // path must carry it where a long would wrap negative
+    val x = BigInt(56021)
+    assert((x * x * x * x) > BigInt(Long.MaxValue))
+    val df = Seq(("a", 560.21), ("a", 560.21), ("a", 0.01))
+      .toDF("event_type", "value")
+      .withColumn("c", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("x2", col("c") * col("c"))
+      .groupBy("event_type")
+      .agg(sum(col("x2").cast("decimal(38,0)") * col("x2")).as("s4"))
+    val s4 = BigDecimal(df.collect().head.getDecimal(1))
+    assert(s4.toBigInt == x * x * x * x * 2 + 1)
+  }
+
+  // --- p51 stratified sampling -----------------------------------------
+
+  test("p51: allocation sums to exactly 100 and is proportional ±1") {
+    val out = PipelineQueries.defs("p51_stratified")(spark, Sf).collect()
+    assert(out.length == 100, s"got ${out.length}")
+    val counts = Tables.load(spark, Sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    val allocBySrc = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    allocBySrc.foreach { case (src, a) =>
+      val ideal = 100.0 * counts(src) / total
+      assert(math.abs(a - ideal) < 1.0 + 1e-9,
+        s"$src alloc $a vs ideal $ideal") // Hamilton stays within 1 seat
+    }
+    // selection is the md5-rank prefix: ranks are 1..alloc per source
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val rks = rows.map(_.getLong(2)).sorted
+      assert(rks.sameElements(1L to rks.length))
+    }
+  }
+
+  test("p51: apportionment mirror on a skewed synthetic corpus") {
+    // 3 sources sized 7/2/1 over budget 100: quotas 70/20/10 exact
+    val docs = ((1 to 70).map(i => (i.toLong, "big")) ++
+      (71 to 90).map(i => (i.toLong, "mid")) ++
+      (91 to 100).map(i => (i.toLong, "small")))
+      .map { case (id, src) => (id, s"text $id", src) }
+      .toDF("doc_id", "text", "source")
+    val tmp = tmpDir("p51") + "/documents.parquet"
+    docs.write.parquet(tmp)
+    val out = PipelineQueries.defs("p51_stratified")(
+      spark, tmp.stripSuffix("/documents.parquet"))
+    val bySrc = out.collect().groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(bySrc("big") == 70 && bySrc("mid") == 20 && bySrc("small") == 10)
+  }
+}
