@@ -116,7 +116,8 @@ object Bench {
     val streamNames = Seq("s1_stream", "s2_sessions", "s3_streamdedup",
       "s4_streamincrement", "s5_streamjoin", "s6_streamstore",
       "s7_streamdim", "s8_streamfinal", "s9_streamlinefilter",
-      "s10_streamtopk", "s11_streammanifest", "s12_streamkmv")
+      "s10_streamtopk", "s11_streammanifest", "s12_streamkmv",
+      "s13_streamfunnel")
     streamNames.foreach(n => graft.streaming.StreamStats.get(n).foreach(st =>
       System.err.println(s"[bench] $n: batches=${st.batches} " +
         s"rows=${st.inputRows} rows_per_sec=${"%.0f".format(st.rowsPerSec)}")))

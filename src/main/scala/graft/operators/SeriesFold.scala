@@ -129,6 +129,63 @@ object SeriesFold {
       .withColumn(bucketCol, timestamp_seconds(col(bucketCol)))
   }
 
+  /** Holt-Winters CONFIDENCE BANDS (Brutlag 2000 — the method behind
+    * Graphite's holtWintersConfidenceBands/holtWintersAberration): on
+    * top of the h25 recurrence, a per-seasonal-slot deviation
+    *   d_i = γ·|y_t − ŷ_t| + (1−γ)·d_i
+    * where ŷ_t = l_{t−1} + b_{t−1} + s_i is the one-step prediction
+    * BEFORE the slot's update, and the band is ŷ ± δ·d_i using the
+    * PRE-update deviation (the previous season's estimate — Brutlag's
+    * d_{t−m}). Emits (pred, dev, upper, lower, aberrant) with the
+    * exact IEEE op order a DuckDB recursive CTE carrying both 24-slot
+    * LISTs replays bit-identically (all constants dyadic).
+    */
+  def holtWintersBands(df: DataFrame, seriesCol: String, bucketCol: String,
+                       valueCol: String, alpha: Double, beta: Double,
+                       gamma: Double, period: Int,
+                       delta: Double): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    val g1 = 1.0 - gamma
+    df.select(col(seriesCol).cast("string"),
+        col(bucketCol).cast("long"), col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.map(r => (r._2, r._3)).toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by((p: (Long, Double)) => (p._1, p._2)))
+        var l = 0.0; var b = 0.0
+        val s = Array.fill(period)(0.0)
+        val d = Array.fill(period)(0.0)
+        var t = 0
+        rows.iterator.map { case (bkt, v) =>
+          val idx = t % period
+          var pred = v; var dpre = 0.0
+          if (t == 0) { l = v; b = 0.0 }
+          else {
+            pred = l + b + s(idx)
+            dpre = d(idx)
+            val lNew = alpha * (v - s(idx)) + a1 * (l + b)
+            b = beta * (lNew - l) + b1 * b
+            s(idx) = gamma * (v - lNew) + g1 * s(idx)
+            d(idx) = gamma * math.abs(v - pred) + g1 * d(idx)
+            l = lNew
+          }
+          t += 1
+          val upper = pred + delta * dpre
+          val lower = pred - delta * dpre
+          (key, bkt, pred, dpre, upper, lower,
+            if (v > upper || v < lower) 1L else 0L)
+        }
+      }
+      .toDF(seriesCol, bucketCol, "pred", "dev", "upper", "lower",
+        "aberrant")
+      .withColumn(bucketCol, timestamp_seconds(col(bucketCol)))
+  }
+
   def exponentialMovingAverage(df: DataFrame, seriesCol: String,
                                bucketCol: String, valueCol: String,
                                alpha: Double): DataFrame = {

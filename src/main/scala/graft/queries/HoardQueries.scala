@@ -429,6 +429,29 @@ object HoardQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    "h37_hwbands" -> ((s, dir) => {
+      // Graphite holtWintersConfidenceBands + holtWintersAberration
+      // (Brutlag 2000): h25's seasonal recurrence extended with the
+      // per-slot deviation d_i = γ|y−ŷ| + (1−γ)d_i; band = one-step
+      // prediction ± 3·d_i using the PREVIOUS season's deviation
+      // (Brutlag's d_{t−m}), aberrant = outside the band. Same typed
+      // per-series fold contract as h25 (group bounded by retention,
+      // dyadic constants, IEEE order fixed); the flag is a pure
+      // comparison of bit-identical doubles so it can't drift either.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      graft.operators.SeriesFold
+        .holtWintersBands(hourlyByType(s, dir), "event_type", "bucket",
+          "value", alpha = 0.5, beta = 0.25, gamma = 0.25, period = 24,
+          delta = 3.0)
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          r6(col("pred")).as("pred"),
+          r6(col("dev")).as("dev"),
+          r6(col("upper")).as("upper"),
+          r6(col("lower")).as("lower"),
+          col("aberrant"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h33_pointwise" -> ((s, dir) => {
       // Graphite's pointwise-transform family in one pass: scale(10),
       // offset(-50), absolute of the offset, invert (safeDiv 1/v —
@@ -1011,6 +1034,79 @@ object HoardQueries {
         .orderBy("click_id", "purchase_id")
     }),
 
+    "s13_streamfunnel" -> ((s, dir) => {
+      // Streaming funnel attribution: q37's first-click → first-later-
+      // purchase computed INCREMENTALLY over an event-time-ordered
+      // replay (three day-ranged files, mtime-pinned so AvailableNow
+      // delivers them oldest-first). Per-user state is O(1) — two
+      // nullable timestamps — and the per-batch fold is two partial
+      // aggregates + one equi-join on user_id: first_click =
+      // coalesce(state, batch min click) (a later batch can never
+      // supply an earlier click), first_purchase = coalesce(state,
+      // batch min purchase STRICTLY after the resolved click) (an
+      // earlier batch's purchases all precede this batch's clicks, so
+      // nothing is ever missed). The maintained table must equal the
+      // one-pass batch query EXACTLY — the oracle is q37's, verbatim.
+      graft.Graft.configure(s)
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-s13-in").toString
+      val bounds = Seq(("b0", 1, 10), ("b1", 11, 20), ("b2", 21, 32))
+      bounds.foreach { case (b, lo, hi) =>
+        ev.where(dayofmonth(col("ts")).between(lo, hi))
+          .coalesce(1).write.mode("overwrite").parquet(s"$inDir/$b")
+      }
+      // AvailableNow orders files by modification time: pin strictly
+      // increasing mtimes so the replay is event-time ordered even
+      // when the three writes land inside one filesystem tick
+      bounds.zipWithIndex.foreach { case ((b, _, _), i) =>
+        val d = new java.io.File(s"$inDir/$b")
+        d.listFiles().foreach(f => f.setLastModified(1000000000000L + i * 60000L))
+      }
+      val schema = s.read.parquet(s"$inDir/b0").schema
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-s13-ckpt").toString
+      var state = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+        .toDF("user_id", "fc", "fp")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val clicks = batch.where(col("event_type") === "click")
+            .groupBy(col("user_id")).agg(min(col("ts")).as("bc"))
+          val merged = state.join(clicks, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              coalesce(col("fc"), col("bc")).as("fc"), col("fp"))
+          val buys = batch.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"))
+            .join(merged.select(col("user_id"), col("fc")), "user_id")
+            .where(col("ts") > col("fc"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("bp"))
+          state = merged.join(buys, Seq("user_id"), "left")
+            .select(col("user_id"), col("fc"),
+              coalesce(col("fp"), col("bp")).as("fp"))
+            .localCheckpoint(true)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s13_streamfunnel", q); q.stop()
+      state.where(col("fc").isNotNull)
+        .select(col("user_id"),
+          unix_micros(col("fc")).as("first_click_us"),
+          unix_micros(col("fp")).as("first_purchase_us"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("converted"),
+          (unix_micros(col("fp")) - unix_micros(col("fc"))).as("gap_us"))
+        .orderBy("user_id")
+    }),
+
     "h36_seriesdiv" -> ((s, dir) => {
       // Graphite's divideSeries + diffSeries in one aligned pass: the
       // error/click ratio and spread per hourly slot. A FULL OUTER
@@ -1386,6 +1482,57 @@ object HoardQueries {
         |       ROUND(b * 1e6) / 1e6 AS trend,
         |       ROUND(s[((rn - 1) % 24) + 1] * 1e6) / 1e6 AS season,
         |       ROUND((l + b + s[(rn % 24) + 1]) * 1e6) / 1e6 AS forecast
+        |FROM rec ORDER BY event_type, bucket""".stripMargin,
+
+    // Brutlag bands: h25's recursion + a second 24-slot deviation LIST;
+    // pred/devpre are emitted per row so the band math and the flag
+    // compare the identical doubles the Spark fold produced
+    "h37_hwbands" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |o AS (
+        |  SELECT event_type, h, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hourly),
+        |rec AS (
+        |  SELECT event_type, h, rn, v, v AS l, CAST(0.0 AS DOUBLE) AS b,
+        |         list_transform(range(1, 25), i -> CAST(0.0 AS DOUBLE)) AS s,
+        |         list_transform(range(1, 25), i -> CAST(0.0 AS DOUBLE)) AS d,
+        |         v AS pred, CAST(0.0 AS DOUBLE) AS devpre
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.h, o.rn, o.v,
+        |         0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |           + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                  + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+        |         list_transform(range(1, 25), i ->
+        |           CASE WHEN i = ((o.rn - 1) % 24) + 1
+        |             THEN 0.25 * (o.v -
+        |               (0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                + 0.5 * (r.l + r.b)))
+        |               + 0.75 * r.s[((o.rn - 1) % 24) + 1]
+        |             ELSE r.s[i] END),
+        |         list_transform(range(1, 25), i ->
+        |           CASE WHEN i = ((o.rn - 1) % 24) + 1
+        |             THEN 0.25 * abs(o.v -
+        |               (r.l + r.b + r.s[((o.rn - 1) % 24) + 1]))
+        |               + 0.75 * r.d[((o.rn - 1) % 24) + 1]
+        |             ELSE r.d[i] END),
+        |         r.l + r.b + r.s[((o.rn - 1) % 24) + 1],
+        |         r.d[((o.rn - 1) % 24) + 1]
+        |  FROM rec r JOIN o ON o.event_type = r.event_type
+        |   AND o.rn = r.rn + 1)
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(pred * 1e6) / 1e6 AS pred,
+        |       ROUND(devpre * 1e6) / 1e6 AS dev,
+        |       ROUND((pred + 3.0 * devpre) * 1e6) / 1e6 AS upper,
+        |       ROUND((pred - 3.0 * devpre) * 1e6) / 1e6 AS lower,
+        |       CAST(CASE WHEN v > pred + 3.0 * devpre
+        |                   OR v < pred - 3.0 * devpre
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS aberrant
         |FROM rec ORDER BY event_type, bucket""".stripMargin,
 
     // pointwise transforms: decimal-exact scale/offset, tie-safe invert
@@ -1770,6 +1917,10 @@ object HoardQueries {
         |       CAST(CAST(e.v AS DECIMAL(18,6)) - CAST(c.v AS DECIMAL(18,6))
         |            AS DOUBLE) AS diff
         |FROM e FULL JOIN c ON e.h = c.h
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    // the maintained streaming funnel table must equal the one-pass
+    // batch computation exactly — q37's oracle, verbatim
+    "s13_streamfunnel" -> RelationalQueries.oracles("q37_funnel")
   )
 }

@@ -131,6 +131,28 @@ object RelationalQueries {
         .orderBy("region")
     }),
 
+    "q39_rangeframe" -> ((s, dir) => {
+      // Event-time RANGE frames: trailing 1-hour count + exact sum per
+      // event over its series — the sliding aggregation whose frame is
+      // a TIME interval, not a row count (q12's frames are ROWS). The
+      // range key is epoch MICROS on both engines so the boundary
+      // can't quantize differently; the sum rides decimal so peer
+      // order can't show; RANGE includes ts-peers by definition on
+      // both. Partitioned by series — no global sort.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select(col("event_id"), col("event_type"), col("n_1h"),
+          round(col("sum_1h"), 6).as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     "q37_funnel" -> ((s, dir) => {
       // Funnel conversion: each user's first click, the first purchase
       // STRICTLY after it, and the conversion gap — the ordered-event
@@ -855,6 +877,18 @@ object RelationalQueries {
         |FROM nats JOIN segs USING (n_regionkey)
         |          JOIN region ON n_regionkey = r_regionkey
         |ORDER BY region""".stripMargin,
+
+    // numeric epoch-micros RANGE key so the 1h boundary is exact on
+    // both engines; decimal sum so peer order can't show
+    "q39_rangeframe" ->
+      """SELECT event_id, event_type,
+        |       COUNT(*) OVER w AS n_1h,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+        |             AS DOUBLE), 6) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // epoch-micros ints, not ts strings — fractional-second VARCHAR
     // trimming is the one formatting seam the engines could disagree on

@@ -113,6 +113,89 @@ class AnalyticsAddSpec extends SparkTestBase {
     assert(s4.toBigInt == x * x * x * x * 2 + 1)
   }
 
+  // --- s13 streaming funnel --------------------------------------------
+
+  test("s13: cross-batch conversion found, pre-click purchase discarded") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: click in batch b0 (day 5), purchase in batch b1 (day 15)
+    //   — the conversion spans a micro-batch boundary
+    // user 2: purchase day 2 (b0), click day 12 (b1) — the purchase
+    //   precedes the click and sits in an EARLIER batch; the fold must
+    //   never resurrect it
+    val ev = Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-15 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 2L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-12 10:00:00"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("s13")
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.HoardQueries.defs("s13_streamfunnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("s13 equals q37 exactly on sf0.001 (batch/stream parity)") {
+    val stream = graft.queries.HoardQueries.defs("s13_streamfunnel")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = RelationalQueries.defs("q37_funnel")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
+  // --- q39 range frames -------------------------------------------------
+
+  test("q39: trailing 1h frame matches a sequential per-series mirror") {
+    val rows = RelationalQueries.defs("q39_rangeframe")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, Sf, "events")
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")),
+        col("value"))
+      .as[(Long, String, Long, Double)].collect()
+    val bySeries = ev.groupBy(_._2)
+    val expect = ev.map { case (id, tpe, t, _) =>
+      val peers = bySeries(tpe).filter(e => e._3 >= t - 3600000000L && e._3 <= t)
+      id -> (peers.length.toLong,
+        peers.map(e => BigDecimal(e._4).setScale(6)).sum.toDouble)
+    }.toMap
+    rows.foreach { r =>
+      val (n, s) = expect(r.getLong(0))
+      assert(r.getLong(2) == n, s"n at ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - s) < 1e-6, s"sum at ${r.getLong(0)}")
+    }
+  }
+
+  // --- h37 Holt-Winters bands ------------------------------------------
+
+  test("h37: spike flags aberrant; steady series never does") {
+    // 3 days of hourly points at a constant 10.0, with one 1000.0
+    // spike mid-way: the band tracks the constant exactly (dev -> 0),
+    // so ONLY the spike crosses it
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 72).map { i =>
+      val v = if (i == 50) 1000.0 else 10.0
+      ("s", java.sql.Timestamp.from(base.plusSeconds(i * 3600L)), v)
+    }.toDF("event_type", "bucket", "value")
+    val out = graft.operators.SeriesFold
+      .holtWintersBands(rows, "event_type", "bucket", "value",
+        alpha = 0.5, beta = 0.25, gamma = 0.25, period = 24, delta = 3.0)
+      .orderBy("bucket").collect()
+    assert(out.length == 72)
+    val flagged = out.zipWithIndex.filter(_._1.getLong(6) == 1L).map(_._2)
+    assert(flagged.contains(50), "the spike must be flagged")
+    assert(!flagged.contains(0) && flagged.forall(i => i >= 50),
+      s"nothing before the spike may flag: $flagged")
+    // band self-consistency on every row
+    out.foreach { r =>
+      val (p, d, u, lo) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(math.abs(u - (p + 3.0 * d)) < 1e-9)
+      assert(math.abs(lo - (p - 3.0 * d)) < 1e-9)
+      assert(d >= 0.0)
+    }
+  }
+
   // --- p51 stratified sampling -----------------------------------------
 
   test("p51: allocation sums to exactly 100 and is proportional ±1") {
