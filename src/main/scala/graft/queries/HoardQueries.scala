@@ -1107,6 +1107,128 @@ object HoardQueries {
         .orderBy("user_id")
     }),
 
+    "s14_streamhw" -> ((s, dir) => {
+      // STREAMING anomaly detection with exact batch parity: h37's
+      // Brutlag band fold kept live across an event-time-ordered
+      // replay (s13's day-ranged, mtime-pinned AvailableNow batches).
+      // Per-series state is the full recurrence carry — (l, b, t,
+      // s[24], d[24]), ~50 doubles — held in a keyed table and
+      // COGROUPED with each batch's hourly lww aggregate, so the fold
+      // resumes mid-series with the identical IEEE op order the
+      // one-pass batch fold uses: the maintained output must equal
+      // h37 BIT-EXACTLY (the oracle is h37's, verbatim). Hour buckets
+      // never straddle the day-ranged batch bounds, so per-batch lww
+      // is the global lww. State and outputs are localCheckpoint'd
+      // per batch — O(|series|) and O(emitted rows), never O(corpus).
+      graft.Graft.configure(s)
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-s14-in").toString
+      val bounds = Seq(("b0", 1, 10), ("b1", 11, 20), ("b2", 21, 32))
+      bounds.foreach { case (b, lo, hi) =>
+        ev.where(dayofmonth(col("ts")).between(lo, hi))
+          .coalesce(1).write.mode("overwrite").parquet(s"$inDir/$b")
+      }
+      bounds.zipWithIndex.foreach { case ((b, _, _), i) =>
+        new java.io.File(s"$inDir/$b").listFiles()
+          .foreach(_.setLastModified(1000000000000L + i * 60000L))
+      }
+      val schema = s.read.parquet(s"$inDir/b0").schema
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-s14-ckpt").toString
+      // (series, l, b, t, s[24], d[24])
+      var state = Seq.empty[(String, Double, Double, Int,
+        Seq[Double], Seq[Double])]
+        .toDF("series", "l", "b", "t", "s", "d")
+      var out = Seq.empty[(String, Long, Double, Double, Double,
+        Double, Long)]
+        .toDF("event_type", "bkt", "pred", "dev", "upper", "lower",
+          "aberrant")
+      val (alpha, beta, gamma, delta) = (0.5, 0.25, 0.25, 3.0)
+      val (a1, b1, g1) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+      val period = 24
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val hourly = Dedup.lastWriteWins(batch,
+            Seq(col("event_type"), Time.align(col("ts"), 3600).as("bucket")),
+            col("event_id"), Seq("value" -> col("value")))
+            .select(col("event_type"), col("bucket").cast("long"),
+              col("value").cast("double"))
+            .as[(String, Long, Double)]
+          val st = state.as[(String, Double, Double, Int,
+            Seq[Double], Seq[Double])]
+          // one output row per slot PLUS one trailing state row per
+          // series, discriminated by bkt = Long.MinValue
+          val folded = hourly.groupByKey(_._1)
+            .cogroup(st.groupByKey(_._1)) { (key, rowsIt, stIt) =>
+              val rows = rowsIt.map(r => (r._2, r._3)).toArray
+              java.util.Arrays.sort(rows,
+                Ordering.by((p: (Long, Double)) => (p._1, p._2)))
+              val init = stIt.toSeq.headOption
+              var l = init.map(_._2).getOrElse(0.0)
+              var b = init.map(_._3).getOrElse(0.0)
+              var t = init.map(_._4).getOrElse(0)
+              val sArr = init.map(_._5.toArray)
+                .getOrElse(Array.fill(period)(0.0))
+              val dArr = init.map(_._6.toArray)
+                .getOrElse(Array.fill(period)(0.0))
+              val emitted = rows.iterator.map { case (bkt, v) =>
+                val idx = t % period
+                var pred = v; var dpre = 0.0
+                if (t == 0) { l = v; b = 0.0 }
+                else {
+                  pred = l + b + sArr(idx)
+                  dpre = dArr(idx)
+                  val lNew = alpha * (v - sArr(idx)) + a1 * (l + b)
+                  b = beta * (lNew - l) + b1 * b
+                  sArr(idx) = gamma * (v - lNew) + g1 * sArr(idx)
+                  dArr(idx) = gamma * math.abs(v - pred) + g1 * dArr(idx)
+                  l = lNew
+                }
+                t += 1
+                val upper = pred + delta * dpre
+                val lower = pred - delta * dpre
+                (key, bkt, pred, dpre, upper, lower,
+                  if (v > upper || v < lower) 1L else 0L,
+                  0.0, 0.0, 0, Seq.empty[Double], Seq.empty[Double])
+              }.toArray
+              (emitted.iterator ++ Iterator(
+                (key, Long.MinValue, 0.0, 0.0, 0.0, 0.0, 0L,
+                  l, b, t, sArr.toSeq, dArr.toSeq)))
+            }
+            .toDF("series", "bkt", "pred", "dev", "upper", "lower",
+              "aberrant", "l", "b", "t", "s", "d")
+            .localCheckpoint(true)
+          state = folded.where(col("bkt") === Long.MinValue)
+            .select(col("series"), col("l"), col("b"), col("t"),
+              col("s"), col("d"))
+          out = out.unionByName(
+            folded.where(col("bkt") =!= Long.MinValue)
+              .select(col("series").as("event_type"), col("bkt"),
+                col("pred"), col("dev"), col("upper"), col("lower"),
+                col("aberrant"))).localCheckpoint(true)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s14_streamhw", q); q.stop()
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      out.select(col("event_type"),
+        timestamp_seconds(col("bkt")).cast("string").as("bucket"),
+        r6(col("pred")).as("pred"), r6(col("dev")).as("dev"),
+        r6(col("upper")).as("upper"), r6(col("lower")).as("lower"),
+        col("aberrant"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h36_seriesdiv" -> ((s, dir) => {
       // Graphite's divideSeries + diffSeries in one aligned pass: the
       // error/click ratio and spread per hourly slot. A FULL OUTER
@@ -1137,7 +1259,7 @@ object HoardQueries {
 
   private val StreamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "h1_lww" ->
       """SELECT user_id, CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
         | ROUND(arg_max(value, event_id), 6) AS value
@@ -1923,4 +2045,10 @@ object HoardQueries {
     // batch computation exactly — q37's oracle, verbatim
     "s13_streamfunnel" -> RelationalQueries.oracles("q37_funnel")
   )
+
+  /** The carried-state streaming fold must be BIT-equal to the
+    * one-pass batch recurrence — h37's oracle, verbatim.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("s14_streamhw" -> oraclesBase("h37_hwbands"))
 }

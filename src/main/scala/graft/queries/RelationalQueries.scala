@@ -131,6 +131,41 @@ object RelationalQueries {
         .orderBy("region")
     }),
 
+    "q40_corr" -> ((s, dir) => {
+      // Correlation + population covariance from EXACT integer sums
+      // (q38's moment discipline applied to two variables): quantity
+      // is integer-valued, price rides cents; Σx, Σy, Σxy, Σx², Σy²
+      // accumulate as DECIMAL(38,0) so partial-agg order can't show,
+      // and only the final Pearson conversion floats — identical IEEE
+      // op order both engines, sqrt (correctly rounded) not pow.
+      // corr is scale-invariant so the cents cancel; covar divides
+      // the one 100 back out.
+      val e = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("y"))
+      val agg = e.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      def r6(c: Column) = round(c * lit(1e6)) / lit(1e6)
+      val nd = col("n").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      val cov = sxy / nd - (sx / nd) * (sy / nd)
+      val vx = sxx / nd - (sx / nd) * (sx / nd)
+      val vy = syy / nd - (sy / nd) * (sy / nd)
+      agg.select(col("l_returnflag"), col("n"),
+        r6(cov / (sqrt(vx) * sqrt(vy))).as("corr"),
+        r6(cov / lit(100.0)).as("covar_pop"))
+        .orderBy("l_returnflag")
+    }),
+
     "q39_rangeframe" -> ((s, dir) => {
       // Event-time RANGE frames: trailing 1-hour count + exact sum per
       // event over its series — the sliding aggregation whose frame is
@@ -877,6 +912,33 @@ object RelationalQueries {
         |FROM nats JOIN segs USING (n_regionkey)
         |          JOIN region ON n_regionkey = r_regionkey
         |ORDER BY region""".stripMargin,
+
+    // exact HUGEINT cross sums; Pearson conversion mirrors the Spark
+    // operator order, sqrt·sqrt not pow
+    "q40_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |         SUM(x*x) AS sxx, SUM(CAST(y AS HUGEINT)*y) AS syy
+        |  FROM b GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |         CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |         CAST(syy AS DOUBLE) AS syy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  ROUND((sxy/nd - (sx/nd)*(sy/nd))
+        |        / (sqrt(sxx/nd - (sx/nd)*(sx/nd))
+        |           * sqrt(syy/nd - (sy/nd)*(sy/nd))) * 1e6) / 1e6 AS corr,
+        |  ROUND((sxy/nd - (sx/nd)*(sy/nd)) / 100.0 * 1e6) / 1e6
+        |    AS covar_pop
+        |FROM d ORDER BY l_returnflag""".stripMargin,
 
     // numeric epoch-micros RANGE key so the 1h boundary is exact on
     // both engines; decimal sum so peer order can't show

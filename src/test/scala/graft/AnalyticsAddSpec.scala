@@ -144,6 +144,16 @@ class AnalyticsAddSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  // --- s14 streaming Holt-Winters --------------------------------------
+
+  test("s14 equals h37 exactly on sf0.001 (carried-state fold parity)") {
+    val stream = graft.queries.HoardQueries.defs("s14_streamhw")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.HoardQueries.defs("h37_hwbands")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   // --- q39 range frames -------------------------------------------------
 
   test("q39: trailing 1h frame matches a sequential per-series mirror") {
@@ -163,6 +173,25 @@ class AnalyticsAddSpec extends SparkTestBase {
       val (n, s) = expect(r.getLong(0))
       assert(r.getLong(2) == n, s"n at ${r.getLong(0)}")
       assert(math.abs(r.getDouble(3) - s) < 1e-6, s"sum at ${r.getLong(0)}")
+    }
+  }
+
+  // --- q40 correlation --------------------------------------------------
+
+  test("q40: exact-sum Pearson agrees with Spark's built-in corr") {
+    val rows = RelationalQueries.defs("q40_corr")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val ref = Tables.load(spark, Sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (c, cv) = ref(r.getString(0))
+      assert(math.abs(r.getDouble(2) - c) < 1e-6, s"corr ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - cv) < 1e-3, s"covar ${r.getString(0)}")
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
     }
   }
 
