@@ -87,6 +87,28 @@ object PipelineStress {
         // share no span text, so posting lists stay short at any k
         TextAnalysis.duplicateSpans(docs, "doc_id", "text").count()
       }
+      timed("p48 bigram KN counts") {
+        // the corpus bigram groupBy behind p48/p50: vowel-permuted
+        // copies share almost no bigrams, so type counts — and the
+        // map-side-combined shuffle — grow linearly with k
+        val bg = docs.select(explode(expr(
+          """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin))
+          .as("b")).select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        bg.groupBy("w1", "w2").count().count()
+      }
+      timed("p49 novelty") {
+        // min-doc-per-shingle + per-doc conditional count: two linear
+        // aggregations, one equi-join
+        val sh = shingleIds.distinct()
+        val first = sh.groupBy(col("vid")).agg(min(col("doc_id")).as("fd"))
+        sh.join(first, "vid").groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+              .as("novel"))
+          .count()
+      }
       timed("p15 decontam shared") {
         // broadcast eval fingerprints vs the k×-scaled training side
         val grams = TextOps.shinglesOfText(docs, "doc_id", "text", 7)

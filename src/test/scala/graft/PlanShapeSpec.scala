@@ -201,4 +201,50 @@ class PlanShapeSpec extends SparkTestBase {
       .filter(_.partitionSpec.isEmpty)
     assert(badWindow.isEmpty, "partitionless window in p34")
   }
+
+  test("p48/p50: bigram stats plan zero windows; totals broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    for (name <- Seq("p48_kneserney", "p50_pmi")) {
+      val nodes = executed(name)
+      // the bigram stream is a zip_with explode over the scan — any
+      // WindowExec here would mean a token-stream sort crept in
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        s"window in $name's plan")
+      // the one-row type/bigram total meets the counts as a broadcast
+      // (crossJoin of a 1-row aggregate plans as BroadcastNestedLoop —
+      // the correct shape for an O(1) stats table; what must NOT
+      // appear is a SHUFFLED cartesian)
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"shuffled cartesian in $name")
+      assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) ||
+        nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"no broadcast in $name — the totals table shuffled?")
+    }
+  }
+
+  test("p51: apportionment never plans a partitionless window") {
+    val nodes = executed("p51_stratified")
+    val bad = nodes.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+    assert(bad.isEmpty,
+      "partitionless window in p51 — the seat ranking must ride the " +
+        "sorted-array posexplode, the doc rank the per-source window")
+  }
+
+  test("q39: the RANGE frame window is partitioned by series") {
+    val nodes = executed("q39_rangeframe")
+    val ws = nodes.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "expected a WindowExec in q39")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "partitionless RANGE window in q39")
+  }
+
+  test("q37: funnel is aggregates + equi joins, no window, no NLJ") {
+    val nodes = executed("q37_funnel")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "q37 must not sort the raw event stream in a window")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "nested-loop join in q37")
+  }
 }
