@@ -1509,6 +1509,36 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    "p52_semdecontam" -> ((s, dir) => {
+      // SEMANTIC decontamination (the embedding-space cousin of p15's
+      // n-gram fingerprints — paraphrased benchmark leakage that no
+      // 7-gram can catch): every train vector reports its nearest
+      // eval-set neighbor by cosine and a contamination flag at
+      // τ = 0.4 on the 6-decimal-rounded sim (rounding BEFORE the
+      // compare keeps dot-order ulps out of the flag; ties on the
+      // argmax break to the smallest eval id via one max(struct)).
+      // Shape: the eval set is the benchmark suite — small by
+      // construction — so it BROADCASTS and the train side streams
+      // through one O(N·E) scan + one map-side-combinable argmax;
+      // the IVF route (p9) is the drop-in when E outgrows broadcast.
+      val e = emb(s, dir)
+      val ev = Embeddings.withUnitVector(
+          e.where(pmod(col("vec_id"), lit(20)) === 0), "embedding", "en")
+        .select(col("vec_id").as("eval_id"), col("en"))
+      val tr = Embeddings.withUnitVector(
+          e.where(pmod(col("vec_id"), lit(20)) =!= 0), "embedding", "tn")
+        .select(col("vec_id"), col("tn"))
+      tr.crossJoin(broadcast(ev))
+        .select(col("vec_id"), col("eval_id"),
+          round(Embeddings.unitCosine("tn", "en"), 6).as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("eval_id")).as("nid"))).as("b"))
+        .select(col("vec_id"), (-col("b.nid")).as("nn_eval_id"),
+          col("b.sim").as("max_sim"),
+          when(col("b.sim") >= 0.4, 1L).otherwise(0L).as("contaminated"))
+        .orderBy("vec_id")
+    }),
+
     "p51_stratified" -> ((s, dir) => {
       // Stratified sampling with EXACT largest-remainder apportionment
       // (Hamilton's method): a fixed budget of 100 docs split across
@@ -3339,6 +3369,30 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // argmax via (sim, -eval_id) max; flag compares the ROUNDED sim
+    "p52_semdecontam" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |tr AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id % 20 <> 0),
+        |scored AS (
+        |  SELECT tr.vec_id, ev.eval_id,
+        |         ROUND(list_cosine_similarity(tr.e, ev.e), 6) AS sim
+        |  FROM tr, ev),
+        |best AS (
+        |  SELECT vec_id, MAX(sim) AS max_sim FROM scored GROUP BY vec_id)
+        |SELECT s.vec_id, MIN(s.eval_id) AS nn_eval_id, b.max_sim,
+        |       CAST(CASE WHEN b.max_sim >= 0.4 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS contaminated
+        |FROM scored s JOIN best b
+        |  ON b.vec_id = s.vec_id AND s.sim = b.max_sim
+        |GROUP BY s.vec_id, b.max_sim
+        |ORDER BY s.vec_id""".stripMargin,
 
     // Hamilton apportionment in integers; md5-order rank per stratum
     "p51_stratified" ->

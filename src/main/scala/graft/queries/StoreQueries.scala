@@ -26,8 +26,24 @@ object StoreQueries {
   private val Policy = ArchivePolicy(Seq(Archive(3600, 8760), Archive(86400, 1095)),
     cf = "avg_exact")
 
+  /** hs12's target policy: same hourly finest, 2-DAY coarse level. */
+  private val PolicyR = ArchivePolicy(
+    Seq(Archive(3600, 8760), Archive(172800, 548)), cf = "avg_exact")
+
   /** one store build per sf dir per JVM (queries stay idempotent). */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val builtResize = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeResized(s: SparkSession, dir: String): HoardStore = {
+    val root = builtResize.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-rs")
+        .toString + "/store"
+      storeFor(s, dir).resize(tmp, PolicyR, Now)
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
 
   private def storeFor(s: SparkSession, dir: String): HoardStore = {
     val root = built.computeIfAbsent(dir, _ => {
@@ -371,6 +387,23 @@ object StoreQueries {
         .orderBy("series_id", "bucket")
     }),
 
+    "hs12_resize" -> ((s, dir) => {
+      // retention-policy migration (the engine's whisper-resize): the
+      // standard hourly+daily store rebuilt under hourly+2-DAY via
+      // HoardStore.resize — equal-step data carries verbatim, the new
+      // coarse level is the engine's own xff-gated cascade of it. The
+      // oracle recomputes the 2-day rollup from raw events under the
+      // NEW policy: a resized store must be indistinguishable from a
+      // store that always had the new policy (within the finest
+      // level's coverage).
+      val st = storeResized(s, dir)
+      st.readLevel(PolicyR.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("long").as("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket_s")
+    }),
+
     "hs1_storefetch" -> ((s, dir) => {
       val st = storeFor(s, dir)
       // window (2024-01-05, 2024-01-07]-aligned; routes to the hourly level
@@ -575,6 +608,26 @@ object StoreQueries {
         |ORDER BY step""".stripMargin,
 
     "hs2_storerollup" -> DailyRollupSql,
+
+    // the resized store's 2-day level vs the from-scratch recomputation
+    // under the NEW policy (hourly lww -> xff-gated 2-day exact mean)
+    "hs12_resize" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value,
+        |           (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |two_day AS (
+        |  SELECT event_type,
+        |         (epoch_us(h) // 1000000)
+        |           - ((epoch_us(h) // 1000000) % 172800) AS b,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |  FROM hourly GROUP BY 1, 2
+        |  HAVING CAST(COUNT(v) AS DOUBLE) / 48 >= 0.5)
+        |SELECT event_type AS series_id, CAST(b AS BIGINT) AS bucket_s,
+        |       ROUND(v, 6) AS value
+        |FROM two_day ORDER BY series_id, bucket_s""".stripMargin,
 
     // the reference's golden fetch values for large.whisper
     // (test/hoard.test.coffee:36-51): [2048, 4546, 794, 805, 4718] at

@@ -931,6 +931,90 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * series until [[expireSnapshots]] physically reclaims it (call it
     * to actually forget the bytes).
     */
+  /** Retention-policy migration — the engine's `whisper-resize`
+    * (public tooling every Graphite deployment ships; the reference
+    * has no equivalent, SURVEY §2.1 O-ops stop at fetch): rebuild this
+    * store's data under `newPolicy` at `newRoot`.
+    *
+    * Semantics, level by level (finest→coarsest):
+    *  - the new FINEST level takes best-resolution old data: for each
+    *    age range the finest OLD archive covering it whose step
+    *    divides the new step (equal steps carry values verbatim;
+    *    coarser-divisible sources aggregate through the engine's own
+    *    xff-gated [[Rollup.downsample]]);
+    *  - each COARSER new level is the cascade of the new level above
+    *    it — mean-of-means, exactly what a native store under
+    *    `newPolicy` would hold (SURVEY §2.2.8) — plus, beyond the
+    *    finer level's coverage, deep history from old coarser
+    *    archives (best-resolution, same divisibility rule), so
+    *    independently-propagated history survives the migration the
+    *    way `whisper-resize --aggregate` keeps it;
+    *  - age ranges only an un-divisible old archive covers are
+    *    DROPPED (loudly in the Scaladoc, silently in data — the same
+    *    stance as the batch path's too-old drop);
+    *  - ranges are cut at retention horizons relative to `now`
+    *    (explicit, never wall clock).
+    */
+  def resize(newRoot: String, newPolicy: ArchivePolicy,
+             now: Long): HoardStore = {
+    val dst = HoardStore.create(spark, newRoot, newPolicy, mergeStrategy)
+
+    /** Best-resolution old rows aggregated to `targetStep`, ages in
+      * (fromAge, toAge], horizon-cut per source archive.
+      */
+    def oldRows(targetStep: Long, fromAge: Long, toAge: Long): Seq[DataFrame] = {
+      var covered = fromAge
+      policy.sorted.filter(o => targetStep % o.step == 0).flatMap { o =>
+        val hiAge = math.min(o.retention, toAge)
+        if (covered >= hiAge) None
+        else {
+          val loAge = covered
+          covered = hiAge
+          val rows = readLevel(o).where(
+            col("interval").cast("long") > now - hiAge &&
+              col("interval").cast("long") <= now - loAge)
+          Some(
+            if (o.step == targetStep) rows
+            else Rollup.downsample(rows, "series_id", "interval", "value",
+              o.step, targetStep, newPolicy.xff, newPolicy.cf))
+        }
+      }
+    }
+    def coverage(targetStep: Long, cap: Long): Long = {
+      val rets = policy.sorted.filter(o => targetStep % o.step == 0)
+        .map(_.retention)
+      if (rets.isEmpty) 0L else math.min(cap, rets.max)
+    }
+    def load(ar: Archive, parts: Seq[DataFrame]): DataFrame = {
+      val rows = parts.reduceOption(_ unionByName _)
+        .getOrElse(readLevel(policy.finest).limit(0))
+        .localCheckpoint(true)
+      dst.importArchive(ar,
+        rows.select(col("series_id"),
+          col("interval").cast("long").as("ts"), col("value")))
+      rows
+    }
+
+    val nf = newPolicy.finest
+    var prev = load(nf, oldRows(nf.step, 0L, nf.retention))
+    var prevStep = nf.step
+    var prevCover = coverage(nf.step, nf.retention)
+    newPolicy.sorted.tail.foreach { aN =>
+      val casc = Rollup.downsample(prev, "series_id", "interval", "value",
+        prevStep, aN.step, newPolicy.xff, newPolicy.cf)
+      // deep history the finer chain can't see; the cascade value wins
+      // where both touch a slot (it has the finer provenance)
+      val deep = oldRows(aN.step, prevCover, aN.retention)
+        .reduceOption(_ unionByName _)
+        .map(_.join(casc.select("series_id", "interval"),
+          Seq("series_id", "interval"), "left_anti"))
+      prev = load(aN, Seq(casc) ++ deep.toSeq)
+      prevStep = aN.step
+      prevCover = math.max(prevCover, coverage(aN.step, aN.retention))
+    }
+    dst
+  }
+
   def deleteSeries(pred: org.apache.spark.sql.Column): Unit =
     mergeStrategy match {
       case HoardStore.ManifestAppend => deleteSeriesManifest(pred)

@@ -195,6 +195,73 @@ class AnalyticsAddSpec extends SparkTestBase {
     }
   }
 
+  // --- hs12 resize ------------------------------------------------------
+
+  test("resize carries deep coarse-level history the finest can't see") {
+    import graft.core.{Archive, ArchivePolicy}
+    import graft.store.HoardStore
+    val now = 1706745600L // 2024-02-01 00:00:00 UTC
+    val oldPolicy = ArchivePolicy(
+      Seq(Archive(3600, 48), Archive(86400, 30)), cf = "avg_exact")
+    val newPolicy = ArchivePolicy(
+      Seq(Archive(3600, 48), Archive(172800, 15)), cf = "avg_exact")
+    val root = tmpDir("resize-deep") + "/store"
+    val st = HoardStore.create(spark, root, oldPolicy)
+    // recent: 48 hourly points (ages 0-2d) at value 10; deep: one point
+    // per day at ages 5..10 days with value 100+k — age routing sends
+    // the deep points straight to the DAILY archive (forAge), exactly
+    // how independently-propagated history accumulates in a live store
+    val recent = (1 until 48).map { i =>
+      ("s", now - i * 3600L, 10.0, i.toLong)
+    }
+    val deep = (5 to 10).map { k =>
+      ("s", now - k * 86400L, 100.0 + k, 100L + k)
+    }
+    st.updateManyDf((recent ++ deep)
+      .toDF("series_id", "ts", "value", "seq"), now)
+    val rs = st.resize(tmpDir("resize-out") + "/store2", newPolicy, now)
+    val twoDay = rs.readLevel(newPolicy.sorted.last)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("interval").getTime / 1000 ->
+        r.getAs[Double]("value")).toMap
+    // deep daily points fall in 2-day buckets; each bucket's value is
+    // the exact mean of its daily members (xff 0.5: 1 of 2 slots passes)
+    val expectDeep = deep.groupBy { case (_, ts, _, _) => ts - ts % 172800 }
+      .view.mapValues(vs => vs.map(_._3).sum / vs.size).toMap
+    expectDeep.foreach { case (b, v) =>
+      assert(twoDay.contains(b), s"deep 2-day bucket $b lost in resize")
+      assert(math.abs(twoDay(b) - v) < 1e-9, s"bucket $b: ${twoDay(b)} != $v")
+    }
+    // the recent range came from the hourly cascade, not the deep path
+    val recentBuckets = recent.map { case (_, ts, _, _) => ts - ts % 172800 }
+      .distinct.filter(b => twoDay.contains(b) && !expectDeep.contains(b))
+    assert(recentBuckets.nonEmpty, "no cascade bucket from the hourly data")
+    recentBuckets.foreach(b => assert(math.abs(twoDay(b) - 10.0) < 1e-9))
+  }
+
+  // --- p52 semantic decontamination ------------------------------------
+
+  test("p52: a planted eval copy flags; an orthogonal vector doesn't") {
+    // eval ids are multiples of 20. vec 21 = exact copy of eval 20
+    // (cos 1.0 -> contaminated); vec 22 orthogonal to both eval
+    // vectors (cos 0 -> clean)
+    val rows = Seq(
+      (20L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (40L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (21L, Array(2.0f, 0.0f, 0.0f, 0.0f), 1),
+      (22L, Array(0.0f, 0.0f, 3.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tmpDir("p52")
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    val out = PipelineQueries.defs("p52_semdecontam")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out(21L) == ((20L, 1.0, 1L)), s"got ${out(21L)}")
+    assert(out(22L)._3 == 0L && out(22L)._2 == 0.0)
+    assert(!out.contains(20L) && !out.contains(40L),
+      "eval vectors must not appear on the train side")
+  }
+
   // --- h37 Holt-Winters bands ------------------------------------------
 
   test("h37: spike flags aberrant; steady series never does") {
