@@ -959,8 +959,16 @@ final class HoardStore private (val spark: SparkSession, val root: String,
              now: Long): HoardStore = {
     val dst = HoardStore.create(spark, newRoot, newPolicy, mergeStrategy)
 
-    /** Best-resolution old rows aggregated to `targetStep`, ages in
-      * (fromAge, toAge], horizon-cut per source archive.
+    /** Best-resolution old rows aggregated to `targetStep`, target-slot
+      * ages in (fromAge, toAge], horizon-cut per source archive.
+      *
+      * Ranges are classed by the age of the row's TARGET slot start
+      * (align(interval, targetStep)), not the row's own age: a target
+      * slot straddling a retention horizon would otherwise receive
+      * rows from TWO source archives as two aggregate rows with tied
+      * seq stamps — a nondeterministic merge. Per-slot classing keeps
+      * every slot single-sourced (best resolution wins the whole
+      * slot), so the import is deterministic by construction.
       */
     def oldRows(targetStep: Long, fromAge: Long, toAge: Long): Seq[DataFrame] = {
       var covered = fromAge
@@ -970,9 +978,10 @@ final class HoardStore private (val spark: SparkSession, val root: String,
         else {
           val loAge = covered
           covered = hiAge
+          val slotStart =
+            Time.align(col("interval"), targetStep).cast("long")
           val rows = readLevel(o).where(
-            col("interval").cast("long") > now - hiAge &&
-              col("interval").cast("long") <= now - loAge)
+            slotStart > now - hiAge && slotStart <= now - loAge)
           Some(
             if (o.step == targetStep) rows
             else Rollup.downsample(rows, "series_id", "interval", "value",

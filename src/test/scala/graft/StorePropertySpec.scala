@@ -396,6 +396,129 @@ class StorePropertySpec extends SparkTestBase {
     assert(levelContents(st) == levelContents(HoardStore.open(spark, root)))
   }
 
+  // --- resize property -------------------------------------------------
+
+  /** Sequential mirror of [[HoardStore.resize]]'s contract: per-target-
+    * slot best-resolution source selection (slot-age classed, horizon
+    * cut), xff-gated quantized-mean downsample, cascade for coarser new
+    * levels with deep-history union (cascade wins shared slots).
+    * Operates on the ENGINE's old level contents, so it tests resize in
+    * isolation from ingest.
+    */
+  private def resizeMirror(old: Map[Long, Map[(String, Long), Double]],
+                           oldP: ArchivePolicy, newP: ArchivePolicy,
+                           rnow: Long): Map[Long, Map[(String, Long), Double]] = {
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def down(src: Map[(String, Long), Double], fStep: Long,
+             cStep: Long): Map[(String, Long), Double] =
+      src.groupBy { case ((s0, iv), _) => (s0, align(iv, cStep)) }
+        .flatMap { case (k, m) =>
+          val expected = (cStep / fStep).toDouble
+          if (m.size / expected >= newP.xff) {
+            // avg_exact: exact decimal sum -> double -> /n -> 6-dec quantize
+            val sum = m.values.map(BigDecimal(_).setScale(6)).sum.toDouble
+            Some(k -> round6(sum / m.size))
+          } else None
+        }
+    def oldRows(targetStep: Long, fromAge: Long,
+                toAge: Long): Map[(String, Long), Double] = {
+      var covered = fromAge
+      var acc = Map.empty[(String, Long), Double]
+      oldP.sorted.filter(o => targetStep % o.step == 0).foreach { o =>
+        val hiAge = math.min(o.retention, toAge)
+        if (covered < hiAge) {
+          val loAge = covered
+          covered = hiAge
+          val rows = old(o.step).filter { case ((_, iv), _) =>
+            val slot = align(iv, targetStep)
+            slot > rnow - hiAge && slot <= rnow - loAge
+          }
+          val agg = if (o.step == targetStep) rows
+                    else down(rows, o.step, targetStep)
+          // finer sources were added first and win nothing here: parts
+          // are slot-disjoint by construction — plain union
+          acc = acc ++ agg
+        }
+      }
+      acc
+    }
+    def coverage(targetStep: Long, cap: Long): Long = {
+      val rets = oldP.sorted.filter(o => targetStep % o.step == 0)
+        .map(_.retention)
+      if (rets.isEmpty) 0L else math.min(cap, rets.max)
+    }
+    val nf = newP.finest
+    var prev = oldRows(nf.step, 0L, nf.retention)
+    var prevStep = nf.step
+    var prevCover = coverage(nf.step, nf.retention)
+    var out = Map(nf.step -> prev)
+    newP.sorted.tail.foreach { aN =>
+      val casc = down(prev, prevStep, aN.step)
+      val deep = oldRows(aN.step, prevCover, aN.retention)
+        .filter { case (k, _) => !casc.contains(k) }
+      prev = casc ++ deep
+      out += aN.step -> prev
+      prevStep = aN.step
+      prevCover = math.max(prevCover, coverage(aN.step, aN.retention))
+    }
+    out
+  }
+
+  private def randPolicy(rnd: Random): ArchivePolicy = {
+    val s0 = Seq(60L, 120L, 300L)(rnd.nextInt(3))
+    val s1 = s0 * Seq(4, 6, 12)(rnd.nextInt(3))
+    val s2 = s1 * Seq(4, 8, 24)(rnd.nextInt(3))
+    val p0 = 20 + rnd.nextInt(60)
+    val r0 = s0 * p0
+    val p1 = (r0 / s1 + 1 + rnd.nextInt(30)).toInt
+    val r1 = s1 * p1
+    val p2 = (r1 / s2 + 1 + rnd.nextInt(20)).toInt
+    val archives = if (rnd.nextBoolean())
+      Seq(Archive(s0, p0), Archive(s1, p1), Archive(s2, p2))
+    else Seq(Archive(s0, p0), Archive(s1, p1))
+    ArchivePolicy(archives, cf = "avg_exact")
+  }
+
+  test("resize == sequential best-resolution + cascade mirror (random policies)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(20260814)
+    import spark.implicits._
+    (1 to 4).foreach { it =>
+      val oldP = randPolicy(rnd)
+      val newP = randPolicy(rnd)
+      val root = tmpDir(s"rsprop$it") + "/store"
+      val st = HoardStore.create(spark, root, oldP)
+      // random 2-decimal points spread past the retention horizon so
+      // age routing populates every old level, including deep history
+      val pts = (1 to 150).map { i =>
+        val age = (rnd.nextDouble() * oldP.maxRetention * 1.1).toLong
+        (s"s${rnd.nextInt(3)}", now - age,
+          math.round(rnd.nextDouble() * 10000) / 100.0, i.toLong)
+      }
+      st.updateManyDf(
+        pts.toDF("series_id", "ts", "value", "seq"), now)
+      val rs = st.resize(tmpDir(s"rsout$it") + "/store2", newP, now)
+      def levelMap(s0: HoardStore, ar: Archive): Map[(String, Long), Double] =
+        s0.readLevel(ar).collect().map { r =>
+          (r.getString(0),
+            r.getAs[java.sql.Timestamp](1).getTime / 1000) -> r.getDouble(2)
+        }.toMap
+      val oldLv = oldP.sorted.map(ar => ar.step -> levelMap(st, ar)).toMap
+      val expect = resizeMirror(oldLv, oldP, newP, now)
+      newP.sorted.foreach { ar =>
+        val got = levelMap(rs, ar)
+        val exp = expect(ar.step)
+        assert(got.keySet == exp.keySet,
+          s"it=$it step=${ar.step}: missing=${(exp.keySet -- got.keySet).take(3)} " +
+            s"extra=${(got.keySet -- exp.keySet).take(3)}")
+        got.foreach { case (k, v) =>
+          assert(math.abs(v - exp(k)) < 2e-6, s"it=$it step=${ar.step} $k: $v != ${exp(k)}")
+        }
+      }
+    }
+  }
+
   test("a writer that cannot acquire the lock fails cleanly, then succeeds after release") {
     import java.nio.file.{Files, Paths}
     val root = tmpDir("locked-store") + "/store"
