@@ -410,6 +410,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "m6_phashpairs" -> ((s, dir) => {
+      // Image NEAR-dup pairs: m5 finds byte-identical-ish images
+      // (equal aHash); this finds perceptually-close ones — Hamming
+      // distance ≤ 3 over the 64-bit aHash via the SAME Manku 4-chunk
+      // pigeonhole equi-join p5 uses for text (provably complete at
+      // d ≤ 3: any pair within distance 3 agrees on ≥ 1 of 4 chunks).
+      // Work rides chunk-bucket posting lists, never the N² image
+      // grid; the oracle brute-forces the same pair set at fixture
+      // scale.
+      val h = Multimodal.perceptualHash(
+          Multimodal.tasksFromDocuments(s, docs(s, dir)))
+        .toDF().select(col("doc_id"), col("phash").as("simhash"))
+      SimHash.nearPairsBucketed(h, "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "p36_filterstack" -> ((s, dir) => {
       // the quality filter STACK a curation pipeline actually ships:
       // four independent signal families (t2 lexical diversity, t5
@@ -1509,6 +1525,45 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    "p53_ksdrift" -> ((s, dir) => {
+      // Distribution-drift audit: the two-sample Kolmogorov–Smirnov
+      // distance between each source's doc-length distribution and the
+      // whole corpus — the monitoring stat a pipeline tracks to catch
+      // a source whose content shifted between crawls. The supremum is
+      // computed EXACTLY in integers: at every corpus-distinct length,
+      // |cum_s·N − cum_all·n_s| (the cross-multiplied ECDF gap), so no
+      // float ever picks the max; the reported ks divides once at the
+      // end, tie-safe rounded. Shape: the grid is |sources|×|distinct
+      // lengths| — metadata-sized, independent of corpus rows — the
+      // cumulative window partitions by source, and cum_all falls out
+      // of the same table by summing the per-source cumulatives.
+      val d = docs(s, dir).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      val cnt = d.groupBy(col("source"), col("len"))
+        .agg(count(lit(1)).as("c"))
+      val grid = cnt.select("source").distinct()
+        .crossJoin(broadcast(cnt.select("len").distinct()))
+      val filled = grid.join(cnt, Seq("source", "len"), "left")
+        .na.fill(0L, Seq("c"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = filled.withColumn("cum", sum(col("c")).over(wc))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val cumAll = cum.groupBy(col("len")).agg(sum(col("cum")).as("cum_all"))
+      val nTot = tot.agg(sum(col("n_s")).as("n"))
+      cum.join(tot, "source").join(cumAll, "len")
+        .crossJoin(broadcast(nTot))
+        .groupBy(col("source"), col("n_s"), col("n"))
+        .agg(max(abs(col("cum") * col("n") - col("cum_all") * col("n_s")))
+          .as("ks_num"))
+        .select(col("source"), col("n_s").as("n_docs"), col("ks_num"),
+          (round(col("ks_num").cast("double")
+            / (col("n_s") * col("n")).cast("double") * lit(1e6)) / lit(1e6))
+            .as("ks"))
+        .orderBy("source")
+    }),
+
     "p52_semdecontam" -> ((s, dir) => {
       // SEMANTIC decontamination (the embedding-space cousin of p15's
       // n-gram fingerprints — paraphrased benchmark leakage that no
@@ -2242,6 +2297,35 @@ object PipelineQueries {
         |SELECT b.doc_id, b.media_type, b.n_bytes, b.phash,
         |       CAST(c.nh - 1 AS BIGINT) AS n_mates
         |FROM bits b JOIN cnt c USING (phash) ORDER BY b.doc_id""".stripMargin,
+
+    // the m5 aHash CTE + brute-force Hamming pairs (oracle-scale N²;
+    // the engine side is the pigeonhole equi-join)
+    "m6_phashpairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |pix AS (
+        |  SELECT doc_id, n_bytes, i,
+        |         (n_bytes * (i + 3) + doc_id * (i % 7 + 1)) % 256 AS p
+        |  FROM base, (SELECT unnest(range(0, 64)) AS i)),
+        |m AS (
+        |  SELECT doc_id, CAST(SUM(p) // 64 AS BIGINT) AS mean
+        |  FROM pix GROUP BY doc_id),
+        |bits AS (
+        |  SELECT p.doc_id,
+        |         CAST(SUM(CASE WHEN p.p > m.mean AND p.i < 63
+        |               THEN (CAST(1 AS BIGINT) << CAST(p.i AS INT))
+        |               ELSE 0 END)
+        |           + SUM(CASE WHEN p.p > m.mean AND p.i = 63
+        |               THEN -9223372036854775808 ELSE 0 END)
+        |           AS BIGINT) AS phash
+        |  FROM pix p JOIN m USING (doc_id)
+        |  GROUP BY p.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "m4_features" ->
       """SELECT doc_id, media_type, n_bytes, ch1_mean, ch2_mean, ch3_mean,
@@ -3369,6 +3453,42 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // exact integer ECDF-gap supremum; one tie-safe division at the end
+    "p53_ksdrift" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |cnt AS (SELECT source, len, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, ll.len
+        |  FROM (SELECT DISTINCT source FROM cnt) s,
+        |       (SELECT DISTINCT len FROM cnt) ll),
+        |filled AS (
+        |  SELECT g.source, g.len, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt c
+        |    ON c.source = g.source AND c.len = g.len),
+        |cum AS (
+        |  SELECT source, len,
+        |         SUM(c) OVER (PARTITION BY source ORDER BY len
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM filled),
+        |tot AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY source),
+        |call AS (SELECT len, SUM(cum) AS cum_all FROM cum GROUP BY len),
+        |nn AS (SELECT SUM(n_s) AS n FROM tot)
+        |SELECT c.source, CAST(t.n_s AS BIGINT) AS n_docs,
+        |       CAST(MAX(ABS(c.cum * n.n - ca.cum_all * t.n_s)) AS BIGINT)
+        |         AS ks_num,
+        |       ROUND(CAST(MAX(ABS(c.cum * n.n - ca.cum_all * t.n_s))
+        |               AS DOUBLE)
+        |             / CAST(t.n_s * n.n AS DOUBLE) * 1e6) / 1e6 AS ks
+        |FROM cum c
+        | JOIN tot t ON t.source = c.source
+        | JOIN call ca ON ca.len = c.len
+        | CROSS JOIN nn n
+        |GROUP BY c.source, t.n_s, n.n
+        |ORDER BY c.source""".stripMargin,
 
     // argmax via (sim, -eval_id) max; flag compares the ROUNDED sim
     "p52_semdecontam" ->

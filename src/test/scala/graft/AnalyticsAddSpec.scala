@@ -195,6 +195,39 @@ class AnalyticsAddSpec extends SparkTestBase {
     }
   }
 
+  // --- p53 KS drift ------------------------------------------------------
+
+  test("p53: KS distance matches a sequential ECDF mirror + known case") {
+    val rows = PipelineQueries.defs("p53_ksdrift")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val d = Tables.load(spark, Sf, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long"))
+      .as[(String, Long)].collect()
+    val n = d.length.toLong
+    val lens = d.map(_._2).distinct.sorted
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = d.filter(_._1 == src).map(_._2)
+      val ns = mine.length.toLong
+      assert(r.getLong(1) == ns)
+      val ksNum = lens.map { l =>
+        math.abs(mine.count(_ <= l) * n - d.count(_._2 <= l) * ns)
+      }.max
+      assert(r.getLong(2) == ksNum, s"ks_num for $src")
+      assert(math.abs(r.getDouble(3) - ksNum.toDouble / (ns * n)) < 1e-6)
+    }
+    // known-value case: disjoint length distributions, 5 vs 15 docs
+    val docs = ((1 to 5).map(i => (i.toLong, ("w " * 10).trim, "a")) ++
+      (6 to 20).map(i => (i.toLong, ("w " * 20).trim, "b")))
+      .toDF("doc_id", "text", "source")
+    val dir = tmpDir("p53")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.defs("p53_ksdrift")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out("a") - 0.75) < 1e-9 &&
+      math.abs(out("b") - 0.25) < 1e-9, s"got $out")
+  }
+
   // --- hs12 resize ------------------------------------------------------
 
   test("resize carries deep coarse-level history the finest can't see") {
