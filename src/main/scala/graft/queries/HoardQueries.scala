@@ -519,6 +519,102 @@ object HoardQueries {
         .orderBy("bucket")
     }),
 
+    "h38_seriesfilter" -> ((s, dir) => {
+      // Graphite's threshold filter family — averageAbove(49) /
+      // maximumAbove(250) / currentAbove(15) — as one per-series stats
+      // pass. Every DECISION compares exact values: the mean gate is
+      // evaluated as the decimal inequality sum > 49·count (no float
+      // ratio ever reaches a comparison); max and current are raw
+      // 2-decimal inputs. The stats frame is one partial-aggregated
+      // groupBy — O(series) rows at any retention — and a series
+      // survives if any gate passes; the displayed avg is tie-safe
+      // rounded for the oracle but carries no decision weight.
+      val stats = hourlyByType(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("sv"),
+          count(lit(1)).as("n"),
+          max(col("value")).as("vmax"),
+          max_by(col("value"), col("bucket")).as("vcur"))
+      stats
+        .select(col("event_type"), col("n"),
+          (round(col("sv").cast("double") / col("n") * lit(1e6)) /
+            lit(1e6)).as("series_avg"),
+          round(col("vmax"), 6).as("series_max"),
+          round(col("vcur"), 6).as("current"),
+          when(col("sv") > col("n") * 49, 1L).otherwise(0L).as("avg_above"),
+          when(col("vmax") > 250, 1L).otherwise(0L).as("max_above"),
+          when(col("vcur") > 15, 1L).otherwise(0L).as("cur_above"))
+        .where(col("avg_above") + col("max_above") + col("cur_above") > 0)
+        .orderBy("event_type")
+    }),
+
+    "h39_changed" -> ((s, dir) => {
+      // Graphite's derivative / delay / changed in one per-series lag
+      // pass — h9's window but keeping NEGATIVE deltas (the plain
+      // derivative, vs nonNegativeDerivative's counter semantics),
+      // plus the 1-slot delay and the changed flag. The delta
+      // subtracts in DECIMAL(18,6) so 2-decimal inputs difference
+      // exactly (no rounding needed at all); `changed` compares raw
+      // values with zero arithmetic; series heads are null on all
+      // three — Graphite's None.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      hourlyByType(s, dir)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("prev"), 6).as("delay"),
+          (col("value").cast("decimal(18,6)") -
+            col("prev").cast("decimal(18,6)")).cast("double").as("deriv"),
+          when(col("prev").isNull, lit(null).cast("long"))
+            .otherwise(when(col("value") =!= col("prev"), 1L).otherwise(0L))
+            .as("changed"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "h40_interpolate" -> ((s, dir) => {
+      // Graphite's interpolate(): LINEAR fill of interior gaps in the
+      // dense per-user fetch frame (h3's spine) — edges stay null,
+      // unlike h14's forward-fill. The fill is exact integer
+      // arithmetic end to end: known 2-decimal values become
+      // micro-unit BIGINTs, the interpolation numerator
+      // v0µ·(t1−t) + v1µ·(t−t0) and the gap width t1−t0 are exact
+      // BIGINTs (|num| < 6e13), and both engines then perform the
+      // IDENTICAL single IEEE division + tie-safe micro round — the
+      // interpolated value cannot diverge by an ulp. Two ignore-null
+      // window passes (prev / next known point as one struct each),
+      // both per-user ROWS frames, never global.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = hourlyByUser(s, dir)
+      val users = ev(s, dir).select("user_id").distinct()
+      val dense = GapFill.densify(hourly, users, "user_id", "bucket",
+        Seq("value"),
+        fromInterval = 1704412800L, // 2024-01-05 00:00:00 UTC
+        toInterval = 1704585600L,   // 2024-01-07 00:00:00 UTC (exclusive)
+        step = 3600)
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val t = unix_seconds(col("bucket"))
+      val known = when(col("value").isNotNull,
+        struct(t.as("t"),
+          (col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long").as("vmu")))
+      dense
+        .withColumn("p", last(known, ignoreNulls = true).over(wPrev))
+        .withColumn("nx", first(known, ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          when(col("value").isNotNull, round(col("value"), 6))
+            .otherwise(
+              round((col("p.vmu") * (col("nx.t") - t) +
+                  col("nx.vmu") * (t - col("p.t"))).cast("double") /
+                (col("nx.t") - col("p.t")).cast("double")) / lit(1e6))
+            .as("interp"))
+        .orderBy("user_id", "bucket")
+    }),
+
     "h31_groupbynode" -> ((s, dir) => {
       // Graphite groupByNode(0, 'sumSeries') over a dotted namespace:
       // fine series '<type>.u<user>' roll up per first path segment
@@ -1703,6 +1799,95 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
         |             / SUM(w) * 1e6) / 1e6 AS wavg
         |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
+    // threshold filters: every gate an exact decimal/raw compare
+    "h38_seriesfilter" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |stats AS (
+        |  SELECT event_type,
+        |         SUM(CAST(v AS DECIMAL(18,6))) AS sv,
+        |         COUNT(*) AS n,
+        |         MAX(v) AS vmax,
+        |         arg_max(v, h) AS vcur
+        |  FROM hourly GROUP BY event_type)
+        |SELECT event_type, n,
+        |       ROUND(CAST(sv AS DOUBLE) / n * 1e6) / 1e6 AS series_avg,
+        |       ROUND(vmax, 6) AS series_max,
+        |       ROUND(vcur, 6) AS current,
+        |       CAST(CASE WHEN sv > n * 49 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS avg_above,
+        |       CAST(CASE WHEN vmax > 250 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS max_above,
+        |       CAST(CASE WHEN vcur > 15 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS cur_above
+        |FROM stats
+        |WHERE (CASE WHEN sv > n * 49 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN vmax > 250 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN vcur > 15 THEN 1 ELSE 0 END) > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // plain derivative + delay + changed: exact decimal difference
+    "h39_changed" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+        |SELECT event_type, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value,
+        |       ROUND(lag(v) OVER w, 6) AS delay,
+        |       CAST(CAST(v AS DECIMAL(18,6)) -
+        |            CAST(lag(v) OVER w AS DECIMAL(18,6)) AS DOUBLE) AS deriv,
+        |       CAST(CASE WHEN lag(v) OVER w IS NULL THEN NULL
+        |                 WHEN v <> lag(v) OVER w THEN 1 ELSE 0 END AS BIGINT)
+        |         AS changed
+        |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // linear gap interpolation: exact BIGINT micro-unit numerator,
+    // one identical IEEE division + tie-safe micro round on both sides
+    "h40_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |spine AS (
+        |  SELECT user_id, g AS h
+        |  FROM users CROSS JOIN generate_series(
+        |    TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-06 23:00:00',
+        |    INTERVAL 1 HOUR) AS t(g)),
+        |dense AS (
+        |  SELECT s.user_id, s.h, hr.v,
+        |         CAST(epoch_us(s.h) // 1000000 AS BIGINT) AS t,
+        |         CASE WHEN hr.v IS NOT NULL THEN
+        |           CAST(CAST(hr.v AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |         END AS vmu
+        |  FROM spine s
+        |  LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h),
+        |ctx AS (
+        |  SELECT user_id, h, v, t,
+        |         last_value(vmu IGNORE NULLS) OVER wp AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |           OVER wp AS pt,
+        |         first_value(vmu IGNORE NULLS) OVER wn AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |           OVER wn AS nt
+        |  FROM dense
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value,
+        |       CASE WHEN v IS NOT NULL THEN ROUND(v, 6)
+        |            ELSE ROUND(CAST(pv * (nt - t) + nv * (t - pt) AS DOUBLE)
+        |                       / CAST(nt - pt AS DOUBLE)) / 1e6
+        |       END AS interp
+        |FROM ctx ORDER BY user_id, bucket""".stripMargin,
 
     // dotted-namespace tree rollup: same fine lww, path-segment group
     "h31_groupbynode" ->

@@ -1,0 +1,113 @@
+package graft
+
+import graft.queries.HoardQueries
+import org.apache.spark.sql.functions._
+
+/** Gates for the round-6 fifth-session Graphite-function additions:
+  * threshold series filters (h38), plain derivative/delay/changed (h39)
+  * and linear gap interpolation (h40).
+  */
+class GraphiteAddSpec extends SparkTestBase {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  // hourly lww mirror: (series, bucketEpochSec) -> value
+  private def hourlyMirror(keyCol: String): Map[(String, Long), Double] = {
+    Tables.load(spark, Sf, "events")
+      .select(col(keyCol).cast("string").as("k"),
+        unix_seconds(date_trunc("hour", col("ts"))).as("b"),
+        col("event_id"), col("value"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.maxBy(_.getLong(2)).getDouble(3)).toMap
+  }
+
+  test("h38: flags replay an exact BigDecimal mirror and discriminate") {
+    val rows = HoardQueries.defs("h38_seriesfilter")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val h = hourlyMirror("event_type")
+    val bySeries = h.groupBy(_._1._1)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val vs = bySeries(s)
+      val sum = vs.values.map(v => BigDecimal(v).setScale(6)).sum
+      val n = vs.size
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(5) == (if (sum > BigDecimal(49 * n)) 1L else 0L),
+        s"avg_above($s)")
+      assert(r.getLong(6) == (if (vs.values.max > 250.0) 1L else 0L),
+        s"max_above($s)")
+      val cur = vs.maxBy(_._1._2)._2
+      assert(r.getLong(7) == (if (cur > 15.0) 1L else 0L), s"cur_above($s)")
+    }
+    // the gates must actually discriminate on the fixture: each flag
+    // column sees both outcomes across the surviving series
+    def col7(i: Int) = rows.map(_.getLong(i)).toSet
+    assert((col7(5) ++ col7(6) ++ col7(7)).contains(0L) &&
+      (col7(5) ++ col7(6) ++ col7(7)).contains(1L),
+      "thresholds must split the series set somewhere")
+  }
+
+  test("h39: deriv/delay/changed replay a sequential lag mirror") {
+    val rows = HoardQueries.defs("h39_changed")(spark, Sf).collect()
+    val h = hourlyMirror("event_type")
+    val series = h.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.sortBy(_._1._2).map(_._2).toVector).toMap
+    val bySeriesRows = rows.groupBy(_.getString(0))
+    series.foreach { case (s, vs) =>
+      val rs = bySeriesRows(s).sortBy(_.getString(1))
+      assert(rs.length == vs.length)
+      // head: all three null
+      assert(rs.head.isNullAt(3) && rs.head.isNullAt(4) && rs.head.isNullAt(5))
+      (1 until vs.length).foreach { i =>
+        val d = (BigDecimal(vs(i)).setScale(6) -
+          BigDecimal(vs(i - 1)).setScale(6)).toDouble
+        assert(rs(i).getDouble(4) == d, s"deriv($s,$i)")
+        assert(rs(i).getLong(5) == (if (vs(i) != vs(i - 1)) 1L else 0L))
+      }
+    }
+    // the plain derivative must actually go negative somewhere (the
+    // semantic h9's nonNegativeDerivative suppresses)
+    assert(rows.exists(r => !r.isNullAt(4) && r.getDouble(4) < 0))
+  }
+
+  test("h40: interior gaps interpolate linearly; edges stay null") {
+    val rows = HoardQueries.defs("h40_interpolate")(spark, Sf).collect()
+    val h = hourlyMirror("user_id")
+    val from = 1704412800L; val until = 1704585600L
+    var interiorFills = 0; var edgeNulls = 0
+    rows.groupBy(_.get(0).toString).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_.getString(1))
+      val slots = (from until until by 3600L).toVector
+      assert(rs.length == slots.length)
+      val known = slots.zipWithIndex.filter { case (t, _) =>
+        h.contains((u, t))
+      }
+      slots.zipWithIndex.foreach { case (t, i) =>
+        val r = rs(i)
+        h.get((u, t)) match {
+          case Some(v) =>
+            assert(r.getDouble(3) == BigDecimal(v).setScale(6).toDouble)
+          case None =>
+            val prev = known.filter(_._2 < i).lastOption
+            val next = known.find(_._2 > i)
+            (prev, next) match {
+              case (Some((t0, _)), Some((t1, _))) =>
+                val v0 = BigDecimal(h((u, t0))).setScale(6) * 1000000
+                val v1 = BigDecimal(h((u, t1))).setScale(6) * 1000000
+                val num = (v0 * BigDecimal(t1 - t) + v1 * BigDecimal(t - t0))
+                  .toBigInt.toLong
+                val exp = Math.round(num.toDouble / (t1 - t0).toDouble) / 1e6
+                assert(r.getDouble(3) == exp, s"interp($u,$t)")
+                interiorFills += 1
+              case _ =>
+                assert(r.isNullAt(3), s"edge($u,$t) must stay null")
+                edgeNulls += 1
+            }
+        }
+      }
+    }
+    assert(interiorFills > 0, "fixture must exercise interior gaps")
+    assert(edgeNulls > 0, "fixture must exercise unfillable edges")
+  }
+}
