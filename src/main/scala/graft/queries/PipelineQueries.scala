@@ -1525,6 +1525,118 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    "p54_jsd" -> ((s, dir) => {
+      // Pairwise Jensen–Shannon divergence between per-source unigram
+      // token distributions — the mixture-design companion to p53's
+      // KS drift on lengths: which sources SAY different things, not
+      // just at different lengths. JSD(P,Q) = (KL(P||M)+KL(Q||M))/2
+      // with M the even mixture; every per-token ratio p_v/m_v reduces
+      // to the EXACT integer ratio 2·c_a·n_b / (c_a·n_b + c_b·n_a),
+      // so each term is p24's micro-log trick (identical double ratio
+      // into libm, rounded to integer micro-nats) weighted by the raw
+      // count c_a and summed as exact BIGINTs; tokens a source has and
+      // the other lacks contribute exactly µln2 each, folded in as
+      // (n_a − matched)·µln2 without ever materializing the
+      // anti-join. One division per KL at the very end. Shape: the
+      // count table is |sources|×vocab (sublinear by Heaps' law), the
+      // pair join runs on the token key over that vocab-bounded table,
+      // and totals broadcast — corpus rows are touched once. Products
+      // stay < 2^53 through sf0.1×100; the DECIMAL(38,0) widening is
+      // the drop-in above that.
+      val cnt = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val a = cnt.select(col("source").as("sa"), col("token"),
+        col("c").as("ca"))
+      val b = cnt.select(col("source").as("sb"), col("token"),
+        col("c").as("cb"))
+      val na = broadcast(tot.select(col("source").as("sa"),
+        col("n").as("na")))
+      val nb = broadcast(tot.select(col("source").as("sb"),
+        col("n").as("nb")))
+      val muLn2 = expr("CAST(ROUND(ln(CAST(2 AS DOUBLE)) * 1e6) AS BIGINT)")
+      def muLn(num: org.apache.spark.sql.Column,
+               den: org.apache.spark.sql.Column) =
+        round(log(num.cast("double") / den.cast("double")) * lit(1e6), 0)
+          .cast("long")
+      val pairs = a.join(b, Seq("token")).where(col("sa") < col("sb"))
+        .join(na, "sa").join(nb, "sb")
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          col("ca"), col("cb"),
+          (col("ca") * col("nb")).as("anb"), (col("cb") * col("na")).as("bna"))
+        .withColumn("ta", col("ca") *
+          muLn(col("anb") * 2, col("anb") + col("bna")))
+        .withColumn("tb", col("cb") *
+          muLn(col("bna") * 2, col("anb") + col("bna")))
+      val agg = pairs.groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("ca")).as("ma"), sum(col("cb")).as("mb"),
+          sum(col("ta")).as("kla_m"), sum(col("tb")).as("klb_m"))
+      // the pair frame comes from the totals cross product (|sources|²
+      // — metadata-sized), NOT the matched join: a pair with zero
+      // shared vocabulary must still report (at JSD = ln 2 exactly),
+      // and an inner join would silently drop it
+      tot.select(col("source").as("sa"), col("n").as("na"))
+        .crossJoin(tot.select(col("source").as("sb"), col("n").as("nb")))
+        .where(col("sa") < col("sb"))
+        .join(agg, Seq("sa", "sb"), "left")
+        .na.fill(0L, Seq("n_shared", "ma", "mb", "kla_m", "klb_m"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("na").as("n_a"), col("nb").as("n_b"), col("n_shared"),
+          (round((
+            (col("kla_m") + (col("na") - col("ma")) * muLn2).cast("double")
+              / col("na").cast("double") +
+            (col("klb_m") + (col("nb") - col("mb")) * muLn2).cast("double")
+              / col("nb").cast("double")) / 2) / lit(1e6)).as("jsd"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    "p55_zipf" -> ((s, dir) => {
+      // Corpus-statistics audit: the Zipf rank–frequency fit over the
+      // top-200 tokens — ln(freq) ≈ intercept + slope·ln(rank), the
+      // power-law readout (slope ≈ −1 for natural text) a curation
+      // dashboard tracks per snapshot. h27's exact-regression
+      // discipline on p24's micro-logs: x = µln(rank), y = µln(count)
+      // are integer micro-nats from identical double ratios, all five
+      // regression sums and both numerators are exact DECIMAL(38,0)
+      // (ΣyΣxx overflows BIGINT), and slope/intercept are single IEEE
+      // divisions of identical operands. Corpus cost: one partial-agg
+      // groupBy; the top-200 cut is a TakeOrderedAndProject (count
+      // desc, token asc — total order); the rank window then runs
+      // over 200 rows — bounded by the K constant, never the vocab.
+      import org.apache.spark.sql.expressions.Window
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      val top = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(200)
+      val ranked = top.withColumn("rank",
+          row_number().over(Window.orderBy(col("c").desc, col("token")))
+            .cast("long"))
+        .withColumn("x", expr(
+          "CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)"))
+        .withColumn("y", expr(
+          "CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)"))
+      ranked
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+        .withColumn("den",
+          dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+        .withColumn("snum",
+          dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+        .withColumn("inum",
+          dec(col("sy")) * col("sxx") - dec(col("sx")) * col("sxy"))
+        .select(col("n"),
+          r6(col("snum").cast("double") / col("den").cast("double"))
+            .as("zipf_slope"),
+          r6(col("inum").cast("double") / col("den").cast("double")
+            / lit(1e6)).as("intercept_nats"))
+    }),
+
     "p53_ksdrift" -> ((s, dir) => {
       // Distribution-drift audit: the two-sample Kolmogorov–Smirnov
       // distance between each source's doc-length distribution and the
@@ -3453,6 +3565,88 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // per-token micro-log terms weighted by raw counts, summed exactly;
+    // unmatched vocabulary folds in as (n - matched)·µln2
+    "p54_jsd" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, COUNT(*) AS c FROM tk
+        |      GROUP BY source, token),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c
+        |        GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS sa, b.source AS sb, ta.n AS na, tb.n AS nb,
+        |         a.c AS ca, b.c AS cb,
+        |         a.c * tb.n AS anb, b.c * ta.n AS bna
+        |  FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source),
+        |t AS (
+        |  SELECT sa, sb, na, nb, ca, cb,
+        |    ca * CAST(ROUND(ln(CAST(anb * 2 AS DOUBLE)
+        |                       / CAST(anb + bna AS DOUBLE)) * 1e6)
+        |              AS BIGINT) AS tka,
+        |    cb * CAST(ROUND(ln(CAST(bna * 2 AS DOUBLE)
+        |                       / CAST(anb + bna AS DOUBLE)) * 1e6)
+        |              AS BIGINT) AS tkb
+        |  FROM pr),
+        |g AS (
+        |  SELECT sa, sb, COUNT(*) AS n_shared,
+        |         CAST(SUM(ca) AS BIGINT) AS ma,
+        |         CAST(SUM(cb) AS BIGINT) AS mb,
+        |         CAST(SUM(tka) AS BIGINT) AS kla,
+        |         CAST(SUM(tkb) AS BIGINT) AS klb
+        |  FROM t GROUP BY sa, sb),
+        |ap AS (
+        |  -- pair frame from the totals cross product: zero-overlap
+        |  -- pairs must still report (at exactly ln 2)
+        |  SELECT ta.source AS sa, tb.source AS sb, ta.n AS na, tb.n AS nb
+        |  FROM tot ta CROSS JOIN tot tb WHERE ta.source < tb.source)
+        |SELECT ap.sa AS source_a, ap.sb AS source_b,
+        |       ap.na AS n_a, ap.nb AS n_b,
+        |       COALESCE(g.n_shared, 0) AS n_shared,
+        |       ROUND((CAST(COALESCE(g.kla, 0) + (ap.na - COALESCE(g.ma, 0)) *
+        |                CAST(ROUND(ln(CAST(2 AS DOUBLE)) * 1e6) AS BIGINT)
+        |              AS DOUBLE) / CAST(ap.na AS DOUBLE)
+        |            + CAST(COALESCE(g.klb, 0) + (ap.nb - COALESCE(g.mb, 0)) *
+        |                CAST(ROUND(ln(CAST(2 AS DOUBLE)) * 1e6) AS BIGINT)
+        |              AS DOUBLE) / CAST(ap.nb AS DOUBLE)) / 2) / 1e6 AS jsd
+        |FROM ap LEFT JOIN g ON g.sa = ap.sa AND g.sb = ap.sb
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // exact micro-log regression over the bounded top-200 rank table
+    "p55_zipf" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY token),
+        |top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 200),
+        |rk AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+        |  FROM top),
+        |z AS (
+        |  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |         CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM rk),
+        |g AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |         SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM z),
+        |f AS (
+        |  SELECT n,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS snum,
+        |         CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
+        |  FROM g)
+        |SELECT n,
+        |       ROUND(CAST(snum AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+        |         AS zipf_slope,
+        |       ROUND(CAST(inum AS DOUBLE) / CAST(den AS DOUBLE) / 1e6 * 1e6)
+        |         / 1e6 AS intercept_nats
+        |FROM f""".stripMargin,
 
     // exact integer ECDF-gap supremum; one tie-safe division at the end
     "p53_ksdrift" ->

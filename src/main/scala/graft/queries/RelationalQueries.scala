@@ -131,6 +131,26 @@ object RelationalQueries {
         .orderBy("region")
     }),
 
+    "q41_mode" -> ((s, dir) => {
+      // Deterministic MODE (ordered-set aggregate): the most frequent
+      // l_quantity per return flag with an EXPLICIT tie rule — highest
+      // count, then smallest value — because engine mode() builtins
+      // leave ties unspecified and would hash-mismatch the moment two
+      // values share the top count. Two partial-agg groupBys; the
+      // final pick is one max(struct) over the (flag, value)-count
+      // table (bounded by |flags|×|distinct quantities| — metadata
+      // sized), no window anywhere.
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_distinct"),
+          max(struct(col("c"), (-col("l_quantity")).as("nv"))).as("b"))
+        .select(col("l_returnflag"), col("n_distinct"),
+          (-col("b.nv")).as("mode_qty"), col("b.c").as("mode_count"))
+        .orderBy("l_returnflag")
+    }),
+
     "q40_corr" -> ((s, dir) => {
       // Correlation + population covariance from EXACT integer sums
       // (q38's moment discipline applied to two variables): quantity
@@ -912,6 +932,22 @@ object RelationalQueries {
         |FROM nats JOIN segs USING (n_regionkey)
         |          JOIN region ON n_regionkey = r_regionkey
         |ORDER BY region""".stripMargin,
+
+    // same tie rule spelled as a window: count desc, value asc
+    "q41_mode" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |pick AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+        |  FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                             ORDER BY c DESC, l_quantity) = 1),
+        |nd AS (SELECT l_returnflag, COUNT(*) AS n_distinct FROM cnt
+        |       GROUP BY l_returnflag)
+        |SELECT p.l_returnflag, nd.n_distinct, p.mode_qty, p.mode_count
+        |FROM pick p JOIN nd USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // exact HUGEINT cross sums; Pearson conversion mirrors the Spark
     // operator order, sqrt·sqrt not pow

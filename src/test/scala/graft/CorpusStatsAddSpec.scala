@@ -1,0 +1,127 @@
+package graft
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+
+/** Gates for the round-6 fifth-session corpus-statistics additions:
+  * pairwise source Jensen–Shannon divergence (p54), the Zipf
+  * rank–frequency fit (p55) and the deterministic mode aggregate (q41).
+  */
+class CorpusStatsAddSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("p54: identical sources diverge 0; disjoint sources hit ln 2") {
+    // sources a and b share every token with equal frequencies; c is
+    // vocabulary-disjoint from both — JSD(a,b) = 0 and
+    // JSD(a,c) = JSD(b,c) = ln 2 exactly (the micro-log of ratio 2
+    // on every term, matched and unmatched alike)
+    val docs = Seq(
+      (1L, "x y z x", "a"), (2L, "x y z x", "b"),
+      (3L, "p q r p", "c"))
+      .toDF("doc_id", "text", "source")
+    val dir = tmpDir("p54")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.defs("p54_jsd")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(out(("a", "b")) == 0.0, s"identical sources: $out")
+    val ln2 = math.round(math.log(2.0) * 1e6) / 1e6
+    assert(out(("a", "c")) == ln2 && out(("b", "c")) == ln2, s"$out")
+  }
+
+  test("p54: sf0.001 values replay a sequential BigInt mirror") {
+    val rows = PipelineQueries.defs("p54_jsd")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val cnt = Tables.load(spark, Sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val bySrc = cnt.groupBy(_._1)
+      .view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val muLn2 = math.round(math.log(2.0) * 1e6)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (ca, cb) = (bySrc(sa), bySrc(sb))
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      assert(r.getLong(2) == na && r.getLong(3) == nb)
+      val shared = ca.keySet.intersect(cb.keySet)
+      assert(r.getLong(4) == shared.size.toLong)
+      def kl(x: Map[String, Long], y: Map[String, Long],
+             nx: Long, ny: Long): Long = {
+        val matched = shared.toSeq.map { t =>
+          val xny = x(t) * ny; val ynx = y(t) * nx
+          x(t) * math.round(
+            math.log((2.0 * xny) / (xny + ynx).toDouble) * 1e6)
+        }.sum
+        val mx = shared.toSeq.map(x).sum
+        matched + (nx - mx) * muLn2
+      }
+      val exp = math.round(
+        (kl(ca, cb, na, nb).toDouble / na +
+          kl(cb, ca, nb, na).toDouble / nb) / 2) / 1e6
+      assert(r.getDouble(5) == exp, s"jsd($sa,$sb)")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 0.693148)
+    }
+    // drift must be visible: not all pairs identical
+    assert(rows.map(_.getDouble(5)).distinct.length > 1)
+  }
+
+  test("p55: an exact synthetic power law fits slope -1") {
+    // token t_k appears round(1024 / k) times, k = 1..20: frequencies
+    // lie on freq = C / rank, so the log-log regression over the full
+    // top-20 must recover slope ≈ -1 (micro-log quantization and the
+    // integer rounding of counts keep it within a few percent)
+    val text = (1 to 20).flatMap(k =>
+      Seq.fill(math.round(1024.0 / k).toInt)(f"t$k%02d")).mkString(" ")
+    val docs = Seq((1L, text, "a")).toDF("doc_id", "text", "source")
+    val dir = tmpDir("p55")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val r = PipelineQueries.defs("p55_zipf")(spark, dir).collect().head
+    assert(r.getLong(0) == 20L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 0.02,
+      s"slope ${r.getDouble(1)}")
+    // intercept ≈ ln 1024
+    assert(math.abs(r.getDouble(2) - math.log(1024.0)) < 0.05)
+  }
+
+  test("p55: sf0.001 sums replay a BigInt regression mirror") {
+    val r = PipelineQueries.defs("p55_zipf")(spark, Sf).collect().head
+    val top = Tables.load(spark, Sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(200)
+      .as[(String, Long)].collect()
+    val n = top.length
+    assert(r.getLong(0) == n.toLong)
+    val xs = (1 to n).map(k => math.round(math.log(k.toDouble) * 1e6))
+    val ys = top.map(t => math.round(math.log(t._2.toDouble) * 1e6))
+    val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val den = n * sxx - sx * sx
+    val slope = math.round(
+      (n * sxy - sx * sy).toDouble / den.toDouble * 1e6) / 1e6
+    val icpt = math.round(
+      (sy * sxx - sx * sxy).toDouble / den.toDouble / 1e6 * 1e6) / 1e6
+    assert(r.getDouble(1) == slope && r.getDouble(2) == icpt)
+    assert(slope < 0, "natural text must slope downward")
+  }
+
+  test("q41: ties break to the smallest value, never arbitrarily") {
+    val li = Seq(
+      // flag A: 5.0 x2, 3.0 x2 (tie) -> mode must be 3.0
+      ("A", 5.0), ("A", 5.0), ("A", 3.0), ("A", 3.0), ("A", 9.0),
+      // flag B: unique mode 7.0
+      ("B", 7.0), ("B", 7.0), ("B", 1.0))
+      .toDF("l_returnflag", "l_quantity")
+      .withColumn("l_orderkey", lit(1L))
+    val dir = tmpDir("q41")
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val out = RelationalQueries.defs("q41_mode")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out("A") == (3.0, 2L), s"tie must break low: $out")
+    assert(out("B") == (7.0, 2L))
+  }
+}
