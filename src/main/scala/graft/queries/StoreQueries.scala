@@ -45,6 +45,36 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** hs13's two-store fill scenario: the destination ingested only the
+    * TAIL of the month (ts >= Jan-16 00:00 — a freshly provisioned
+    * server), the source is the full from-scratch store, and
+    * `dst.fill(src)` backfills the missing history. The cut sits on a
+    * day boundary so every level slot is single-sourced: dst's slots
+    * equal the full store's for the tail (same underlying points), and
+    * filled slots copy the full store's head — so the MERGED store must
+    * be value-indistinguishable from the from-scratch store and hs13
+    * shares hs2's oracle VERBATIM. Dst-wins conflict semantics get
+    * their own divergent-values unit gate in HoardStoreSpec.
+    */
+  private val builtFill = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeFilled(s: SparkSession, dir: String): HoardStore = {
+    val root = builtFill.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store-fill")
+        .toString + "/store"
+      val dst = HoardStore.create(s, tmp, Policy)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      val cut = 1705363200L // 2024-01-16 00:00:00 UTC (day boundary)
+      dst.updateManyDf(ev.where(col("ts") >= cut), Now)
+      dst.fill(storeFor(s, dir))
+      tmp
+    })
+    HoardStore.open(s, root)
+  }
+
   private def storeFor(s: SparkSession, dir: String): HoardStore = {
     val root = built.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-store")
@@ -413,6 +443,20 @@ object StoreQueries {
         .orderBy("bucket")
     }),
 
+    "hs13_fill" -> ((s, dir) => {
+      // whisper-fill as a declared gate: tail-only store backfilled
+      // from the full store must serve the SAME daily rollup as the
+      // from-scratch store — head slots arrive via fill (src
+      // provenance, no repropagation), tail slots are dst's own and
+      // fill may not touch them. Shares hs2's oracle verbatim.
+      val st = storeFilled(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs2_storerollup" -> ((s, dir) => {
       val st = storeFor(s, dir)
       st.readLevel(Policy.sorted.last)
@@ -502,6 +546,7 @@ object StoreQueries {
 
   val oracles: Map[String, String] = Map(
     "s6_streamstore" -> DailyRollupSql,
+    "hs13_fill" -> DailyRollupSql,
     "hs6_deltastore" -> DailyRollupSql,
     "hs9_manifeststore" -> DailyRollupSql,
     "s11_streammanifest" -> DailyRollupSql,

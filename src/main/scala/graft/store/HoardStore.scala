@@ -1024,6 +1024,36 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     dst
   }
 
+  /** whisper-fill: copy `src`'s points into THIS store only where this
+    * store has no value — the migration/backfill tool every Graphite
+    * deployment ships (reference ecosystem's whisper-fill/carbonate):
+    * per archive level, the destination wins EVERY conflict and levels
+    * fill independently with NO repropagation, exactly the tool's
+    * contract (a filled coarse slot keeps its src-side provenance; it
+    * is never recomputed from filled finer data). Layouts must match
+    * level-for-level, as the tool requires.
+    *
+    * Shape: per level one anti-join on (series, interval) — key-bounded,
+    * month-partition-pruned on both scans — then the standard level
+    * merge; new keys only, so the lww merge cannot disturb existing
+    * rows regardless of seq stamps.
+    */
+  def fill(src: HoardStore): Unit = {
+    require(policy.sorted.map(a => (a.step, a.retention)) ==
+      src.policy.sorted.map(a => (a.step, a.retention)),
+      "fill requires matching archive layouts (whisper-fill contract)")
+    policy.sorted.foreach { ar =>
+      val srcAr = src.policy.sorted.find(_.step == ar.step).get
+      val have = readLevel(ar).select("series_id", "interval")
+      val missing = src.readLevel(srcAr)
+        .join(have, Seq("series_id", "interval"), "left_anti")
+        .localCheckpoint(true)
+      if (missing.head(1).nonEmpty)
+        importArchive(ar, missing.select(col("series_id"),
+          col("interval").cast("long").as("ts"), col("value")))
+    }
+  }
+
   def deleteSeries(pred: org.apache.spark.sql.Column): Unit =
     mergeStrategy match {
       case HoardStore.ManifestAppend => deleteSeriesManifest(pred)

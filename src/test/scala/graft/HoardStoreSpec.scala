@@ -448,4 +448,53 @@ class HoardStoreSpec extends SparkTestBase {
     assert(!matches("*.user").contains("web01.load"))
     assert(matches("web01.*") == Set("web01.load"))
   }
+
+  test("fill: destination wins conflicts, gaps copy, levels independent") {
+    val dst = freshStore()
+    val src = freshStore()
+    val t = now - 7200
+    // conflicting slot: both stores hold t, different values
+    dst.update("cpu", 10.0, t, now)
+    src.update("cpu", 99.0, t, now)
+    // gap: only src holds t-3600
+    src.update("cpu", 7.5, t - 3600, now)
+    // src-only series
+    src.update("mem", 3.25, t, now)
+    dst.fill(src)
+    val (_, vals) = dst.fetchValues("cpu", t - 7200, t + 3600, now)
+    assert(vals == Seq(Some(7.5), Some(10.0), None),
+      s"dst must keep 10.0 and gain 7.5; got $vals")
+    val (_, mem) = dst.fetchValues("mem", t - 3600, t + 3600, now)
+    assert(mem.flatten == Seq(3.25), "src-only series must appear")
+    // idempotence: a second fill changes nothing
+    dst.fill(src)
+    assert(dst.fetchValues("cpu", t - 7200, t + 3600, now)._2 ==
+      Seq(Some(7.5), Some(10.0), None))
+  }
+
+  test("fill: coarse levels carry src provenance, no repropagation") {
+    // a daily slot present ONLY in src's coarse archive (too old for
+    // the hourly level) must copy verbatim — fill never recomputes a
+    // coarse slot from filled finer data
+    val dst = freshStore()
+    val src = freshStore()
+    val tOld = now - 94608000L + 86400L * 3 // inside 3y daily, outside 1y hourly
+    val slot = tOld - java.lang.Math.floorMod(tOld, 86400L)
+    src.updateMany(Seq(RawPoint("cpu", tOld, 55.0)), now)
+    dst.fill(src)
+    val daily = dst.policy.sorted.last
+    import org.apache.spark.sql.functions.col
+    val got = dst.readLevel(daily)
+      .where(col("series_id") === "cpu" &&
+        col("interval").cast("long") === slot)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(55.0), s"deep slot must copy verbatim; got $got")
+  }
+
+  test("fill rejects mismatched archive layouts") {
+    val dst = freshStore()
+    val other = HoardStore.create(spark, tmpDir("hoard-p") + "/store",
+      ArchivePolicy(Seq(Archive(3600, 8760))))
+    intercept[IllegalArgumentException] { dst.fill(other) }
+  }
 }
