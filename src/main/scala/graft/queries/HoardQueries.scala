@@ -519,6 +519,31 @@ object HoardQueries {
         .orderBy("bucket")
     }),
 
+    "h41_aliassub" -> ((s, dir) => {
+      // Graphite's aliasSub + sortByMaxima(3): series renamed by regex
+      // substitution (the dashboard-label workhorse) and ranked by
+      // lifetime maximum, keeping the top 3. Max is a pure order
+      // statistic on raw 2-decimal values — zero arithmetic, zero tie
+      // surface beyond the event_type tie-break; the ranking
+      // aggregate is O(series) rows through a TakeOrdered (never a
+      // partitionless window) and broadcasts back onto the stream.
+      val stats = hourlyByType(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(col("value")).as("series_max"))
+        .orderBy(col("series_max").desc, col("event_type"))
+        .limit(3)
+      hourlyByType(s, dir)
+        .join(broadcast(stats), "event_type")
+        .select(
+          regexp_replace(col("event_type"), "^(.{2}).*$", "alias_$1")
+            .as("alias"),
+          col("event_type"),
+          col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          round(col("series_max"), 6).as("series_max"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h38_seriesfilter" -> ((s, dir) => {
       // Graphite's threshold filter family — averageAbove(49) /
       // maximumAbove(250) / currentAbove(15) — as one per-series stats
@@ -1868,6 +1893,25 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
         |             / SUM(w) * 1e6) / 1e6 AS wavg
         |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
+    // regex alias + top-3 by max; \1 is DuckDB's backreference for
+    // Spark's $1 — same substitution contract
+    "h41_aliassub" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |stats AS (
+        |  SELECT event_type, MAX(v) AS series_max
+        |  FROM hourly GROUP BY event_type
+        |  ORDER BY series_max DESC, event_type LIMIT 3)
+        |SELECT regexp_replace(h.event_type, '^(.{2}).*$', 'alias_\1')
+        |         AS alias,
+        |       h.event_type, CAST(h.h AS VARCHAR) AS bucket,
+        |       ROUND(h.v, 6) AS value,
+        |       ROUND(s.series_max, 6) AS series_max
+        |FROM hourly h JOIN stats s USING (event_type)
+        |ORDER BY h.event_type, bucket""".stripMargin,
 
     // threshold filters: every gate an exact decimal/raw compare
     "h38_seriesfilter" ->

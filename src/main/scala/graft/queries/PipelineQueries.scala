@@ -395,6 +395,64 @@ object PipelineQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    "m7_mediaaudit" -> ((s, dir) => {
+      // per-source media ingest health audit: the per-crawl dashboard
+      // readout a multimodal pipeline tracks — doc counts, byte
+      // volume, mean dimensions, frame totals, distinct-fingerprint
+      // count (a collapsed count signals duplicated payloads). Runs
+      // over m1's decode stage (real ImageIO metadata for decodable
+      // payloads, deterministic fake otherwise — this fixture is
+      // text, so the oracle replays the fake formulas, the m1
+      // precedent); the audit itself is ONE map-side-combinable
+      // groupBy over the decoded metadata with O(|sources|) output.
+      // Dimension sums are exact BIGINTs; the two mean ratios round
+      // tie-safe.
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      Multimodal.decodeMeta(
+          Multimodal.tasksFromDocuments(s, docs(s, dir)))
+        .toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("width")).as("sw"), sum(col("height")).as("sh"),
+          sum(col("frames")).as("total_frames"),
+          countDistinct(col("fingerprint")).as("n_fingerprints"))
+        .select(col("media_type"), col("n_docs"), col("total_bytes"),
+          r6(col("sw").cast("double") / col("n_docs")).as("mean_width"),
+          r6(col("sh").cast("double") / col("n_docs")).as("mean_height"),
+          col("total_frames"), col("n_fingerprints"))
+        .orderBy("media_type")
+    }),
+
+    "p57_hashembed" -> ((s, dir) => {
+      // feature-hashed document vectors (the hashing trick —
+      // Weinberger et al. ICML 2009; Vowpal Wabbit's representation):
+      // every token hashes into one of B=64 signed buckets (sign from
+      // the hash's next bit), giving each doc a fixed-width integer
+      // vector with NO vocabulary to build, broadcast or join — the
+      // O(1)-memory embedding that fronts clustering/classification
+      // when model embeddings are too expensive for a first pass.
+      // Entirely integer arithmetic (signed counts, absolute values,
+      // squares), so the reported vector statistics are bit-identical
+      // on any engine and any partitioning. Shape: two map-side-
+      // combinable groupBys, linear in corpus tokens, output O(docs);
+      // the only shuffle keys are (doc, bucket) then doc.
+      val tk = tokenIds(s, dir)
+        .select(col("doc_id"),
+          pmod(col("vid"), lit(64)).as("bucket"),
+          expr("CASE WHEN (vid div 64) % 2 = 0 THEN 1 ELSE -1 END")
+            .cast("long").as("sgn"))
+      val bk = tk.groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("sgn")).as("v"))
+      bk.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("nnz"),
+          sum(abs(col("v"))).as("l1"),
+          sum(col("v") * col("v")).as("l2sq"),
+          sum((col("bucket") + 1) * col("v")).as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     "m5_phash" -> ((s, dir) => {
       // aHash perceptual fingerprints + same-hash mate counts: the
       // image-side analogue of p1's exact text dedup (equal hashes =
@@ -2310,6 +2368,52 @@ object PipelineQueries {
          |       CAST(SUM(((vid % 1000003) * ((pos * 31 + 7) % 1000003)) % 1000003)
          |            % 1000003 AS BIGINT) AS fingerprint
          |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m1's fake-decode formulas aggregated per source; mean ratios
+    // tie-safe, everything else exact BIGINT
+    "m7_mediaaudit" ->
+      """WITH meta AS (
+        |  SELECT doc_id, source AS media_type,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         64 + (doc_id * 7) % 448 AS width,
+        |         64 + CAST(octet_length(encode(text)) % 448 AS BIGINT)
+        |           AS height,
+        |         1 + doc_id % 16 AS frames,
+        |         (CAST(octet_length(encode(text)) AS BIGINT) * 2654435761)
+        |           % 1000003 AS fingerprint
+        |  FROM documents)
+        |SELECT media_type, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |       ROUND(CAST(SUM(width) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+        |         AS mean_width,
+        |       ROUND(CAST(SUM(height) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+        |         AS mean_height,
+        |       CAST(SUM(frames) AS BIGINT) AS total_frames,
+        |       CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_fingerprints
+        |FROM meta GROUP BY media_type ORDER BY media_type""".stripMargin,
+
+    // same 60-bit md5 ids, bucket/sign integer arithmetic end to end
+    "p57_hashembed" ->
+      s"""WITH $ToksCte,
+         |h AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS vid
+         |  FROM toks),
+         |b AS (
+         |  SELECT doc_id, vid % 64 AS bucket,
+         |         CASE WHEN (vid // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM h),
+         |bk AS (
+         |  SELECT doc_id, bucket, COUNT(*) AS cnt,
+         |         CAST(SUM(sgn) AS BIGINT) AS v
+         |  FROM b GROUP BY doc_id, bucket)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS nnz,
+         |       CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+         |       CAST(SUM(v * v) AS BIGINT) AS l2sq,
+         |       CAST(SUM((bucket + 1) * v) AS BIGINT) AS checksum
+         |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal" ->
       """SELECT doc_id, source AS media_type,

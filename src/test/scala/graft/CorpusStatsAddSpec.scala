@@ -109,6 +109,57 @@ class CorpusStatsAddSpec extends SparkTestBase {
     assert(slope < 0, "natural text must slope downward")
   }
 
+  test("p57: vector stats replay a sequential hashing-trick mirror") {
+    val rows = PipelineQueries.defs("p57_hashembed")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def vid(t: String): Long = {
+      val h = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16)
+    }
+    val byDoc = toks.groupBy(_._1)
+    rows.foreach { r =>
+      val ts = byDoc(r.getLong(0)).map(_._2)
+      val vecs = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      ts.foreach { t =>
+        val v = vid(t)
+        vecs(v % 64) += (if ((v / 64) % 2 == 0) 1L else -1L)
+      }
+      val vs = vecs.values.toSeq
+      assert(r.getLong(1) == ts.length.toLong, "n_tokens")
+      assert(r.getLong(2) == vs.count(_ != 0).toLong, "nnz")
+      assert(r.getLong(3) == vs.map(math.abs).sum, "l1")
+      assert(r.getLong(4) == vs.map(v => v * v).sum, "l2sq")
+      assert(r.getLong(5) ==
+        vecs.map { case (b, v) => (b + 1) * v }.sum, "checksum")
+      // parity invariant: each sign cancellation removes exactly 2
+      // tokens, so l1 and n_tokens share parity
+      assert((r.getLong(3) - r.getLong(1)) % 2 == 0)
+      assert(r.getLong(2) <= 64)
+    }
+  }
+
+  test("m7: the audit equals m1's decode rows aggregated sequentially") {
+    val meta = PipelineQueries.defs("m1_multimodal")(spark, Sf).collect()
+      .groupBy(_.getString(1))
+    val rows = PipelineQueries.defs("m7_mediaaudit")(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == meta.keySet)
+    rows.foreach { r =>
+      val g = meta(r.getString(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.map(_.getLong(2)).sum)
+      assert(r.getDouble(3) ==
+        math.round(g.map(_.getLong(3)).sum.toDouble / g.length * 1e6) / 1e6)
+      assert(r.getLong(5) == g.map(_.getLong(5)).sum)
+      assert(r.getLong(6) == g.map(_.getLong(6)).distinct.length.toLong)
+    }
+  }
+
   test("q41: ties break to the smallest value, never arbitrarily") {
     val li = Seq(
       // flag A: 5.0 x2, 3.0 x2 (tie) -> mode must be 3.0

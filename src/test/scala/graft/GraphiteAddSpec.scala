@@ -71,6 +71,22 @@ class GraphiteAddSpec extends SparkTestBase {
     assert(rows.exists(r => !r.isNullAt(4) && r.getDouble(4) < 0))
   }
 
+  test("h41: top-3 by lifetime max, aliases follow the regex contract") {
+    val rows = HoardQueries.defs("h41_aliassub")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val h = hourlyMirror("event_type")
+    val maxBySeries = h.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    val expectTop = maxBySeries.toSeq.sortBy { case (s, m) => (-m, s) }
+      .take(3).map(_._1).toSet
+    assert(rows.map(_.getString(1)).toSet == expectTop,
+      "survivors must be the top-3 series by max")
+    rows.foreach { r =>
+      assert(r.getString(0) == "alias_" + r.getString(1).take(2))
+      assert(r.getDouble(4) ==
+        BigDecimal(maxBySeries(r.getString(1))).setScale(6).toDouble)
+    }
+  }
+
   test("h40: interior gaps interpolate linearly; edges stay null") {
     val rows = HoardQueries.defs("h40_interpolate")(spark, Sf).collect()
     val h = hourlyMirror("user_id")
