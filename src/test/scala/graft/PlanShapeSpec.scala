@@ -247,4 +247,91 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "nested-loop join in q37")
   }
+
+  /** every nested-loop join in `nodes` must be a bounded fan-out: its
+    * broadcast side produced at most `cap` rows (the O(K)/O(|S|)
+    * centroid/totals pattern) — a corpus-sized nested loop would blow
+    * far past it. Reads the executed exchange's numOutputRows metric.
+    */
+  private def assertBoundedNlj(nodes: Seq[SparkPlan], cap: Long): Unit = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+    val nljs = nodes.filter(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    nljs.foreach { j =>
+      val bx = flatten(j).collect {
+        case b: BroadcastExchangeLike => b: SparkPlan
+        case r: ReusedExchangeExec    => r.child
+      }
+      assert(bx.nonEmpty, "nested-loop join without a broadcast side")
+      val rowMetrics = bx.flatMap(b => b.metrics.collectFirst {
+        case (k, m) if k.toLowerCase.contains("numrows") ||
+          k.toLowerCase.contains("numoutputrows") => m.value
+      })
+      assert(rowMetrics.nonEmpty,
+        s"no row metric on broadcast side (have ${bx.map(_.metrics.keys)})")
+      val rows = rowMetrics.min
+      assert(rows <= cap,
+        s"nested-loop broadcast side produced $rows rows (cap $cap) — " +
+          "this is a corpus-sized cross join, not a bounded fan-out")
+    }
+  }
+
+  test("p54 JSD: corpus scans aggregate before the pair join; no window") {
+    val nodes = executed("p54_jsd")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "p54 must not window the token stream")
+    // the pair frame is totals × totals — a |sources|²-bounded cross
+    // join is the INTENDED plan; what must never happen is a nested
+    // loop whose broadcast side is corpus-sized
+    assertBoundedNlj(nodes, cap = 64)
+  }
+
+  test("p55 Zipf: top-200 cut is TakeOrdered; rank window is post-cut") {
+    val nodes = executed("p55_zipf")
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "vocab cut must be TakeOrderedAndProject, not a global sort")
+    // the one (bounded) rank window must sit ABOVE the TakeOrdered in
+    // the tree — i.e. no WindowExec may have corpus-scale input; with
+    // the cut in place the window's child subtree contains the
+    // TakeOrdered node
+    val ws = nodes.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(w =>
+      flatten(w).exists(_.isInstanceOf[TakeOrderedAndProjectExec])),
+      "rank window must run over the 200-row cut, never the vocabulary")
+  }
+
+  test("p56 IVFPQ: centroid fan-out bounded; probes/codebook broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val nodes = executed("p56_ivfpq")
+    // the corpus × centroids distance scan is a nested loop BY DESIGN
+    // — an O(K) fan-out, K=8 — but its broadcast side must stay K-
+    // bounded; everything keyed (codebook, probes, LUT) hash-joins
+    assertBoundedNlj(nodes, cap = 64)
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "cells/probes/LUT should ride broadcast hash joins")
+    val ws = nodes.collect { case w: WindowExec => w }
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "partitionless window in p56")
+  }
+
+  test("p57 hash-embed: two aggregates, zero windows, zero joins") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val nodes = executed("p57_hashembed")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "p57 must not window the token stream")
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the hashing trick needs no join at all — that is its point")
+  }
+
+  test("h38/h41: series stats are aggregates; top-N via TakeOrdered") {
+    val f = executed("h38_seriesfilter")
+    assert(!f.exists(_.isInstanceOf[WindowExec]), "h38 plans no window")
+    val a = executed("h41_aliassub")
+    assert(a.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "h41's top-3 must be TakeOrderedAndProject")
+    val ws = a.collect { case w: WindowExec => w }
+    assert(ws.isEmpty, "h41 plans no window")
+  }
 }
