@@ -117,7 +117,8 @@ object Bench {
       "s4_streamincrement", "s5_streamjoin", "s6_streamstore",
       "s7_streamdim", "s8_streamfinal", "s9_streamlinefilter",
       "s10_streamtopk", "s11_streammanifest", "s12_streamkmv",
-      "s13_streamfunnel", "s14_streamhw")
+      "s13_streamfunnel", "s14_streamhw", "s15_louterjoin",
+      "s16_streamjsd")
     streamNames.foreach(n => graft.streaming.StreamStats.get(n).foreach(st =>
       System.err.println(s"[bench] $n: batches=${st.batches} " +
         s"rows=${st.inputRows} rows_per_sec=${"%.0f".format(st.rowsPerSec)}")))

@@ -519,6 +519,34 @@ object HoardQueries {
         .orderBy("bucket")
     }),
 
+    "h42_normalize" -> ((s, dir) => {
+      // Graphite's offsetToZero + a minMax normalization per series:
+      // the two rescalings dashboards apply before overlaying series
+      // of different magnitudes. Per-series min/max are pure order
+      // statistics broadcast back; offset_to_zero subtracts in
+      // DECIMAL(18,6) (2-decimal inputs difference exactly, no
+      // rounding at all); minmax is ONE IEEE division of two exact
+      // decimal differences, tie-safe rounded; a flat series (max ==
+      // min) nulls out, Graphite's None.
+      val stats = hourlyByType(s, dir)
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+      hourlyByType(s, dir)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          (d6(col("value")) - d6(col("vmin"))).cast("double")
+            .as("offset_to_zero"),
+          when(col("vmax") === col("vmin"), lit(null).cast("double"))
+            .otherwise(round(
+              (d6(col("value")) - d6(col("vmin"))).cast("double") /
+                (d6(col("vmax")) - d6(col("vmin"))).cast("double") *
+                lit(1e6)) / lit(1e6))
+            .as("minmax"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h41_aliassub" -> ((s, dir) => {
       // Graphite's aliasSub + sortByMaxima(3): series renamed by regex
       // substitution (the dashboard-label workhorse) and ranked by
@@ -1893,6 +1921,32 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
         |             / SUM(w) * 1e6) / 1e6 AS wavg
         |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
+    // order-stat min/max broadcast back; exact decimal differences,
+    // one tie-safe division; flat series null out
+    "h42_normalize" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |stats AS (
+        |  SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, CAST(h.h AS VARCHAR) AS bucket,
+        |       ROUND(h.v, 6) AS value,
+        |       CAST(CAST(h.v AS DECIMAL(18,6)) -
+        |            CAST(s.vmin AS DECIMAL(18,6)) AS DOUBLE)
+        |         AS offset_to_zero,
+        |       CASE WHEN s.vmax = s.vmin THEN NULL
+        |            ELSE ROUND(
+        |              CAST(CAST(h.v AS DECIMAL(18,6)) -
+        |                   CAST(s.vmin AS DECIMAL(18,6)) AS DOUBLE) /
+        |              CAST(CAST(s.vmax AS DECIMAL(18,6)) -
+        |                   CAST(s.vmin AS DECIMAL(18,6)) AS DOUBLE) * 1e6)
+        |              / 1e6
+        |       END AS minmax
+        |FROM hourly h JOIN stats s USING (event_type)
+        |ORDER BY h.event_type, bucket""".stripMargin,
 
     // regex alias + top-3 by max; \1 is DuckDB's backreference for
     // Spark's $1 — same substitution contract

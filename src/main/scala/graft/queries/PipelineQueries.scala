@@ -104,6 +104,58 @@ object PipelineQueries {
     s.read.parquet(p)
   }
 
+  /** p54's JSD computation from a (source, token, c) count table —
+    * shared by the batch query and s16's maintained-state stream so
+    * the two paths cannot drift. See p54 for the exact-arithmetic
+    * derivation.
+    */
+  private def jsdOverCounts(cnt: DataFrame): DataFrame = {
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = cnt.select(col("source").as("sa"), col("token"),
+      col("c").as("ca"))
+    val b = cnt.select(col("source").as("sb"), col("token"),
+      col("c").as("cb"))
+    val na = broadcast(tot.select(col("source").as("sa"),
+      col("n").as("na")))
+    val nb = broadcast(tot.select(col("source").as("sb"),
+      col("n").as("nb")))
+    val muLn2 = expr("CAST(ROUND(ln(CAST(2 AS DOUBLE)) * 1e6) AS BIGINT)")
+    def muLn(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column) =
+      round(log(num.cast("double") / den.cast("double")) * lit(1e6), 0)
+        .cast("long")
+    val pairs = a.join(b, Seq("token")).where(col("sa") < col("sb"))
+      .join(na, "sa").join(nb, "sb")
+      .select(col("sa"), col("sb"), col("na"), col("nb"),
+        col("ca"), col("cb"),
+        (col("ca") * col("nb")).as("anb"), (col("cb") * col("na")).as("bna"))
+      .withColumn("ta", col("ca") *
+        muLn(col("anb") * 2, col("anb") + col("bna")))
+      .withColumn("tb", col("cb") *
+        muLn(col("bna") * 2, col("anb") + col("bna")))
+    val agg = pairs.groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("ca")).as("ma"), sum(col("cb")).as("mb"),
+        sum(col("ta")).as("kla_m"), sum(col("tb")).as("klb_m"))
+    // the pair frame comes from the totals cross product (|sources|²
+    // — metadata-sized), NOT the matched join: a pair with zero
+    // shared vocabulary must still report (at JSD = ln 2 exactly),
+    // and an inner join would silently drop it
+    tot.select(col("source").as("sa"), col("n").as("na"))
+      .crossJoin(tot.select(col("source").as("sb"), col("n").as("nb")))
+      .where(col("sa") < col("sb"))
+      .join(agg, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("n_shared", "ma", "mb", "kla_m", "klb_m"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("n_shared"),
+        (round((
+          (col("kla_m") + (col("na") - col("ma")) * muLn2).cast("double")
+            / col("na").cast("double") +
+          (col("klb_m") + (col("nb") - col("mb")) * muLn2).cast("double")
+            / col("nb").cast("double")) / 2) / lit(1e6)).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exactdedup" -> ((s, dir) => {
       // keep-first by content hash as a map-side-combinable min
@@ -1688,50 +1740,77 @@ object PipelineQueries {
       val cnt = docs(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
-      val a = cnt.select(col("source").as("sa"), col("token"),
-        col("c").as("ca"))
-      val b = cnt.select(col("source").as("sb"), col("token"),
-        col("c").as("cb"))
-      val na = broadcast(tot.select(col("source").as("sa"),
-        col("n").as("na")))
-      val nb = broadcast(tot.select(col("source").as("sb"),
-        col("n").as("nb")))
-      val muLn2 = expr("CAST(ROUND(ln(CAST(2 AS DOUBLE)) * 1e6) AS BIGINT)")
-      def muLn(num: org.apache.spark.sql.Column,
-               den: org.apache.spark.sql.Column) =
-        round(log(num.cast("double") / den.cast("double")) * lit(1e6), 0)
-          .cast("long")
-      val pairs = a.join(b, Seq("token")).where(col("sa") < col("sb"))
-        .join(na, "sa").join(nb, "sb")
-        .select(col("sa"), col("sb"), col("na"), col("nb"),
-          col("ca"), col("cb"),
-          (col("ca") * col("nb")).as("anb"), (col("cb") * col("na")).as("bna"))
-        .withColumn("ta", col("ca") *
-          muLn(col("anb") * 2, col("anb") + col("bna")))
-        .withColumn("tb", col("cb") *
-          muLn(col("bna") * 2, col("anb") + col("bna")))
-      val agg = pairs.groupBy(col("sa"), col("sb"))
-        .agg(count(lit(1)).as("n_shared"),
-          sum(col("ca")).as("ma"), sum(col("cb")).as("mb"),
-          sum(col("ta")).as("kla_m"), sum(col("tb")).as("klb_m"))
-      // the pair frame comes from the totals cross product (|sources|²
-      // — metadata-sized), NOT the matched join: a pair with zero
-      // shared vocabulary must still report (at JSD = ln 2 exactly),
-      // and an inner join would silently drop it
-      tot.select(col("source").as("sa"), col("n").as("na"))
-        .crossJoin(tot.select(col("source").as("sb"), col("n").as("nb")))
-        .where(col("sa") < col("sb"))
-        .join(agg, Seq("sa", "sb"), "left")
-        .na.fill(0L, Seq("n_shared", "ma", "mb", "kla_m", "klb_m"))
-        .select(col("sa").as("source_a"), col("sb").as("source_b"),
-          col("na").as("n_a"), col("nb").as("n_b"), col("n_shared"),
-          (round((
-            (col("kla_m") + (col("na") - col("ma")) * muLn2).cast("double")
-              / col("na").cast("double") +
-            (col("klb_m") + (col("nb") - col("mb")) * muLn2).cast("double")
-              / col("nb").cast("double")) / 2) / lit(1e6)).as("jsd"))
-        .orderBy("source_a", "source_b")
+      jsdOverCounts(cnt)
+    }),
+
+    "s16_streamjsd" -> ((s, dir) => {
+      // STREAMING drift monitoring: p54's source-pair JSD maintained
+      // over a document stream. Per-(source, token) counts are the
+      // maintained state — counts are associative/commutative, so the
+      // fold over ANY batching equals the one-pass count table exactly
+      // and the final JSD must hash-match p54's batch answer (the
+      // oracle is p54's VERBATIM). State is the |sources|×vocab count
+      // table (sublinear by Heaps' law — the production shape persists
+      // it as the drift index); each batch contributes one map-side
+      // combinable aggregate + one additive merge join.
+      graft.Graft.configure(s)
+      import s.implicits._
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-s16-in").toString
+      (0 until 3).foreach { i =>
+        docs(s, dir).where(pmod(col("doc_id"), lit(3)) === i)
+          .select(col("doc_id"), col("text"), col("source"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$inDir/b$i")
+      }
+      val schema = s.read.parquet(s"$inDir/b0").schema
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-s16-ckpt").toString
+      var state = Seq.empty[(String, String, Long)]
+        .toDF("source", "token", "c")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bc = batch
+            .select(col("source"),
+              explode(split(col("text"), " ")).as("token"))
+            .groupBy(col("source"), col("token"))
+            .agg(count(lit(1)).as("bc"))
+          state = state.join(bc, Seq("source", "token"), "full_outer")
+            .select(col("source"), col("token"),
+              (coalesce(col("c"), lit(0L)) + coalesce(col("bc"), lit(0L)))
+                .as("c"))
+            .localCheckpoint(true)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s16_streamjsd", q); q.stop()
+      jsdOverCounts(state)
+    }),
+
+
+    "p58_dupgraph" -> ((s, dir) => {
+      // near-dup graph audit: the DEGREE SPECTRUM of the verified
+      // τ=0.7 pair graph — the curation readout that distinguishes
+      // scattered pair noise from dense clone clusters (template spam
+      // shows as a heavy tail; p18's components tell you WHO, this
+      // tells you the SHAPE). Composes the shared materialized pairs
+      // table: degrees are one groupBy over 2|E| endpoint rows, the
+      // spectrum a second bounded aggregate, and zero-degree docs
+      // fold in through one left join against the doc list.
+      val pairs = nearDupPairs(s, dir)
+      val sym = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+      val deg = sym.groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      docs(s, dir).select(col("doc_id"))
+        .join(deg, Seq("doc_id"), "left").na.fill(0L, Seq("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
     }),
 
     "p55_zipf" -> ((s, dir) => {
@@ -1993,7 +2072,7 @@ object PipelineQueries {
        |  SELECT p.c_id, p.d, p.x FROM $prev p
        |  WHERE p.c_id NOT IN (SELECT c_id FROM n$i WHERE nrm > 0))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "p1_exactdedup" ->
       """SELECT doc_id, md5(text) AS text_md5,
         | row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep
@@ -3827,6 +3906,36 @@ object PipelineQueries {
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
 
+    // degree spectrum over the same exact-verified edge set as p18
+    "p58_dupgraph" ->
+      s"""WITH $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |                     AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |edges AS (
+         |  SELECT id_a, id_b FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7),
+         |sym AS (SELECT id_a AS doc_id FROM edges
+         |        UNION ALL SELECT id_b FROM edges),
+         |deg AS (SELECT doc_id, COUNT(*) AS degree FROM sym
+         |        GROUP BY doc_id),
+         |alld AS (
+         |  SELECT d.doc_id, COALESCE(g.degree, 0) AS degree
+         |  FROM documents d LEFT JOIN deg g USING (doc_id))
+         |SELECT degree, COUNT(*) AS n_docs
+         |FROM alld GROUP BY degree ORDER BY degree""".stripMargin,
+
     // per-token micro-log terms weighted by raw counts, summed exactly;
     // unmatched vocabulary folds in as (n - matched)·µln2
     "p54_jsd" ->
@@ -4025,4 +4134,11 @@ object PipelineQueries {
         |       p.id_ex AS best_match, p.jaccard AS best_jaccard
         |FROM pick p JOIN cnt c USING (id_in)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** s16 maintains p54's count table incrementally; counts are
+    * additive/associative so the stream must reproduce the batch JSD
+    * VERBATIM.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("s16_streamjsd" -> oraclesBase("p54_jsd"))
 }

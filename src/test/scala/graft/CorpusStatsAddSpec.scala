@@ -109,6 +109,27 @@ class CorpusStatsAddSpec extends SparkTestBase {
     assert(slope < 0, "natural text must slope downward")
   }
 
+  test("s16 equals p54 exactly on sf0.001 (maintained counts parity)") {
+    val batch = PipelineQueries.defs("p54_jsd")(spark, Sf).collect()
+      .map(_.toSeq).toSeq
+    val stream = PipelineQueries.defs("s16_streamjsd")(spark, Sf).collect()
+      .map(_.toSeq).toSeq
+    assert(batch.nonEmpty && stream == batch,
+      "streamed JSD must reproduce the batch answer row for row")
+  }
+
+  test("p58: spectrum mass equals 2|E| and covers every document") {
+    val rows = PipelineQueries.defs("p58_dupgraph")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nDocs = Tables.load(spark, Sf, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "every doc lands in one bin")
+    val pairs = PipelineQueries.nearDupPairs(spark, Sf).count()
+    assert(rows.map { case (d, n) => d * n }.sum == 2 * pairs,
+      "total degree must be twice the edge count")
+    assert(rows.exists(_._1 == 0L) && rows.exists(_._1 > 0L),
+      "fixture must show both isolated and paired docs")
+  }
+
   test("p57: vector stats replay a sequential hashing-trick mirror") {
     val rows = PipelineQueries.defs("p57_hashembed")(spark, Sf).collect()
     assert(rows.nonEmpty)

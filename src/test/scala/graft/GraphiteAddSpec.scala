@@ -87,6 +87,38 @@ class GraphiteAddSpec extends SparkTestBase {
     }
   }
 
+  test("h42: rescalings replay a BigDecimal mirror; flat series null") {
+    val rows = HoardQueries.defs("h42_normalize")(spark, Sf).collect()
+    val h = hourlyMirror("event_type")
+    val bySeries = h.groupBy(_._1._1)
+    rows.foreach { r =>
+      val vs = bySeries(r.getString(0)).values
+      val (mn, mx) = (vs.min, vs.max)
+      val v = h((r.getString(0), java.sql.Timestamp.valueOf(
+        r.getString(1)).toInstant.getEpochSecond))
+      val off = (BigDecimal(v).setScale(6) - BigDecimal(mn).setScale(6))
+        .toDouble
+      assert(r.getDouble(3) == off, "offset_to_zero")
+      val den = (BigDecimal(mx).setScale(6) - BigDecimal(mn).setScale(6))
+        .toDouble
+      assert(r.getDouble(4) == math.round(off / den * 1e6) / 1e6, "minmax")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // flat series: minmax must null, offset must zero
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "flat", 5.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L,
+        "flat", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("h42")
+    ev.write.parquet(s"$dir/events.parquet")
+    val flat = HoardQueries.defs("h42_normalize")(spark, dir).collect()
+    assert(flat.length == 2 &&
+      flat.forall(r => r.isNullAt(4) && r.getDouble(3) == 0.0))
+  }
+
   test("h40: interior gaps interpolate linearly; edges stay null") {
     val rows = HoardQueries.defs("h40_interpolate")(spark, Sf).collect()
     val h = hourlyMirror("user_id")
