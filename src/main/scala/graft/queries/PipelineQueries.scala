@@ -1794,6 +1794,63 @@ object PipelineQueries {
     }),
 
 
+    "p59_tfidf" -> ((s, dir) => {
+      // tf-idf keyword extraction: each document's top-3 terms by
+      // tf·idf — the per-doc topical summary a curation UI or a
+      // sparse retrieval index builds (BM25's p27 ranks docs for a
+      // query; this ranks terms for a doc). The RANKING KEY is the
+      // exact integer tf·µidf where µidf = round(1e6·ln(N/df)) comes
+      // from the micro-log of an integer ratio — no float ever
+      // orders anything, ties break on the token string. Shape: tf
+      // is one (doc, token) groupBy, df one token groupBy (both
+      // map-side combinable), N an O(1) broadcast; the top-3 window
+      // partitions per doc (bounded by the doc's vocabulary).
+      import org.apache.spark.sql.expressions.Window
+      val tk = toks(s, dir)
+      val tf = tk.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tk.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("idf_micro",
+          round(log(col("n").cast("double") / col("df").cast("double"))
+            * lit(1e6), 0).cast("long"))
+        .withColumn("score_micro", col("tf") * col("idf_micro"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("token"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+          col("df"), col("score_micro"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    "p60_lshrecall" -> ((s, dir) => {
+      // MEASURED LSH recall: the banded-MinHash candidate generator
+      // (p3's probabilistic path) audited against the provably-exact
+      // τ=0.7 pair set (p10's) — the "measure, don't guess" readout
+      // that justifies (or revokes) the cheap path at each corpus
+      // snapshot. Exactly this audit is how round 5 caught the sf0.1
+      // banding false negative; here it is a STANDING declared gate.
+      // One row: exact pairs, banded candidate pairs, their overlap,
+      // and recall = hit/exact as the only (tie-safe) ratio. Both
+      // inputs are bucketed equi-joins — nothing all-pairs.
+      val exact = nearDupPairs(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val cand = MinHashLsh.candidates(
+          MinHashLsh.bands(minhashSigs(s, dir), "doc_id", r = 4), "doc_id")
+        .select(col("id_a"), col("id_b")).distinct()
+      val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      val ne = exact.count(); val nc = cand.count(); val nh = hit.count()
+      val s2 = s
+      import s2.implicits._
+      Seq((ne, nc, nh,
+        if (ne == 0) 1.0 else math.round(nh.toDouble / ne * 1e6) / 1e6))
+        .toDF("n_exact", "n_candidates", "n_hit", "recall")
+    }),
+
     "p58_dupgraph" -> ((s, dir) => {
       // near-dup graph audit: the DEGREE SPECTRUM of the verified
       // τ=0.7 pair graph — the curation readout that distinguishes
@@ -3905,6 +3962,63 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // per-doc top-3 by the exact integer tf·µidf key
+    "p59_tfidf" ->
+      s"""WITH $ToksCte,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+         |       GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+         |       GROUP BY token),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.token, t.tf, d.df,
+         |         t.tf * CAST(ROUND(ln(CAST(n.n AS DOUBLE)
+         |                              / CAST(d.df AS DOUBLE)) * 1e6)
+         |                     AS BIGINT) AS score_micro
+         |  FROM tf t JOIN df d USING (token) CROSS JOIN nn n)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score_micro DESC, token) AS BIGINT) AS rnk,
+         |       token, tf, CAST(df AS BIGINT) AS df, score_micro
+         |FROM scored
+         |QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // banded candidates vs the provably-exact pair set, one scan each
+    "p60_lshrecall" ->
+      s"""WITH $ShinglesCte,
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS key
+         |  FROM sigs GROUP BY doc_id, j // 4),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle
+         |                       AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |exact AS (
+         |  SELECT id_a, id_b FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7),
+         |agg AS (
+         |  SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+         |         (SELECT COUNT(*) FROM cands) AS n_candidates,
+         |         (SELECT COUNT(*) FROM exact e JOIN cands c
+         |            ON e.id_a = c.id_a AND e.id_b = c.id_b) AS n_hit)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       CASE WHEN n_exact = 0 THEN 1.0
+         |            ELSE ROUND(CAST(n_hit AS DOUBLE) / n_exact * 1e6) / 1e6
+         |       END AS recall
+         |FROM agg""".stripMargin,
 
     // degree spectrum over the same exact-verified edge set as p18
     "p58_dupgraph" ->

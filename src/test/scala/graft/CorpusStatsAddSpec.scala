@@ -130,6 +130,44 @@ class CorpusStatsAddSpec extends SparkTestBase {
       "fixture must show both isolated and paired docs")
   }
 
+  test("p59: top-3 keywords replay a sequential tf-idf mirror") {
+    val rows = PipelineQueries.defs("p59_tfidf")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .as[(Long, String)].collect()
+    val n = toks.map(_._1).distinct.length
+    val df = toks.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rs) =>
+      val tf = toks.filter(_._1 == d).groupBy(_._2)
+        .view.mapValues(_.length).toMap
+      val scored = tf.toSeq.map { case (t, f) =>
+        (t, f.toLong * math.round(math.log(n.toDouble / df(t)) * 1e6))
+      }
+      val expect = scored.sortBy { case (t, sc) => (-sc, t) }.take(3)
+      val got = rs.sortBy(_.getLong(1))
+        .map(r => (r.getString(2), r.getLong(5)))
+      assert(got.toSeq == expect, s"doc $d keywords")
+    }
+    // rank keys strictly ordered within each doc (modulo the token
+    // tie-break), and rare terms must actually outrank common ones
+    // somewhere: some top-1 keyword has tf 1
+    assert(rows.exists(r => r.getLong(1) == 1L && r.getLong(3) == 1L))
+  }
+
+  test("p60: recall audit is internally consistent; full recall at tiny SF") {
+    val r = PipelineQueries.defs("p60_lshrecall")(spark, Sf).collect().head
+    val (ne, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= ne && nh <= nc, "hits must embed in both sets")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(3) ==
+      (if (ne == 0) 1.0 else math.round(nh.toDouble / ne * 1e6) / 1e6))
+    // the sf0.001 fixture is where banding holds — the sf0.1 miss
+    // (recall 0.984) is the standing reason p10 rides the exact path
+    assert(r.getDouble(3) == 1.0, "banding must be complete at sf0.001")
+  }
+
   test("p57: vector stats replay a sequential hashing-trick mirror") {
     val rows = PipelineQueries.defs("p57_hashembed")(spark, Sf).collect()
     assert(rows.nonEmpty)
