@@ -519,6 +519,33 @@ object HoardQueries {
         .orderBy("bucket")
     }),
 
+    "h43_pctseries" -> ((s, dir) => {
+      // Graphite's percentileOfSeries: the ACROSS-series p50/p95 per
+      // bucket — the aggregate view h17's sum/avg family can't give
+      // (tail behavior across a fleet). Pure order statistics: the
+      // k-th smallest value with k from h24's integer rank forms
+      // (k50 = ceil(n/2), k95 = (19n+19) div 20) — no interpolation,
+      // no float rank math; ties in value leave the k-th VALUE
+      // deterministic. The rank window partitions per bucket and is
+      // bounded by the series count, never the retention.
+      import org.apache.spark.sql.expressions.Window
+      val wv = Window.partitionBy(col("bucket"))
+        .orderBy(col("value"), col("event_type"))
+      val wn = Window.partitionBy(col("bucket"))
+      hourlyByType(s, dir)
+        .withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("k50", expr("(n + 1) div 2"))
+        .withColumn("k95", expr("(n * 19 + 19) div 20"))
+        .groupBy(col("bucket"), col("n"))
+        .agg(max(when(col("rn") === col("k50"), col("value"))).as("p50"),
+          max(when(col("rn") === col("k95"), col("value"))).as("p95"))
+        .select(col("bucket").cast("string").as("bucket"),
+          col("n").as("n_series"),
+          round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"))
+        .orderBy("bucket")
+    }),
+
     "h42_normalize" -> ((s, dir) => {
       // Graphite's offsetToZero + a minMax normalization per series:
       // the two rescalings dashboards apply before overlaying series
@@ -1921,6 +1948,25 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
         |             / SUM(w) * 1e6) / 1e6 AS wavg
         |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
+    // integer-rank k-th smallest across series per bucket
+    "h43_pctseries" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |ranked AS (
+        |  SELECT h, v,
+        |         row_number() OVER (PARTITION BY h
+        |           ORDER BY v, event_type) AS rn,
+        |         COUNT(*) OVER (PARTITION BY h) AS n
+        |  FROM hourly)
+        |SELECT CAST(h AS VARCHAR) AS bucket, CAST(n AS BIGINT) AS n_series,
+        |       ROUND(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END), 6)
+        |         AS p50,
+        |       ROUND(MAX(CASE WHEN rn = (n * 19 + 19) // 20 THEN v END), 6)
+        |         AS p95
+        |FROM ranked GROUP BY h, n ORDER BY bucket""".stripMargin,
 
     // order-stat min/max broadcast back; exact decimal differences,
     // one tie-safe division; flat series null out

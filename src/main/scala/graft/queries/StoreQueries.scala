@@ -443,6 +443,27 @@ object StoreQueries {
         .orderBy("bucket")
     }),
 
+    "hs14_inventory" -> ((s, dir) => {
+      // store inventory (the admin "ls -l" every metrics deployment
+      // scripts against its whisper tree): per series, point counts
+      // and first/last slot per level — read straight off the level
+      // tables, one partial-agg groupBy each, O(series) output. The
+      // oracle recomputes the same inventory from raw events through
+      // the lww + xff contract, so the store's retained SHAPE (not
+      // just its values) is gated.
+      val st = storeFor(s, dir)
+      val hs = st.readLevel(Policy.sorted.head)
+        .groupBy(col("series_id"))
+        .agg(count(lit(1)).as("n_hourly"),
+          min(col("interval").cast("long")).as("first_hour_s"),
+          max(col("interval").cast("long")).as("last_hour_s"))
+      val ds = st.readLevel(Policy.sorted.last)
+        .groupBy(col("series_id")).agg(count(lit(1)).as("n_daily"))
+      hs.join(ds, Seq("series_id"), "left")
+        .na.fill(0L, Seq("n_daily"))
+        .orderBy("series_id")
+    }),
+
     "hs13_fill" -> ((s, dir) => {
       // whisper-fill as a declared gate: tail-only store backfilled
       // from the full store must serve the SAME daily rollup as the
@@ -547,6 +568,30 @@ object StoreQueries {
   val oracles: Map[String, String] = Map(
     "s6_streamstore" -> DailyRollupSql,
     "hs13_fill" -> DailyRollupSql,
+
+    // lww slots + xff-gated daily slots recomputed from raw events
+    "hs14_inventory" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING COUNT(*) >= 12),
+        |hs AS (
+        |  SELECT event_type AS series_id, COUNT(*) AS n_hourly,
+        |         CAST(MIN(epoch_us(h) // 1000000) AS BIGINT)
+        |           AS first_hour_s,
+        |         CAST(MAX(epoch_us(h) // 1000000) AS BIGINT)
+        |           AS last_hour_s
+        |  FROM hourly GROUP BY event_type),
+        |ds AS (
+        |  SELECT event_type AS series_id, COUNT(*) AS n_daily
+        |  FROM daily GROUP BY event_type)
+        |SELECT hs.series_id, hs.n_hourly, hs.first_hour_s, hs.last_hour_s,
+        |       COALESCE(ds.n_daily, 0) AS n_daily
+        |FROM hs LEFT JOIN ds USING (series_id)
+        |ORDER BY series_id""".stripMargin,
     "hs6_deltastore" -> DailyRollupSql,
     "hs9_manifeststore" -> DailyRollupSql,
     "s11_streammanifest" -> DailyRollupSql,

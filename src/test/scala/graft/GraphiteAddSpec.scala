@@ -119,6 +119,24 @@ class GraphiteAddSpec extends SparkTestBase {
       flat.forall(r => r.isNullAt(4) && r.getDouble(3) == 0.0))
   }
 
+  test("h43: across-series percentiles replay an order-statistic mirror") {
+    val rows = HoardQueries.defs("h43_pctseries")(spark, Sf).collect()
+    val h = hourlyMirror("event_type")
+    val byBucket = h.groupBy(_._1._2)
+    rows.foreach { r =>
+      val t = java.sql.Timestamp.valueOf(r.getString(0))
+        .toInstant.getEpochSecond
+      val vs = byBucket(t).values.toSeq.sorted
+      val n = vs.length
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getDouble(2) ==
+        BigDecimal(vs((n + 1) / 2 - 1)).setScale(6).toDouble, "p50")
+      assert(r.getDouble(3) ==
+        BigDecimal(vs((n * 19 + 19) / 20 - 1)).setScale(6).toDouble, "p95")
+      assert(r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
   test("h40: interior gaps interpolate linearly; edges stay null") {
     val rows = HoardQueries.defs("h40_interpolate")(spark, Sf).collect()
     val h = hourlyMirror("user_id")
