@@ -1794,6 +1794,50 @@ object PipelineQueries {
     }),
 
 
+    "p61_labelcentroids" -> ((s, dir) => {
+      // label-centroid similarity matrix: the class-separation audit
+      // for labeled embedding data — per-label mean vectors and every
+      // pair's cosine (labels whose centroids collide flag annotation
+      // noise or class overlap before training sees it; completes the
+      // drift family: p53 lengths, p54 lexical, this one semantic).
+      // Exactness discipline is p13's Lloyd arithmetic verbatim:
+      // per-(label, dim) means through exact DECIMAL(24,18) sums (one
+      // deterministic double each), the pair dot/norm sums through
+      // per-term DECIMAL(30,20) casts — partial-agg order cannot
+      // show — and one identical sqrt·sqrt division, tie-safe
+      // rounded. Shape: one corpus-linear exploded aggregate, then
+      // everything is O(|labels|·dims) — metadata-sized.
+      val ex = emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val m = ex.groupBy(col("label"), col("d"))
+        .agg((sum(col("x").cast("decimal(24,18)")).cast("double") /
+          count(lit(1))).as("m"),
+          count(lit(1)).as("n"))
+      val nPer = m.groupBy(col("label")).agg(max(col("n")).as("n_vecs"))
+      val a = m.select(col("label").as("la"), col("d"), col("m").as("ma"))
+      val b = m.select(col("label").as("lb"), col("d"), col("m").as("mb"))
+      val pair = a.join(b, Seq("d")).where(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum((col("ma") * col("mb")).cast("decimal(30,20)"))
+          .cast("double").as("dot"),
+          sum((col("ma") * col("ma")).cast("decimal(30,20)"))
+            .cast("double").as("naa"),
+          sum((col("mb") * col("mb")).cast("decimal(30,20)"))
+            .cast("double").as("nbb"))
+      pair
+        .join(broadcast(nPer.select(col("label").as("la"),
+          col("n_vecs").as("n_a"))), "la")
+        .join(broadcast(nPer.select(col("label").as("lb"),
+          col("n_vecs").as("n_b"))), "lb")
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          col("n_a"), col("n_b"),
+          (round(col("dot") / (sqrt(col("naa")) * sqrt(col("nbb")))
+            * lit(1e6)) / lit(1e6)).as("centroid_cos"))
+        .orderBy("label_a", "label_b")
+    }),
+
     "p59_tfidf" -> ((s, dir) => {
       // tf-idf keyword extraction: each document's top-3 terms by
       // tf·idf — the per-doc topical summary a curation UI or a
@@ -3962,6 +4006,41 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // Lloyd-discipline exact decimal means and per-term decimal sums;
+    // one identical sqrt·sqrt division
+    "p61_labelcentroids" ->
+      """WITH ex AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         generate_subscripts(embedding, 1) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, d,
+        |         CAST(SUM(CAST(x AS DECIMAL(24,18))) AS DOUBLE) / COUNT(*)
+        |           AS m,
+        |         COUNT(*) AS n
+        |  FROM ex GROUP BY label, d),
+        |np AS (SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs FROM m
+        |       GROUP BY label),
+        |pair AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |         CAST(SUM(CAST(a.m * b.m AS DECIMAL(30,20))) AS DOUBLE)
+        |           AS dot,
+        |         CAST(SUM(CAST(a.m * a.m AS DECIMAL(30,20))) AS DOUBLE)
+        |           AS naa,
+        |         CAST(SUM(CAST(b.m * b.m AS DECIMAL(30,20))) AS DOUBLE)
+        |           AS nbb
+        |  FROM m a JOIN m b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT p.la AS label_a, p.lb AS label_b,
+        |       na.n_vecs AS n_a, nb.n_vecs AS n_b,
+        |       ROUND(p.dot / (sqrt(p.naa) * sqrt(p.nbb)) * 1e6) / 1e6
+        |         AS centroid_cos
+        |FROM pair p
+        | JOIN np na ON na.label = p.la
+        | JOIN np nb ON nb.label = p.lb
+        |ORDER BY label_a, label_b""".stripMargin,
 
     // per-doc top-3 by the exact integer tf·µidf key
     "p59_tfidf" ->

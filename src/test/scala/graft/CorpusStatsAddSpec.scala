@@ -168,6 +168,34 @@ class CorpusStatsAddSpec extends SparkTestBase {
     assert(r.getDouble(3) == 1.0, "banding must be complete at sf0.001")
   }
 
+  test("p61: centroid cosines replay a sequential BigDecimal mirror") {
+    val rows = PipelineQueries.defs("p61_labelcentroids")(spark, Sf)
+      .collect()
+    val vecs = Tables.load(spark, Sf, "embeddings")
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.length == byLabel.size * (byLabel.size - 1) / 2)
+    def centroid(l: Long): Array[Double] = {
+      val vs = byLabel(l).map(_._2)
+      (0 until 64).map { d =>
+        (vs.map(v => BigDecimal(v(d)).setScale(18,
+          BigDecimal.RoundingMode.HALF_UP)).sum / vs.length).toDouble
+      }.toArray
+    }
+    rows.foreach { r =>
+      val (ca, cb) = (centroid(r.getLong(0)), centroid(r.getLong(1)))
+      def dsum(xs: Seq[Double]) = xs.map(x => BigDecimal(x).setScale(20,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val dot = dsum(ca.zip(cb).map { case (x, y) => x * y })
+      val na = dsum(ca.map(x => x * x)); val nb = dsum(cb.map(x => x * x))
+      val exp = math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+      assert(r.getDouble(4) == exp,
+        s"cos(${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getLong(2) == byLabel(r.getLong(0)).length.toLong)
+    }
+  }
+
   test("p57: vector stats replay a sequential hashing-trick mirror") {
     val rows = PipelineQueries.defs("p57_hashembed")(spark, Sf).collect()
     assert(rows.nonEmpty)
