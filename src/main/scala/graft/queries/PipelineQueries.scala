@@ -1794,6 +1794,82 @@ object PipelineQueries {
     }),
 
 
+    "p62_hardnegatives" -> ((s, dir) => {
+      // hard-negative mining (the DPR/Contriever contrastive-training
+      // recipe): for each query vector, the most-similar vectors with
+      // a DIFFERENT label — the negatives that actually teach a model
+      // the class boundary; random negatives are too easy and
+      // same-label hits would be false negatives. p7's exact
+      // brute-force shape with the label inequality pushed INTO the
+      // join condition (the filter prunes before scoring); ranking
+      // keys (6-decimal sim, neighbor_id) are deterministic and the
+      // top-3 window partitions per query over the bounded query set.
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val q = Embeddings.withUnitVector(
+          e.where(col("vec_id") < 10), "embedding", "qn")
+        .select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("query_label"), col("qn"))
+      val c = Embeddings.withUnitVector(e, "embedding", "cn")
+        .select(col("vec_id").as("neighbor_id"),
+          col("label").cast("long").as("neg_label"), col("cn"))
+      val scored = q.join(c,
+          col("query_id") =!= col("neighbor_id") &&
+            col("query_label") =!= col("neg_label"))
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neg_label"),
+          round(Embeddings.unitCosine("qn", "cn"), 6).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("query_label"),
+          col("neighbor_id"), col("neg_label"), col("sim"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "p63_chunkdedup" -> ((s, dir) => {
+      // chunk-level dedup audit ahead of RAG indexing: p46's chunk
+      // table deduplicated by content hash across the corpus —
+      // boilerplate chunks (headers, navigation, licenses) index once,
+      // and each doc reports how much of it is shadowed by an earlier
+      // chunk. Keeper per hash is the deterministic min (doc_id,
+      // chunk_idx) via one map-side-combinable min(struct); per-doc
+      // ratios round tie-safe. Shape: chunk generation is p46's pure
+      // codegen'd array work; the only shuffles are the hash groupBy
+      // and the doc rollup.
+      val W = 32; val S0 = 24
+      val nchunks = expr(
+        s"CASE WHEN n <= $W THEN CAST(1 AS BIGINT) " +
+          s"ELSE CAST(1 AS BIGINT) + ((n - $W + ${S0 - 1}) div $S0) END")
+      val ch = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .withColumn("n", size(col("arr")).cast("long"))
+        .withColumn("c", explode(sequence(lit(0L), nchunks - 1)))
+        .select(col("doc_id"), col("c").as("chunk_idx"),
+          md5(concat_ws(" ",
+            slice(col("arr"), (col("c") * S0 + 1).cast("int"), lit(W)))
+            .cast("binary")).as("chunk_md5"))
+      val occ = ch.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+      ch.join(occ, "chunk_md5")
+        .select(col("doc_id"),
+          col("n_occ"),
+          when(col("keep.doc_id") =!= col("doc_id") ||
+            col("keep.chunk_idx") =!= col("chunk_idx"), 1L)
+            .otherwise(0L).as("shadowed"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(col("shadowed")).as("n_shadowed"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          col("n_shadowed"),
+          (round(col("n_shadowed").cast("double") / col("n_chunks")
+            * lit(1e6)) / lit(1e6)).as("shadow_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "p61_labelcentroids" -> ((s, dir) => {
       // label-centroid similarity matrix: the class-separation audit
       // for labeled embedding data — per-label mean vectors and every
@@ -4006,6 +4082,63 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // p7's brute-force oracle with the label inequality in the join
+    "p62_hardnegatives" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS query_id,
+        |         CAST(a.label AS BIGINT) AS query_label,
+        |         b.vec_id AS neighbor_id,
+        |         CAST(b.label AS BIGINT) AS neg_label,
+        |         ROUND(list_cosine_similarity(
+        |           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+        |           AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label
+        |  WHERE a.vec_id < 10)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+        |       query_label, neighbor_id, neg_label, sim
+        |FROM scored QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // p46's chunk CTE + hash occurrence counts; keeper = min (doc, idx)
+    "p63_chunkdedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |nc AS (
+        |  SELECT doc_id, arr, n,
+        |         CASE WHEN n <= 32 THEN 1
+        |              ELSE 1 + (n - 32 + 23) // 24 END AS nchunks
+        |  FROM d),
+        |cx AS (SELECT doc_id, arr, n, unnest(range(0, nchunks)) AS c
+        |       FROM nc),
+        |ch AS (
+        |  SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+        |         md5(array_to_string(
+        |           list_slice(arr, c * 24 + 1, c * 24 + 32), ' '))
+        |           AS chunk_md5
+        |  FROM cx),
+        |occ AS (
+        |  SELECT chunk_md5, COUNT(*) AS n_occ,
+        |         MIN(struct_pack(doc_id := doc_id,
+        |                         chunk_idx := chunk_idx)) AS keep
+        |  FROM ch GROUP BY chunk_md5)
+        |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup,
+        |       CAST(SUM(CASE WHEN (o.keep).doc_id <> ch.doc_id
+        |                       OR (o.keep).chunk_idx <> ch.chunk_idx
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed,
+        |       ROUND(CAST(SUM(CASE WHEN (o.keep).doc_id <> ch.doc_id
+        |                             OR (o.keep).chunk_idx <> ch.chunk_idx
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*) * 1e6) / 1e6 AS shadow_ratio
+        |FROM ch JOIN occ o USING (chunk_md5)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
 
     // Lloyd-discipline exact decimal means and per-term decimal sums;
     // one identical sqrt·sqrt division

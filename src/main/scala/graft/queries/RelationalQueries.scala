@@ -208,6 +208,37 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    "q42_funnel3" -> ((s, dir) => {
+      // Three-stage funnel (view → click → purchase, each STRICTLY
+      // later than the previous resolved stage): q37's two-aggregate
+      // shape chained once more. Every stage is one filtered partial
+      // min-aggregate + one equi-join on user_id; a user's stage is
+      // how deep the chain resolves (0-indexed by furthest reached);
+      // no window ever touches the raw stream. Timestamps emit as
+      // epoch micros — integers on both engines.
+      val e = t(s, dir, "events")
+      val fv = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+      val fc = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+        .join(fv, "user_id").where(col("ts") > col("fv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+      val fp = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(fc, "user_id").where(col("ts") > col("fc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+      fv.join(fc.drop("fv"), Seq("user_id"), "left")
+        .join(fp.drop("fc"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("fv")).as("first_view_us"),
+          unix_micros(col("fc")).as("first_click_us"),
+          unix_micros(col("fp")).as("first_purchase_us"),
+          (when(col("fp").isNotNull, 3L)
+            .otherwise(when(col("fc").isNotNull, 2L).otherwise(1L)))
+            .as("stage"))
+        .orderBy("user_id")
+    }),
+
     "q37_funnel" -> ((s, dir) => {
       // Funnel conversion: each user's first click, the first purchase
       // STRICTLY after it, and the conversion gap — the ordered-event
@@ -990,6 +1021,33 @@ object RelationalQueries {
 
     // epoch-micros ints, not ts strings — fractional-second VARCHAR
     // trimming is the one formatting seam the engines could disagree on
+    // q37's chained-stage shape, one more hop; stage = furthest reached
+    "q42_funnel3" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(ts) AS fv
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, MIN(e.ts) AS fc
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > fv.fv
+        |  GROUP BY e.user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS fp
+        |  FROM events e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fc.fc
+        |  GROUP BY e.user_id)
+        |SELECT fv.user_id,
+        |       epoch_us(fv.fv) AS first_view_us,
+        |       epoch_us(fc.fc) AS first_click_us,
+        |       epoch_us(fp.fp) AS first_purchase_us,
+        |       CAST(CASE WHEN fp.fp IS NOT NULL THEN 3
+        |                 WHEN fc.fc IS NOT NULL THEN 2
+        |                 ELSE 1 END AS BIGINT) AS stage
+        |FROM fv
+        | LEFT JOIN fc ON fc.user_id = fv.user_id
+        | LEFT JOIN fp ON fp.user_id = fv.user_id
+        |ORDER BY fv.user_id""".stripMargin,
+
     "q37_funnel" ->
       """WITH fc AS (
         |  SELECT user_id, MIN(ts) AS first_click

@@ -247,6 +247,81 @@ class CorpusStatsAddSpec extends SparkTestBase {
     }
   }
 
+  test("p62: negatives never share the query's label and are maximal") {
+    val rows = PipelineQueries.defs("p62_hardnegatives")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) != r.getLong(4),
+      "a same-label vector leaked into the negatives"))
+    // rank-1 negative must dominate every other different-label sim
+    val e = Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.round(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
+    }
+    rows.filter(_.getLong(1) == 1L).foreach { r =>
+      val (qid, ql) = (r.getLong(0), r.getLong(2))
+      val q = e.find(_._1 == qid).get._3
+      val best = e.filter(v => v._1 != qid && v._2 != ql)
+        .map(v => (cos(q, v._3), -v._1)).max
+      assert(r.getDouble(5) == best._1, s"rank-1 sim for query $qid")
+    }
+  }
+
+  test("p63: shadow mass equals chunks minus distinct hashes; clone doc") {
+    val rows = PipelineQueries.defs("p63_chunkdedup")(spark, Sf).collect()
+    val totalChunks = rows.map(_.getLong(1)).sum
+    val totalShadowed = rows.map(_.getLong(3)).sum
+    // every non-keeper occurrence is shadowed exactly once
+    val distinctHashes = PipelineQueries.defs("p46_chunking")(spark, Sf)
+      .select("chunk_md5").distinct().count()
+    assert(totalShadowed == totalChunks - distinctHashes)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "shadowed implies duplicated")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // a verbatim clone shadows completely: doc 2 copies doc 1
+    val text = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text, "a"), (2L, text, "a"),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val dir = tmpDir("p63")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.defs("p63_chunkdedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 1.0 && out(3L) == 0.0, s"$out")
+  }
+
+  test("q42: stage order is strict — out-of-order events don't count") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE first view -> stage stalls at 1
+      (4L, ts("2024-01-01 08:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"),
+      // user 3: view+click ordered, purchase before click -> stage 2
+      (6L, ts("2024-01-01 09:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 09:30:00"), 3L, "purchase", 1.0, "{}"),
+      (8L, ts("2024-01-01 10:00:00"), 3L, "click", 1.0, "{}"),
+      // user 4: never viewed -> absent from the funnel entirely
+      (9L, ts("2024-01-01 10:00:00"), 4L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("q42")
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.defs("q42_funnel3")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L), s"got $out")
+  }
+
   test("q41: ties break to the smallest value, never arbitrarily") {
     val li = Seq(
       // flag A: 5.0 x2, 3.0 x2 (tie) -> mode must be 3.0
