@@ -519,6 +519,38 @@ object HoardQueries {
         .orderBy("bucket")
     }),
 
+    "h44_mostdeviant" -> ((s, dir) => {
+      // Graphite's mostDeviant(3): series ranked by population
+      // variance, the top 3 returned with their streams. The variance
+      // NUMERATOR n·Σv²−(Σv)² rides h23's exact integer micro-unit
+      // machinery in DECIMAL(38,0) — partial-agg order cannot show —
+      // and the displayed variance is one identical IEEE division
+      // chain of exact operands, tie-safe rounded; ranking uses that
+      // identical double with the event_type tie-break. O(series)
+      // stats frame through a TakeOrdered, broadcast back.
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val top = hourlyByType(s, dir)
+        .withColumn("vi",
+          (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
+          sum(dec(col("vi")) * dec(col("vi"))).as("svv"))
+        .withColumn("var_num",
+          dec(col("n")) * col("svv") - dec(col("sv")) * dec(col("sv")))
+        .withColumn("variance",
+          col("var_num").cast("double") /
+            (col("n") * col("n")).cast("double") / lit(1e12))
+        .orderBy(col("variance").desc, col("event_type")).limit(3)
+        .select(col("event_type"), col("n").as("n_points"),
+          (round(col("variance") * lit(1e6)) / lit(1e6)).as("variance"))
+      hourlyByType(s, dir)
+        .join(broadcast(top), "event_type")
+        .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"),
+          col("n_points"), col("variance"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "h43_pctseries" -> ((s, dir) => {
       // Graphite's percentileOfSeries: the ACROSS-series p50/p95 per
       // bucket — the aggregate view h17's sum/avg family can't give
@@ -1948,6 +1980,36 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
         |             / SUM(w) * 1e6) / 1e6 AS wavg
         |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
+    // exact HUGEINT variance numerator; identical IEEE display chain
+    "h44_mostdeviant" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+        |           AS sv,
+        |         SUM(CAST(CAST(CAST(v AS DECIMAL(18,6)) * 1000000
+        |                       AS BIGINT) AS HUGEINT) *
+        |             CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+        |           AS svv
+        |  FROM hourly GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n,
+        |         CAST(CAST(n AS HUGEINT) * svv
+        |              - CAST(sv AS HUGEINT) * sv AS DOUBLE)
+        |           / CAST(n * n AS DOUBLE) / 1e12 AS variance
+        |  FROM st),
+        |top AS (
+        |  SELECT event_type, CAST(n AS BIGINT) AS n_points,
+        |         ROUND(variance * 1e6) / 1e6 AS variance
+        |  FROM f ORDER BY variance DESC, event_type LIMIT 3)
+        |SELECT h.event_type, CAST(h.h AS VARCHAR) AS bucket,
+        |       ROUND(h.v, 6) AS value, t.n_points, t.variance
+        |FROM hourly h JOIN top t USING (event_type)
+        |ORDER BY h.event_type, bucket""".stripMargin,
 
     // integer-rank k-th smallest across series per bucket
     "h43_pctseries" ->

@@ -1794,6 +1794,45 @@ object PipelineQueries {
     }),
 
 
+    "p64_funnelreport" -> ((s, dir) => {
+      // the curation FUNNEL REPORT: p12's pipeline re-expressed as the
+      // per-source survivor ledger every dataset card publishes — how
+      // many docs each stage (quality gate → language filter →
+      // verified near-dup removal) kept, and the final retention rate.
+      // Each stage flag comes from the SAME operators p12 composes
+      // (t1/t2 + the shared materialized near-dup pairs), evaluated
+      // once per doc; the report is one O(|sources|) aggregate over
+      // boolean products, retention tie-safe rounded. The stage counts
+      // are monotone by construction — gated in ScalaTest.
+      val d = docs(s, dir)
+      val q = TextAnalysis.quality(d, "doc_id", "text")
+      val lang = TextAnalysis.languageId(
+        TextOps.tokens(d, "doc_id", "text"), "doc_id")
+      val dropped = nearDupPairs(s, dir)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("dup", lit(1L))
+      val staged = d.select(col("doc_id"), col("source"))
+        .join(q.select(col("doc_id"), col("quality"), col("n_tokens")),
+          "doc_id")
+        .join(lang.select(col("doc_id"), col("lang_score")), "doc_id")
+        .join(dropped, Seq("doc_id"), "left")
+        .select(col("source"),
+          (col("quality") >= 0.5 && col("n_tokens") >= 5).as("pq"),
+          (col("lang_score") > 0).as("pl"),
+          col("dup").isNull.as("pd"))
+      staged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("pq"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pq") && col("pl"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("pq") && col("pl") && col("pd"), 1L).otherwise(0L))
+            .as("n_final"))
+        .select(col("source"), col("n_total"), col("n_quality"),
+          col("n_lang"), col("n_final"),
+          (round(col("n_final").cast("double") / col("n_total")
+            * lit(1e6)) / lit(1e6)).as("retention"))
+        .orderBy("source")
+    }),
+
     "p62_hardnegatives" -> ((s, dir) => {
       // hard-negative mining (the DPR/Contriever contrastive-training
       // recipe): for each query vector, the most-similar vectors with
@@ -4082,6 +4121,70 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // p12's stage CTEs re-aggregated as the per-source survivor ledger
+    "p64_funnelreport" ->
+      s"""WITH $ToksCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         |         lead(token, 2) OVER w AS shingle
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(token, 2) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |                     AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT id_b AS doc_id
+         |  FROM inter
+         |   JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i * 17 >= (sa.n + sb.n) * 7),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ROUND(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+         |          * (CAST(len(list_distinct(string_split(text, ' ')))
+         |               AS DOUBLE)
+         |             / len(string_split(text, ' '))), 6) AS quality
+         |  FROM documents),
+         |scores AS (
+         |  SELECT doc_id,
+         |   CAST(SUM(CASE WHEN token IN ('der','die','und','das','ein')
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |   CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','is')
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |   CAST(SUM(CASE WHEN token IN ('el','la','de','y','que')
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |   CAST(SUM(CASE WHEN token IN ('le','la','et','les','des')
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |   CAST(SUM(CASE WHEN token IN ('的','是','了','在','和')
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+         |  FROM toks GROUP BY doc_id),
+         |lang AS (
+         |  SELECT doc_id,
+         |    GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+         |  FROM scores),
+         |staged AS (
+         |  SELECT d.source,
+         |    CASE WHEN q.quality >= 0.5 AND q.n_tokens >= 5
+         |         THEN 1 ELSE 0 END AS pq,
+         |    CASE WHEN l.lang_score > 0 THEN 1 ELSE 0 END AS pl,
+         |    CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |         THEN 1 ELSE 0 END AS pd
+         |  FROM documents d
+         |   JOIN qual q ON q.doc_id = d.doc_id
+         |   JOIN lang l ON l.doc_id = d.doc_id)
+         |SELECT source, COUNT(*) AS n_total,
+         |       CAST(SUM(pq) AS BIGINT) AS n_quality,
+         |       CAST(SUM(pq * pl) AS BIGINT) AS n_lang,
+         |       CAST(SUM(pq * pl * pd) AS BIGINT) AS n_final,
+         |       ROUND(CAST(SUM(pq * pl * pd) AS DOUBLE) / COUNT(*) * 1e6)
+         |         / 1e6 AS retention
+         |FROM staged GROUP BY source ORDER BY source""".stripMargin,
 
     // p7's brute-force oracle with the label inequality in the join
     "p62_hardnegatives" ->

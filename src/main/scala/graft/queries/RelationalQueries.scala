@@ -208,6 +208,30 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    "q43_histogram" -> ((s, dir) => {
+      // numeric profiling histogram: o_totalprice binned at a fixed
+      // $20,000 width — the column-profile readout every data catalog
+      // computes. Bin assignment is pure integer arithmetic (2-decimal
+      // prices ride cents as exact BIGINTs, bin = cents div 2e6), so
+      // no edge value can fall on different sides cross-engine; per-bin
+      // sums are exact decimals. One map-side-combinable groupBy over
+      // O(bins) output.
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      t(s, dir, "orders")
+        .select(cents.as("cents"))
+        .withColumn("bin", expr("cents div 2000000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .select(col("bin"), (col("bin") * 20000).as("bin_lo_usd"),
+          col("n_orders"), col("min_cents"), col("max_cents"),
+          col("sum_cents"))
+        .orderBy("bin")
+    }),
+
     "q42_funnel3" -> ((s, dir) => {
       // Three-stage funnel (view → click → purchase, each STRICTLY
       // later than the previous resolved stage): q37's two-aggregate
@@ -1021,6 +1045,20 @@ object RelationalQueries {
 
     // epoch-micros ints, not ts strings — fractional-second VARCHAR
     // trimming is the one formatting seam the engines could disagree on
+    // integer cents binning; exact per-bin sums
+    "q43_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT cents // 2000000 AS bin,
+        |       (cents // 2000000) * 20000 AS bin_lo_usd,
+        |       COUNT(*) AS n_orders,
+        |       CAST(MIN(cents) AS BIGINT) AS min_cents,
+        |       CAST(MAX(cents) AS BIGINT) AS max_cents,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY cents // 2000000 ORDER BY bin""".stripMargin,
+
     // q37's chained-stage shape, one more hop; stage = furthest reached
     "q42_funnel3" ->
       """WITH fv AS (

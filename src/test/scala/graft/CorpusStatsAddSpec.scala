@@ -322,6 +322,40 @@ class CorpusStatsAddSpec extends SparkTestBase {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L), s"got $out")
   }
 
+  test("p64: funnel counts are monotone and agree with p12's total") {
+    val rows = PipelineQueries.defs("p64_funnelreport")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, q, l, f) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(t >= q && q >= l && l >= f, s"non-monotone funnel: $r")
+      assert(r.getDouble(5) ==
+        math.round(f.toDouble / t * 1e6) / 1e6)
+    }
+    // p12 applies the same three gates grouped by language — the final
+    // survivor totals must agree exactly
+    val p12Total = PipelineQueries.defs("p12_curation")(spark, Sf)
+      .collect().map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(4)).sum == p12Total,
+      "p64's survivors must be p12's population")
+    // the funnel must actually discriminate somewhere on the fixture
+    assert(rows.exists(r => r.getLong(4) < r.getLong(1)))
+  }
+
+  test("q43: bins partition the orders; extremes stay inside their bin") {
+    val rows = RelationalQueries.defs("q43_histogram")(spark, Sf).collect()
+    val nOrders = Tables.load(spark, Sf, "orders").count()
+    assert(rows.map(_.getLong(2)).sum == nOrders)
+    rows.foreach { r =>
+      val lo = r.getLong(0) * 2000000L
+      assert(r.getLong(3) >= lo && r.getLong(4) < lo + 2000000L,
+        s"bin ${r.getLong(0)} extremes escape the bin")
+      assert(r.getLong(1) == r.getLong(0) * 20000L)
+    }
+    assert(rows.length > 1, "fixture must span multiple bins")
+  }
+
   test("q41: ties break to the smallest value, never arbitrarily") {
     val li = Seq(
       // flag A: 5.0 x2, 3.0 x2 (tie) -> mode must be 3.0

@@ -137,6 +137,26 @@ class GraphiteAddSpec extends SparkTestBase {
     }
   }
 
+  test("h44: top-3 by variance replays an exact BigInt mirror") {
+    val rows = HoardQueries.defs("h44_mostdeviant")(spark, Sf).collect()
+    val h = hourlyMirror("event_type")
+    val stats = h.groupBy(_._1._1).map { case (s0, m) =>
+      val vi = m.values.map(v =>
+        BigInt((BigDecimal(v).setScale(6) * 1000000).toBigInt.toLong))
+      val n = vi.size
+      val varNum = n * vi.map(x => x * x).sum - vi.sum * vi.sum
+      val variance = varNum.toDouble / (n.toLong * n).toDouble / 1e12
+      s0 -> (n, math.round(variance * 1e6) / 1e6, variance)
+    }
+    val expectTop = stats.toSeq.sortBy { case (s0, (_, _, v)) => (-v, s0) }
+      .take(3).map(_._1).toSet
+    assert(rows.map(_.getString(0)).toSet == expectTop)
+    rows.foreach { r =>
+      val (n, vr, _) = stats(r.getString(0))
+      assert(r.getLong(3) == n.toLong && r.getDouble(4) == vr)
+    }
+  }
+
   test("h40: interior gaps interpolate linearly; edges stay null") {
     val rows = HoardQueries.defs("h40_interpolate")(spark, Sf).collect()
     val h = hourlyMirror("user_id")
