@@ -1794,6 +1794,49 @@ object PipelineQueries {
     }),
 
 
+    "p65_signalcorr" -> ((s, dir) => {
+      // cross-signal agreement audit: the exact Pearson correlation
+      // between two INDEPENDENT per-doc quality signals — t2's
+      // lexical-diversity quality and t13's token entropy — per
+      // source. Two signals that stop agreeing on one source flag a
+      // content shift no single signal sees. q40's exact-sum
+      // discipline: both signals are 6-decimal values, recovered as
+      // exact micro-unit BIGINTs via a decimal cast, all five sums
+      // accumulate as DECIMAL(38,0), and only the final Pearson
+      // conversion floats (identical IEEE order, sqrt·sqrt). Signals
+      // come from the SAME defs as t2/t13 so the audit can never
+      // drift from the gated operators.
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def r6(c: org.apache.spark.sql.Column) = round(c * lit(1e6)) / lit(1e6)
+      val q = TextAnalysis.quality(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val ent = defs("t13_entropy")(s, dir)
+        .select(col("doc_id"), col("entropy_bits"))
+      val e = docs(s, dir).select(col("doc_id"), col("source"))
+        .join(q, "doc_id").join(ent, "doc_id")
+        .select(col("source"),
+          (col("quality").cast("decimal(18,6)") * 1000000)
+            .cast("long").as("x"),
+          (col("entropy_bits").cast("decimal(18,6)") * 1000000)
+            .cast("long").as("y"))
+      val agg = e.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val nd = col("n").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      val cov = sxy / nd - (sx / nd) * (sy / nd)
+      val vx = sxx / nd - (sx / nd) * (sx / nd)
+      val vy = syy / nd - (sy / nd) * (sy / nd)
+      agg.select(col("source"), col("n"),
+          r6(cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+        .orderBy("source")
+    }),
+
     "p64_funnelreport" -> ((s, dir) => {
       // the curation FUNNEL REPORT: p12's pipeline re-expressed as the
       // per-source survivor ledger every dataset card publishes — how
@@ -4121,6 +4164,54 @@ object PipelineQueries {
          | JOIN uni u2 ON u2.token = c.w2
          | CROSS JOIN nn n
          |ORDER BY ratio_micro DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
+    // t2 + t13 formulas verbatim; micro-unit BIGINTs into q40's
+    // exact-sum Pearson, identical IEEE conversion order
+    "p65_signalcorr" ->
+      """WITH qual AS (
+        |  SELECT doc_id,
+        |    ROUND(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+        |          * (CAST(len(list_distinct(string_split(text, ' ')))
+        |               AS DOUBLE)
+        |             / len(string_split(text, ' '))), 6) AS quality
+        |  FROM documents),
+        |tfq AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |         t.token, COUNT(*) AS c
+        |  FROM documents,
+        |       LATERAL unnest(string_split(text, ' ')) AS t(token)
+        |  GROUP BY doc_id, n, t.token),
+        |ent AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(c * CAST(ROUND(ln(CAST(n AS DOUBLE) / c)
+        |                 * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |          / n / 1e6 / 0.6931471805599453 * 1e6) / 1e6
+        |      AS entropy_bits
+        |  FROM tfq GROUP BY doc_id, n),
+        |z AS (
+        |  SELECT d.source,
+        |    CAST(CAST(q.quality AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS x,
+        |    CAST(CAST(e.entropy_bits AS DECIMAL(18,6)) * 1000000
+        |         AS BIGINT) AS y
+        |  FROM documents d
+        |   JOIN qual q USING (doc_id) JOIN ent e USING (doc_id)),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM z GROUP BY source)
+        |SELECT source, n,
+        |  ROUND((CAST(sxy AS DOUBLE) / n
+        |         - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |        / (sqrt(CAST(sxx AS DOUBLE) / n
+        |             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+        |         * sqrt(CAST(syy AS DOUBLE) / n
+        |             - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+        |        * 1e6) / 1e6 AS corr
+        |FROM a ORDER BY source""".stripMargin,
 
     // p12's stage CTEs re-aggregated as the per-source survivor ledger
     "p64_funnelreport" ->

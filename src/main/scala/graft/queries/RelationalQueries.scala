@@ -208,6 +208,34 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    "q44_schemaevolution" -> ((s, dir) => {
+      // schema-evolution read: generation-1 files were written BEFORE
+      // the `props` column existed, generation-2 files carry it — the
+      // 100 TB reality that a long-lived table's files span schema
+      // versions. mergeSchema unions the file schemas at planning
+      // time and v1 rows surface the missing column as null; the
+      // declared aggregate pins those null semantics (and the
+      // partition-discovered `gen` column) against the oracle's
+      // replay. Writing the two generations is part of the gate.
+      val e = Tables.load(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q44").toString
+      e.where(pmod(col("event_id"), lit(2)) === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      e.where(pmod(col("event_id"), lit(2)) === 1)
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("gen").cast("long").as("gen"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("props").isNull, 1L).otherwise(0L))
+            .as("n_null_props"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy("gen")
+    }),
+
     "q43_histogram" -> ((s, dir) => {
       // numeric profiling histogram: o_totalprice binned at a fixed
       // $20,000 width — the column-profile readout every data catalog
@@ -1045,6 +1073,20 @@ object RelationalQueries {
 
     // epoch-micros ints, not ts strings — fractional-second VARCHAR
     // trimming is the one formatting seam the engines could disagree on
+    // v1 rows (even ids) have no props column => all null; v2 keeps
+    // the raw column's own null profile
+    "q44_schemaevolution" ->
+      """SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END
+        |            AS BIGINT) AS gen,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1
+        |                     WHEN props IS NULL THEN 1
+        |                     ELSE 0 END) AS BIGINT) AS n_null_props,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |GROUP BY CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END
+        |ORDER BY gen""".stripMargin,
+
     // integer cents binning; exact per-bin sums
     "q43_histogram" ->
       """WITH c AS (

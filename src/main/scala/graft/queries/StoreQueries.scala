@@ -443,6 +443,17 @@ object StoreQueries {
         .orderBy("bucket")
     }),
 
+    "hs15_fsck" -> ((s, dir) => {
+      // integrity check as a declared gate: the healthy store's coarse
+      // level re-derived from the hourly level through the same
+      // cascade operator must match slot for slot — n_mismatch 0, and
+      // n_checked equal to the raw recomputation's xff-passing daily
+      // slot count (so the CHECKER's coverage is itself oracle-gated,
+      // not just its verdict). The corruption/repair path is gated in
+      // HoardStoreSpec with a deliberately poisoned slot.
+      storeFor(s, dir).fsck().orderBy("step")
+    }),
+
     "hs14_inventory" -> ((s, dir) => {
       // store inventory (the admin "ls -l" every metrics deployment
       // scripts against its whisper tree): per series, point counts
@@ -568,6 +579,20 @@ object StoreQueries {
   val oracles: Map[String, String] = Map(
     "s6_streamstore" -> DailyRollupSql,
     "hs13_fill" -> DailyRollupSql,
+
+    // the checker's coverage equals the xff-passing daily slot count
+    "hs15_fsck" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', h) AS d
+        |  FROM hourly GROUP BY event_type, date_trunc('day', h)
+        |  HAVING COUNT(*) >= 12)
+        |SELECT CAST(86400 AS BIGINT) AS step,
+        |       CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM daily""".stripMargin,
 
     // lww slots + xff-gated daily slots recomputed from raw events
     "hs14_inventory" ->

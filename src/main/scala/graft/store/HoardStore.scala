@@ -1054,6 +1054,65 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Integrity check (the fsck whisper never had): recompute each
+    * coarser level from the next-finer one through the SAME cascade
+    * operator the write path uses (xff gate, cf, alignment) and report
+    * per level how many stored slots were checkable and how many
+    * diverge. Only slots the finer level can actually derive are
+    * checked (deep age-routed history has no finer provenance — by
+    * design, the same contract `fill` preserves). A healthy store
+    * reports zero mismatches; the recompute is bit-identical to the
+    * original cascade because it runs the identical operator over the
+    * identical finer rows.
+    *
+    * Shape: per level pair one downsample + one equi-join on
+    * (series, interval); the summary is O(|levels|) rows.
+    */
+  def fsck(): DataFrame = {
+    import spark.implicits._
+    val rows = policy.sorted.sliding(2).collect {
+      case Seq(fine, coarse) =>
+        val expected = graft.operators.Rollup.downsample(
+          readLevel(fine), "series_id", "interval", "value",
+          fine.step, coarse.step, policy.xff, policy.cf)
+          .select(col("series_id"), col("interval"),
+            col("value").as("expected"))
+        val cmp = readLevel(coarse)
+          .join(expected, Seq("series_id", "interval"), "inner")
+          .select(when(col("value") === col("expected"), 0L)
+            .otherwise(1L).as("bad"))
+          .agg(count(lit(1)).as("n"), sum(col("bad")).as("m"))
+          .head()
+        (coarse.step, cmp.getLong(0),
+          Option(cmp.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }.toSeq
+    rows.toDF("step", "n_checked", "n_mismatch")
+  }
+
+  /** Repair every mismatch fsck would report: re-derive the coarser
+    * slots from the finer level and merge them back with a fresh seq
+    * base (lww makes the recompute win). Healthy slots merge to their
+    * identical value — the operation is idempotent.
+    */
+  def fsckRepair(): Unit =
+    policy.sorted.sliding(2).foreach {
+      case Seq(fine, coarse) =>
+        val expected = graft.operators.Rollup.downsample(
+          readLevel(fine), "series_id", "interval", "value",
+          fine.step, coarse.step, policy.xff, policy.cf)
+        val bad = readLevel(coarse)
+          .join(expected.select(col("series_id"), col("interval"),
+            col("value").as("expected")),
+            Seq("series_id", "interval"), "inner")
+          .where(!(col("value") === col("expected")))
+          .select(col("series_id"),
+            col("interval").cast("long").as("ts"),
+            col("expected").as("value"))
+          .localCheckpoint(true)
+        if (bad.head(1).nonEmpty) importArchive(coarse, bad)
+      case _ => ()
+    }
+
   def deleteSeries(pred: org.apache.spark.sql.Column): Unit =
     mergeStrategy match {
       case HoardStore.ManifestAppend => deleteSeriesManifest(pred)

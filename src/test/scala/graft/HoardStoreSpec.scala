@@ -491,6 +491,36 @@ class HoardStoreSpec extends SparkTestBase {
     assert(got == Seq(55.0), s"deep slot must copy verbatim; got $got")
   }
 
+  test("fsck flags a poisoned coarse slot; repair restores it exactly") {
+    import org.apache.spark.sql.functions.col
+    val s = freshStore()
+    val dayStart = (now - 2000000) / 86400 * 86400
+    // 12 hourly points -> one xff-passing daily slot (value 5.5)
+    s.updateMany((0 until 12).map(h =>
+      RawPoint("cpu", dayStart + h * 3600, h.toDouble)), now)
+    val healthy = s.fsck().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(healthy.toSeq == Seq((86400L, 1L, 0L)), s"healthy: ${healthy.toSeq}")
+    // poison the daily slot through the public merge path (a later seq
+    // wins lww — exactly what a buggy writer would do)
+    val daily = s.policy.sorted.last
+    import spark.implicits._
+    s.importArchive(daily,
+      Seq(("cpu", dayStart, 999.0)).toDF("series_id", "ts", "value"))
+    val sick = s.fsck().collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sick.toSeq == Seq((1L, 1L)), "fsck must flag the poisoned slot")
+    // repair re-derives from the hourly level and must win lww
+    s.fsckRepair()
+    val fixed = s.fsck().collect().map(_.getLong(2)).sum
+    assert(fixed == 0L, "repair must clear every mismatch")
+    val v = s.readLevel(daily)
+      .where(col("series_id") === "cpu").collect()
+    assert(v.length == 1 && v.head.getAs[Double]("value") == 5.5)
+    // idempotence: repairing a healthy store changes nothing
+    s.fsckRepair()
+    assert(s.fsck().collect().map(_.getLong(2)).sum == 0L)
+  }
+
   test("fill rejects mismatched archive layouts") {
     val dst = freshStore()
     val other = HoardStore.create(spark, tmpDir("hoard-p") + "/store",
