@@ -519,6 +519,36 @@ object HoardQueries {
         .orderBy("bucket")
     }),
 
+    "h45_asoftol" -> ((s, dir) => {
+      // TOLERANCE-bounded as-of join (pandas merge_asof's `tolerance`,
+      // kdb's wj window variant): each purchase takes the user's
+      // latest click at-or-before it ONLY if that click is within 1
+      // hour — a stale quote must not attribute. Same union+window
+      // machinery as h7 (one sort per key, no N×M explosion); the
+      // matched click's timestamp rides along in a struct payload and
+      // the tolerance gate compares exact epoch micros. Equivalence
+      // note: "latest at-or-before, dropped if stale" equals "latest
+      // within the window" — the latest at-or-before IS the latest in
+      // any trailing window that contains a match.
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          struct(col("value").as("v"), col("ts").as("cts")).as("rv"),
+          col("event_id"))
+      val tolUs = 3600L * 1000000L
+      AsOf.asOfJoin(purchases, clicks, "user_id", "ts", "ts", "rv",
+          "m", rightSeq = Some("event_id"))
+        .select(col("event_id"), col("user_id"),
+          when(unix_micros(col("ts")) - unix_micros(col("m.cts")) <= tolUs,
+            round(col("m.v"), 6)).as("last_click_v"),
+          when(unix_micros(col("ts")) - unix_micros(col("m.cts")) <= tolUs,
+            unix_micros(col("ts")) - unix_micros(col("m.cts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     "h44_mostdeviant" -> ((s, dir) => {
       // Graphite's mostDeviant(3): series ranked by population
       // variance, the top 3 returned with their streams. The variance
@@ -1980,6 +2010,22 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
         |             / SUM(w) * 1e6) / 1e6 AS wavg
         |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
+    // the window predicate lives in the LATERAL; µs-exact tolerance
+    "h45_asoftol" ->
+      """SELECT a.event_id, a.user_id,
+        |       ROUND(b.value, 6) AS last_click_v,
+        |       epoch_us(a.ts) - epoch_us(b.cts) AS gap_us
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') a
+        |LEFT JOIN LATERAL (
+        |  SELECT c.value, c.ts AS cts FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = a.user_id
+        |    AND epoch_us(c.ts) <= epoch_us(a.ts)
+        |    AND epoch_us(a.ts) - epoch_us(c.ts) <= 3600000000
+        |  ORDER BY date_trunc('microseconds', c.ts) DESC, c.event_id DESC
+        |  LIMIT 1) b ON TRUE
+        |ORDER BY a.event_id""".stripMargin,
 
     // exact HUGEINT variance numerator; identical IEEE display chain
     "h44_mostdeviant" ->

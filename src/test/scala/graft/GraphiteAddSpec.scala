@@ -157,6 +157,31 @@ class GraphiteAddSpec extends SparkTestBase {
     }
   }
 
+  test("h45: a stale as-of match nulls out; a fresh one attributes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s0: String) = Timestamp.valueOf(s0)
+    val ev = Seq(
+      // user 1: click 30 min before purchase -> attributes, gap 30m
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 7.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: click 2 h before purchase -> STALE, nulls out
+      (3L, ts("2024-01-01 08:00:00"), 2L, "click", 9.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "purchase", 1.0, "{}"),
+      // user 3: no click at all
+      (5L, ts("2024-01-01 10:00:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("h45")
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = HoardQueries.defs("h45_asoftol")(spark, dir).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some((r.getDouble(2), r.getLong(3)))))
+      .toMap
+    assert(out(1L).contains((7.0, 1800000000L)), s"fresh match: $out")
+    assert(out(2L).isEmpty, "stale click must not attribute")
+    assert(out(3L).isEmpty, "no click, no attribution")
+  }
+
   test("h40: interior gaps interpolate linearly; edges stay null") {
     val rows = HoardQueries.defs("h40_interpolate")(spark, Sf).collect()
     val h = hourlyMirror("user_id")
