@@ -519,6 +519,29 @@ object HoardQueries {
         .orderBy("bucket")
     }),
 
+    "h46_smartsummarize" -> ((s, dir) => {
+      // Graphite's smartSummarize("4h", "sum", alignToFrom=True): the
+      // re-bucket anchored at the REQUEST's from — 06:30 — rather than
+      // the epoch grid (h15's summarize). The anchor makes every
+      // bucket boundary an exact integer expression of `from`
+      // (bucket = from + 14400·((t − from) div 14400)), so the two
+      // engines cannot disagree on edge slots; pre-from points drop by
+      // contract; sums ride decimal. One map-side-combinable groupBy.
+      val fromSec = 1704090600L // 2024-01-01 06:30:00 UTC — off-grid
+      hourlyByType(s, dir)
+        .where(unix_seconds(col("bucket")) >= fromSec)
+        .withColumn("b", expr(
+          s"$fromSec + ((unix_seconds(bucket) - $fromSec) div 14400) " +
+            "* 14400"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+        .select(col("event_type"), col("b").as("bucket_s"),
+          col("n_points"),
+          round(col("sv").cast("double"), 6).as("sum_value"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
     "h45_asoftol" -> ((s, dir) => {
       // TOLERANCE-bounded as-of join (pandas merge_asof's `tolerance`,
       // kdb's wj window variant): each purchase takes the user's
@@ -2010,6 +2033,27 @@ object HoardQueries {
         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
         |             / SUM(w) * 1e6) / 1e6 AS wavg
         |FROM per_series GROUP BY h ORDER BY bucket""".stripMargin,
+
+    // from-anchored integer bucket math; pre-from points drop
+    "h46_smartsummarize" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |z AS (
+        |  SELECT event_type, v,
+        |         CAST(epoch_us(h) // 1000000 AS BIGINT) AS t
+        |  FROM hourly
+        |  WHERE CAST(epoch_us(h) // 1000000 AS BIGINT) >= 1704090600)
+        |SELECT event_type,
+        |       1704090600 + ((t - 1704090600) // 14400) * 14400
+        |         AS bucket_s,
+        |       COUNT(*) AS n_points,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS sum_value
+        |FROM z
+        |GROUP BY event_type, 1704090600 + ((t - 1704090600) // 14400) * 14400
+        |ORDER BY event_type, bucket_s""".stripMargin,
 
     // the window predicate lives in the LATERAL; µs-exact tolerance
     "h45_asoftol" ->

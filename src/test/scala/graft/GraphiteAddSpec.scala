@@ -182,6 +182,22 @@ class GraphiteAddSpec extends SparkTestBase {
     assert(out(3L).isEmpty, "no click, no attribution")
   }
 
+  test("h46: buckets anchor at from (off the epoch grid); mass conserved") {
+    val rows = HoardQueries.defs("h46_smartsummarize")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val from = 1704090600L
+    rows.foreach { r =>
+      val b = r.getLong(1)
+      assert((b - from) % 14400 == 0, "bucket off the from-anchored grid")
+      assert(b % 14400 != 0, "anchor must be visibly off the epoch grid")
+      assert(b >= from)
+    }
+    // mass conservation: summed points = hourly slots at/after from
+    val h = hourlyMirror("event_type")
+    val expected = h.count { case ((_, t), _) => t >= from }
+    assert(rows.map(_.getLong(2)).sum == expected.toLong)
+  }
+
   test("h40: interior gaps interpolate linearly; edges stay null") {
     val rows = HoardQueries.defs("h40_interpolate")(spark, Sf).collect()
     val h = hourlyMirror("user_id")
