@@ -170,14 +170,42 @@ object Bench {
     val line = Seq((3, 3), (3, 2), (2, 2), (2, 1), (1, 1))
       .map { case (b, sm) => build(b, sm) }.find(_.length <= 1900)
       .getOrElse {
-        // last lever before truncation: the streaming rows/s already
-        // ride stderr verbatim above, so surrender the JSON copy and
-        // keep every per-query time parseable
+        // last levers before truncation. First: the streaming rows/s
+        // already ride stderr verbatim above, so surrender the JSON
+        // copy and keep every per-query time parseable.
         System.err.println("[bench] tail budget: dropping streaming " +
           "object from the JSON line (full copy on stderr above)")
-        val noStream = build(1, 1).replace(
-          s""","streaming":$streaming}""", "}")
-        noStream
+        def noStreamLine(entries: Seq[(String, Double)],
+                         restN: Int, restSec: Double): String = {
+          val qs = entries.map { case (k, v) =>
+            "\"" + shortKey(k) + "\":" + fmt(v, if (v >= 1.0) 1 else 1) }
+            .mkString("{", ",", "}")
+          val rest = if (restN == 0) ""
+          else s""","rest_n":$restN,"rest_sec":${fmt(restSec, 3)}"""
+          s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec"""" +
+            s""","queries":$qs$rest}"""
+        }
+        val all = results.filter(_._2 >= 0).sortBy(-_._2)
+        val full = noStreamLine(all, 0, 0.0)
+        if (full.length <= 1900) full
+        else {
+          // second: keep the K most expensive entries that fit and fold
+          // the cheap tail into one honest rest_n/rest_sec summary —
+          // the full map stays in the local baseline file and below
+          System.err.println("[bench] tail budget: folding cheapest " +
+            "entries into rest_n/rest_sec (full map on stderr)")
+          System.err.println("[bench] full-queries: " + all.map {
+            case (k, v) => s"$k=${"%.3f".format(v)}" }.mkString(","))
+          Iterator.from(1)
+            .map { i =>
+              val k = all.length - i * 10
+              val (keep, rest) = all.splitAt(math.max(k, 10))
+              noStreamLine(keep, rest.length, rest.map(_._2).sum)
+            }
+            .find(_.length <= 1900)
+            .getOrElse(noStreamLine(all.take(10),
+              all.length - 10, all.drop(10).map(_._2).sum))
+        }
       }
     System.err.println(s"[bench] json line length: ${line.length} chars")
     // full-precision copy for the next run's regression baseline
