@@ -118,7 +118,7 @@ object Bench {
       "s7_streamdim", "s8_streamfinal", "s9_streamlinefilter",
       "s10_streamtopk", "s11_streammanifest", "s12_streamkmv",
       "s13_streamfunnel", "s14_streamhw", "s15_louterjoin",
-      "s16_streamjsd")
+      "s16_streamjsd", "s17_streamhistogram")
     streamNames.foreach(n => graft.streaming.StreamStats.get(n).foreach(st =>
       System.err.println(s"[bench] $n: batches=${st.batches} " +
         s"rows=${st.inputRows} rows_per_sec=${"%.0f".format(st.rowsPerSec)}")))

@@ -208,6 +208,90 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    "s17_streamhistogram" -> ((s, dir) => {
+      // STREAMING numeric profile maintenance: q43's histogram kept
+      // live over an order stream. Per-bin (count, min, max, sum) are
+      // all associative/commutative merges, so the maintained profile
+      // after any batching equals the one-pass batch histogram
+      // EXACTLY — the oracle is q43's VERBATIM. State is O(bins);
+      // each micro-batch contributes one map-side-combinable
+      // aggregate + one merge join on the bin key.
+      graft.Graft.configure(s)
+      import s.implicits._
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-s17-in").toString
+      (0 until 3).foreach { i =>
+        Tables.load(s, dir, "orders")
+          .where(pmod(col("o_orderkey"), lit(3)) === i)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$inDir/b$i")
+      }
+      val schema = s.read.parquet(s"$inDir/b0").schema
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-s17-ckpt").toString
+      var state = Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("bin", "n_orders", "min_cents", "max_cents", "sum_cents")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bc = batch
+            .select(((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("cents"))
+            .withColumn("bin", expr("cents div 2000000"))
+            .groupBy(col("bin"))
+            .agg(count(lit(1)).as("bn"), min(col("cents")).as("bmin"),
+              max(col("cents")).as("bmax"), sum(col("cents")).as("bsum"))
+          state = state.join(bc, Seq("bin"), "full_outer")
+            .select(col("bin"),
+              (coalesce(col("n_orders"), lit(0L)) +
+                coalesce(col("bn"), lit(0L))).as("n_orders"),
+              least(coalesce(col("min_cents"), col("bmin")),
+                coalesce(col("bmin"), col("min_cents"))).as("min_cents"),
+              greatest(coalesce(col("max_cents"), col("bmax")),
+                coalesce(col("bmax"), col("max_cents"))).as("max_cents"),
+              (coalesce(col("sum_cents"), lit(0L)) +
+                coalesce(col("bsum"), lit(0L))).as("sum_cents"))
+            .localCheckpoint(true)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s17_streamhistogram", q); q.stop()
+      state
+        .select(col("bin"), (col("bin") * 20000).as("bin_lo_usd"),
+          col("n_orders"), col("min_cents"), col("max_cents"),
+          col("sum_cents"))
+        .orderBy("bin")
+    }),
+
+    "q45_nullsafejoin" -> ((s, dir) => {
+      // null-safe equality join (Spark's <=>, SQL's IS NOT DISTINCT
+      // FROM): two per-key aggregates joined on a NULLABLE key where
+      // null must match null — the semantics a plain equi-join
+      // silently drops (null = null is never true). The nullable key
+      // is nullif(event_type, 'view'): the 'view' group becomes the
+      // null key on both sides, and the null-matched row must appear
+      // in the output exactly once. Null-safe joins still hash on the
+      // key (null is one bucket) — no nested loop.
+      val e = t(s, dir, "events")
+        .withColumn("k", nullif(col("event_type"), lit("view")))
+      val a = e.where(col("value") >= 50)
+        .groupBy(col("k").as("ka")).agg(count(lit(1)).as("n_hi"))
+      val b = e.where(col("value") < 50)
+        .groupBy(col("k").as("kb")).agg(count(lit(1)).as("n_lo"))
+      a.join(b, col("ka") <=> col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("key_or_null"),
+          when(col("ka").isNull && col("kb").isNull, 1L).otherwise(0L)
+            .as("is_null_key"),
+          col("n_hi"), col("n_lo"))
+        .orderBy(col("is_null_key"), col("key_or_null"))
+    }),
+
     "q44_schemaevolution" -> ((s, dir) => {
       // schema-evolution read: generation-1 files were written BEFORE
       // the `props` column existed, generation-2 files carry it — the
@@ -913,7 +997,7 @@ object RelationalQueries {
     s.table(name)
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // the KMV sketch replayed in DuckDB with the identical integer/IEEE
     // sequence: 60-bit md5 prefix, n-adaptive cut, rank, (k-1)*2^60/h_k
     "q20_approx" ->
@@ -1073,6 +1157,22 @@ object RelationalQueries {
 
     // epoch-micros ints, not ts strings — fractional-second VARCHAR
     // trimming is the one formatting seam the engines could disagree on
+    // IS NOT DISTINCT FROM mirrors Spark's <=>; the 'view' group is
+    // the null key and must match itself exactly once
+    "q45_nullsafejoin" ->
+      """WITH e AS (
+        |  SELECT nullif(event_type, 'view') AS k, value FROM events),
+        |a AS (SELECT k, COUNT(*) AS n_hi FROM e WHERE value >= 50
+        |      GROUP BY k),
+        |b AS (SELECT k, COUNT(*) AS n_lo FROM e WHERE value < 50
+        |      GROUP BY k)
+        |SELECT COALESCE(a.k, b.k) AS key_or_null,
+        |       CAST(CASE WHEN a.k IS NULL AND b.k IS NULL
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_null_key,
+        |       a.n_hi, b.n_lo
+        |FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY is_null_key, key_or_null""".stripMargin,
+
     // v1 rows (even ids) have no props column => all null; v2 keeps
     // the raw column's own null profile
     "q44_schemaevolution" ->
@@ -1490,4 +1590,11 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
+
+  /** s17 maintains q43's per-bin profile incrementally; count/min/max/
+    * sum merges are associative so the stream must reproduce the batch
+    * histogram VERBATIM.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("s17_streamhistogram" -> oraclesBase("q43_histogram"))
 }

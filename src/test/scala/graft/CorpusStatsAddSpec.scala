@@ -356,6 +356,28 @@ class CorpusStatsAddSpec extends SparkTestBase {
     assert(rows.length > 1, "fixture must span multiple bins")
   }
 
+  test("s17 equals q43 exactly (maintained numeric profile parity)") {
+    val batch = RelationalQueries.defs("q43_histogram")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val stream = RelationalQueries.defs("s17_streamhistogram")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && stream == batch,
+      "streamed histogram must reproduce the batch profile row for row")
+  }
+
+  test("q45: the null key matches itself exactly once") {
+    val rows = RelationalQueries.defs("q45_nullsafejoin")(spark, Sf)
+      .collect()
+    val nullRows = rows.filter(_.getLong(1) == 1L)
+    assert(nullRows.length == 1, "exactly one null-key row")
+    // the fixture's 'view' group has values on both sides of 50, so
+    // the null-safe match must carry BOTH counts — a plain equi-join
+    // would have dropped the row entirely
+    assert(!nullRows.head.isNullAt(2) && !nullRows.head.isNullAt(3))
+    assert(rows.filter(_.getLong(1) == 0L)
+      .forall(r => !r.isNullAt(0)), "non-null keys carry their value")
+  }
+
   test("q41: ties break to the smallest value, never arbitrarily") {
     val li = Seq(
       // flag A: 5.0 x2, 3.0 x2 (tie) -> mode must be 3.0
