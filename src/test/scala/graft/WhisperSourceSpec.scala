@@ -81,4 +81,72 @@ class WhisperSourceSpec extends SparkTestBase {
       .orderBy("ts").select("value").collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(2048.0, 4546.0, 794.0, 805.0, 4718.0))
   }
+
+  test("many-files gate: 10k tiny rings list fast and pack into few partitions") {
+    // a graphite tree is one SMALL file per series; the source must
+    // (a) list a deep wide tree without a serial driver walk blowing
+    // the budget and (b) bin the files into multi-file partitions —
+    // NOT one task per file (1M series would otherwise mean 1M tasks)
+    val root = java.nio.file.Files.createTempDirectory("whisper-many").toFile
+    try {
+      val ar = graft.core.Archive(60, 3)
+      val nFiles = 10000
+      val bytes = (0 until 4).map(i => graft.store.WhisperFormat.write(
+        6000L, 0.5f, Seq(ar -> Seq((5880L, 1.0 + i), (5940L, 2.0 + i)))))
+      (0 until nFiles).foreach { i =>
+        val d = new java.io.File(root, s"a${i % 7}/b${i % 13}")
+        d.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(d, s"s$i.whisper").toPath, bytes(i % 4))
+      }
+      def partsOf(q: org.apache.spark.sql.DataFrame): Int = {
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(s.plan)
+            case o => o.children
+          }
+          p +: kids.flatMap(flatten)
+        }
+        flatten(q.queryExecution.executedPlan).collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.getOrElse(fail("no BatchScanExec in the whisper plan"))
+      }
+      val t0 = System.nanoTime()
+      val q = spark.read.format("whisper").load(root.toString)
+        .groupBy("series_id").count()
+      val n = q.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(n == nFiles.toLong)
+      // partitions ≪ files under the session default formula (4 MB
+      // openCost models blob-store opens: ~31 files/bin → ~323 bins)
+      val defaultParts = partsOf(q)
+      assert(defaultParts <= 512 && defaultParts >= 2,
+        s"expected packed partitions (≪ $nFiles files), got $defaultParts")
+      // tuned for tiny local rings: openCost=64K packs ~300 files/bin
+      val tuned = spark.read.format("whisper")
+        .option("openCostInBytes", (64 * 1024).toString)
+        .load(root.toString).groupBy("series_id").count()
+      assert(tuned.count() == nFiles.toLong)
+      val tunedParts = partsOf(tuned)
+      assert(tunedParts <= 64,
+        s"openCost-tuned scan should pack ≤64 partitions, got $tunedParts")
+      // budget: list+pack+scan+agg of 10k files well under a minute
+      // (driver-serial listing of a wide tree is what this catches)
+      assert(secs < 60.0, f"10k-file scan took $secs%.1f s")
+      // every partition holds only whole files; rows survive packing
+      val total = spark.read.format("whisper").load(root.toString).count()
+      assert(total == nFiles.toLong * 2, s"slot rows lost in packing: $total")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }
+  }
 }
