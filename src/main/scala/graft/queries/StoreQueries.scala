@@ -315,6 +315,9 @@ object StoreQueries {
   private[graft] val WhisperNow = 1312504705L
   private val builtWhisper = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** hs16's exported graphite tree, one per sf dir per JVM. */
+  private val builtTree = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def whisperStore(s: SparkSession): HoardStore = {
     val root = builtWhisper.computeIfAbsent(WhisperPath, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-whisper")
@@ -527,6 +530,30 @@ object StoreQueries {
         .orderBy("series_id", "bucket")
     }),
 
+    "hs16_treeexport" -> ((s, dir) => {
+      // bulk REVERSE migration round-trip: the shared store exports to
+      // a graphite tree in one distributed pass (one shuffle, one file
+      // per series written executor-side), and the exported rings are
+      // read back through the DSv2 whisper source — the daily level
+      // must still match the from-scratch recomputation, so encode +
+      // decode + tree layout are all on the hook for the same oracle
+      // every other write strategy shares
+      val st = storeFor(s, dir)
+      val tree = builtTree.computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-tree")
+          .toString + "/tree"
+        val n = graft.store.HoardExport.toWhisperTree(st, tmp, Now)
+        require(n > 0, "tree export wrote no files")
+        tmp
+      })
+      s.read.format("whisper").load(tree)
+        .where(col("step") === 86400)
+        .select(col("series_id"),
+          col("ts").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs7_whisperimport" -> ((s, dir) => {
       // the reference's own golden fetch (test/hoard.test.coffee:36-51)
       // replayed through the BINARY IMPORT path: large.whisper →
@@ -579,6 +606,7 @@ object StoreQueries {
   val oracles: Map[String, String] = Map(
     "s6_streamstore" -> DailyRollupSql,
     "hs13_fill" -> DailyRollupSql,
+    "hs16_treeexport" -> DailyRollupSql,
 
     // the checker's coverage equals the xff-passing daily slot count
     "hs15_fsck" ->

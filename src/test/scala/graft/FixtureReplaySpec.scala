@@ -143,6 +143,45 @@ class FixtureReplaySpec extends SparkTestBase {
     assert(vals.map(_.get) == Seq(2048.0, 4546.0, 794.0, 805.0, 4718.0))
   }
 
+  test("bulk tree export: byte-identical to the single-series path, dotted names nest") {
+    import graft.store.{HoardExport, HoardImport}
+    import java.nio.file.{Files, Paths}
+    val lastUpdate = 1312504705L
+    val st = HoardImport.intoStore(spark,
+      "/root/reference/test/large.whisper", tmpDir("bulk-src") + "/store")
+
+    // same series through both paths: bytes must match exactly
+    val single = tmpDir("bulk-single") + "/large.whisper"
+    HoardExport.toWhisper(st, "large", single, now = lastUpdate)
+    val tree = tmpDir("bulk-tree")
+    assert(HoardExport.toWhisperTree(st, tree, now = lastUpdate) == 1L)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(single)),
+      Files.readAllBytes(Paths.get(s"$tree/large.whisper"))),
+      "bulk tree export diverged from the single-series bytes")
+
+    // dotted series nest as graphite subdirectories; the multi-series
+    // tree re-imports with every series intact
+    import org.apache.spark.sql.functions._
+    val multi = HoardImport.intoStore(spark, tree,
+      tmpDir("bulk-multi") + "/store")
+    multi.updateManyDf(
+      spark.range(1).select(
+        lit("web.srv1.cpu").as("series_id"),
+        lit(1312504700L).as("ts"), lit(42.0).as("value"),
+        lit(0L).as("seq")),
+      lastUpdate)
+    val tree2 = tmpDir("bulk-tree2")
+    assert(HoardExport.toWhisperTree(multi, tree2, now = lastUpdate) == 2L)
+    assert(Files.exists(Paths.get(s"$tree2/web/srv1/cpu.whisper")),
+      "dotted series did not nest into graphite subdirectories")
+    assert(Files.exists(Paths.get(s"$tree2/large.whisper")))
+    // the DSv2 source reads the nested tree back (basename = leaf name)
+    val names = spark.read.format("whisper").load(tree2)
+      .select("series_id").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("large", "cpu"))
+  }
+
   test("directory import: a graphite tree becomes one multi-series store; new writes win lww") {
     import graft.store.{HoardExport, HoardImport, HoardStore}
     import org.apache.spark.sql.functions._
