@@ -32,6 +32,31 @@ object Tables {
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
+  /** Streaming file-source over a testdata table. The driver data ships
+    * a table as ONE FILE at `dir/name.parquet`, where the file stream
+    * source needs `load(dir)` plus a pathGlobFilter on the basename;
+    * a Spark-written table (e.g. ScaleGen's sf1) is a DIRECTORY at the
+    * same path, where the glob would match no leaf file and the stream
+    * silently reads nothing — there the directory itself is the source
+    * path. Schema is pinned from the batch read (file streams cannot
+    * infer), and `events.ts` gets the same normalization as [[load]].
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Graft.configure(spark)
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    val base =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    name match {
+      case "events" => normalizeEventTs(base)
+      case _ => base
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     Graft.configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -1017,8 +1017,7 @@ object HoardQueries {
       graft.Graft.configure(s)
       import s.implicits._
       val path = s"$dir/events.parquet"
-      val raw = s.readStream.schema(s.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.Tables.loadStream(s, dir, "events")
       val pts = raw
         .transform(Tables.normalizeEventTs)
         .select(concat(lit("u"), col("user_id")).as("series_id"),
@@ -1045,8 +1044,7 @@ object HoardQueries {
       // only streaming state is the aggregate itself.
       graft.Graft.configure(s)
       val path = s"$dir/events.parquet"
-      val raw = s.readStream.schema(s.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.Tables.loadStream(s, dir, "events")
       val dim = broadcast(Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")))
       val agged = raw.join(dim, col("user_id") === col("c_custkey"))
@@ -1075,8 +1073,7 @@ object HoardQueries {
       // strict watermark-passed-end rule statically.
       graft.Graft.configure(s)
       val path = s"$dir/events.parquet"
-      val raw = s.readStream.schema(s.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.Tables.loadStream(s, dir, "events")
       val ev = raw
         .transform(Tables.normalizeEventTs)
         .select(col("ts"), concat(lit("u"), col("user_id")).as("key"))
@@ -1167,8 +1164,7 @@ object HoardQueries {
       // max event time (µs) − 2h.
       graft.Graft.configure(s)
       val path = s"$dir/events.parquet"
-      val raw = s.readStream.schema(s.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.Tables.loadStream(s, dir, "events")
       val agged = raw
         .transform(Tables.normalizeEventTs)
         .withWatermark("ts", "2 hours")
@@ -1198,8 +1194,7 @@ object HoardQueries {
       val path = s"$dir/events.parquet"
       // the file source wants a directory: stream the sf dir filtered
       // down to the events file
-      val raw = s.readStream.schema(s.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.Tables.loadStream(s, dir, "events")
       val stream = raw
         .transform(Tables.normalizeEventTs)
         .select(col("event_type").as("series_id"), col("ts"), col("value"))
@@ -1227,8 +1222,7 @@ object HoardQueries {
       graft.Graft.configure(s)
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
-      def src() = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      def src() = graft.Tables.loadStream(s, dir, "events")
         .transform(Tables.normalizeEventTs)
         .select(col("event_id"), col("event_type"), col("ts"))
       val deduped = src().unionByName(src())
@@ -1267,8 +1261,7 @@ object HoardQueries {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val path = s"$dir/events.parquet"
         val schema = s.read.parquet(path).schema
-        def src(et: String) = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        def src(et: String) = graft.Tables.loadStream(s, dir, "events")
           .transform(Tables.normalizeEventTs)
           .where(col("event_type") === et)
         val clicks = src("click")

@@ -1033,8 +1033,7 @@ object PipelineQueries {
         .createTempDirectory("graft-s4-out").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-s4-ckpt").toString
-      val incoming = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val incoming = graft.Tables.loadStream(s, dir, "documents")
         .where(pmod(col("doc_id"), lit(2)) === 1)
       val q = incoming.writeStream
         .option("checkpointLocation", ckpt)
@@ -1569,8 +1568,7 @@ object PipelineQueries {
         .createTempDirectory("graft-s9-out").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-s9-ckpt").toString
-      val incoming = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val incoming = graft.Tables.loadStream(s, dir, "documents")
         .where(pmod(col("doc_id"), lit(2)) === 1)
       val q = incoming.writeStream
         .option("checkpointLocation", ckpt)

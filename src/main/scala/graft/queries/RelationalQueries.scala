@@ -819,6 +819,11 @@ object RelationalQueries {
       // each customer's order count — bounded per key, parallel
       // across keys.
       t(s, dir, "orders").createOrReplaceTempView("orders")
+      // the recursion's TOTAL output is ~orders rows (≤12 per
+      // customer) — at sf1 that exceeds the 1M-row default safety
+      // limit, which guards against runaway recursion, not against
+      // large-but-bounded ones like this (depth ≤ 12 by construction)
+      s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
       // Spark INLINES non-recursive CTEs, so the ranked+capped order
       // table would be re-windowed on every recursion level (one join
       // job per level); materialize it once and recurse over the
