@@ -199,15 +199,23 @@ object Bench {
         // copy and keep every per-query time parseable.
         System.err.println("[bench] tail budget: dropping streaming " +
           "object from the JSON line (full copy on stderr above)")
+        // failures must stay visible even here: a fallback line that
+        // silently omits them reads as "everything ran"
+        val failedNames = results.filter(_._2 < 0).map(_._1).sorted
+        val failedField =
+          if (failedNames.isEmpty) ""
+          else failedNames.map("\"" + shortKey(_) + "\"")
+            .mkString(""","failed":[""", ",", "]")
         def noStreamLine(entries: Seq[(String, Double)],
                          restN: Int, restSec: Double): String = {
           val qs = entries.map { case (k, v) =>
-            "\"" + shortKey(k) + "\":" + fmt(v, if (v >= 1.0) 1 else 1) }
+            "\"" + shortKey(k) + "\":" + fmt(v, 1) }
             .mkString("{", ",", "}")
           val rest = if (restN == 0) ""
           else s""","rest_n":$restN,"rest_sec":${fmt(restSec, 3)}"""
           s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec"""" +
-            s""","queries":$qs$rest}"""
+            s""","queries":$qs$rest$failedField""" +
+            s""","setup_sec":${fmt(setupSec, 3)}}"""
         }
         val all = results.filter(_._2 >= 0).sortBy(-_._2)
         val full = noStreamLine(all, 0, 0.0)
@@ -220,7 +228,11 @@ object Bench {
             "entries into rest_n/rest_sec (full map on stderr)")
           System.err.println("[bench] full-queries: " + all.map {
             case (k, v) => s"$k=${"%.3f".format(v)}" }.mkString(","))
-          Iterator.from(1)
+          // bounded: i stops once the keep-set floors at 10 entries, so
+          // the minimal line is actually tried and getOrElse is the
+          // real last resort (Iterator.from(1) could spin forever once
+          // splitAt's max(k, 10) goes constant)
+          (1 to (all.length / 10 + 1)).iterator
             .map { i =>
               val k = all.length - i * 10
               val (keep, rest) = all.splitAt(math.max(k, 10))

@@ -17,8 +17,18 @@ object SparkEntry {
     HoardQueries.defs("h1_lww")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    HoardQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++ StoreQueries.defs
+    HoardQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++
+      StoreQueries.defs ++ GraphiteQueries.defs
 
   def oracleSql: Map[String, String] =
-    HoardQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles ++ StoreQueries.oracles
+    HoardQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles ++
+      StoreQueries.oracles ++ GraphiteQueries.oracles
+
+  /** Queries whose EMPTY result can be legitimate at some SF. Every other
+    * query is contractually non-empty, and Verify fails it loudly on zero
+    * rows — an empty result there means an upstream source read nothing
+    * (the sf1 streaming sweep wrote 7 silent zero-row "successes" when a
+    * pathGlobFilter matched nothing against directory-shaped tables).
+    */
+  def allowEmpty: Set[String] = Set.empty
 }

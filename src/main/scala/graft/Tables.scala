@@ -45,8 +45,15 @@ object Tables {
     Graft.configure(spark)
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
+    // Directory check via the Hadoop FS API so it matches whatever
+    // filesystem the path actually lives on (local, HDFS, S3A…) — a
+    // java.io.File check is always false off the local FS and would
+    // silently re-trigger the empty-glob failure this branch prevents.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hPath).isDirectory
     val base =
-      if (new java.io.File(path).isDirectory)
+      if (isDir)
         spark.readStream.schema(schema).parquet(path)
       else
         spark.readStream.schema(schema)

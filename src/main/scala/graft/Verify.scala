@@ -23,9 +23,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Zero-rows guard: unless explicitly tagged allowEmpty, an empty
+        // result means a source silently read nothing — delete the output
+        // so the gate reports NO SPARK OUTPUT (loud) instead of comparing
+        // an empty frame that might "pass" a buggy oracle.
+        if (!SparkEntry.allowEmpty(name) &&
+            spark.read.parquet(s"$outDir/$name").isEmpty) {
+          System.err.println(s"[verify] $name ZERO ROWS (not allowEmpty) — " +
+            "a source read nothing; output removed to fail the gate loudly")
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,391 @@
+package graft.operators
+
+import graft.core.Time
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graphite render-`target` façade: parse a render-style target string
+  * (`scale(sumSeries(web.{srv1,srv2}.req), 100)`) and evaluate it as a
+  * DataFrame plan over a series-shaped frame — the drop-in read-API of
+  * the reference's ecosystem (`/root/reference/README.md:11-16`: hoard
+  * stores what graphite-web renders).
+  *
+  * The engine side of every function is the SAME shape the h9–h46
+  * operator family already uses: per-series window functions
+  * (partitioned by series — never a global sort), per-bucket hash
+  * aggregates, and a glob that compiles to one `rlike` predicate on the
+  * series column so Catalyst pushes it into the source scan. Nothing
+  * here collects to the driver; a 10M-series universe evaluates as the
+  * equivalent hand-built plan would.
+  *
+  * Numeric contract (cross-engine determinism at any scale):
+  * cross-series and windowed SUMS run in DECIMAL(18,6) (exact,
+  * order-independent); every DIVISION result (averages, percentages,
+  * rates) is quantized to 6 decimals via round(x·1e6)/1e6. Compositions
+  * therefore never depend on float summation order, the property the
+  * whole declared-query surface is built on (SURVEY §2.4).
+  *
+  * Universe frame contract: columns `series` (dotted string name),
+  * `bucket` (timestamp, aligned to `step` seconds), `value` (double).
+  *
+  * Naming contract (deliberate simplification vs graphite-web's
+  * per-function wrapping): per-series TRANSFORMS (scale, derivative,
+  * movingAverage, summarize, timeShift, …) PRESERVE the input series
+  * name; only cross-series AGGREGATIONS (sumSeries &c., named by the
+  * call's canonical [[text]]) and the explicit alias/aliasByNode rename.
+  * This keeps node-indexed functions (aliasByNode) meaningful on any
+  * composition depth, where graphite's wrapped names break them.
+  */
+object GraphiteTarget {
+
+  // ---------------------------------------------------------------- AST
+
+  sealed trait Node
+  /** A series glob path: `web.*.cpu`, `events.{click,view}` */
+  final case class Glob(pattern: String) extends Node
+  /** A function application: `scale(<target>, 10)` */
+  final case class Call(name: String, args: Seq[Arg]) extends Node
+
+  sealed trait Arg
+  final case class TargetArg(t: Node) extends Arg
+  final case class NumArg(v: Double) extends Arg
+  final case class StrArg(v: String) extends Arg
+
+  /** Canonical text of a node — used to NAME aggregate outputs the way
+    * graphite-web does (`sumSeries(web.*.req)`).
+    */
+  def text(n: Node): String = n match {
+    case Glob(p) => p
+    case Call(f, args) => f + "(" + args.map {
+      case TargetArg(t) => text(t)
+      case NumArg(v) => if (v == v.floor && v.abs < 1e15) v.toLong.toString
+                        else v.toString
+      case StrArg(s) => "\"" + s + "\""
+    }.mkString(",") + ")"
+  }
+
+  // ------------------------------------------------------------- parser
+
+  /** Recursive-descent parse of a render target. Grammar:
+    * {{{
+    * target := ident '(' args? ')'   -- when ident is directly followed by '('
+    *         | path                  -- series glob otherwise
+    * args   := arg (',' arg)*
+    * arg    := number | 'str' | "str" | target
+    * path   := [A-Za-z0-9_.*?{},\[\]-]+  (',' only inside '{…}')
+    * }}}
+    */
+  def parse(s: String): Node = {
+    val p = new Parser(s)
+    val r = p.target()
+    p.ws()
+    require(p.eof, s"trailing input at ${p.i}: '${s.drop(p.i)}'")
+    r
+  }
+
+  private final class Parser(s: String) {
+    var i = 0
+    def eof: Boolean = i >= s.length
+    def ws(): Unit = while (!eof && s(i).isWhitespace) i += 1
+
+    private def isPathChar(c: Char, braceDepth: Int): Boolean =
+      c.isLetterOrDigit || "._-*?{}[]".indexOf(c) >= 0 ||
+        (c == ',' && braceDepth > 0)
+
+    /** Scan one path/ident token, tracking `{}` depth so `{a,b}` commas
+      * stay inside the token while argument-separator commas stop it.
+      */
+    private def pathToken(): String = {
+      val start = i
+      var depth = 0
+      while (!eof && isPathChar(s(i), depth)) {
+        if (s(i) == '{') depth += 1
+        if (s(i) == '}') { require(depth > 0, s"unbalanced '}' at $i"); depth -= 1 }
+        i += 1
+      }
+      require(depth == 0, s"unclosed '{' in glob at $start")
+      require(i > start, s"expected a target at $i in '$s'")
+      s.substring(start, i)
+    }
+
+    def target(): Node = {
+      ws()
+      val tok = pathToken()
+      if (!eof && s(i) == '(') {
+        require(tok.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"'$tok' is not a function name")
+        i += 1 // '('
+        val args = scala.collection.mutable.ArrayBuffer.empty[Arg]
+        ws()
+        if (!eof && s(i) != ')') {
+          args += arg()
+          ws()
+          while (!eof && s(i) == ',') { i += 1; args += arg(); ws() }
+        }
+        require(!eof && s(i) == ')', s"expected ')' at $i in '$s'")
+        i += 1
+        Call(tok, args.toSeq)
+      } else Glob(tok)
+    }
+
+    private def arg(): Arg = {
+      ws()
+      require(!eof, s"expected an argument at $i")
+      s(i) match {
+        case '\'' | '"' =>
+          val q = s(i); i += 1
+          val start = i
+          while (!eof && s(i) != q) i += 1
+          require(!eof, s"unterminated string at $start")
+          val v = s.substring(start, i); i += 1
+          StrArg(v)
+        case c if c.isDigit || c == '-' || c == '+' =>
+          val start = i
+          if (s(i) == '-' || s(i) == '+') i += 1
+          while (!eof && (s(i).isDigit || s(i) == '.')) i += 1
+          NumArg(s.substring(start, i).toDouble)
+        case _ => TargetArg(target())
+      }
+    }
+  }
+
+  /** Graphite glob → anchored Java regex: `*` matches within one dotted
+    * node (`[^.]*`), `?` one char, `{a,b}` alternation, `[…]` a char
+    * class; everything else is literal.
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    var inBrace = false
+    while (i < glob.length) {
+      glob(i) match {
+        case '*' => sb.append("[^.]*")
+        case '?' => sb.append("[^.]")
+        case '{' => sb.append("(?:"); inBrace = true
+        case '}' => sb.append(")"); inBrace = false
+        case ',' if inBrace => sb.append("|")
+        case '[' => sb.append("[")
+        case ']' => sb.append("]")
+        case '.' => sb.append("\\.")
+        case c if c.isLetterOrDigit || c == '_' || c == '-' => sb.append(c)
+        case c => sb.append("\\").append(c)
+      }
+      i += 1
+    }
+    sb.append("$").toString
+  }
+
+  /** Graphite duration literal (`"1d"`, `"6h"`, `"90s"`, `"2w"`) in
+    * seconds; a leading sign is honored (timeShift accepts both).
+    */
+  def parseDuration(d: String): Long = {
+    val m = "^([+-]?)(\\d+)(s|min|m|h|d|w)$".r
+      .findFirstMatchIn(d.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad duration '$d'"))
+    val unit = m.group(3) match {
+      case "s" => 1L; case "m" | "min" => 60L; case "h" => 3600L
+      case "d" => 86400L; case "w" => 604800L
+    }
+    val v = m.group(2).toLong * unit
+    if (m.group(1) == "-") -v else v
+  }
+
+  // ---------------------------------------------------------- evaluator
+
+  /** A series set mid-evaluation: the frame plus its current step
+    * (summarize coarsens it; perSecond divides by it).
+    */
+  final case class SeriesSet(df: DataFrame, step: Long)
+
+  private val wSeries: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("series")).orderBy(col("bucket"))
+
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+  /** 6-decimal quantization — THE division-output contract (scaladoc). */
+  private def q6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+
+  private def out(df: DataFrame, name: Column, value: Column): DataFrame =
+    df.select(name.as("series"), col("bucket"), value.cast("double").as("value"))
+
+  /** Evaluate `target` over `universe` (see class doc for its shape). */
+  def eval(target: String, universe: DataFrame, step: Long): DataFrame =
+    evalNode(parse(target), universe, step).df
+
+  def evalNode(node: Node, universe: DataFrame, step: Long): SeriesSet = {
+    def ev(n: Node): SeriesSet = evalNode(n, universe, step)
+    def one(args: Seq[Arg]): SeriesSet = args.head match {
+      case TargetArg(t) => ev(t)
+      case a => throw new IllegalArgumentException(s"expected a target, got $a")
+    }
+    def num(a: Arg): Double = a match {
+      case NumArg(v) => v
+      case a0 => throw new IllegalArgumentException(s"expected a number, got $a0")
+    }
+    def str(a: Arg): String = a match {
+      case StrArg(v) => v
+      case a0 => throw new IllegalArgumentException(s"expected a string, got $a0")
+    }
+
+    node match {
+      case Glob(pat) =>
+        SeriesSet(universe.where(col("series").rlike(globToRegex(pat))), step)
+
+      case c @ Call(fn, args) =>
+        val name = lit(text(c))
+        fn match {
+          // ---- cross-series aggregation: one per-bucket hash agg;
+          // graphite names the result after the call text
+          case "sumSeries" | "averageSeries" | "maxSeries" | "minSeries" |
+               "countSeries" =>
+            val in = args.map { case TargetArg(t) => ev(t)
+                                case a => throw new IllegalArgumentException(s"$fn: $a") }
+            require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
+            val u = in.map(_.df).reduce(_ unionByName _)
+            val agg = fn match {
+              case "sumSeries"     => dec(sum(dec(col("value")))).cast("double")
+              case "averageSeries" => q6(sum(dec(col("value"))).cast("double") /
+                                        count(col("value")))
+              case "maxSeries"     => max(col("value"))
+              case "minSeries"     => min(col("value"))
+              case "countSeries"   => count(col("value")).cast("double")
+            }
+            SeriesSet(out(u.groupBy(col("bucket")).agg(agg.as("v")),
+              name, col("v")), in.head.step)
+
+          case "group" =>
+            val in = args.map { case TargetArg(t) => ev(t)
+                                case a => throw new IllegalArgumentException(s"group: $a") }
+            require(in.map(_.step).distinct.size == 1, "group: mixed steps")
+            SeriesSet(in.map(_.df).reduce(_ unionByName _), in.head.step)
+
+          // ---- scalar transforms: stay inside whole-stage codegen
+          case "scale" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              col("value") * lit(num(args(1)))))
+          case "offset" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              col("value") + lit(num(args(1)))))
+          case "absolute" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"), abs(col("value"))))
+
+          // ---- per-series windows (partitioned by series, never global)
+          case "derivative" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              col("value") - lag(col("value"), 1).over(wSeries)))
+          case "nonNegativeDerivative" =>
+            val in = one(args)
+            val prev = lag(col("value"), 1).over(wSeries)
+            in.copy(df = out(in.df, col("series"),
+              when(col("value") >= prev, col("value") - prev)))
+          case "perSecond" =>
+            val in = one(args)
+            val prev = lag(col("value"), 1).over(wSeries)
+            in.copy(df = out(in.df, col("series"),
+              q6(when(col("value") >= prev, col("value") - prev) / lit(in.step))))
+          case "integral" =>
+            val in = one(args)
+            val w = wSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            in.copy(df = out(in.df, col("series"),
+              sum(dec(col("value"))).over(w).cast("double")))
+          case "movingAverage" =>
+            val in = one(args)
+            val n = num(args(1)).toInt
+            require(n > 0, "movingAverage window must be positive")
+            val w = wSeries.rowsBetween(-(n - 1), Window.currentRow)
+            in.copy(df = out(in.df, col("series"),
+              q6(sum(dec(col("value"))).over(w).cast("double") /
+                count(col("value")).over(w))))
+          case "keepLastValue" =>
+            val in = one(args)
+            val w = wSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            in.copy(df = out(in.df, col("series"),
+              last(col("value"), ignoreNulls = true).over(w)))
+          case "timeShift" =>
+            val in = one(args)
+            val sec = parseDuration(str(args(1)))
+            in.copy(df = out(in.df, col("series"),
+              col("value")).withColumn("bucket",
+              timestamp_seconds(unix_timestamp(col("bucket")) + lit(sec))))
+
+          // ---- re-bucketing: per-(series, coarse-bucket) hash agg
+          case "summarize" =>
+            val in = one(args)
+            val ivl = parseDuration(str(args(1)))
+            require(ivl > 0, "summarize interval must be positive")
+            val cf = if (args.length > 2) str(args(2)) else "sum"
+            val nb = Time.align(col("bucket"), ivl).as("bucket")
+            val agg = cf match {
+              case "sum" => dec(sum(dec(col("value")))).cast("double")
+              case "avg" | "average" => q6(sum(dec(col("value"))).cast("double") /
+                                           count(col("value")))
+              case "max" => max(col("value"))
+              case "min" => min(col("value"))
+              case "last" => max_by(col("value"), col("bucket"))
+              case other => throw new IllegalArgumentException(
+                s"summarize: unknown cf '$other'")
+            }
+            SeriesSet(in.df.groupBy(col("series"), nb).agg(agg.as("v"))
+              .select(col("series"), col("bucket"),
+                col("v").cast("double").as("value")), ivl)
+
+          // ---- renaming
+          case "alias" =>
+            val in = one(args)
+            in.copy(df = out(in.df, lit(str(args(1))), col("value")))
+          case "aliasByNode" =>
+            val in = one(args)
+            val idx = num(args(1)).toInt
+            in.copy(df = out(in.df,
+              element_at(split(col("series"), "\\."), idx + 1), col("value")))
+
+          // ---- cross-series arithmetic: per-bucket window / join
+          case "asPercent" =>
+            val in = one(args)
+            val wB = Window.partitionBy(col("bucket"))
+            in.copy(df = out(in.df, col("series"),
+              q6(col("value") * lit(100.0) /
+                sum(dec(col("value"))).over(wB).cast("double"))))
+          case "divideSeries" =>
+            val a = one(args)
+            val b = args(1) match {
+              case TargetArg(t) => ev(t)
+              case x => throw new IllegalArgumentException(s"divideSeries: $x")
+            }
+            require(a.step == b.step, "divideSeries: mixed steps")
+            // divisor must be a single series (graphite's contract);
+            // broadcast it — it is one row per bucket
+            val div = broadcast(b.df.select(col("bucket"),
+              col("value").as("__div")))
+            a.copy(df = out(a.df.join(div, Seq("bucket"), "left"),
+              col("series"),
+              q6(when(col("__div") =!= 0, col("value") / col("__div")))))
+
+          // ---- series selection: per-series agg (one row per series)
+          // then a rank over that BOUNDED frame + semi-join back
+          case "highestAverage" | "highestMax" =>
+            val in = one(args)
+            val k = num(args(1)).toInt
+            val score = fn match {
+              case "highestAverage" => q6(sum(dec(col("value"))).cast("double") /
+                                          count(col("value")))
+              case _                => max(col("value"))
+            }
+            val perSeries = in.df.groupBy(col("series")).agg(score.as("__score"))
+            // unpartitioned window is safe here: the frame is one row
+            // per SERIES (bounded by series count, not data volume)
+            val wAll = Window.orderBy(col("__score").desc, col("series"))
+            val top = perSeries.withColumn("__rk", row_number().over(wAll))
+              .where(col("__rk") <= k).select("series")
+            in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))
+
+          case other =>
+            throw new IllegalArgumentException(s"unknown render function '$other'")
+        }
+    }
+  }
+}

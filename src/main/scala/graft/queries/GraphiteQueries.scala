@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.Time
+import graft.operators.{Dedup, GraphiteTarget}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G1–G5: the Graphite render-`target` façade (SURVEY §2 / round-7
+  * verdict item 4) as declared queries — each parses a COMPOSED target
+  * string with [[GraphiteTarget]] and must match a hand-built DuckDB
+  * plan of the same composition. This is the reference's actual
+  * ecosystem surface: hoard stores what graphite-web renders
+  * (`/root/reference/README.md:11-16`), so a render-target string is
+  * the query language a reference user would bring.
+  *
+  * Universe: the hourly last-write-wins series per event_type
+  * (`events.<type>`, the h-family's series model), which keeps the
+  * oracle CTE identical to the long-standing h17/h18 pattern.
+  */
+object GraphiteQueries {
+
+  /** Hourly lww universe in [[GraphiteTarget]]'s frame shape. */
+  private def universe(s: SparkSession, dir: String): DataFrame =
+    Dedup.lastWriteWins(Tables.load(s, dir, "events"),
+      Seq(col("event_type"), Time.align(col("ts"), 3600).as("bucket")),
+      col("event_id"), Seq("value" -> col("value")))
+      .select(concat(lit("events."), col("event_type")).as("series"),
+        col("bucket"), col("value"))
+
+  private def render(s: SparkSession, dir: String, target: String): DataFrame =
+    GraphiteTarget.eval(target, universe(s, dir), step = 3600)
+      .select(col("series"), col("bucket").cast("string").as("bucket"),
+        round(col("value"), 6).as("value"))
+      .orderBy("series", "bucket")
+
+  /** The DuckDB-side universe CTE (h17/h18's lww pattern). */
+  private val U =
+    """u AS (
+      |  SELECT 'events.' || event_type AS series,
+      |         date_trunc('hour', ts) AS bucket,
+      |         arg_max(value, event_id) AS value
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brace glob + cross-series sum + scalar arg
+    "g1_target" -> ((s, dir) =>
+      render(s, dir, "scale(sumSeries(events.{click,view}), 100)")),
+
+    // star glob + ratio agg + windowed smoothing, 3 levels deep
+    "g2_target" -> ((s, dir) =>
+      render(s, dir, "movingAverage(averageSeries(events.*), 6)")),
+
+    // per-bucket cross-series normalization
+    "g3_target" -> ((s, dir) => render(s, dir, "asPercent(events.*)")),
+
+    // agg → counter derivative → re-bucketing, with string args
+    "g4_target" -> ((s, dir) =>
+      render(s, dir,
+        "summarize(nonNegativeDerivative(sumSeries(events.*)), \"1d\", \"sum\")")),
+
+    // series selection + time shift + renaming
+    "g5_target" -> ((s, dir) =>
+      render(s, dir, "aliasByNode(timeShift(highestAverage(events.*, 2), \"1d\"), 1)"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_target" ->
+      s"""WITH $U
+         |SELECT 'sumSeries(events.{click,view})' AS series,
+         |       CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |               AS DECIMAL(18,6)) AS DOUBLE) * 100, 6) AS value
+         |FROM u WHERE series IN ('events.click', 'events.view')
+         |GROUP BY bucket ORDER BY series, bucket""".stripMargin,
+
+    "g2_target" ->
+      s"""WITH $U,
+         |av AS (
+         |  SELECT bucket,
+         |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(value) * 1e6) / 1e6 AS v
+         |  FROM u GROUP BY bucket)
+         |SELECT 'averageSeries(events.*)' AS series,
+         |       CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |             / COUNT(v) OVER w * 1e6) / 1e6, 6) AS value
+         |FROM av
+         |WINDOW w AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         |ORDER BY series, bucket""".stripMargin,
+
+    "g3_target" ->
+      s"""WITH $U
+         |SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(ROUND(value * 100
+         |             / CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |                    OVER (PARTITION BY bucket) AS DOUBLE)
+         |             * 1e6) / 1e6, 6) AS value
+         |FROM u ORDER BY series, bucket""".stripMargin,
+
+    "g4_target" ->
+      s"""WITH $U,
+         |tot AS (
+         |  SELECT bucket,
+         |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |              AS DECIMAL(18,6)) AS DOUBLE) AS v
+         |  FROM u GROUP BY bucket),
+         |d AS (
+         |  SELECT bucket,
+         |         CASE WHEN v >= lag(v) OVER (ORDER BY bucket)
+         |              THEN v - lag(v) OVER (ORDER BY bucket) END AS dv
+         |  FROM tot)
+         |SELECT 'sumSeries(events.*)' AS series,
+         |       CAST(CAST(date_trunc('day', bucket) AS TIMESTAMP) AS VARCHAR)
+         |         AS bucket,
+         |       ROUND(CAST(CAST(SUM(CAST(dv AS DECIMAL(18,6)))
+         |               AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
+         |FROM d GROUP BY 2 ORDER BY series, bucket""".stripMargin,
+
+    "g5_target" ->
+      s"""WITH $U,
+         |st AS (
+         |  SELECT series,
+         |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(value) * 1e6) / 1e6 AS score
+         |  FROM u GROUP BY series
+         |  QUALIFY row_number() OVER (ORDER BY score DESC, series) <= 2)
+         |SELECT split_part(u.series, '.', 2) AS series,
+         |       CAST(u.bucket + INTERVAL 1 DAY AS VARCHAR) AS bucket,
+         |       ROUND(u.value, 6) AS value
+         |FROM u JOIN st ON u.series = st.series
+         |ORDER BY series, bucket""".stripMargin
+  )
+}

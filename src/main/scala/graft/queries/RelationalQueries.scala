@@ -33,18 +33,25 @@ object RelationalQueries {
           expr("TIMESTAMP '1995-01-01 00:00:00'"),
           expr("TIMESTAMP '1995-03-31 00:00:00'")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+        // the tiebreakers make the ORDER BY total — without them cross-engine
+        // tie order diverges once the table spans >1 file (seen at sf1).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
     "q2_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // Magnitude-unbounded sums are emitted as exact integers (cents /
+      // 1e-4 units as BIGINT): prices and discounts are exact 2-decimal
+      // values, so these sums are integer-exact in both engines at any SF,
+      // where ROUND(double, 6) runs past double precision above ~1e10.
+      val epCents  = round(col("l_extendedprice") * lit(100)).cast("long")
+      val discPct  = round(col("l_discount") * lit(100)).cast("long")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 6).as("sum_qty"),
-          round(sumDec(col("l_extendedprice")), 6).as("sum_base"),
-          round(sum(col("l_extendedprice").cast("decimal(18,6)") *
-            (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
-            .cast("double"), 6).as("sum_disc"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(epCents).as("sum_base_cents"),
+          sum(epCents * (lit(100) - discPct)).as("sum_disc_e4"),
           (round(avg(col("l_quantity")) * lit(1e6)) / lit(1e6)).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -822,8 +829,16 @@ object RelationalQueries {
       // the recursion's TOTAL output is ~orders rows (≤12 per
       // customer) — at sf1 that exceeds the 1M-row default safety
       // limit, which guards against runaway recursion, not against
-      // large-but-bounded ones like this (depth ≤ 12 by construction)
-      s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+      // large-but-bounded ones like this (depth ≤ 12 by construction).
+      // The cap is data-proportional (2·|orders|, from parquet
+      // metadata), not a blanket 1e9: the conf is necessarily session-
+      // wide (the returned DataFrame executes lazily AFTER this def, so
+      // a try/finally restore would undo it before execution), and a
+      // proportional cap keeps runaway-recursion protection meaningful
+      // for every later recursive query in the same session.
+      val cap = math.max(1000000L, 2L * t(s, dir, "orders").count() + 1000L)
+      if (s.conf.get("spark.sql.cteRecursionRowLimit", "1000000").toLong < cap)
+        s.conf.set("spark.sql.cteRecursionRowLimit", cap.toString)
       // Spark INLINES non-recursive CTEs, so the ranked+capped order
       // table would be re-windowed on every recursion level (one join
       // job per level); materialize it once and recurse over the
@@ -1033,14 +1048,14 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
         |                     AND TIMESTAMP '1995-03-31 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q2_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | ROUND(SUM(l_quantity), 6) AS sum_qty,
-        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_base,
-        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |                CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |          (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
         | ROUND(AVG(l_quantity) * 1e6) / 1e6 AS avg_qty,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus

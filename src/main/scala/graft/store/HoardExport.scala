@@ -35,7 +35,12 @@ object HoardExport {
     val levels = p.sorted.map { ar =>
       val rows = st.readLevel(ar)
         .where(col("series_id") === series)
-        .where(col("interval").cast("long") > lit(now - ar.retention))
+        // same window as toWhisperTree's readLevelRange call:
+        // (now - retention, now + step) — without the upper clamp a
+        // future-dated point would make the two paths' bytes diverge
+        // despite the byte-identical contract
+        .where(col("interval").cast("long") > lit(now - ar.retention) &&
+          col("interval").cast("long") < lit(now + ar.step))
         .select(col("interval").cast("long"), col("value"))
         .collect() // bounded: at most ar.points live slots
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -93,8 +98,21 @@ object HoardExport {
         val rel = series.split('.').mkString("/") + ".whisper"
         val path = new HPath(dir, rel)
         val fs = path.getFileSystem(ser.value)
-        val out = fs.create(path, true)
+        // Task-retry / speculation safety: write to an attempt-unique
+        // temp path, then rename into place — two concurrent attempts
+        // each produce a complete file and the rename decides, instead
+        // of racing interleaved writes on the final path.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new HPath(dir, rel + s".tmp-$attempt")
+        val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
+        fs.delete(path, false)
+        if (!fs.rename(tmp, path)) {
+          fs.delete(tmp, false)
+          require(fs.exists(path),
+            s"export rename lost for $series: neither $tmp nor $path")
+        }
         series
       }
       .count()

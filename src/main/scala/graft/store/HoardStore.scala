@@ -355,22 +355,13 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     false // unreachable
   }
 
-  /** Atomic manifest publish: full content to a temp file, then a hard
-    * link at the version name — the link either appears complete or
-    * fails (`FileAlreadyExistsException`) if that version was claimed;
-    * readers can never observe a torn manifest. (On an object store
-    * this seam is where a catalog/commit service plugs in.)
+  /** Atomic manifest publish through the [[ManifestCatalog]] seam —
+    * file-backed hard-link CAS by default; a remote commit service
+    * (or a test's in-memory CAS) when injected. The claim is
+    * exactly-once per version; readers never observe a torn manifest.
     */
-  private def tryPublish(ver: Long, entries: Seq[ManifestEntry]): Boolean = {
-    val dir = Paths.get(root, "_manifests")
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, entries.distinct
-      .map(e => s"${e.step}|${e.month}|${e.rel}").mkString("\n"))
-    try { Files.createLink(dir.resolve(f"v$ver%012d"), tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
-  }
+  private def tryPublish(ver: Long, entries: Seq[ManifestEntry]): Boolean =
+    HoardStore.catalogFor(root).tryPublish(ver, entries)
 
   /** A read-only view pinned to the current manifest version: immune to
     * every later commit, compaction and vacuum — snapshot isolation for
@@ -393,14 +384,14 @@ final class HoardStore private (val spark: SparkSession, val root: String,
   def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
     require(mergeStrategy == HoardStore.ManifestAppend,
       "expireSnapshots requires the ManifestAppend strategy")
-    val dir = Paths.get(root, "_manifests")
-    if (!Files.exists(dir)) return
+    val cat = HoardStore.catalogFor(root)
+    val vers = cat.versions
+    if (vers.isEmpty) return
     val keep = math.max(1, keepLast)
-    val vers = listDir(dir).filter(_.matches("v\\d{12}")).sorted
     val live = vers.takeRight(keep)
-      .flatMap(v => manifestEntries(root, v.stripPrefix("v").toLong))
+      .flatMap(v => manifestEntries(root, v))
       .map(_.rel).toSet
-    vers.dropRight(keep).foreach(v => Files.deleteIfExists(dir.resolve(v)))
+    vers.dropRight(keep).foreach(cat.deleteVersion)
     val dataDir = Paths.get(dataPath(root))
     if (Files.exists(dataDir)) {
       val rootP = Paths.get(root)
@@ -1033,19 +1024,26 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     * is never recomputed from filled finer data). Layouts must match
     * level-for-level, as the tool requires.
     *
-    * Shape: per level one anti-join on (series, interval) — key-bounded,
-    * month-partition-pruned on both scans — then the standard level
-    * merge; new keys only, so the lww merge cannot disturb existing
-    * rows regardless of seq stamps.
+    * Shape: per level one anti-join on (series, interval), then the
+    * standard level merge; new keys only, so the lww merge cannot
+    * disturb existing rows regardless of seq stamps. Passing `now`
+    * month-prunes BOTH scans to each level's live window
+    * (now - retention, now + step) via readLevelRange — without it the
+    * scans are unpruned full-level reads (a fill across a deep-history
+    * store should pass its clock).
     */
-  def fill(src: HoardStore): Unit = {
+  def fill(src: HoardStore, now: Option[Long] = None): Unit = {
     require(policy.sorted.map(a => (a.step, a.retention)) ==
       src.policy.sorted.map(a => (a.step, a.retention)),
       "fill requires matching archive layouts (whisper-fill contract)")
     policy.sorted.foreach { ar =>
       val srcAr = src.policy.sorted.find(_.step == ar.step).get
-      val have = readLevel(ar).select("series_id", "interval")
-      val missing = src.readLevel(srcAr)
+      def level(st: HoardStore, a: Archive) = now match {
+        case Some(n) => st.readLevelRange(a, n - a.retention + 1, n + a.step)
+        case None    => st.readLevel(a)
+      }
+      val have = level(this, ar).select("series_id", "interval")
+      val missing = level(src, srcAr)
         .join(have, Seq("series_id", "interval"), "left_anti")
         .localCheckpoint(true)
       if (missing.head(1).nonEmpty)
@@ -1336,27 +1334,31 @@ object HoardStore {
 
   private[store] def dataPath(root: String): String = s"$root/_data"
 
-  private[store] def latestManifestVersion(root: String): Long = {
-    val dir = Paths.get(root, "_manifests")
-    if (!Files.exists(dir)) 0L
-    else {
-      val st = Files.list(dir)
-      try st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d{12}"))
-        .foldLeft(0L)((m, f) => math.max(m, f.stripPrefix("v").toLong))
-      finally st.close()
-    }
-  }
+  /** Per-root catalog registry: file-backed unless a test (or a future
+    * remote-commit deployment) injects another [[ManifestCatalog]] for
+    * the root BEFORE the store first touches it. All manifest reads and
+    * the CAS publish go through this seam — nothing else in the store
+    * touches `_manifests` except expired-data-file deletion.
+    */
+  private val catalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, ManifestCatalog]()
+
+  private[store] def catalogFor(root: String): ManifestCatalog =
+    catalogs.computeIfAbsent(root, r => new FileManifestCatalog(r))
+
+  /** Test / deployment injection point (see [[ManifestCatalog]]). */
+  private[graft] def injectCatalog(root: String, c: ManifestCatalog): Unit =
+    catalogs.put(root, c)
+
+  private[graft] def removeCatalog(root: String): Unit = catalogs.remove(root)
+
+  private[store] def latestManifestVersion(root: String): Long =
+    catalogFor(root).latestVersion
 
   /** Entries of manifest `ver` (0 = the empty pre-creation state). */
   private[store] def manifestEntries(root: String,
                                      ver: Long): Seq[ManifestEntry] =
-    if (ver == 0L) Seq.empty
-    else Files.readString(Paths.get(root, "_manifests", f"v$ver%012d"))
-      .linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(step, month, rel) = line.split("\\|", 3)
-        ManifestEntry(step.toLong, month, rel)
-      }.toSeq
+    catalogFor(root).entries(ver)
 
   private def strategyName(m: MergeStrategy): String = m match {
     case MonthRewrite => "month_rewrite"
@@ -1423,7 +1425,7 @@ object HoardStore {
     require(version >= 1 && version <= latest,
       s"version $version out of range [1, $latest] (older versions may " +
         "have been expired)")
-    require(Files.exists(Paths.get(root, "_manifests", f"v$version%012d")),
+    require(catalogFor(root).versions.contains(version),
       s"manifest v$version was expired")
     new HoardStore(spark, root, ManifestAppend, Some(version))
   }

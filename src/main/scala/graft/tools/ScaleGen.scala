@@ -65,7 +65,14 @@ object ScaleGen {
     val nEvt = keySpace("events", "event_id")
     val nDoc = keySpace("documents", "doc_id")
     val nVec = keySpace("embeddings", "vec_id")
-    val nUser = read("events").agg(max(col("user_id"))).head().getLong(0) + 1L
+    // events.user_id's FK domain is c_custkey (the hs2 join), so its
+    // replication stride must be nCust, not max(user_id)+1 — with a
+    // user_id-derived stride, any customer absent from events would make
+    // scaled user_ids land on replica-crossing customer keys and shift
+    // user→customer attribution. Loud check that the domain really nests.
+    val maxUser = read("events").agg(max(col("user_id"))).head().getLong(0)
+    require(maxUser < nCust,
+      s"events.user_id max $maxUser outside customer key space $nCust")
 
     val reps = explode(sequence(lit(0), lit(f - 1))).as("r")
     def r = col("r").cast("long")
@@ -115,7 +122,7 @@ object ScaleGen {
     write(
       read("events").withColumn("r", reps)
         .withColumn("event_id", col("event_id") + r * nEvt)
-        .withColumn("user_id", col("user_id") + mix(col("event_id")) * nUser)
+        .withColumn("user_id", col("user_id") + mix(col("event_id")) * nCust)
         .drop("r"),
       "events", 4)
 

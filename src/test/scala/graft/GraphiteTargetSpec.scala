@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.GraphiteTarget
+import graft.operators.GraphiteTarget._
+import org.apache.spark.sql.functions._
+
+class GraphiteTargetSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------ parser
+
+  test("parser: bare glob, call, nesting, braces, strings, numbers") {
+    assert(parse("web.srv1.cpu") == Glob("web.srv1.cpu"))
+    assert(parse("sumSeries(web.*.req)") ==
+      Call("sumSeries", Seq(TargetArg(Glob("web.*.req")))))
+    assert(parse("scale(sumSeries(events.{click,view}), 100)") ==
+      Call("scale", Seq(
+        TargetArg(Call("sumSeries", Seq(TargetArg(Glob("events.{click,view}"))))),
+        NumArg(100))))
+    assert(parse("summarize(x.y, \"1d\", 'sum')") ==
+      Call("summarize", Seq(TargetArg(Glob("x.y")), StrArg("1d"), StrArg("sum"))))
+    assert(parse("offset(a.b, -2.5)") ==
+      Call("offset", Seq(TargetArg(Glob("a.b")), NumArg(-2.5))))
+    // braces swallow their commas; argument commas still split
+    assert(parse("group(a.{x,y}, b.*)") ==
+      Call("group", Seq(TargetArg(Glob("a.{x,y}")), TargetArg(Glob("b.*")))))
+  }
+
+  test("parser: canonical text round-trips for naming") {
+    val t = "movingAverage(averageSeries(events.*),6)"
+    assert(text(parse(t)) == t)
+    assert(text(parse("summarize(a.b, \"1d\", \"sum\")")) ==
+      "summarize(a.b,\"1d\",\"sum\")")
+  }
+
+  test("parser: rejects malformed targets") {
+    intercept[IllegalArgumentException](parse("sumSeries(a.b"))
+    intercept[IllegalArgumentException](parse("a.{x,y"))
+    intercept[IllegalArgumentException](parse("scale(a.b, 1) trailing"))
+    intercept[IllegalArgumentException](parse("noSuchFn(a.b)") match {
+      case c: Call => GraphiteTarget.evalNode(c, spark.emptyDataFrame, 60)
+      case _ => fail("expected call")
+    })
+  }
+
+  test("glob → regex: * is node-local, braces alternate, ? single char") {
+    assert("web.srv1.cpu".matches(globToRegex("web.*.cpu")))
+    assert(!"web.srv1.sub.cpu".matches(globToRegex("web.*.cpu")))
+    assert("events.click".matches(globToRegex("events.{click,view}")))
+    assert(!"events.error".matches(globToRegex("events.{click,view}")))
+    assert("a1.b".matches(globToRegex("a?.b")))
+    assert(!"a12.b".matches(globToRegex("a?.b")))
+  }
+
+  test("duration literals") {
+    assert(parseDuration("90s") == 90L)
+    assert(parseDuration("6h") == 21600L)
+    assert(parseDuration("1d") == 86400L)
+    assert(parseDuration("2w") == 1209600L)
+    assert(parseDuration("-1d") == -86400L)
+    assert(parseDuration("5min") == 300L)
+    intercept[IllegalArgumentException](parseDuration("yesterday"))
+  }
+
+  // --------------------------------------------------------- evaluator
+
+  private def ts(h: Int) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L))
+
+  /** two series, 4 hourly points each */
+  private def uni = Seq(
+    ("m.a", ts(0), 1.0), ("m.a", ts(1), 2.0), ("m.a", ts(2), 4.0), ("m.a", ts(3), 3.0),
+    ("m.b", ts(0), 10.0), ("m.b", ts(1), 10.0), ("m.b", ts(2), 20.0), ("m.b", ts(3), 40.0)
+  ).toDF("series", "bucket", "value")
+
+  private def run(t: String): Seq[(String, Long, Option[Double])] =
+    GraphiteTarget.eval(t, uni, 3600)
+      .select(col("series"), col("bucket").cast("long"), col("value"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  test("sumSeries + scale compose; result named by canonical text") {
+    val got = run("scale(sumSeries(m.*), 2)")
+    assert(got == Seq(
+      ("sumSeries(m.*)", 0L, Some(22.0)), ("sumSeries(m.*)", 3600L, Some(24.0)),
+      ("sumSeries(m.*)", 7200L, Some(48.0)), ("sumSeries(m.*)", 10800L, Some(86.0))))
+  }
+
+  test("averageSeries quantizes the ratio; movingAverage windows it") {
+    val got = run("averageSeries(m.*)")
+    assert(got.map(_._3.get) == Seq(5.5, 6.0, 12.0, 21.5))
+    val ma = run("movingAverage(averageSeries(m.*), 2)")
+    assert(ma.map(_._3.get) == Seq(5.5, 5.75, 9.0, 16.75))
+  }
+
+  test("derivative family: head null, counter reset null, perSecond rate") {
+    val d = run("derivative(m.a)")
+    assert(d == Seq(("m.a", 0L, None), ("m.a", 3600L, Some(1.0)),
+      ("m.a", 7200L, Some(2.0)), ("m.a", 10800L, Some(-1.0))))
+    val nn = run("nonNegativeDerivative(m.a)")
+    assert(nn.map(_._3) == Seq(None, Some(1.0), Some(2.0), None))
+    val ps = run("perSecond(m.b)")
+    assert(ps.map(_._3) == Seq(None, Some(0.0), Some(10.0 / 3600).map(v =>
+      math.round(v * 1e6) / 1e6), Some(20.0 / 3600).map(v =>
+      math.round(v * 1e6) / 1e6)))
+  }
+
+  test("integral and keepLastValue") {
+    assert(run("integral(m.a)").map(_._3.get) == Seq(1.0, 3.0, 7.0, 10.0))
+    // keepLastValue forward-fills the nulls a derivative introduces
+    val k = run("keepLastValue(nonNegativeDerivative(m.a))")
+    assert(k.map(_._3) == Seq(None, Some(1.0), Some(2.0), Some(2.0)))
+  }
+
+  test("timeShift moves buckets; summarize re-buckets with the cf") {
+    val sh = run("timeShift(m.a, \"1h\")")
+    assert(sh.map(_._2) == Seq(3600L, 7200L, 10800L, 14400L))
+    val sm = run("summarize(m.b, \"2h\", \"sum\")")
+    assert(sm == Seq(("m.b", 0L, Some(20.0)), ("m.b", 7200L, Some(60.0))))
+    val smMax = run("summarize(m.b, \"2h\", \"max\")")
+    assert(smMax.map(_._3.get) == Seq(10.0, 40.0))
+    val smLast = run("summarize(m.b, \"2h\", \"last\")")
+    assert(smLast.map(_._3.get) == Seq(10.0, 40.0))
+  }
+
+  test("asPercent, divideSeries, diff-style composition") {
+    val ap = run("asPercent(m.*)")
+    val at0 = ap.filter(_._2 == 0L).map(r => r._1 -> r._3.get).toMap
+    assert(at0("m.a") == math.round(1.0 / 11.0 * 100 * 1e6) / 1e6)
+    assert(at0("m.b") == math.round(10.0 / 11.0 * 100 * 1e6) / 1e6)
+    val dv = run("divideSeries(m.b, m.a)")
+    assert(dv.map(_._3.get) == Seq(10.0, 5.0, 5.0, math.round(40.0 / 3.0 * 1e6) / 1e6))
+  }
+
+  test("alias family and selection") {
+    assert(run("alias(sumSeries(m.*), \"total\")").forall(_._1 == "total"))
+    assert(run("aliasByNode(m.a, 1)").forall(_._1 == "a"))
+    // m.b has the higher average → highestAverage(…, 1) keeps only it
+    assert(run("highestAverage(m.*, 1)").forall(_._1 == "m.b"))
+    assert(run("highestMax(m.*, 1)").forall(_._1 == "m.b"))
+    val g = run("group(m.a, m.b)")
+    assert(g.map(_._1).distinct.sorted == Seq("m.a", "m.b"))
+  }
+}

@@ -1,26 +1,50 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate, with memory governance.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [options]
 
-Reads each <outDir>/<name>/ parquet (Spark result), runs the matching
-oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir tables,
-sorts columns by name, and compares row-by-row values exactly.
+Options:
+  --only a,b,c      check only these query names
+  --json PATH       write {name: status} JSON incrementally after each query
+  --timeout SEC     per-query wall-clock limit (default 900)
+  --mem LIMIT       duckdb memory_limit per query (default 24GB)
+  --no-subprocess   run all queries in this process (old behavior, faster,
+                    but one OOM kills the whole run)
+
+Default mode runs each query in its OWN subprocess: an oracle that gets
+OOM-killed or times out loses only that query's result, every completed
+result is already printed (flushed) and persisted to --json, and the
+duckdb memory_limit bounds each child. This exists because the monolithic
+sf1 run was OOM-killed at 130 GB with all output lost.
 """
-import sys, os, json, glob
-import duckdb
-import pandas as pd
-import numpy as np
+import sys, os, json, glob, subprocess
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def connect(sf_dir, mem):
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET preserve_insertion_order=false")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table (e.g. ScaleGen sf1)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def canon(df):
     return df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
 
 
-def cmp(name, spark_df, duck_df):
+def cmp(spark_df, duck_df):
+    import pandas as pd
+    import numpy as np
     s, d = canon(spark_df), canon(duck_df)
     if list(s.columns) != list(d.columns):
         return f"COLS spark={list(s.columns)} duck={list(d.columns)}"
@@ -42,58 +66,104 @@ def cmp(name, spark_df, duck_df):
             i = int(np.nonzero(~eq)[0][0])
             return (f"VAL col={c} spark={av[i]!r} duck={bv[i]!r} "
                     f"(dtype s={s[c].dtype} d={d[c].dtype})")
-    # dtype report (informational — value equality already passed)
     dt = [(c, str(s[c].dtype), str(d[c].dtype)) for c in s.columns
           if str(s[c].dtype) != str(d[c].dtype)]
     return "OK" + (f" (dtype diff: {dt})" if dt else "")
 
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):  # Spark-written table (e.g. ScaleGen sf1)
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-        elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+def check_one(con, out_dir, name, oracles):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        return "NO SPARK OUTPUT"
+    spark_df = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+    if name not in oracles:
+        return f"NO ORACLE (rows={len(spark_df)})"
+    try:
+        duck_df = con.execute(oracles[name]).df()
+    except Exception as e:
+        return f"ORACLE SQL ERROR: {e}"
+    try:
+        return cmp(spark_df, duck_df)
+    except Exception as e:
+        return f"CMP ERROR: {e}"
+
+
+def parse_args(argv):
+    opts = {"only": None, "json": None, "timeout": 900, "mem": "24GB",
+            "subprocess": True, "one": None}
+    pos = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--only":
+            opts["only"] = set(argv[i + 1].split(",")); i += 2
+        elif a == "--json":
+            opts["json"] = argv[i + 1]; i += 2
+        elif a == "--timeout":
+            opts["timeout"] = int(argv[i + 1]); i += 2
+        elif a == "--mem":
+            opts["mem"] = argv[i + 1]; i += 2
+        elif a == "--no-subprocess":
+            opts["subprocess"] = False; i += 1
+        elif a == "--one":  # internal: child mode, check a single query
+            opts["one"] = argv[i + 1]; i += 2
+        else:
+            pos.append(a); i += 1
+    return pos[0], pos[1], opts
+
+
+def main(sf_dir, out_dir, opts):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    results = {}
+
+    if opts["one"] is not None:  # child mode: single query, print status only
+        con = connect(sf_dir, opts["mem"])
+        print(check_one(con, out_dir, opts["one"], oracles), flush=True)
+        return 0
+
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                     if os.path.isdir(p)])
-    for name in names:
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            results[name] = "NO SPARK OUTPUT"
-            continue
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-        if name not in oracles:
-            results[name] = f"NO ORACLE (rows={len(spark_df)})"
-            continue
-        try:
-            duck_df = con.execute(oracles[name]).df()
-        except Exception as e:
-            results[name] = f"ORACLE SQL ERROR: {e}"
-            continue
-        try:
-            results[name] = cmp(name, spark_df, duck_df)
-        except Exception as e:
-            results[name] = f"CMP ERROR: {e}"
     for name in sorted(oracles):
-        if name not in results:
-            results[name] = "MISSING SPARK RESULT DIR"
-    width = max(len(n) for n in results) if results else 10
-    nok = 0
-    for name in sorted(results):
-        status = results[name]
-        ok = status.startswith("OK") or status.startswith("NO ORACLE")
-        nok += 0 if ok else 1
-        print(f"{name:<{width}}  {status}")
-    print(f"\n{'ALL GREEN' if nok == 0 else f'{nok} FAILING'}")
+        if name not in names:
+            names.append(name)
+    names = sorted(names)
+    if opts["only"] is not None:
+        names = [n for n in names if n in opts["only"]]
+
+    results = {}
+    width = max((len(n) for n in names), default=10)
+    con = None if opts["subprocess"] else connect(sf_dir, opts["mem"])
+    for name in names:
+        if name in oracles and not glob.glob(f"{out_dir}/{name}"):
+            status = "MISSING SPARK RESULT DIR"
+        elif opts["subprocess"]:
+            cmdline = [sys.executable, os.path.abspath(__file__), sf_dir,
+                       out_dir, "--one", name, "--mem", opts["mem"]]
+            try:
+                r = subprocess.run(cmdline, capture_output=True, text=True,
+                                   timeout=opts["timeout"])
+                status = (r.stdout.strip() or
+                          f"CHILD DIED rc={r.returncode}: "
+                          f"{r.stderr.strip()[-300:]}")
+            except subprocess.TimeoutExpired:
+                status = f"ORACLE TIMEOUT >{opts['timeout']}s"
+        else:
+            status = check_one(con, out_dir, name, oracles)
+        results[name] = status
+        print(f"{name:<{width}}  {status}", flush=True)
+        if opts["json"]:
+            tmp = opts["json"] + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+            os.replace(tmp, opts["json"])
+
+    nok = sum(0 if (v.startswith("OK") or v.startswith("NO ORACLE")) else 1
+              for v in results.values())
+    print(f"\n{'ALL GREEN' if nok == 0 else f'{nok} FAILING'}", flush=True)
     return nok
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sf, out, o = parse_args(sys.argv[1:])
+    sys.exit(1 if main(sf, out, o) else 0)
