@@ -325,6 +325,24 @@ class PlanShapeSpec extends SparkTestBase {
       "the hashing trick needs no join at all — that is its point")
   }
 
+  test("p6 path choice at bench SF is pinned (measured fallback, not silent)") {
+    // The sf fixtures' embeddings are ISOTROPIC (flat eigenspectrum):
+    // measured cell radii ~77° exceed arccos(τ)≈62°, so NO exact method
+    // can centroid-prune and the uniform block-sharded fallback is the
+    // correct executed path (qualFrac hits 1.0). This pin makes any
+    // silent flip LOUD in both directions: if a data/testdata change
+    // makes the pruned path fire here, or a code change degrades the
+    // clustered-data case (PipelineScaleSpec asserts pruned=true there),
+    // one of the two gates trips and BENCH_NOTES must be updated.
+    val df = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val (_, st) = graft.pipeline.Embeddings.thresholdCosineTopKWithStats(
+      df, k = 50, kCent = 32, iters = 2, maxQualFrac = 0.6)
+    info(s"sf0.1: pruned=${st.pruned} qualFrac=${st.qualFrac}")
+    assert(!st.pruned && st.qualFrac == 1.0,
+      s"p6's path at sf0.1 flipped (pruned=${st.pruned}, " +
+        s"qualFrac=${st.qualFrac}) — re-measure and update BENCH_NOTES")
+  }
+
   test("h38/h41: series stats are aggregates; top-N via TakeOrdered") {
     val f = executed("h38_seriesfilter")
     assert(!f.exists(_.isInstanceOf[WindowExec]), "h38 plans no window")
