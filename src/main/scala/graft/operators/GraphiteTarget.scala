@@ -198,6 +198,16 @@ object GraphiteTarget {
     */
   final case class SeriesSet(df: DataFrame, step: Long)
 
+  /** Every glob leaf of a target, in source order — a store-backed
+    * caller fetches exactly this universe (union of the globs) before
+    * evaluating, so the fetch predicate and the evaluator use the SAME
+    * [[globToRegex]] translation.
+    */
+  def globLeaves(n: Node): Seq[String] = n match {
+    case Glob(p) => Seq(p)
+    case Call(_, args) => args.collect { case TargetArg(t) => globLeaves(t) }.flatten
+  }
+
   private val wSeries: org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(col("series")).orderBy(col("bucket"))
 

@@ -578,6 +578,34 @@ object StoreQueries {
           p.xff, p.cf))
         .toDF("step", "points", "retention", "max_retention", "xff", "cf")
         .orderBy("step")
+    }),
+
+    "hs17_rendertarget" -> ((s, dir) => {
+      // END-TO-END graphite read path: a composed render-target STRING
+      // evaluated against the REAL store — parse, fetch the target's
+      // glob universe through the fetch planner (hourly archive, hs8's
+      // window), then run the function pipeline on the fetched frame.
+      // This is the full drop-in read API a graphite-web deployment
+      // would point at the engine: one string in, one frame out. The
+      // fetch predicate reuses the SAME globToRegex translation the
+      // evaluator applies, so selection is gated once, end to end.
+      import graft.operators.GraphiteTarget
+      val target = "movingAverage(scale(sumSeries({click,view}), 10), 4)"
+      val node = GraphiteTarget.parse(target)
+      val pred = GraphiteTarget.globLeaves(node)
+        .map(g => col("series_id").rlike(GraphiteTarget.globToRegex(g)))
+        .reduce(_ || _)
+      val st = storeFor(s, dir)
+      val (_, dense) = st.fetchMulti(pred, 1704412800L, 1704499200L, Now)
+      // render functions operate on PRESENT points; the dense gap rows
+      // fetch adds are a fetch-shape concern (hs8 gates those)
+      val universe = dense.where(col("value").isNotNull)
+        .select(col("series_id").as("series"), col("interval").as("bucket"),
+          col("value"))
+      GraphiteTarget.evalNode(node, universe, step = 3600).df
+        .select(col("series"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket")
     })
   )
 
@@ -607,6 +635,31 @@ object StoreQueries {
     "s6_streamstore" -> DailyRollupSql,
     "hs13_fill" -> DailyRollupSql,
     "hs16_treeexport" -> DailyRollupSql,
+
+    // hand-built replay of hs17's composed target over the store's
+    // hourly lww state in hs8's fetch window: sumSeries in decimal,
+    // ×10, trailing-4 moving average with the engine's q6 contract
+    "hs17_rendertarget" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS sid, date_trunc('hour', ts) AS h,
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |w AS (
+        |  SELECT h, v FROM hourly
+        |  WHERE sid IN ('click', 'view')
+        |    AND h >= TIMESTAMP '2024-01-05 01:00:00'
+        |    AND h <= TIMESTAMP '2024-01-06 00:00:00'),
+        |agg AS (
+        |  SELECT h, CAST(CAST(SUM(CAST(v AS DECIMAL(18,6)))
+        |              AS DECIMAL(18,6)) AS DOUBLE) * 10 AS v
+        |  FROM w GROUP BY h)
+        |SELECT 'sumSeries({click,view})' AS series,
+        |       CAST(h AS VARCHAR) AS bucket,
+        |       ROUND(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER win
+        |             AS DOUBLE) / COUNT(v) OVER win * 1e6) / 1e6, 6) AS value
+        |FROM agg
+        |WINDOW win AS (ORDER BY h ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY series, bucket""".stripMargin,
 
     // the checker's coverage equals the xff-passing daily slot count
     "hs15_fsck" ->
