@@ -375,6 +375,57 @@ object GraphiteTarget {
               col("series"),
               q6(when(col("__div") =!= 0, col("value") / col("__div")))))
 
+          case "diffSeries" =>
+            // first target minus the per-bucket decimal sum of the
+            // rest; buckets where the minuend is absent stay absent,
+            // an absent subtrahend counts as 0 (documented choice —
+            // graphite skips None inside its sum the same way)
+            val a = one(args)
+            val rest = args.tail.map {
+              case TargetArg(t) => ev(t)
+              case x => throw new IllegalArgumentException(s"diffSeries: $x")
+            }
+            require(rest.nonEmpty, "diffSeries needs a subtrahend")
+            require(rest.forall(_.step == a.step), "diffSeries: mixed steps")
+            val sub = rest.map(_.df).reduce(_ unionByName _)
+              .groupBy(col("bucket"))
+              .agg(dec(sum(dec(col("value")))).cast("double").as("__sub"))
+            a.copy(df = out(a.df.join(sub, Seq("bucket"), "left"),
+              col("series"),
+              col("value") - coalesce(col("__sub"), lit(0.0))))
+
+          // ---- series-set filters: regex on the name (codegen'd
+          // predicate, no shuffle)
+          case "exclude" =>
+            val in = one(args)
+            in.copy(df = in.df.where(!col("series").rlike(str(args(1)))))
+          case "grep" | "grepSeries" =>
+            val in = one(args)
+            in.copy(df = in.df.where(col("series").rlike(str(args(1)))))
+
+          // ---- threshold filters: one per-series agg (bounded: one
+          // row per series) + broadcast semi-join back
+          case "maximumAbove" | "maximumBelow" | "minimumAbove" |
+               "averageAbove" | "averageBelow" | "currentAbove" |
+               "currentBelow" =>
+            val in = one(args)
+            val n = num(args(1))
+            val statCol = fn match {
+              case "maximumAbove" | "maximumBelow" => max(col("value"))
+              case "minimumAbove"                  => min(col("value"))
+              case "averageAbove" | "averageBelow" =>
+                q6(sum(dec(col("value"))).cast("double") / count(col("value")))
+              case _ => max_by(col("value"), col("bucket")) // current*
+            }
+            val keepPred = fn match {
+              case "maximumAbove" | "minimumAbove" | "averageAbove" |
+                   "currentAbove" => col("__stat") > lit(n)
+              case _              => col("__stat") < lit(n)
+            }
+            val keep = in.df.groupBy(col("series"))
+              .agg(statCol.as("__stat")).where(keepPred).select("series")
+            in.copy(df = in.df.join(broadcast(keep), Seq("series"), "left_semi"))
+
           // ---- series selection: per-series agg (one row per series)
           // then a rank over that BOUNDED frame + semi-join back
           case "highestAverage" | "highestMax" =>

@@ -61,7 +61,15 @@ object GraphiteQueries {
 
     // series selection + time shift + renaming
     "g5_target" -> ((s, dir) =>
-      render(s, dir, "aliasByNode(timeShift(highestAverage(events.*, 2), \"1d\"), 1)"))
+      render(s, dir, "aliasByNode(timeShift(highestAverage(events.*, 2), \"1d\"), 1)")),
+
+    // threshold filter + regex exclusion (selection family)
+    "g6_target" -> ((s, dir) =>
+      render(s, dir, "exclude(averageAbove(events.*, 50), \"click\")")),
+
+    // cross-series arithmetic: total minus named components
+    "g7_target" -> ((s, dir) =>
+      render(s, dir, "diffSeries(sumSeries(events.*), events.click, events.view)"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,6 +124,38 @@ object GraphiteQueries {
          |       ROUND(CAST(CAST(SUM(CAST(dv AS DECIMAL(18,6)))
          |               AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
          |FROM d GROUP BY 2 ORDER BY series, bucket""".stripMargin,
+
+    "g6_target" ->
+      s"""WITH $U,
+         |keep AS (
+         |  SELECT series FROM u GROUP BY series
+         |  HAVING ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |         / COUNT(value) * 1e6) / 1e6 > 50
+         |)
+         |SELECT u.series, CAST(u.bucket AS VARCHAR) AS bucket,
+         |       ROUND(u.value, 6) AS value
+         |FROM u JOIN keep ON u.series = keep.series
+         |WHERE NOT regexp_matches(u.series, 'click')
+         |ORDER BY u.series, bucket""".stripMargin,
+
+    "g7_target" ->
+      s"""WITH $U,
+         |tot AS (
+         |  SELECT bucket,
+         |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |              AS DECIMAL(18,6)) AS DOUBLE) AS v
+         |  FROM u GROUP BY bucket),
+         |sub AS (
+         |  SELECT bucket,
+         |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |              AS DECIMAL(18,6)) AS DOUBLE) AS v
+         |  FROM u WHERE series IN ('events.click', 'events.view')
+         |  GROUP BY bucket)
+         |SELECT 'sumSeries(events.*)' AS series,
+         |       CAST(t.bucket AS VARCHAR) AS bucket,
+         |       ROUND(t.v - COALESCE(s.v, 0), 6) AS value
+         |FROM tot t LEFT JOIN sub s ON t.bucket = s.bucket
+         |ORDER BY series, bucket""".stripMargin,
 
     "g5_target" ->
       s"""WITH $U,

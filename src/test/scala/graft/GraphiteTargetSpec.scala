@@ -133,6 +133,30 @@ class GraphiteTargetSpec extends SparkTestBase {
     assert(dv.map(_._3.get) == Seq(10.0, 5.0, 5.0, math.round(40.0 / 3.0 * 1e6) / 1e6))
   }
 
+  test("diffSeries subtracts the rest's per-bucket sum; absent subtrahend is 0") {
+    val d = run("diffSeries(m.b, m.a)")
+    assert(d.map(_._3.get) == Seq(9.0, 8.0, 16.0, 37.0))
+    // minuend-absent buckets stay absent: m.a has all 4 buckets here,
+    // so diff against a filtered self leaves the asymmetric definition
+    // visible via the sum-of-rest path
+    val d2 = run("diffSeries(sumSeries(m.*), m.a, m.b)")
+    assert(d2.map(_._3.get) == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("regex include/exclude and threshold filters") {
+    assert(run("exclude(m.*, \"a$\")").forall(_._1 == "m.b"))
+    assert(run("grep(m.*, \"a$\")").forall(_._1 == "m.a"))
+    // m.a: max 4, avg 2.5, last 3; m.b: max 40, avg 20, last 40
+    assert(run("maximumAbove(m.*, 10)").forall(_._1 == "m.b"))
+    assert(run("maximumBelow(m.*, 10)").forall(_._1 == "m.a"))
+    assert(run("minimumAbove(m.*, 5)").forall(_._1 == "m.b"))
+    assert(run("averageAbove(m.*, 10)").forall(_._1 == "m.b"))
+    assert(run("averageBelow(m.*, 10)").forall(_._1 == "m.a"))
+    assert(run("currentAbove(m.*, 10)").forall(_._1 == "m.b"))
+    assert(run("currentBelow(m.*, 10)").forall(_._1 == "m.a"))
+    assert(run("maximumAbove(m.*, 1000)").isEmpty)
+  }
+
   test("alias family and selection") {
     assert(run("alias(sumSeries(m.*), \"total\")").forall(_._1 == "total"))
     assert(run("aliasByNode(m.a, 1)").forall(_._1 == "a"))
