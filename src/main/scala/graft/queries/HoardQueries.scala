@@ -2476,16 +2476,22 @@ object HoardQueries {
     "s2_sessions" ->
       """WITH pts AS (
         |  SELECT 'u' || CAST(user_id AS VARCHAR) AS series_id,
-        |         epoch_us(ts) // 1000000 AS t, value
+        |         epoch_us(ts) // 1000000 AS t, event_id, value
         |  FROM events),
+        |-- both windows MUST share a TOTAL order (t, event_id): with a
+        |-- bare ORDER BY t, duplicate timestamps let the two windows
+        |-- order the tied rows independently, shifting which row
+        |-- carries the boundary flag vs which accumulates it (caught by
+        |-- the sf1 scale step: first fixture with intra-user ts ties;
+        |-- island membership is order-independent in the engine)
         |flagged AS (
-        |  SELECT series_id, t, value,
+        |  SELECT series_id, t, event_id, value,
         |         CASE WHEN t - lag(t) OVER w > 7200 OR lag(t) OVER w IS NULL
         |              THEN 1 ELSE 0 END AS boundary
-        |  FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY t)),
+        |  FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY t, event_id)),
         |islands AS (
         |  SELECT series_id, t, value,
-        |         SUM(boundary) OVER (PARTITION BY series_id ORDER BY t
+        |         SUM(boundary) OVER (PARTITION BY series_id ORDER BY t, event_id
         |           ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged),
         |sessions AS (

@@ -1487,15 +1487,21 @@ object RelationalQueries {
 
     "q24_session" ->
       """WITH pts AS (
-        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t, value
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t,
+        |         event_id, value
         |  FROM events),
+        |-- total (t, event_id) order in BOTH windows: with bare ORDER BY
+        |-- t, timestamp ties would let the two windows order tied rows
+        |-- independently and mis-assign island membership (the s2 bug
+        |-- the sf1 scale step caught; no µs-level ties exist today, but
+        |-- the order must not rely on that)
         |flagged AS (
-        |  SELECT user_id, t, value,
+        |  SELECT user_id, t, event_id, value,
         |         CASE WHEN t - lag(t) OVER w <= 7200000000 THEN 0 ELSE 1 END AS brk
-        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
         |isl AS (
         |  SELECT user_id, t, value,
-        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS g
         |  FROM flagged)
         |SELECT user_id, MIN(t) AS sess_start_us,

@@ -23,11 +23,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def connect(sf_dir, mem):
+def connect(sf_dir, mem, tmp=None):
     import duckdb
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET preserve_insertion_order=false")
+    if tmp:  # per-query spill dir so a killed child's spill is reclaimable
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table (e.g. ScaleGen sf1)
@@ -118,7 +121,8 @@ def main(sf_dir, out_dir, opts):
         oracles = json.load(f)
 
     if opts["one"] is not None:  # child mode: single query, print status only
-        con = connect(sf_dir, opts["mem"])
+        con = connect(sf_dir, opts["mem"],
+                      tmp=f"/tmp/duckspill-{opts['one']}")
         print(check_one(con, out_dir, opts["one"], oracles), flush=True)
         return 0
 
@@ -148,6 +152,10 @@ def main(sf_dir, out_dir, opts):
                           f"{r.stderr.strip()[-300:]}")
             except subprocess.TimeoutExpired:
                 status = f"ORACLE TIMEOUT >{opts['timeout']}s"
+            # reclaim the child's spill dir — a killed/OOMed child
+            # leaves tens of GB behind and starves the next spiller
+            import shutil
+            shutil.rmtree(f"/tmp/duckspill-{name}", ignore_errors=True)
         else:
             status = check_one(con, out_dir, name, oracles)
         results[name] = status
