@@ -236,7 +236,16 @@ object PipelineQueries {
 
     "p8_annlsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      val buckets = Embeddings.lshBuckets(e, planes = 4)
+      // data-adaptive plane count — the scale knob the sf1 step flagged
+      // (fixed 4 planes = 16 buckets makes within-bucket pair counts
+      // N²/16, 47× at the 10× step): smallest p ≥ 4 with 128·2^p ≥ N
+      // keeps expected bucket size ≤ 128 so candidate pairs stay
+      // O(N·128) — linear in N. Integer-exact rule, replicated verbatim
+      // as ceil(log2(N/128)) in the oracle (equivalent for every N).
+      val n = e.count()
+      var planes = 4
+      while (planes < 62 && (128L << planes) < n) planes += 1
+      val buckets = Embeddings.lshBuckets(e, planes)
       val v = Embeddings.withUnitVector(e.join(buckets, "vec_id"),
           "embedding", "uv")
         .select(col("vec_id"), col("bucket"), col("uv"))
@@ -2162,16 +2171,23 @@ object PipelineQueries {
       // τ = 0.4 on the 6-decimal-rounded sim (rounding BEFORE the
       // compare keeps dot-order ulps out of the flag; ties on the
       // argmax break to the smallest eval id via one max(struct)).
-      // Shape: the eval set is the benchmark suite — small by
-      // construction — so it BROADCASTS and the train side streams
-      // through one O(N·E) scan + one map-side-combinable argmax;
-      // the IVF route (p9) is the drop-in when E outgrows broadcast.
+      // Shape: the eval set is the benchmark suite — small AND FIXED by
+      // construction (a real benchmark does not grow with the training
+      // corpus), so the fixture caps it at vec_id < 4000 (≤ 200
+      // vectors at any SF; a no-op below sf1, where all ids < 2000).
+      // Without the cap the %20 rule made E scale as N/20 and the scan
+      // quadratic — the sf1 step flagged it at 25×. The capped eval
+      // side BROADCASTS and the train side streams through one O(N·E)
+      // scan + one map-side-combinable argmax; the IVF route (p9) is
+      // the drop-in when a genuinely large E outgrows broadcast.
       val e = emb(s, dir)
       val ev = Embeddings.withUnitVector(
-          e.where(pmod(col("vec_id"), lit(20)) === 0), "embedding", "en")
+          e.where(pmod(col("vec_id"), lit(20)) === 0 &&
+            col("vec_id") < 4000), "embedding", "en")
         .select(col("vec_id").as("eval_id"), col("en"))
       val tr = Embeddings.withUnitVector(
-          e.where(pmod(col("vec_id"), lit(20)) =!= 0), "embedding", "tn")
+          e.where(pmod(col("vec_id"), lit(20)) =!= 0 ||
+            col("vec_id") >= 4000), "embedding", "tn")
         .select(col("vec_id"), col("tn"))
       tr.crossJoin(broadcast(ev))
         .select(col("vec_id"), col("eval_id"),
@@ -2290,7 +2306,11 @@ object PipelineQueries {
       |  SELECT vec_id, j,
       |         ROUND(SUM((CAST((1103515245*(j*64+d)+12345) % 2048 AS DOUBLE)/2048.0
       |                    - 0.5) * CAST(x AS DOUBLE)), 6) AS dotp
-      |  FROM ex CROSS JOIN range(4) t(j) GROUP BY vec_id, j),
+      |  FROM ex CROSS JOIN range(62) t(j)
+      |  WHERE j < (SELECT GREATEST(4, CAST(CEIL(LOG2(
+      |               CAST(COUNT(*) AS DOUBLE) / 128.0)) AS INT))
+      |             FROM embeddings)
+      |  GROUP BY vec_id, j),
       |bk AS (
       |  SELECT vec_id,
       |         CAST(SUM(CASE WHEN dotp > 0
@@ -4577,11 +4597,11 @@ object PipelineQueries {
       """WITH ev AS (
         |  SELECT vec_id AS eval_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 4000),
         |tr AS (
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings WHERE vec_id % 20 <> 0),
+        |  FROM embeddings WHERE vec_id % 20 <> 0 OR vec_id >= 4000),
         |scored AS (
         |  SELECT tr.vec_id, ev.eval_id,
         |         ROUND(list_cosine_similarity(tr.e, ev.e), 6) AS sim
