@@ -30,5 +30,17 @@ object SparkEntry {
     * (the sf1 streaming sweep wrote 7 silent zero-row "successes" when a
     * pathGlobFilter matched nothing against directory-shaped tables).
     */
-  def allowEmpty: Set[String] = Set.empty
+  def allowEmpty: Set[String] = Set(
+    // the xff-gated daily-rollup family: at sf0.001 no (type, day) has
+    // the ≥12 known hours the 0.5 xff gate needs, so the rollup is
+    // LEGITIMATELY empty — and so is every query downstream of it
+    // (store variants, snapshot/fill/delete/resize/export round-trips,
+    // the streaming store). Their oracles produce the same empty set,
+    // which is exactly what the gate then verifies. All are non-empty
+    // from sf0.01 up, where the guard still bites.
+    "h2_rollup", "h4_cascade",
+    "hs2_storerollup", "hs3_incremental", "hs6_deltastore",
+    "hs9_manifeststore", "hs10_delete", "hs11_snapshot", "hs12_resize",
+    "hs13_fill", "hs16_treeexport", "hs18_sinkroundtrip",
+    "s6_streamstore", "s11_streammanifest")
 }

@@ -317,6 +317,7 @@ object StoreQueries {
 
   /** hs16's exported graphite tree, one per sf dir per JVM. */
   private val builtTree = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def whisperStore(s: SparkSession): HoardStore = {
     val root = builtWhisper.computeIfAbsent(WhisperPath, _ => {
@@ -554,6 +555,40 @@ object StoreQueries {
         .orderBy("series_id", "bucket")
     }),
 
+    "hs18_sinkroundtrip" -> ((s, dir) => {
+      // DSv2 WRITE-path round-trip: the store's levels exported as a
+      // graphite tree through `df.write.format("whisper")` (the sink's
+      // RequiresDistributionAndOrdering makes Spark plan the one
+      // series-clustering shuffle) and read back through the source —
+      // hs16's contract, but the encoder runs inside Spark's own V2
+      // write protocol instead of the HoardExport API. Same shared
+      // daily-rollup oracle as every other write strategy.
+      val st = storeFor(s, dir)
+      val tree = builtSink.computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sinktree")
+          .toString + "/tree"
+        val p = st.policy
+        val frame = p.sorted.map { ar =>
+          st.readLevelRange(ar, Now - ar.retention + 1, Now + ar.step)
+            .select(col("series_id"), lit(ar.step).cast("long").as("step"),
+              col("interval").as("ts"), col("value").cast("double").as("value"))
+        }.reduce(_ unionByName _)
+        frame.write.format("whisper")
+          .option("archives",
+            p.sorted.map(a => s"${a.step}:${a.points}").mkString(","))
+          .option("now", Now.toString)
+          .option("xff", p.xff.toString)
+          .mode("append").save(tmp)
+        tmp
+      })
+      s.read.format("whisper").load(tree)
+        .where(col("step") === 86400)
+        .select(col("series_id"),
+          col("ts").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
     "hs7_whisperimport" -> ((s, dir) => {
       // the reference's own golden fetch (test/hoard.test.coffee:36-51)
       // replayed through the BINARY IMPORT path: large.whisper →
@@ -635,6 +670,7 @@ object StoreQueries {
     "s6_streamstore" -> DailyRollupSql,
     "hs13_fill" -> DailyRollupSql,
     "hs16_treeexport" -> DailyRollupSql,
+    "hs18_sinkroundtrip" -> DailyRollupSql,
 
     // hand-built replay of hs17's composed target over the store's
     // hourly lww state in hs8's fetch window: sumSeries in decimal,

@@ -70,6 +70,36 @@ object WhisperSource {
     if (dot > 0) base.substring(0, dot) else base
   }
 
+  /** Graphite layout inverted: the series name is the file path
+    * RELATIVE to the load root with '/' → '.' (web/srv1/cpu.whisper
+    * under root → web.srv1.cpu). Basename-only naming silently
+    * DROPPED the tree prefix for nested series — caught by the sink
+    * round-trip test; flat trees (and single-file roots) are
+    * unaffected. `qualRoots` must be fs-qualified like listing output.
+    */
+  private[graft] def relativeSeries(qualRoots: Seq[String],
+                                      path: String): String = {
+    val root = qualRoots.filter(r => path.startsWith(r + "/") || path == r)
+      .maxByOption(_.length)
+    val rel = root.map(r => path.stripPrefix(r).stripPrefix("/"))
+      .filter(_.nonEmpty)
+      .getOrElse(path.substring(path.lastIndexOf('/') + 1))
+    val noExt = {
+      val d = rel.lastIndexOf('.')
+      if (d > 0) rel.substring(0, d) else rel
+    }
+    noExt.replace('/', '.')
+  }
+
+  /** fs-qualified form of each root, matching listing output. */
+  private[graft] def qualify(roots: Seq[String]): Seq[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    roots.map { r =>
+      val p = new HPath(r)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+  }
+
   private def isRing(name: String): Boolean =
     name.endsWith(".whisper") || name.endsWith(".hoard")
 
@@ -170,16 +200,28 @@ object WhisperSource {
   }
 }
 
-final class WhisperTable(paths: Seq[String]) extends Table with SupportsRead {
+final class WhisperTable(paths: Seq[String]) extends Table
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"whisper(${paths.mkString(",")})"
   override def schema(): StructType = WhisperSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    // write is append-shaped: each series encodes to its own ring file
+    // (per-file create-overwrite); use .mode("append")
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WhisperScanBuilder(paths,
       Option(options.get("maxPartitionBytes")).map(_.toLong),
       Option(options.get("openCostInBytes")).map(_.toLong))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1,
+      s"whisper write needs exactly one target path, got $paths")
+    new WhisperWriteBuilder(paths.head, info.schema(), info.options())
+  }
 }
 
 final class WhisperScanBuilder(paths: Seq[String],
@@ -208,23 +250,29 @@ final class WhisperScanBuilder(paths: Seq[String],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new WhisperScan(WhisperSource.listFilesWithSize(paths).filter { case (p, _) =>
-      val s = WhisperSource.seriesName(p)
-      pushed.forall {
-        case EqualTo("series_id", v: String) => s == v
-        case In("series_id", vs) => vs.contains(s)
-        case _ => true
+  override def build(): Scan = {
+    val qualRoots = WhisperSource.qualify(paths)
+    val files = WhisperSource.listFilesWithSize(paths)
+      .map { case (p, len) =>
+        (p, len, WhisperSource.relativeSeries(qualRoots, p)) }
+      .filter { case (_, _, s) =>
+        pushed.forall {
+          case EqualTo("series_id", v: String) => s == v
+          case In("series_id", vs) => vs.contains(s)
+          case _ => true
+        }
       }
-    }, required, maxBytesOpt, openCostOpt)
+    new WhisperScan(files, required, maxBytesOpt, openCostOpt)
+  }
 }
 
 /** A size-binned group of whole ring files (rings are small by
   * construction — 16 + 24N header + 12/point — so files never split).
   */
-final case class WhisperFilePartition(files: Array[String]) extends InputPartition
+final case class WhisperFilePartition(files: Array[String],
+                                      series: Array[String]) extends InputPartition
 
-final class WhisperScan(files: Seq[(String, Long)], required: StructType,
+final class WhisperScan(files: Seq[(String, Long, String)], required: StructType,
                         maxBytesOpt: Option[Long] = None,
                         openCostOpt: Option[Long] = None)
   extends Scan with Batch {
@@ -233,9 +281,12 @@ final class WhisperScan(files: Seq[(String, Long)], required: StructType,
   override def description(): String =
     s"WhisperScan[${files.size} files, cols=${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    WhisperSource.pack(SparkSession.active, files, maxBytesOpt, openCostOpt)
-      .map(WhisperFilePartition(_): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val seriesOf = files.map(f => f._1 -> f._3).toMap
+    WhisperSource.pack(SparkSession.active,
+        files.map(f => (f._1, f._2)), maxBytesOpt, openCostOpt)
+      .map(fs => WhisperFilePartition(fs, fs.map(seriesOf)): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WhisperReaderFactory(required)
@@ -245,7 +296,9 @@ final class WhisperReaderFactory(required: StructType)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val paths = partition.asInstanceOf[WhisperFilePartition].files
+    val part = partition.asInstanceOf[WhisperFilePartition]
+    val paths = part.files
+    val names = part.series
     new PartitionReader[InternalRow] {
       private val conf = new org.apache.hadoop.conf.Configuration()
       private var fileIdx = 0
@@ -267,8 +320,7 @@ final class WhisperReaderFactory(required: StructType)
           in.readFully(0, buf)
           buf
         } finally in.close()
-        series = UTF8String.fromString(
-          WhisperSource.seriesName(p.toString))
+        series = UTF8String.fromString(names(fileIdx - 1))
         it = WhisperFormat.slots(bytes)
         true
       }

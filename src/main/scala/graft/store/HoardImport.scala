@@ -44,13 +44,18 @@ object HoardImport {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    // tree-aware naming (web/srv1/cpu.whisper → web.srv1.cpu), same
+    // rule as the whisper DSv2 source — basename-only naming dropped
+    // the tree prefix for nested series
+    val qualRoots = graft.sources.WhisperSource.qualify(Seq(path))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{whisper,hoard}")
+      .option("recursiveFileLookup", "true")
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val series = seriesName(p)
+        val series = graft.sources.WhisperSource.relativeSeries(qualRoots, p)
         WhisperFormat.slots(bytes)
           .map(sl => ImportedPoint(series, sl.step.toLong, sl.ts, sl.value))
       }

@@ -176,10 +176,12 @@ class FixtureReplaySpec extends SparkTestBase {
     assert(Files.exists(Paths.get(s"$tree2/web/srv1/cpu.whisper")),
       "dotted series did not nest into graphite subdirectories")
     assert(Files.exists(Paths.get(s"$tree2/large.whisper")))
-    // the DSv2 source reads the nested tree back (basename = leaf name)
+    // the DSv2 source reads the nested tree back with the FULL dotted
+    // name (root-relative path, '/' → '.') — basename-only naming was
+    // a reader bug that dropped the tree prefix, fixed in round 8
     val names = spark.read.format("whisper").load(tree2)
       .select("series_id").distinct().collect().map(_.getString(0)).toSet
-    assert(names == Set("large", "cpu"))
+    assert(names == Set("large", "web.srv1.cpu"))
   }
 
   test("directory import: a graphite tree becomes one multi-series store; new writes win lww") {
