@@ -42,5 +42,5 @@ object SparkEntry {
     "hs2_storerollup", "hs3_incremental", "hs6_deltastore",
     "hs9_manifeststore", "hs10_delete", "hs11_snapshot", "hs12_resize",
     "hs13_fill", "hs16_treeexport", "hs18_sinkroundtrip",
-    "s6_streamstore", "s11_streammanifest")
+    "s6_streamstore", "s11_streammanifest", "s18_carbon")
 }

@@ -193,6 +193,65 @@ object StoreQueries {
     HoardStore.open(s, root)
   }
 
+  /** Carbon-ingested store: the events rendered onto the WIRE as carbon
+    * plaintext lines (`metric value timestamp`), staged as two text
+    * files cut at hs3's mid-day boundary, and replayed through
+    * Structured Streaming → [[graft.streaming.CarbonIngest]]'s parse →
+    * the real write path. Every 97th event is corrupted on the wire
+    * (three deterministic malformed shapes: missing field, non-numeric
+    * value, non-integer timestamp) and must be DROPPED by the parser,
+    * never ingested, never fatal. Carbon lww is arrival-order, which a
+    * distributed replay cannot pin, so the fixture pins it by
+    * construction: survivors pre-dedup to one point per (series,
+    * second), max event_id winning — the oracle replays the identical
+    * rule. The daily rollup after the stream drains must equal the
+    * from-wire recomputation.
+    */
+  private val builtCarbon = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeCarbon(s: SparkSession, dir: String): HoardStore = {
+    val root = builtCarbon.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-carbon")
+        .toString
+      val st = HoardStore.create(s, tmp + "/store", Policy)
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_type").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("value"), col("event_id").as("seq"))
+      // double → string → double round-trips exactly (Spark casts via
+      // Double.toString, shortest-exact), so the wire adds no error
+      val good = ev.where(col("seq") % 97 =!= 0)
+        .groupBy(col("series_id"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .select(concat_ws(" ", col("series_id"),
+          col("value").cast("string"), col("ts").cast("string")).as("line"),
+          col("ts"))
+      val bad = ev.where(col("seq") % 97 === 0).select(
+        when(col("seq") % 3 === 0,
+          concat_ws(" ", col("series_id"), col("value").cast("string")))
+          .when(col("seq") % 3 === 1, concat_ws(" ", col("series_id"),
+            lit("not-a-number"), col("ts").cast("string")))
+          .otherwise(concat_ws(" ", col("series_id"),
+            col("value").cast("string"), lit("12x4"))).as("line"),
+        col("ts"))
+      val lines = good.unionByName(bad)
+      val cut = 1705406400L // 2024-01-16 12:00:00 UTC (same as hs3/s6)
+      val stage = tmp + "/in"
+      lines.where(col("ts") < cut).select("line").coalesce(1)
+        .write.mode("append").text(stage)
+      lines.where(col("ts") >= cut).select("line").coalesce(1)
+        .write.mode("append").text(stage)
+      val stream = s.readStream.option("maxFilesPerTrigger", 1).text(stage)
+      val q = graft.streaming.CarbonIngest.start(stream, st, () => Now,
+        tmp + "/ckpt")
+      q.processAllAvailable()
+      graft.streaming.StreamStats.record("s18_carbon", q)
+      q.stop()
+      tmp + "/store"
+    })
+    HoardStore.open(s, root)
+  }
+
   /** ManifestAppend store whose version after batch 1 is remembered:
     * batch 2 and a compaction land AFTER the pin, so a time-travel
     * read at the pinned version must see exactly the batch-1 state.
@@ -337,6 +396,20 @@ object StoreQueries {
       // hs2/hs3/hs6
       graft.Graft.configure(s)
       val st = storeStreamed(s, dir)
+      st.readLevel(Policy.sorted.last)
+        .select(col("series_id"),
+          col("interval").cast("date").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series_id", "bucket")
+    }),
+
+    "s18_carbon" -> ((s, dir) => {
+      // daily rollup after the events arrive as CARBON PLAINTEXT LINES
+      // through the streaming parse (malformed wire lines dropped, 1%
+      // of the fixture): the graphite ecosystem's write protocol into
+      // the real store path, verified against a from-wire recompute
+      graft.Graft.configure(s)
+      val st = storeCarbon(s, dir)
       st.readLevel(Policy.sorted.last)
         .select(col("series_id"),
           col("interval").cast("date").cast("string").as("bucket"),
@@ -737,6 +810,30 @@ object StoreQueries {
     "hs6_deltastore" -> DailyRollupSql,
     "hs9_manifeststore" -> DailyRollupSql,
     "s11_streammanifest" -> DailyRollupSql,
+
+    // the from-wire recompute: drop the corrupted 1% (event_id % 97),
+    // pin carbon's arrival-order lww per second to max event_id (the
+    // fixture's construction rule), then the usual hourly-lww →
+    // xff-gated decimal daily mean — all in integer epoch arithmetic
+    "s18_carbon" ->
+      """WITH persec AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS s,
+        |         arg_max(value, event_id) AS v
+        |  FROM events WHERE event_id % 97 <> 0
+        |  GROUP BY event_type, epoch_us(ts) // 1000000),
+        |hourly AS (
+        |  SELECT event_type, s // 3600 * 3600 AS h, arg_max(v, s) AS v
+        |  FROM persec GROUP BY event_type, s // 3600 * 3600),
+        |daily AS (
+        |  SELECT event_type, h // 86400 * 86400 AS d,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(v) AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |  FROM hourly GROUP BY event_type, h // 86400 * 86400
+        |  HAVING COUNT(v) >= 12)
+        |SELECT event_type AS series_id,
+        |       CAST(CAST(to_timestamp(d) AS DATE) AS VARCHAR) AS bucket,
+        |       ROUND(v, 6) AS value
+        |FROM daily ORDER BY series_id, bucket""".stripMargin,
 
     // the shared recomputation over batch 1 ONLY (ts < the hs3 cut):
     // what a reader pinned before batch 2 must see
