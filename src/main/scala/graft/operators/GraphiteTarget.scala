@@ -247,7 +247,7 @@ object GraphiteTarget {
           // ---- cross-series aggregation: one per-bucket hash agg;
           // graphite names the result after the call text
           case "sumSeries" | "averageSeries" | "maxSeries" | "minSeries" |
-               "countSeries" =>
+               "countSeries" | "rangeOfSeries" | "stddevSeries" =>
             val in = args.map { case TargetArg(t) => ev(t)
                                 case a => throw new IllegalArgumentException(s"$fn: $a") }
             require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
@@ -259,9 +259,39 @@ object GraphiteTarget {
               case "maxSeries"     => max(col("value"))
               case "minSeries"     => min(col("value"))
               case "countSeries"   => count(col("value")).cast("double")
+              case "rangeOfSeries" => max(col("value")) - min(col("value"))
+              // population stddev from decimal sums: every accumulation
+              // is exact, the residual double ops are order-free
+              case "stddevSeries"  => q6(sqrt(greatest(
+                (sum(dec(col("value") * col("value"))).cast("double") -
+                  sum(dec(col("value"))).cast("double") *
+                  sum(dec(col("value"))).cast("double") / count(col("value"))) /
+                  count(col("value")), lit(0.0))))
             }
             SeriesSet(out(u.groupBy(col("bucket")).agg(agg.as("v")),
               name, col("v")), in.head.step)
+
+          // ---- cross-series product: graphite's contract is one series
+          // per input (divideSeries' sibling); evaluated as a fold of
+          // per-bucket broadcast joins in ARGUMENT order, so the float
+          // multiply order is pinned by the target text, never by
+          // partitioning
+          case "multiplySeries" =>
+            val in = args.map { case TargetArg(t) => ev(t)
+                                case a => throw new IllegalArgumentException(s"$fn: $a") }
+            require(in.nonEmpty, "multiplySeries needs at least one target")
+            require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
+            val first = in.head.df.select(col("bucket"), col("value"))
+            val prod = in.tail.zipWithIndex.foldLeft(first) { case (acc, (s2, i)) =>
+              acc.join(broadcast(s2.df.select(col("bucket"),
+                  col("value").as(s"__m$i"))), Seq("bucket"), "inner")
+                // q6 per fold step: a raw double product lands on
+                // .xxxxxx5 often enough that the engines' ROUND(x, 6)
+                // disagree — same contract as the division outputs
+                .select(col("bucket"),
+                  q6(col("value") * col(s"__m$i")).as("value"))
+            }
+            SeriesSet(out(prod, name, col("value")), in.head.step)
 
           case "group" =>
             val in = args.map { case TargetArg(t) => ev(t)
@@ -281,6 +311,38 @@ object GraphiteTarget {
           case "absolute" =>
             val in = one(args)
             in.copy(df = out(in.df, col("series"), abs(col("value"))))
+          case "invert" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              when(col("value") =!= 0, q6(lit(1.0) / col("value")))))
+          case "squareRoot" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              when(col("value") >= 0, sqrt(col("value")))))
+          case "logarithm" | "log" =>
+            val in = one(args)
+            val base = if (args.length > 1) num(args(1)) else 10.0
+            in.copy(df = out(in.df, col("series"),
+              when(col("value") > 0, q6(log(base, col("value"))))))
+          case "pow" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              q6(pow(col("value"), lit(num(args(1)))))))
+          case "transformNull" =>
+            val in = one(args)
+            val d = if (args.length > 1) num(args(1)) else 0.0
+            in.copy(df = out(in.df, col("series"),
+              coalesce(col("value"), lit(d))))
+          // graphite nulls the out-of-range values (the bucket stays,
+          // so windows downstream still see its position)
+          case "removeAboveValue" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              when(col("value") <= lit(num(args(1))), col("value"))))
+          case "removeBelowValue" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              when(col("value") >= lit(num(args(1))), col("value"))))
 
           // ---- per-series windows (partitioned by series, never global)
           case "derivative" =>
@@ -310,6 +372,34 @@ object GraphiteTarget {
             in.copy(df = out(in.df, col("series"),
               q6(sum(dec(col("value"))).over(w).cast("double") /
                 count(col("value")).over(w))))
+          case "movingSum" | "movingMax" | "movingMin" | "movingMedian" =>
+            val in = one(args)
+            val n = num(args(1)).toInt
+            require(n > 0, s"$fn window must be positive")
+            val w = wSeries.rowsBetween(-(n - 1), Window.currentRow)
+            val v = fn match {
+              case "movingSum"    => sum(dec(col("value"))).over(w).cast("double")
+              case "movingMax"    => max(col("value")).over(w)
+              case "movingMin"    => min(col("value")).over(w)
+              // exact trailing median (h21's shape): order statistics
+              // accumulate nothing, so the only cross-engine arithmetic
+              // is the even-count midpoint of two identical doubles
+              case "movingMedian" => expr("percentile(value, 0.5)").over(w)
+            }
+            in.copy(df = out(in.df, col("series"), v))
+          case "stdev" =>
+            // trailing POPULATION stddev from decimal sums (graphite's
+            // stdev(series, points)): exact accumulation, then a fixed
+            // double formula — order-free on both engines
+            val in = one(args)
+            val n = num(args(1)).toInt
+            require(n > 0, "stdev window must be positive")
+            val w = wSeries.rowsBetween(-(n - 1), Window.currentRow)
+            val s = sum(dec(col("value"))).over(w).cast("double")
+            val m2 = sum(dec(col("value") * col("value"))).over(w).cast("double")
+            val cnt = count(col("value")).over(w)
+            in.copy(df = out(in.df, col("series"),
+              q6(sqrt(greatest((m2 - s * s / cnt) / cnt, lit(0.0))))))
           case "keepLastValue" =>
             val in = one(args)
             val w = wSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -343,6 +433,30 @@ object GraphiteTarget {
               .select(col("series"), col("bucket"),
                 col("v").cast("double").as("value")), ivl)
 
+          // ---- per-series order statistics: one bounded agg (a row per
+          // series) broadcast back — nPercentile flattens the series to
+          // its percentile, remove*Percentile nulls the outliers
+          case "nPercentile" | "removeAbovePercentile" |
+               "removeBelowPercentile" =>
+            val in = one(args)
+            val p = num(args(1)) / 100.0
+            require(p > 0 && p <= 1, s"$fn: percentile out of range")
+            // q6 the interpolated percentile: the two engines' linear
+            // interpolations differ in the last ulp ((1-f)a+fb vs
+            // a+f(b-a)), and a data value CAN sit exactly on the
+            // midpoint — quantized, both land on the same 6-decimal grid
+            val per = in.df.groupBy(col("series"))
+              .agg(q6(expr(s"percentile(value, $p)")).as("__pct"))
+            val joined = in.df.join(broadcast(per), Seq("series"), "left")
+            val v = fn match {
+              case "nPercentile"           => col("__pct")
+              case "removeAbovePercentile" =>
+                when(col("value") <= col("__pct"), col("value"))
+              case _                       =>
+                when(col("value") >= col("__pct"), col("value"))
+            }
+            in.copy(df = out(joined, col("series"), v))
+
           // ---- renaming
           case "alias" =>
             val in = one(args)
@@ -352,6 +466,10 @@ object GraphiteTarget {
             val idx = num(args(1)).toInt
             in.copy(df = out(in.df,
               element_at(split(col("series"), "\\."), idx + 1), col("value")))
+          case "aliasByMetric" =>
+            val in = one(args)
+            in.copy(df = out(in.df,
+              element_at(split(col("series"), "\\."), -1), col("value")))
 
           // ---- cross-series arithmetic: per-bucket window / join
           case "asPercent" =>
@@ -428,18 +546,24 @@ object GraphiteTarget {
 
           // ---- series selection: per-series agg (one row per series)
           // then a rank over that BOUNDED frame + semi-join back
-          case "highestAverage" | "highestMax" =>
+          case "highestAverage" | "highestMax" | "highestCurrent" |
+               "lowestAverage" | "lowestCurrent" =>
             val in = one(args)
             val k = num(args(1)).toInt
             val score = fn match {
-              case "highestAverage" => q6(sum(dec(col("value"))).cast("double") /
-                                          count(col("value")))
-              case _                => max(col("value"))
+              case "highestAverage" | "lowestAverage" =>
+                q6(sum(dec(col("value"))).cast("double") / count(col("value")))
+              case "highestCurrent" | "lowestCurrent" =>
+                max_by(col("value"), col("bucket"))
+              case _ => max(col("value"))
             }
             val perSeries = in.df.groupBy(col("series")).agg(score.as("__score"))
             // unpartitioned window is safe here: the frame is one row
             // per SERIES (bounded by series count, not data volume)
-            val wAll = Window.orderBy(col("__score").desc, col("series"))
+            val wAll =
+              if (fn.startsWith("lowest"))
+                Window.orderBy(col("__score").asc, col("series"))
+              else Window.orderBy(col("__score").desc, col("series"))
             val top = perSeries.withColumn("__rk", row_number().over(wAll))
               .where(col("__rk") <= k).select("series")
             in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))

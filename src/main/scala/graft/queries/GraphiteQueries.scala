@@ -69,7 +69,32 @@ object GraphiteQueries {
 
     // cross-series arithmetic: total minus named components
     "g7_target" -> ((s, dir) =>
-      render(s, dir, "diffSeries(sumSeries(events.*), events.click, events.view)"))
+      render(s, dir, "diffSeries(sumSeries(events.*), events.click, events.view)")),
+
+    // value clipping + null repair + trailing decimal sum
+    "g8_target" -> ((s, dir) =>
+      render(s, dir,
+        "movingSum(transformNull(removeAboveValue(events.*, 80), 0), 4)")),
+
+    // per-series percentile nulling + inverse selection
+    "g9_target" -> ((s, dir) =>
+      render(s, dir, "lowestAverage(removeBelowPercentile(events.*, 50), 2)")),
+
+    // cross-series spread + exact scalar transform
+    "g10_target" -> ((s, dir) =>
+      render(s, dir, "squareRoot(rangeOfSeries(events.*))")),
+
+    // per-bucket series product in pinned argument order
+    "g11_target" -> ((s, dir) =>
+      render(s, dir, "multiplySeries(invert(events.click), events.view)")),
+
+    // trailing volatility + current-value selection + metric rename
+    "g12_target" -> ((s, dir) =>
+      render(s, dir, "aliasByMetric(highestCurrent(stdev(events.*, 6), 1))")),
+
+    // cross-series dispersion flattened to its 90th percentile
+    "g13_target" -> ((s, dir) =>
+      render(s, dir, "nPercentile(stddevSeries(events.*), 90)"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,6 +181,99 @@ object GraphiteQueries {
          |       ROUND(t.v - COALESCE(s.v, 0), 6) AS value
          |FROM tot t LEFT JOIN sub s ON t.bucket = s.bucket
          |ORDER BY series, bucket""".stripMargin,
+
+    "g8_target" ->
+      s"""WITH $U,
+         |t AS (
+         |  SELECT series, bucket,
+         |         COALESCE(CASE WHEN value <= 80 THEN value END, 0) AS v
+         |  FROM u)
+         |SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+         |         AS value
+         |FROM t WINDOW w AS (PARTITION BY series ORDER BY bucket
+         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |ORDER BY series, bucket""".stripMargin,
+
+    "g9_target" ->
+      s"""WITH $U,
+         |pct AS (
+         |  SELECT series, ROUND(quantile_cont(value, 0.5) * 1e6) / 1e6 AS p
+         |  FROM u GROUP BY series),
+         |r AS (
+         |  SELECT u.series, u.bucket,
+         |         CASE WHEN u.value >= pct.p THEN u.value END AS v
+         |  FROM u JOIN pct USING (series)),
+         |st AS (
+         |  SELECT series,
+         |         ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(v) * 1e6) / 1e6 AS score
+         |  FROM r GROUP BY series
+         |  QUALIFY row_number() OVER (ORDER BY score ASC, series) <= 2)
+         |SELECT r.series AS series, CAST(r.bucket AS VARCHAR) AS bucket,
+         |       ROUND(r.v, 6) AS value
+         |FROM r JOIN st ON r.series = st.series
+         |ORDER BY r.series, bucket""".stripMargin,
+
+    "g10_target" ->
+      s"""WITH $U
+         |SELECT 'rangeOfSeries(events.*)' AS series,
+         |       CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(SQRT(MAX(value) - MIN(value)), 6) AS value
+         |FROM u GROUP BY bucket ORDER BY series, bucket""".stripMargin,
+
+    "g11_target" ->
+      s"""WITH $U,
+         |a AS (
+         |  SELECT bucket,
+         |         CASE WHEN value <> 0 THEN ROUND(1.0 / value * 1e6) / 1e6 END
+         |           AS v
+         |  FROM u WHERE series = 'events.click'),
+         |b AS (SELECT bucket, value FROM u WHERE series = 'events.view')
+         |SELECT 'multiplySeries(invert(events.click),events.view)' AS series,
+         |       CAST(a.bucket AS VARCHAR) AS bucket,
+         |       ROUND(ROUND(a.v * b.value * 1e6) / 1e6, 6) AS value
+         |FROM a JOIN b ON a.bucket = b.bucket
+         |ORDER BY series, bucket""".stripMargin,
+
+    "g12_target" ->
+      s"""WITH $U,
+         |sd AS (
+         |  SELECT series, bucket,
+         |         ROUND(SQRT(GREATEST(
+         |           (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w
+         |                 AS DOUBLE)
+         |            - CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |              * CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |              / COUNT(value) OVER w) / COUNT(value) OVER w, 0))
+         |           * 1e6) / 1e6 AS v
+         |  FROM u WINDOW w AS (PARTITION BY series ORDER BY bucket
+         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+         |top AS (
+         |  SELECT series, arg_max(v, bucket) AS cur FROM sd GROUP BY series
+         |  QUALIFY row_number() OVER (ORDER BY cur DESC, series) <= 1)
+         |SELECT split_part(sd.series, '.', 2) AS series,
+         |       CAST(sd.bucket AS VARCHAR) AS bucket,
+         |       ROUND(sd.v, 6) AS value
+         |FROM sd JOIN top ON sd.series = top.series
+         |ORDER BY series, bucket""".stripMargin,
+
+    "g13_target" ->
+      s"""WITH $U,
+         |sd AS (
+         |  SELECT bucket,
+         |         ROUND(SQRT(GREATEST(
+         |           (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+         |            - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |              * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |              / COUNT(value)) / COUNT(value), 0)) * 1e6) / 1e6 AS v
+         |  FROM u GROUP BY bucket),
+         |p AS (SELECT ROUND(quantile_cont(v, 0.90) * 1e6) / 1e6 AS pct
+         |      FROM sd)
+         |SELECT 'stddevSeries(events.*)' AS series,
+         |       CAST(sd.bucket AS VARCHAR) AS bucket,
+         |       ROUND(p.pct, 6) AS value
+         |FROM sd, p ORDER BY series, bucket""".stripMargin,
 
     "g5_target" ->
       s"""WITH $U,

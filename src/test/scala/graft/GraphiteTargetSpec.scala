@@ -157,12 +157,57 @@ class GraphiteTargetSpec extends SparkTestBase {
     assert(run("maximumAbove(m.*, 1000)").isEmpty)
   }
 
+  test("moving window family: sum, max, min, median, stdev") {
+    assert(run("movingSum(m.a, 2)").map(_._3.get) == Seq(1.0, 3.0, 6.0, 7.0))
+    assert(run("movingMax(m.a, 2)").map(_._3.get) == Seq(1.0, 2.0, 4.0, 4.0))
+    assert(run("movingMin(m.b, 2)").map(_._3.get) == Seq(10.0, 10.0, 10.0, 20.0))
+    assert(run("movingMedian(m.a, 3)").map(_._3.get) == Seq(1.0, 1.5, 2.0, 3.0))
+    // trailing population stddev from exact sums
+    assert(run("stdev(m.b, 2)").map(_._3.get) == Seq(0.0, 0.0, 5.0, 10.0))
+  }
+
+  test("scalar additions: invert, squareRoot, logarithm, pow, null repair, clipping") {
+    assert(run("invert(m.a)").map(_._3.get) ==
+      Seq(1.0, 0.5, 0.25, math.round(1.0 / 3.0 * 1e6) / 1e6))
+    assert(run("squareRoot(m.b)").map(_._3.get) ==
+      Seq(math.sqrt(10), math.sqrt(10), math.sqrt(20), math.sqrt(40)))
+    assert(run("logarithm(m.b)").map(_._3.get) ==
+      Seq(1.0, 1.0, math.round(math.log10(20) * 1e6) / 1e6,
+        math.round(math.log10(40) * 1e6) / 1e6))
+    assert(run("pow(m.a, 2)").map(_._3.get) == Seq(1.0, 4.0, 16.0, 9.0))
+    assert(run("removeBelowValue(m.b, 15)").map(_._3) ==
+      Seq(None, None, Some(20.0), Some(40.0)))
+    assert(run("transformNull(removeAboveValue(m.b, 15), -1)").map(_._3.get) ==
+      Seq(10.0, 10.0, -1.0, -1.0))
+  }
+
+  test("percentile family flattens or nulls against the per-series quantile") {
+    // sorted m.a = [1,2,3,4], p50 interpolates to 2.5
+    assert(run("nPercentile(m.a, 50)").map(_._3.get) == Seq(2.5, 2.5, 2.5, 2.5))
+    assert(run("removeAbovePercentile(m.a, 50)").map(_._3) ==
+      Seq(Some(1.0), Some(2.0), None, None))
+    assert(run("removeBelowPercentile(m.a, 50)").map(_._3) ==
+      Seq(None, None, Some(4.0), Some(3.0)))
+  }
+
+  test("cross-series additions: range, stddev, product in argument order") {
+    assert(run("rangeOfSeries(m.*)").map(_._3.get) == Seq(9.0, 8.0, 16.0, 37.0))
+    assert(run("stddevSeries(m.*)").map(_._3.get) == Seq(4.5, 4.0, 8.0, 18.5))
+    val mul = run("multiplySeries(m.a, m.b)")
+    assert(mul.forall(_._1 == "multiplySeries(m.a,m.b)"))
+    assert(mul.map(_._3.get) == Seq(10.0, 20.0, 80.0, 120.0))
+  }
+
   test("alias family and selection") {
     assert(run("alias(sumSeries(m.*), \"total\")").forall(_._1 == "total"))
     assert(run("aliasByNode(m.a, 1)").forall(_._1 == "a"))
     // m.b has the higher average → highestAverage(…, 1) keeps only it
     assert(run("highestAverage(m.*, 1)").forall(_._1 == "m.b"))
     assert(run("highestMax(m.*, 1)").forall(_._1 == "m.b"))
+    assert(run("highestCurrent(m.*, 1)").forall(_._1 == "m.b"))
+    assert(run("lowestCurrent(m.*, 1)").forall(_._1 == "m.a"))
+    assert(run("lowestAverage(m.*, 1)").forall(_._1 == "m.a"))
+    assert(run("aliasByMetric(m.a)").forall(_._1 == "a"))
     val g = run("group(m.a, m.b)")
     assert(g.map(_._1).distinct.sorted == Seq("m.a", "m.b"))
   }
