@@ -352,4 +352,34 @@ class PlanShapeSpec extends SparkTestBase {
     val ws = a.collect { case w: WindowExec => w }
     assert(ws.isEmpty, "h41 plans no window")
   }
+
+  test("g9/g12/g13: percentile/selection join back by broadcast; global windows only over aggregated per-series frames") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    for (q <- Seq("g9_target", "g12_target", "g13_target")) {
+      val nodes = executed(q)
+      // the per-series stat (one row per series) must broadcast back
+      // onto the data, never co-shuffle it. g13's percentile side is a
+      // SINGLE constant-named series, so Catalyst folds the equi key
+      // away and plans a one-row BroadcastNestedLoopJoin — O(N) over a
+      // broadcast single row, equally sound; its build side must still
+      // be the aggregate-bounded frame
+      val bnljOverAgg = nodes.collect {
+        case j: BroadcastNestedLoopJoinExec => j }.exists(j =>
+          flatten(j.right).exists(_.isInstanceOf[BaseAggregateExec]) ||
+          flatten(j.left).exists(_.isInstanceOf[BaseAggregateExec]))
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]) || bnljOverAgg,
+        s"$q: expected the bounded per-series frame to broadcast")
+      assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"$q: sort-merge join where one side is one row per series")
+      // a partitionless window is legal ONLY over a frame an aggregate
+      // has already bounded to one row per series — over raw buckets it
+      // would be the single-task global sort the façade must never plan
+      nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          assert(flatten(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+            s"$q: partitionless window directly over unaggregated rows")
+        }
+    }
+  }
 }
