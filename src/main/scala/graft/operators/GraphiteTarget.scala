@@ -194,9 +194,49 @@ object GraphiteTarget {
   // ---------------------------------------------------------- evaluator
 
   /** A series set mid-evaluation: the frame plus its current step
-    * (summarize coarsens it; perSecond divides by it).
+    * (summarize coarsens it; perSecond divides by it) and its
+    * consolidation function (consolidateBy sets it; [[consolidate]]
+    * applies it when a maxDataPoints render cap coarsens the step).
+    * Per-series transforms propagate `cf` via copy(); cross-series
+    * aggregations reset it to the default "average".
     */
-  final case class SeriesSet(df: DataFrame, step: Long)
+  final case class SeriesSet(df: DataFrame, step: Long,
+                             cf: String = "average")
+
+  /** Render-time consolidation — graphite-web's maxDataPoints contract:
+    * a client asking to draw a [from, until) range at most `maxPoints`
+    * wide gets the step coarsened by the smallest integer factor that
+    * fits, each coarse bucket folding its fine buckets with the set's
+    * consolidation function. THE scale valve of the read path: a
+    * 10-year range at 1-minute step leaves the cluster as ~one screen
+    * of points, aggregated where the data lives — never shipped raw.
+    * Buckets align on the epoch grid of the coarsened step (graphite
+    * aligns on `from`; the epoch grid keeps the rule stateless).
+    */
+  def consolidate(set: SeriesSet, fromSec: Long, untilSec: Long,
+                  maxPoints: Int): SeriesSet = {
+    require(maxPoints > 0, "maxDataPoints must be positive")
+    val points = math.max(0L, untilSec - fromSec) / math.max(1L, set.step)
+    if (points <= maxPoints) set
+    else {
+      val factor = ((points + maxPoints - 1) / maxPoints).toInt
+      val newStep = set.step * factor
+      val nb = Time.align(col("bucket"), newStep).as("bucket")
+      val agg = set.cf match {
+        case "average" | "avg" => q6(sum(dec(col("value"))).cast("double") /
+                                     count(col("value")))
+        case "sum"  => dec(sum(dec(col("value")))).cast("double")
+        case "max"  => max(col("value"))
+        case "min"  => min(col("value"))
+        case "last" => max_by(col("value"), col("bucket"))
+        case other  => throw new IllegalArgumentException(
+          s"consolidate: unknown cf '$other'")
+      }
+      SeriesSet(set.df.groupBy(col("series"), nb).agg(agg.as("v"))
+        .select(col("series"), col("bucket"),
+          col("v").cast("double").as("value")), newStep, set.cf)
+    }
+  }
 
   /** Every glob leaf of a target, in source order — a store-backed
     * caller fetches exactly this universe (union of the globs) before
@@ -456,6 +496,15 @@ object GraphiteTarget {
                 when(col("value") >= col("__pct"), col("value"))
             }
             in.copy(df = out(joined, col("series"), v))
+
+          // ---- consolidation tag: data untouched, the cf rides the
+          // set until a maxDataPoints cap applies it ([[consolidate]])
+          case "consolidateBy" =>
+            val in = one(args)
+            val cf = str(args(1))
+            require(Set("average", "avg", "sum", "max", "min", "last")(cf),
+              s"consolidateBy: unknown cf '$cf'")
+            in.copy(cf = cf)
 
           // ---- renaming
           case "alias" =>

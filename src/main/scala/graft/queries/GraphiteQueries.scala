@@ -94,7 +94,22 @@ object GraphiteQueries {
 
     // cross-series dispersion flattened to its 90th percentile
     "g13_target" -> ((s, dir) =>
-      render(s, dir, "nPercentile(stddevSeries(events.*), 90)"))
+      render(s, dir, "nPercentile(stddevSeries(events.*), 90)")),
+
+    // render-time consolidation: a January of hourly sums (744 points)
+    // capped at 100 data points → factor-8 coarsening applied with the
+    // consolidateBy cf where the data lives (maxDataPoints, THE scale
+    // valve of the read path — a 10-year range leaves the cluster as
+    // one screen of points)
+    "g14_target" -> ((s, dir) => {
+      val node = GraphiteTarget.parse("consolidateBy(sumSeries(events.*), 'max')")
+      val set = GraphiteTarget.evalNode(node, universe(s, dir), step = 3600)
+      val c = GraphiteTarget.consolidate(set,
+        1704067200L, 1706745600L, maxPoints = 100) // 2024-01 .. 02-01
+      c.df.select(col("series"), col("bucket").cast("long").as("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket_s")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +289,18 @@ object GraphiteQueries {
          |       CAST(sd.bucket AS VARCHAR) AS bucket,
          |       ROUND(p.pct, 6) AS value
          |FROM sd, p ORDER BY series, bucket""".stripMargin,
+
+    "g14_target" ->
+      s"""WITH $U,
+         |hourly AS (
+         |  SELECT bucket,
+         |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |              AS DECIMAL(18,6)) AS DOUBLE) AS v
+         |  FROM u GROUP BY bucket)
+         |SELECT 'sumSeries(events.*)' AS series,
+         |       epoch_us(bucket) // 1000000 // 28800 * 28800 AS bucket_s,
+         |       ROUND(MAX(v), 6) AS value
+         |FROM hourly GROUP BY 2 ORDER BY series, bucket_s""".stripMargin,
 
     "g5_target" ->
       s"""WITH $U,

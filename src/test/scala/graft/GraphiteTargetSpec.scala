@@ -198,6 +198,30 @@ class GraphiteTargetSpec extends SparkTestBase {
     assert(mul.map(_._3.get) == Seq(10.0, 20.0, 80.0, 120.0))
   }
 
+  test("consolidate: maxDataPoints coarsens by the smallest fitting factor with the set's cf") {
+    import graft.operators.GraphiteTarget.consolidate
+    val set = GraphiteTarget.evalNode(parse("m.a"), uni, 3600)
+    // 4 hourly points over [0, 4h): cap 2 → factor 2 → 2h buckets, avg
+    val avg = consolidate(set, 0L, 14400L, 2).df
+      .orderBy("bucket").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(avg == Seq(1.5, 3.5))
+    // consolidateBy('max') rides the set into the consolidation
+    val mx = consolidate(
+      GraphiteTarget.evalNode(parse("consolidateBy(m.a, 'max')"), uni, 3600),
+      0L, 14400L, 2)
+    assert(mx.step == 7200L)
+    assert(mx.df.orderBy("bucket").select("value")
+      .collect().map(_.getDouble(0)).toSeq == Seq(2.0, 4.0))
+    // under the cap: untouched
+    assert(consolidate(set, 0L, 14400L, 4).step == 3600L)
+    // 'last' takes the latest fine bucket of each coarse bucket
+    val lst = consolidate(
+      GraphiteTarget.evalNode(parse("consolidateBy(m.a, 'last')"), uni, 3600),
+      0L, 14400L, 2)
+    assert(lst.df.orderBy("bucket").select("value")
+      .collect().map(_.getDouble(0)).toSeq == Seq(2.0, 3.0))
+  }
+
   test("alias family and selection") {
     assert(run("alias(sumSeries(m.*), \"total\")").forall(_._1 == "total"))
     assert(run("aliasByNode(m.a, 1)").forall(_._1 == "a"))
