@@ -248,6 +248,29 @@ object GraphiteTarget {
     case Call(_, args) => args.collect { case TargetArg(t) => globLeaves(t) }.flatten
   }
 
+  /** The `/metrics/find` browse contract over a frame of series names
+    * (column `series`): expand `query` — a glob of dotted nodes — to
+    * the matching TREE NODES at the query's depth, each flagged
+    * `is_leaf` (some matching series ends exactly there) and
+    * `is_branch` (some continues deeper); a node can be both. This is
+    * the API a graphite-web tree browser walks one level at a time.
+    * Shape: one projection + one hash aggregate whose output is
+    * bounded by the matched node count — a 10M-series catalog browse
+    * never collects the catalog.
+    */
+  def findNodes(series: DataFrame, query: String): DataFrame = {
+    val depth = query.split("\\.", -1).length
+    val parts = split(col("series"), "\\.")
+    series
+      .where(size(parts) >= depth)
+      .select(concat_ws(".", slice(parts, 1, depth)).as("node"),
+        (size(parts) === depth).as("leaf"))
+      .where(col("node").rlike(globToRegex(query)))
+      .groupBy(col("node"))
+      .agg(max(col("leaf")).as("is_leaf"),
+        max(!col("leaf")).as("is_branch"))
+  }
+
   private val wSeries: org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(col("series")).orderBy(col("bucket"))
 

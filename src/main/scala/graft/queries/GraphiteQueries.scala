@@ -109,6 +109,17 @@ object GraphiteQueries {
       c.df.select(col("series"), col("bucket").cast("long").as("bucket_s"),
           round(col("value"), 6).as("value"))
         .orderBy("series", "bucket_s")
+    }),
+
+    // /metrics/find tree browse: one branch probe + one brace-glob leaf
+    // probe over the series catalog — the API a graphite-web tree
+    // walks; output bounded by matched nodes, never the catalog
+    "g15_find" -> ((s, dir) => {
+      val names = universe(s, dir).select("series").distinct()
+      GraphiteTarget.findNodes(names, "*")
+        .unionByName(
+          GraphiteTarget.findNodes(names, "events.{click,view,error}"))
+        .orderBy("node")
     })
   )
 
@@ -301,6 +312,15 @@ object GraphiteQueries {
          |       epoch_us(bucket) // 1000000 // 28800 * 28800 AS bucket_s,
          |       ROUND(MAX(v), 6) AS value
          |FROM hourly GROUP BY 2 ORDER BY series, bucket_s""".stripMargin,
+
+    "g15_find" ->
+      """WITH n AS (
+        |  SELECT DISTINCT 'events.' || event_type AS series FROM events)
+        |SELECT 'events' AS node, false AS is_leaf, true AS is_branch
+        |UNION ALL
+        |SELECT series AS node, true AS is_leaf, false AS is_branch FROM n
+        |WHERE series IN ('events.click', 'events.view', 'events.error')
+        |ORDER BY node""".stripMargin,
 
     "g5_target" ->
       s"""WITH $U,

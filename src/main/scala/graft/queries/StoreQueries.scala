@@ -688,6 +688,12 @@ object StoreQueries {
         .orderBy("step")
     }),
 
+    "hs19_metricsfind" -> ((s, dir) => {
+      // catalog-only tree browse (the /metrics/find sibling of O2):
+      // flat event-type series → all depth-1 leaves
+      storeFor(s, dir).findMetrics("*").orderBy("node")
+    }),
+
     "hs17_rendertarget" -> ((s, dir) => {
       // END-TO-END graphite read path: a composed render-target STRING
       // evaluated against the REAL store — parse, fetch the target's
@@ -810,6 +816,11 @@ object StoreQueries {
     "hs6_deltastore" -> DailyRollupSql,
     "hs9_manifeststore" -> DailyRollupSql,
     "s11_streammanifest" -> DailyRollupSql,
+
+    "hs19_metricsfind" ->
+      """SELECT DISTINCT event_type AS node,
+        |       true AS is_leaf, false AS is_branch
+        |FROM events ORDER BY node""".stripMargin,
 
     // the from-wire recompute: drop the corrupted 1% (event_id % 97),
     // pin carbon's arrival-order lww per second to max event_id (the

@@ -706,6 +706,29 @@ final class HoardStore private (val spark: SparkSession, val root: String,
     col("series_id").rlike(sb.toString)
   }
 
+  /** Distinct series across ALL levels — the browse catalog. Age
+    * routing can land a series only at a coarse level (points already
+    * older than the finer retentions), so a single level's catalog
+    * under-reports the store; the union never does.
+    */
+  def seriesCatalog(): DataFrame = {
+    val p = catalogPath(root)
+    if (!Files.exists(Paths.get(p)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("series_id", StringType))))
+    else spark.read.parquet(p).select("series_id").distinct()
+  }
+
+  /** Graphite's `/metrics/find` over the store catalog: glob → tree
+    * nodes with leaf/branch flags ([[graft.operators.GraphiteTarget
+    * .findNodes]]) — the browse API next to [[seriesGlob]]'s fetch
+    * predicate; catalog-only, no data I/O (O2's contract).
+    */
+  def findMetrics(query: String): DataFrame =
+    graft.operators.GraphiteTarget.findNodes(
+      seriesCatalog().select(col("series_id").as("series")), query)
+
   /** Distinct series ever written at a level: one small parquet read. */
   def readCatalog(ar: Archive): DataFrame = {
     val p = catalogPath(root)

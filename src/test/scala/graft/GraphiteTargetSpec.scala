@@ -222,6 +222,21 @@ class GraphiteTargetSpec extends SparkTestBase {
       .collect().map(_.getDouble(0)).toSeq == Seq(2.0, 3.0))
   }
 
+  test("findNodes: tree browse returns depth-matched nodes with leaf/branch flags") {
+    import graft.operators.GraphiteTarget.findNodes
+    val names = Seq("a.b", "a.b.c", "a.d", "x").toDF("series")
+    def got(q: String) = findNodes(names, q).orderBy("node")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    // depth 1: 'a' is branch-only, 'x' leaf-only
+    assert(got("*") == Seq(("a", false, true), ("x", true, false)))
+    // depth 2: a.b is BOTH (a.b ends there, a.b.c continues), a.d leaf
+    assert(got("a.*") == Seq(("a.b", true, true), ("a.d", true, false)))
+    // glob narrows: brace selects one child
+    assert(got("a.{d}") == Seq(("a.d", true, false)))
+    // deeper than any series: empty
+    assert(got("x.*").isEmpty)
+  }
+
   test("alias family and selection") {
     assert(run("alias(sumSeries(m.*), \"total\")").forall(_._1 == "total"))
     assert(run("aliasByNode(m.a, 1)").forall(_._1 == "a"))
