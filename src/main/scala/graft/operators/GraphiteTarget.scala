@@ -285,6 +285,28 @@ object GraphiteTarget {
   def eval(target: String, universe: DataFrame, step: Long): DataFrame =
     evalNode(parse(target), universe, step).df
 
+  /** The full `/render` endpoint semantics in one call: clamp the
+    * universe to [from, until) FIRST (graphite fetches the window,
+    * functions see only it), evaluate every target, apply the
+    * maxDataPoints consolidation to each, and union the series sets —
+    * one frame out, exactly what a dashboard panel asked for. Each
+    * target stays an independent declarative plan; the union is
+    * plan-level (no driver materialization between targets).
+    */
+  def render(targets: Seq[String], universe: DataFrame, step: Long,
+             fromSec: Long, untilSec: Long,
+             maxDataPoints: Option[Int] = None): DataFrame = {
+    require(targets.nonEmpty, "render needs at least one target")
+    val clamped = universe.where(
+      col("bucket") >= timestamp_seconds(lit(fromSec)) &&
+        col("bucket") < timestamp_seconds(lit(untilSec)))
+    targets.map { t =>
+      val set = evalNode(parse(t), clamped, step)
+      maxDataPoints.map(consolidate(set, fromSec, untilSec, _))
+        .getOrElse(set).df
+    }.reduce(_ unionByName _)
+  }
+
   def evalNode(node: Node, universe: DataFrame, step: Long): SeriesSet = {
     def ev(n: Node): SeriesSet = evalNode(n, universe, step)
     def one(args: Seq[Arg]): SeriesSet = args.head match {

@@ -120,7 +120,21 @@ object GraphiteQueries {
         .unionByName(
           GraphiteTarget.findNodes(names, "events.{click,view,error}"))
         .orderBy("node")
-    })
+    }),
+
+    // the full /render call: two targets over a clamped two-week
+    // window, both consolidated to <=50 points (336 hourly -> factor-7
+    // average fold) — one dashboard panel, one frame
+    "g16_render" -> ((s, dir) =>
+      GraphiteTarget.render(
+        Seq("sumSeries(events.{click,view})",
+          "alias(averageSeries(events.*), 'avg')"),
+        universe(s, dir), step = 3600,
+        fromSec = 1704672000L, untilSec = 1705881600L, // Jan 08 .. Jan 22
+        maxDataPoints = Some(50))
+        .select(col("series"), col("bucket").cast("long").as("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket_s"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,6 +335,37 @@ object GraphiteQueries {
         |SELECT series AS node, true AS is_leaf, false AS is_branch FROM n
         |WHERE series IN ('events.click', 'events.view', 'events.error')
         |ORDER BY node""".stripMargin,
+
+    "g16_render" ->
+      s"""WITH $U,
+         |w AS (
+         |  SELECT series, bucket, value FROM u
+         |  WHERE bucket >= TIMESTAMP '2024-01-08 00:00:00'
+         |    AND bucket < TIMESTAMP '2024-01-22 00:00:00'),
+         |t1 AS (
+         |  SELECT bucket, CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |         AS DECIMAL(18,6)) AS DOUBLE) AS v
+         |  FROM w WHERE series IN ('events.click', 'events.view')
+         |  GROUP BY bucket),
+         |t1c AS (
+         |  SELECT epoch_us(bucket) // 1000000 // 25200 * 25200 AS b,
+         |         ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(v) * 1e6) / 1e6 AS v
+         |  FROM t1 GROUP BY 1),
+         |t2 AS (
+         |  SELECT bucket, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |         AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS v
+         |  FROM w GROUP BY bucket),
+         |t2c AS (
+         |  SELECT epoch_us(bucket) // 1000000 // 25200 * 25200 AS b,
+         |         ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(v) * 1e6) / 1e6 AS v
+         |  FROM t2 GROUP BY 1)
+         |SELECT 'sumSeries(events.{click,view})' AS series,
+         |       b AS bucket_s, ROUND(v, 6) AS value FROM t1c
+         |UNION ALL
+         |SELECT 'avg' AS series, b AS bucket_s, ROUND(v, 6) AS value FROM t2c
+         |ORDER BY series, bucket_s""".stripMargin,
 
     "g5_target" ->
       s"""WITH $U,
