@@ -18,6 +18,17 @@ object Bench {
     val spark: SparkSession = Graft.session(cores = cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // partial-results insurance for multi-hour scale-step sweeps: every
+    // completed measurement rides stderr immediately, and a shutdown
+    // hook dumps the partial map if the JVM dies before the JSON line
+    val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (!done.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        System.err.println("[bench] PARTIAL " + done.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => f"$k=$v%.3f" }.mkString(","))
+      }))
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -26,6 +37,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] done $name $dt%.3f")
+      done.put(name, dt)
       // a query's localCheckpoint blocks live until its DataFrame is
       // GC'd; across 100+ queries in one JVM they pile up in the block
       // manager and the late-alphabet queries pay the memory pressure.
