@@ -101,15 +101,31 @@ object Jaccard {
       // 1e-9 before ceil so an epsilon-above-integral tau*n can
       // only LENGTHEN the prefix (never prune a qualifying pair)
       .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-    val pairs = prefix.select(col(idCol).as("id_a"), col("vid"))
-      .join(prefix.select(col(idCol).as("id_b"), col("vid")), "vid")
+    // ppjoin POSITIONAL filter (Xiao et al.), applied per occurrence
+    // BEFORE the distinct shuffle: a pair sharing the prefix token at
+    // (ascending-df) positions (ra, rb) has i <= 1 + min(na-ra, nb-rb),
+    // and J >= tau forces i >= ceil(tau/(1+tau)·(na+nb)). Complete: for
+    // a qualifying pair, its EARLIEST common token in the shared global
+    // (df, vid) order has every common token at/after it on both
+    // sides, so that occurrence's bound >= i >= the threshold and the
+    // pair survives. The filter runs inside the join's codegen stage,
+    // so pruned occurrences never reach the shuffle — on a corpus
+    // whose vocabulary stops growing (prefixes forced onto ever-hotter
+    // shingles, candidate volume ~quadratic), this is the difference
+    // between shuffling the f² collision pairs and shuffling the
+    // survivors.
+    val alpha = ceil(lit(tau / (1.0 + tau)) *
+      (col("na") + col("nb")) - lit(1e-9))
+    val pairs = prefix.select(col(idCol).as("id_a"), col("vid"),
+        col("r").as("ra"), col("n").as("na"))
+      .join(prefix.select(col(idCol).as("id_b"), col("vid"),
+        col("r").as("rb"), col("n").as("nb")), "vid")
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
       .where(least(col("na"), col("nb")).cast("double") >=
         lit(tau) * greatest(col("na"), col("nb")))
-      .select("id_a", "id_b")
+      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= alpha)
+      .select("id_a", "id_b").distinct()
     verify(pairs, bg, sizes, idCol)
   }
 

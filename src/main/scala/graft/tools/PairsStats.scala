@@ -1,0 +1,57 @@
+package graft.tools
+
+import graft.Tables
+import graft.pipeline.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Candidate-volume diagnostic for the ppjoin prefix filter (the shared
+  * nearDupPairs stage): computes, WITHOUT running the pair join, the
+  * exact number of candidate pairs the prefix equi-join will generate —
+  * Σ over shingles of C(prefix_df, 2) — plus the underlying df
+  * distribution. This is the number that explains the stage's cost at a
+  * new scale factor: the join shuffles exactly this many rows before
+  * the distinct/verify.
+  *
+  * Usage: runMain graft.tools.PairsStats <sfDir> [tau]
+  */
+object PairsStats {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val tau = if (args.length > 1) args(1).toDouble else 0.7
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.Graft.session(cores = cpus.toInt,
+      appName = "graft-pairs-stats")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bg = TextOps.shinglesOfText(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+      .distinct()
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("vid"))
+    val prefix = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+      .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
+
+    val pdf = prefix.groupBy("vid").agg(count(lit(1)).as("pdf"))
+      .localCheckpoint(true)
+    val stats = pdf.agg(
+      count(lit(1)).as("prefix_shingles"),
+      sum(col("pdf")).as("prefix_rows"),
+      sum(col("pdf") * (col("pdf") - 1) / 2).as("candidate_pairs"),
+      max(col("pdf")).as("max_pdf")).head()
+    val docs = sizes.agg(count(lit(1)), sum(col("n")),
+      avg(col("n"))).head()
+    println(s"docs=${docs.get(0)} shingle_rows=${docs.get(1)} " +
+      s"avg_set=${docs.get(2)}")
+    println(s"prefix_shingles=${stats.get(0)} prefix_rows=${stats.get(1)} " +
+      s"candidate_pairs=${stats.get(2)} max_prefix_df=${stats.get(3)}")
+    // the heaviest posting lists: where the pairs come from
+    pdf.orderBy(col("pdf").desc).limit(10).collect()
+      .foreach(r => println(s"hot vid=${r.get(0)} prefix_df=${r.get(1)}"))
+    spark.stop()
+  }
+}
