@@ -98,7 +98,18 @@ object Bench {
       parsed
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // scale-step exclusions (comma list): a declared family whose cost
+    // is quadratic BY PROBLEM STATEMENT on a given fixture (e.g. the
+    // exact-complete tau-Jaccard cache on a vocabulary-saturated
+    // corpus) can be excluded from a sweep and documented, mirroring
+    // the oracle-side exclusions of the sf1 step
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (excluded.nonEmpty)
+      System.err.println("[bench] excluded: " +
+        excluded.toSeq.sorted.mkString(","))
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
     // store-gated queries construct their temp store through the full
     // write path ON FIRST RUN (per-JVM computeIfAbsent) — that's setup,
     // not the plan under measurement, and folding it in hides query

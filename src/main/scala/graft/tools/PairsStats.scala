@@ -52,6 +52,24 @@ object PairsStats {
     // the heaviest posting lists: where the pairs come from
     pdf.orderBy(col("pdf").desc).limit(10).collect()
       .foreach(r => println(s"hot vid=${r.get(0)} prefix_df=${r.get(1)}"))
+
+    // occurrences surviving the in-stage positional + size-ratio
+    // filters (what actually reaches the distinct's shuffle post-fix),
+    // and the distinct pair count the verify join then scores
+    val alpha = ceil(lit(tau / (1.0 + tau)) *
+      (col("na") + col("nb")) - lit(1e-9))
+    val surv = prefix.select(col("doc_id").as("id_a"), col("vid"),
+        col("r").as("ra"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("vid"),
+        col("r").as("rb"), col("n").as("nb")), "vid")
+      .where(col("id_a") < col("id_b"))
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(tau) * greatest(col("na"), col("nb")))
+      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= alpha)
+      .select("id_a", "id_b").localCheckpoint(true)
+    println(s"surviving_occurrences=${surv.count()} " +
+      s"distinct_pairs=${surv.distinct().count()}")
     spark.stop()
   }
 }
