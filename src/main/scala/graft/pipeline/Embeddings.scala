@@ -284,17 +284,28 @@ object Embeddings {
     * windows partition per vector — never an unpartitioned window.
     */
   def ivfSearch(v: DataFrame, cents: DataFrame, nprobe: Int,
-                topK: Int): DataFrame = {
-    val ranked = v.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("c_id"),
-        round(unitCosine("uv", "cv"), 6).as("csim"))
-    val wc = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("c_id"))
-    val probes = ranked.withColumn("crn", row_number().over(wc))
+                topK: Int, queries: DataFrame = null): DataFrame = {
+    // query side defaults to the corpus (the all-pairs demo shape) but
+    // scale callers MUST pass a bounded probe set: with Q queries the
+    // scored volume is Q·nprobe·N/K — all-queries makes it N²·nprobe/K,
+    // which at 200k vectors is 1e10 scored rows whose top-k sort
+    // exhausted the sf10 box's disk (measured; the p52 fixed-eval-set
+    // precedent applies — a benchmark's probe set is fixed-size)
+    val qv = Option(queries).getOrElse(v)
+    def cellRank(df: DataFrame): DataFrame = {
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_id"))
+      df.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("c_id"),
+          round(unitCosine("uv", "cv"), 6).as("csim"))
+        .withColumn("crn", row_number().over(wc))
+    }
+    val probes = cellRank(qv)
       .where(col("crn") <= nprobe)
       .select(col("vec_id"), col("c_id").as("cell"), col("crn"))
-    val assign = probes.where(col("crn") === 1).drop("crn")
-    val q = v.join(probes.drop("crn"), "vec_id")
+    val assign = cellRank(v).where(col("crn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val q = qv.join(probes.drop("crn"), "vec_id")
       .select(col("vec_id").as("query_id"), col("cell"), col("uv").as("qn"))
     val c = v.join(assign, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("uv").as("cn"))

@@ -281,7 +281,11 @@ object PipelineQueries {
         .select(col("vec_id"), col("uv"))
       val cents = v.where(col("vec_id") < 40)
         .select(col("vec_id").as("c_id"), col("uv").as("cv"))
-      Embeddings.ivfSearch(v, cents, nprobe = 2, topK = 3)
+      // fixed 2000-query probe set (p52's fixed-eval-set rule): with
+      // all-queries the scored volume is N²·nprobe/K — the sf10 sweep
+      // measured the blowup; a benchmark's probe set is fixed-size
+      Embeddings.ivfSearch(v, cents, nprobe = 2, topK = 3,
+          queries = v.where(col("vec_id") < 2000))
         .orderBy("query_id", "rnk")
     }),
 
@@ -297,7 +301,10 @@ object PipelineQueries {
       val v = Embeddings.withUnitVector(e, "embedding", "uv")
         .select(col("vec_id"), col("uv"))
       val cents = Embeddings.kmeansCentroids(e, k = 8, iters = 2)
-      Embeddings.ivfSearch(v, cents, nprobe = 2, topK = 3)
+      // fixed 2000-query probe set — the all-queries formulation's
+      // 1e10 scored rows exhausted the sf10 box's disk (measured)
+      Embeddings.ivfSearch(v, cents, nprobe = 2, topK = 3,
+          queries = v.where(col("vec_id") < 2000))
         .orderBy("query_id", "rnk")
     }),
 
@@ -2473,7 +2480,8 @@ object PipelineQueries {
         |                    c.vec_id) AS crn
         |  FROM uv a JOIN uv c ON c.vec_id < 40),
         |assign AS (SELECT vec_id, c_id AS cell FROM ranked WHERE crn = 1),
-        |probes AS (SELECT vec_id, c_id AS cell FROM ranked WHERE crn <= 2),
+        |probes AS (SELECT vec_id, c_id AS cell FROM ranked
+        |           WHERE crn <= 2 AND vec_id < 2000),
         |scored AS (
         |  SELECT kq.vec_id AS query_id, kn.vec_id AS neighbor_id, kq.cell,
         |         ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
@@ -2508,7 +2516,8 @@ object PipelineQueries {
          |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY ROUND(sim, 6) DESC, c_id) AS crn FROM cs),
          |assign AS (SELECT vec_id, c_id AS cell FROM pr WHERE crn = 1),
-         |probes AS (SELECT vec_id, c_id AS cell FROM pr WHERE crn <= 2),
+         |probes AS (SELECT vec_id, c_id AS cell FROM pr
+         |           WHERE crn <= 2 AND vec_id < 2000),
          |scored AS (
          |  SELECT kq.vec_id AS query_id, kn.vec_id AS neighbor_id, kq.cell,
          |         ROUND(SUM(a.x*b.x), 6) AS sim
