@@ -129,6 +129,63 @@ object Jaccard {
     verify(pairs, bg, sizes, idCol)
   }
 
+  /** Exact ORDERED containment pairs: every (id_a, id_b), a ≠ b, with
+    * C(a→b) = |S_a ∩ S_b| / |S_a| ≥ τ, as (id_a, id_b, i, na, nb, c).
+    *
+    * The naive posting-list self-join shuffles one row per token
+    * co-occurrence — Σ_vid df² rows, quadratic on a corpus whose
+    * vocabulary stops growing (every token ever hotter). This computes
+    * the IDENTICAL result with the containment adaptation of the
+    * prefix/positional machinery above:
+    *
+    *  - Prefix theorem (asymmetric): C(a→b) ≥ τ forces
+    *    |S_a ∖ S_b| ≤ n_a − ⌈τ·n_a⌉, so B must contain one of A's
+    *    first n_a − ⌈τ·n_a⌉ + 1 tokens in ascending global (df, vid)
+    *    order. Only A's prefix — its RAREST tokens — probes the
+    *    posting lists; the probe side never touches the high-df head.
+    *  - Size filter: i ≤ min(n_a, n_b) with i ≥ ⌈τ·n_a⌉ forces
+    *    n_b ≥ ⌈τ·n_a⌉ (an excerpt can only be contained in a doc at
+    *    least as large as its shared part).
+    *  - Positional filter, inside the join's codegen stage: a pair
+    *    sharing a token at ascending-df positions (ra, rb) has
+    *    i ≤ 1 + min(na−ra, nb−rb). Complete for the same reason as
+    *    the symmetric form: a qualifying pair's EARLIEST common token
+    *    in the shared global order lies inside A's prefix (else
+    *    A's whole prefix ⊆ A∖B, impossible), and at that occurrence
+    *    the bound ≥ i ≥ ⌈τ·n_a⌉, so the pair survives.
+    *
+    * Candidates then verify exactly (pair-bounded join, not a corpus
+    * join). τ only has to be ≤ the caller's real cutoff — callers
+    * wanting an integer-exact threshold filter on (i, na) afterwards.
+    */
+  def containmentPairs(sets: DataFrame, idCol: String, tau: Double): DataFrame = {
+    val bg = sets.select(col(idCol), col("vid"))
+    val sizes = bg.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
+    // every doc's full list carries its global rank once; the A side
+    // keeps only the prefix, the B side the whole list (asymmetric —
+    // containment gives no right-hand prefix to exploit)
+    val ranked = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, idCol)
+    val minI = ceil(lit(tau) * col("na") - lit(1e-9))
+    val pairs = ranked
+      .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
+      .select(col(idCol).as("id_a"), col("vid"),
+        col("r").as("ra"), col("n").as("na"))
+      .join(ranked.select(col(idCol).as("id_b"), col("vid"),
+        col("r").as("rb"), col("n").as("nb")), "vid")
+      .where(col("id_a") =!= col("id_b"))
+      .where(col("nb").cast("double") >= lit(tau) * col("na") - lit(1e-9))
+      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= minI)
+      .select("id_a", "id_b").distinct()
+    verify(pairs, bg, sizes, idCol)
+      .withColumn("c", col("i").cast("double") / col("na"))
+      .drop("j")
+  }
+
   /** Exact (i, na, nb, j) for an explicit pair frame — cost bounded by
     * Σ over pairs of the left set size, not by the corpus.
     */

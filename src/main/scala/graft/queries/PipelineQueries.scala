@@ -774,22 +774,18 @@ object PipelineQueries {
       // Jaccard misses (a short doc pasted into a long one has
       // J ≈ |S_a|/|S_b| → 0 but C(a→b) = 1). Ordered pairs at
       // C ≥ 0.8; the threshold compares integers (i*10 ≥ n_a*8) so no
-      // float decides membership. Shape: distinct posting lists
-      // equi-joined on the shingle id, work ∝ Σ_sh df² — at corpus
-      // scale the uninformative high-df head gets capped (the standard
-      // rare-evidence cut); on this fixture df_max = 7 so the exact
-      // and capped forms coincide.
+      // float decides membership. Shape: the containment prefix +
+      // positional filter (Jaccard.containmentPairs) — A's RAREST
+      // ⌊(1−τ)·n_a⌋+1 tokens probe the posting lists instead of the
+      // full Σ_sh df² self-join, which goes quadratic on a
+      // vocabulary-saturated corpus (the sf10 disk blowup); identical
+      // output by the prefix theorem, candidate-bounded verification.
       val sh = shingleIds(s, dir).distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-        .withColumnRenamed("doc_id", "id_a")
-      val inter = sh.select(col("doc_id").as("id_a"), col("vid"))
-        .join(sh.select(col("doc_id").as("id_b"), col("vid")), "vid")
-        .where(col("id_a") =!= col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-      inter.join(sizes, "id_a")
-        .where(col("i") * 10 >= col("n_a") * 8)
+      Jaccard.containmentPairs(sh.withColumnRenamed("doc_id", "id"),
+          "id", tau = 0.8)
+        .where(col("i") * 10 >= col("na") * 8)
         .select(col("id_a"), col("id_b"),
-          (round(col("i").cast("double") / col("n_a") * lit(1e6)) /
+          (round(col("i").cast("double") / col("na") * lit(1e6)) /
             lit(1e6)).as("containment"))
         .orderBy("id_a", "id_b")
     }),

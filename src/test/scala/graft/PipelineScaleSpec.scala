@@ -109,6 +109,44 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got == naive, s"got=$got\nwant=$naive")
   }
 
+  test("Jaccard.containmentPairs == naive ordered containment on random sets (property)") {
+    import graft.pipeline.Jaccard
+    val rnd = new scala.util.Random(41)
+    // 70 docs: 10 "source" docs of 25-40 tokens, plus excerpts of them
+    // (contained subsets with a little noise) and unrelated noise docs,
+    // so both directions of asymmetric containment appear
+    val sources = (0 until 10).map { d =>
+      d.toLong -> (0 until 25 + rnd.nextInt(16)).map(i => (d * 100 + i).toLong).toSet
+    }
+    val excerpts = (0 until 40).map { e =>
+      val (_, src) = sources(rnd.nextInt(sources.size))
+      val take = src.toSeq.sorted.take(5 + rnd.nextInt(src.size - 4)).toSet
+      val noise = (0 until rnd.nextInt(3)).map(_ => (5000 + rnd.nextInt(200)).toLong)
+      (100L + e) -> (take ++ noise)
+    }
+    val rest = (0 until 20).map { d =>
+      (1000L + d) -> (0 until 8 + rnd.nextInt(10)).map(_ => (5000 + rnd.nextInt(200)).toLong).toSet
+    }
+    val byDoc = (sources ++ excerpts ++ rest).toMap
+    val rows = byDoc.toSeq.flatMap { case (d, vs) => vs.map(v => (d, v)) }
+    val sets = rows.toDF("doc_id", "vid").localCheckpoint(true)
+    val tau = 0.8
+    val got = Jaccard.containmentPairs(sets, "doc_id", tau)
+      .where(col("i") * 10 >= col("na") * 8)
+      .select("id_a", "id_b", "i", "na")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val naive = (for {
+      a <- byDoc.keys.toSeq; b <- byDoc.keys.toSeq if a != b
+      i = (byDoc(a) & byDoc(b)).size
+      if i * 10 >= byDoc(a).size * 8
+    } yield (a, b, i.toLong, byDoc(a).size.toLong)).sorted
+    assert(naive.nonEmpty, "fixture planted no containment pairs")
+    // both full-containment (excerpt -> source) and partial must appear
+    assert(got == naive, s"got=${got.size} want=${naive.size}\n" +
+      s"missing=${naive.diff(got).take(5)} extra=${got.diff(naive).take(5)}")
+  }
+
   test("SparseCosine.exactTopK == naive all-pairs top-k on random tf vectors (property)") {
     import graft.pipeline.SparseCosine
     val rnd = new scala.util.Random(73)
