@@ -34,6 +34,11 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        // record the failure in the partial map too: stderr writes are
+        // SILENTLY dropped by PrintStream when the disk is full (the
+        // sf10 sweep lost two failure lines exactly that way), but the
+        // shutdown-hook partial dump happens after the box recovers
+        done.put(name, -1.0)
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       val dt = (System.nanoTime() - t0) / 1e9
