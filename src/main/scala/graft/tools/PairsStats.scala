@@ -70,6 +70,37 @@ object PairsStats {
       .select("id_a", "id_b").localCheckpoint(true)
     println(s"surviving_occurrences=${surv.count()} " +
       s"distinct_pairs=${surv.distinct().count()}")
+
+    // ---- containment path (p45: C(a→b) ≥ tauC, asymmetric) ----
+    // prefix length is the same n − ⌈τ·n⌉ + 1 formula, but the probe
+    // joins A-prefix occurrences against FULL posting lists (no
+    // right-hand prefix exists for containment), so the pre-filter
+    // volume is Σ_vid prefix_df·(df−1) — computed here without the
+    // join — and the positional/size filters prune in-stage.
+    val tauC = if (args.length > 2) args(2).toDouble else 0.8
+    val prefC = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+      .where(col("r") <= col("n") - ceil(lit(tauC) * col("n") - lit(1e-9)) + 1)
+    val pdfC = prefC.groupBy("vid").agg(count(lit(1)).as("pdf"))
+    val volC = pdfC.join(dfreq, "vid")
+      .agg(sum(col("pdf") * (col("df") - 1))).head().get(0)
+    println(s"containment tau=$tauC probe_occurrences=$volC")
+    val ranked = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+    val minI = ceil(lit(tauC) * col("na") - lit(1e-9))
+    val survC = prefC.select(col("doc_id").as("id_a"), col("vid"),
+        col("r").as("ra"), col("n").as("na"))
+      .join(ranked.select(col("doc_id").as("id_b"), col("vid"),
+        col("r").as("rb"), col("n").as("nb")), "vid")
+      .where(col("id_a") =!= col("id_b"))
+      .where(col("nb").cast("double") >= lit(tauC) * col("na") - lit(1e-9))
+      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= minI)
+      .select("id_a", "id_b").localCheckpoint(true)
+    println(s"containment surviving_occurrences=${survC.count()} " +
+      s"distinct_pairs=${survC.distinct().count()}")
     spark.stop()
   }
 }
