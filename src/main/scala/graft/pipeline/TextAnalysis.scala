@@ -103,6 +103,33 @@ object TextAnalysis {
       ceil(nChar.cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
   }
 
+  /** Encoding-anomaly audit: per-doc counts of the three classic
+    * ingestion-corruption signatures — U+FFFD replacement characters
+    * (a decoder already gave up), C0 control characters outside
+    * tab/LF/CR (binary bleed-through), and the UTF-8-read-as-latin1
+    * mojibake signature (U+00C3 followed by a U+00A0..U+00BF
+    * continuation-byte echo, the 'Ã©'-for-'é' family) — plus a
+    * non-ASCII codepoint count and a clean verdict. Pure codegen'd
+    * regexp counting, one scan, no shuffle before the caller's ORDER
+    * BY; patterns use \x{...} escapes valid in both Java regex and
+    * RE2 so the same strings drive the engine and the oracle.
+    * (Counting is per BMP codepoint — the corpus is BMP-only; astral
+    * chars would count 2 under Java's UTF-16 units vs RE2's runes.)
+    */
+  def encodingAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    val nRepl = n("\\x{FFFD}")
+    val nCtrl = n("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val nMoji = n("\\x{C3}[\\x{A0}-\\x{BF}]")
+    docs.select(col(idCol),
+      nRepl.as("n_repl"),
+      nCtrl.as("n_ctrl"),
+      nMoji.as("n_moji"),
+      n("[^\\x00-\\x7F]").as("n_nonascii"),
+      (nRepl + nCtrl + nMoji === 0).as("is_clean"))
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1's
     * duplicate-n-gram family, re-expressed over whitespace tokens):
     * duplicate-token ratio, most-common-token share, and duplicate-

@@ -425,6 +425,26 @@ object PipelineQueries {
         .orderBy("lang", "lang_pred")
     }),
 
+    "t15_encoding" -> ((s, dir) => {
+      // encoding-anomaly audit (t6's enrich-then-find contract): the
+      // synthetic corpus is clean, so the query deterministically
+      // corrupts it first — every 4th doc gains a latin1-mojibake
+      // 'cafÃ©', every 7th two U+FFFD replacement chars, every 11th a
+      // BEL control char — and the audit must then find EXACTLY those
+      // from the text alone. Single scan, codegen'd regexp counting,
+      // the only shuffle is the output ORDER BY.
+      val enriched = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(" caf\u00c3\u00a9")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\ufffd\ufffd")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("\u0007")).otherwise(lit(""))).as("etext"))
+      TextAnalysis.encodingAudit(enriched, "doc_id", "etext")
+        .orderBy("doc_id")
+    }),
+
     "t2_quality" -> ((s, dir) => {
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
@@ -2701,6 +2721,33 @@ object PipelineQueries {
          |       ROUND(CAST(cm.n AS DOUBLE) / t.n_lang * 1e6) / 1e6 AS frac
          |FROM cm JOIN t ON cm.lang = t.lang
          |ORDER BY cm.lang, cm.lang_pred""".stripMargin,
+
+    // same deterministic corruption (chr codepoints = the Scala \u
+    // escapes), same \x{...} regex escapes — RE2 and Java regex both
+    // accept them, so engine and oracle run the identical patterns
+    "t15_encoding" ->
+      """WITH enriched AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ' caf' || chr(195) || chr(169) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN chr(65533) || chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS etext
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(etext, '\x{FFFD}')) AS BIGINT) AS n_repl,
+        | CAST(len(regexp_extract_all(etext,
+        |   '[\x01-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+        | CAST(len(regexp_extract_all(etext,
+        |   '\x{C3}[\x{A0}-\x{BF}]')) AS BIGINT) AS n_moji,
+        | CAST(len(regexp_extract_all(etext, '[^\x00-\x7F]')) AS BIGINT)
+        |   AS n_nonascii,
+        | (len(regexp_extract_all(etext, '\x{FFFD}'))
+        |  + len(regexp_extract_all(etext, '[\x01-\x08\x0B\x0C\x0E-\x1F]'))
+        |  + len(regexp_extract_all(etext, '\x{C3}[\x{A0}-\x{BF}]')) = 0)
+        |   AS is_clean
+        |FROM enriched ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->
       """SELECT doc_id,

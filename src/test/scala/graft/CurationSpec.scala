@@ -113,6 +113,27 @@ class CurationSpec extends SparkTestBase {
     assert(r.head.getAs[Long]("n_phones") == 0L)
   }
 
+  // --- encoding audit ---------------------------------------------------
+
+  test("encoding audit counts replacement/control/mojibake signatures") {
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad \ufffd decode \ufffd\ufffd here"),
+      (3L, "binary\u0007bleed\u0001but tab\tand newline\nare fine"),
+      (4L, "caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9 mojibake"),
+      (5L, "genuine caf\u00e9 and \u7684 stay clean non-ascii")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.encodingAudit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_repl") == 0L && r(0).getAs[Boolean]("is_clean"))
+    assert(r(1).getAs[Long]("n_repl") == 3L && !r(1).getAs[Boolean]("is_clean"))
+    assert(r(2).getAs[Long]("n_ctrl") == 2L, "tab/newline must not count")
+    assert(r(3).getAs[Long]("n_moji") == 3L)
+    // genuine é (U+00E9) and 的 are non-ascii but NOT corruption
+    assert(r(4).getAs[Long]("n_moji") == 0L && r(4).getAs[Boolean]("is_clean"))
+    assert(r(4).getAs[Long]("n_nonascii") == 2L)
+  }
+
   // --- mixture sampling -----------------------------------------------
 
   test("mixture sampling keep decision matches exact BigInt mirror; budget respected") {
