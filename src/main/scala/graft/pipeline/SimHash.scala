@@ -83,27 +83,58 @@ object SimHash {
       .where(col("hamming") <= maxDist)
   }
 
-  /** Bit layout of the 4 pigeonhole chunks: 3×16 + 15 = 63 bits. */
-  private val Chunks: Seq[(Int, Int)] =
-    Seq((0, 16), (16, 16), (32, 16), (48, 15))
-
-  /** Same result as [[nearPairs]], bucketed: the fingerprint splits
-    * into 4 chunks; a pair within Hamming distance 3 differs in at most
-    * 3 chunk positions, so SOME chunk matches exactly (pigeonhole).
-    * Candidates therefore come from 4 shuffle equi-joins on
-    * (chunk index, chunk value) — never a cross join — then the exact
-    * Hamming filter and a distinct() (a pair can match several chunks)
-    * trim to the true pair set. Fan-out is 4 rows per document; each
-    * chunk key has ~2^16 values, so buckets stay selective even when
-    * vote skew clusters the fingerprints.
+  /** Bit layout of `blocks` pigeonhole blocks over the 63 fingerprint
+    * bits: the first 63 % blocks get one extra bit (blocks=4 →
+    * 16,16,16,15 — the historical chunk layout).
     */
-  def nearPairsBucketed(fps: DataFrame, idCol: String, maxDist: Int): DataFrame = {
-    require(maxDist < Chunks.size,
-      s"pigeonhole guarantee needs maxDist < ${Chunks.size}, got $maxDist")
-    val chunkCols = Chunks.zipWithIndex.map { case ((off, w), i) =>
-      struct(lit(i).as("c"),
-        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("v"))
+  private def blockLayout(blocks: Int): Seq[(Int, Int)] = {
+    val base = Bits / blocks
+    val widths = Seq.tabulate(blocks)(i => base + (if (i < Bits % blocks) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Same result as [[nearPairs]], bucketed (Manku, Jain & Das Sarma
+    * 2007 §3): the fingerprint splits into `blocks` blocks; a pair
+    * within Hamming distance d differs in at most d block positions,
+    * so SOME (blocks − d)-subset of blocks matches exactly
+    * (pigeonhole — every such subset is a join table, and the clean
+    * blocks of a qualifying pair contain one). Candidates come from
+    * C(blocks, blocks−d) shuffle equi-joins on (table index, packed
+    * block values) — never a cross join — then the exact Hamming
+    * filter and a distinct() (a pair can match several tables) trim
+    * to the true pair set.
+    *
+    * The blocks/tables trade is the Manku space–selectivity dial:
+    * blocks=4, d≤3 keys each of 4 tables on ~16 bits — fine while
+    * fingerprints spread, but a vote-skewed corpus (tokens shared by
+    * most docs drive most bits the same way) concentrates them and
+    * 16-bit buckets go hot, candidates ~N²/2^16 per table. blocks=6,
+    * d≤3 keys C(6,3)=20 tables on ~33 bits — 5× the fan-out rows
+    * (still one narrow row per (doc, table)) for 2^17× the key
+    * space, which holds candidate volume ~linear on exactly the
+    * corpora that break the 4-block layout. Output is identical
+    * either way (PipelineScaleSpec cross-checks both against the
+    * all-pairs baseline).
+    */
+  def nearPairsBucketed(fps: DataFrame, idCol: String, maxDist: Int,
+                        blocks: Int = 4): DataFrame = {
+    require(maxDist < blocks,
+      s"pigeonhole guarantee needs maxDist < blocks=$blocks, got $maxDist")
+    require(blocks <= 16, s"blocks=$blocks: layout is for few wide blocks")
+    val layout = blockLayout(blocks)
+    val blockVal = layout.map { case (off, w) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
     }
+    val chunkCols = (0 until blocks).combinations(blocks - maxDist)
+      .toSeq.zipWithIndex.map { case (combo, i) =>
+        // pack the combo's block values into one long key (≤ 11·3 = 33
+        // bits at blocks=6): fold left, shifting by each next width
+        val packed = combo.map(b => (blockVal(b), layout(b)._2))
+          .reduceLeft[(org.apache.spark.sql.Column, Int)] {
+            case ((acc, _), (v, w)) => (shiftleft(acc, w) + v, w)
+          }._1
+        struct(lit(i).as("c"), packed.as("v"))
+      }
     val ex = fps.select(col(idCol), col("simhash"),
         explode(array(chunkCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"),

@@ -208,9 +208,14 @@ object PipelineQueries {
     "p5_simhash" -> ((s, dir) => {
       // 63-bit fingerprints, Hamming <= 3, pigeonhole-bucketed plan —
       // identical result to the all-pairs comparison
-      // (PipelineScaleSpec cross-checks the two on real fixtures)
+      // (PipelineScaleSpec cross-checks the two on real fixtures).
+      // blocks=6 (C(6,3)=20 tables on ~33-bit keys): text fingerprints
+      // vote-concentrate on a shared-vocabulary corpus, and 16-bit
+      // buckets go hot — sf10's saturated-vocab corpus drove the
+      // 4-block plan's candidate join superlinear (21× for 10× docs).
       SimHash.nearPairsBucketed(
-          SimHash.fingerprints(tokenIds(s, dir), "doc_id"), "doc_id", maxDist = 3)
+          SimHash.fingerprints(tokenIds(s, dir), "doc_id"), "doc_id",
+          maxDist = 3, blocks = 6)
         .orderBy("id_a", "id_b")
     }),
 

@@ -31,6 +31,10 @@ class PipelineScaleSpec extends SparkTestBase {
         .orderBy("id_a", "id_b").collect().toSeq
       assert(all.nonEmpty, s"fixture $dir produced no near pairs")
       assert(bucketed == all, s"bucketed != all-pairs at $dir")
+      val sixBlock = SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 3,
+          blocks = 6)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(sixBlock == all, s"6-block bucketed != all-pairs at $dir")
     }
   }
 
@@ -59,6 +63,11 @@ class PipelineScaleSpec extends SparkTestBase {
       .orderBy("id_a", "id_b").collect().toSeq
     assert(all.nonEmpty)
     assert(bucketed == all)
+    // the 6-block combination layout (p5's scale path) is the same set
+    val sixBlock = SimHash.nearPairsBucketed(fps, "doc_id", maxDist = 3,
+        blocks = 6)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(sixBlock == all)
   }
 
   test("Jaccard.exactTopK == naive all-pairs top-k on random sets (property)") {
