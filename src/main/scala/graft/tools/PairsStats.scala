@@ -53,23 +53,30 @@ object PairsStats {
     pdf.orderBy(col("pdf").desc).limit(10).collect()
       .foreach(r => println(s"hot vid=${r.get(0)} prefix_df=${r.get(1)}"))
 
+    // counts-only mode: the surviving-occurrence counts below RUN the
+    // probe joins (the expensive part) — at a big SF pass countsOnly
+    // to get just the closed-form volumes, which never join
+    val countsOnly = sys.env.get("PAIRS_STATS_COUNTS_ONLY").contains("1")
+
     // occurrences surviving the in-stage positional + size-ratio
     // filters (what actually reaches the distinct's shuffle post-fix),
     // and the distinct pair count the verify join then scores
     val alpha = ceil(lit(tau / (1.0 + tau)) *
       (col("na") + col("nb")) - lit(1e-9))
-    val surv = prefix.select(col("doc_id").as("id_a"), col("vid"),
-        col("r").as("ra"), col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("id_b"), col("vid"),
-        col("r").as("rb"), col("n").as("nb")), "vid")
-      .where(col("id_a") < col("id_b"))
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(tau) * greatest(col("na"), col("nb")))
-      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
-        >= alpha)
-      .select("id_a", "id_b").localCheckpoint(true)
-    println(s"surviving_occurrences=${surv.count()} " +
-      s"distinct_pairs=${surv.distinct().count()}")
+    if (!countsOnly) {
+      val surv = prefix.select(col("doc_id").as("id_a"), col("vid"),
+          col("r").as("ra"), col("n").as("na"))
+        .join(prefix.select(col("doc_id").as("id_b"), col("vid"),
+          col("r").as("rb"), col("n").as("nb")), "vid")
+        .where(col("id_a") < col("id_b"))
+        .where(least(col("na"), col("nb")).cast("double") >=
+          lit(tau) * greatest(col("na"), col("nb")))
+        .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+          >= alpha)
+        .select("id_a", "id_b").localCheckpoint(true)
+      println(s"surviving_occurrences=${surv.count()} " +
+        s"distinct_pairs=${surv.distinct().count()}")
+    }
 
     // ---- containment path (p45: C(a→b) ≥ tauC, asymmetric) ----
     // prefix length is the same n − ⌈τ·n⌉ + 1 formula, but the probe
@@ -86,21 +93,23 @@ object PairsStats {
     val volC = pdfC.join(dfreq, "vid")
       .agg(sum(col("pdf") * (col("df") - 1))).head().get(0)
     println(s"containment tau=$tauC probe_occurrences=$volC")
-    val ranked = bg.join(dfreq, "vid")
-      .withColumn("r", row_number().over(w))
-      .join(sizes, "doc_id")
-    val minI = ceil(lit(tauC) * col("na") - lit(1e-9))
-    val survC = prefC.select(col("doc_id").as("id_a"), col("vid"),
-        col("r").as("ra"), col("n").as("na"))
-      .join(ranked.select(col("doc_id").as("id_b"), col("vid"),
-        col("r").as("rb"), col("n").as("nb")), "vid")
-      .where(col("id_a") =!= col("id_b"))
-      .where(col("nb").cast("double") >= lit(tauC) * col("na") - lit(1e-9))
-      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
-        >= minI)
-      .select("id_a", "id_b").localCheckpoint(true)
-    println(s"containment surviving_occurrences=${survC.count()} " +
-      s"distinct_pairs=${survC.distinct().count()}")
+    if (!countsOnly) {
+      val ranked = bg.join(dfreq, "vid")
+        .withColumn("r", row_number().over(w))
+        .join(sizes, "doc_id")
+      val minI = ceil(lit(tauC) * col("na") - lit(1e-9))
+      val survC = prefC.select(col("doc_id").as("id_a"), col("vid"),
+          col("r").as("ra"), col("n").as("na"))
+        .join(ranked.select(col("doc_id").as("id_b"), col("vid"),
+          col("r").as("rb"), col("n").as("nb")), "vid")
+        .where(col("id_a") =!= col("id_b"))
+        .where(col("nb").cast("double") >= lit(tauC) * col("na") - lit(1e-9))
+        .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+          >= minI)
+        .select("id_a", "id_b").localCheckpoint(true)
+      println(s"containment surviving_occurrences=${survC.count()} " +
+        s"distinct_pairs=${survC.distinct().count()}")
+    }
     spark.stop()
   }
 }
