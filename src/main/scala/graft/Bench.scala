@@ -285,9 +285,21 @@ object Bench {
         }
       }
     System.err.println(s"[bench] json line length: ${line.length} chars")
-    // full-precision copy for the next run's regression baseline
+    // full-precision copy for the next run's regression baseline.
+    // MERGE into the existing map rather than replacing it: a partial
+    // run (scale-step EXCLUDE, or a targeted re-measure) would
+    // otherwise clobber the SF's full baseline with its handful of
+    // queries — which is exactly what the sf10 tail re-measure did to
+    // the 222-entry map (reconstructed from run logs, see BENCH_NOTES).
     scala.util.Try {
-      val full = results.map { case (k, v) =>
+      val prior: Map[String, Double] = scala.util.Try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(localBaseline))
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+      val merged = prior ++ results // this run's numbers win
+      val full = merged.toSeq.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + "%.3f".format(v) }.mkString("{", ",", "}")
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target"))
