@@ -135,52 +135,74 @@ object Jaccard {
     * The naive posting-list self-join shuffles one row per token
     * co-occurrence — Σ_vid df² rows, quadratic on a corpus whose
     * vocabulary stops growing (every token ever hotter). This computes
-    * the IDENTICAL result with the containment adaptation of the
-    * prefix/positional machinery above:
+    * the IDENTICAL result with a counting strengthening of the prefix
+    * theorem (the ≥k-of-m group probe):
     *
     *  - Prefix theorem (asymmetric): C(a→b) ≥ τ forces
-    *    |S_a ∖ S_b| ≤ n_a − ⌈τ·n_a⌉, so B must contain one of A's
-    *    first n_a − ⌈τ·n_a⌉ + 1 tokens in ascending global (df, vid)
-    *    order. Only A's prefix — its RAREST tokens — probes the
-    *    posting lists; the probe side never touches the high-df head.
+    *    |S_a ∖ S_b| ≤ ℓ − 1 where ℓ = n_a − ⌈τ·n_a⌉ + 1, so among
+    *    ANY m tokens of A, B shares at least m − ℓ + 1. Taking A's
+    *    m = min(n_a, ℓ + minShared − 1) RAREST tokens in ascending
+    *    global (df, vid) order, a qualifying pair must share
+    *    k_eff = min(minShared, ⌈τ·n_a⌉) of them — a per-pair COUNT
+    *    threshold on the probe join's output, applied by a
+    *    map-combinable aggregation before any exact verification.
+    *    The classic ℓ-prefix/share-≥1 generator is the k_eff = 1
+    *    special case; its selectivity collapses on a vocabulary-
+    *    saturated corpus (df ~ N/V on even the rarest tokens — sf10
+    *    measured 4.17e9 probe occurrences against a true-pair set
+    *    that is LINEAR in N), while each extra required shared rare
+    *    token multiplies false-candidate rejection.
     *  - Size filter: i ≤ min(n_a, n_b) with i ≥ ⌈τ·n_a⌉ forces
     *    n_b ≥ ⌈τ·n_a⌉ (an excerpt can only be contained in a doc at
     *    least as large as its shared part).
-    *  - Positional filter, inside the join's codegen stage: a pair
-    *    sharing a token at ascending-df positions (ra, rb) has
-    *    i ≤ 1 + min(na−ra, nb−rb). Complete for the same reason as
-    *    the symmetric form: a qualifying pair's EARLIEST common token
-    *    in the shared global order lies inside A's prefix (else
-    *    A's whole prefix ⊆ A∖B, impossible), and at that occurrence
-    *    the bound ≥ i ≥ ⌈τ·n_a⌉, so the pair survives.
     *
     * Candidates then verify exactly (pair-bounded join, not a corpus
     * join). τ only has to be ≤ the caller's real cutoff — callers
     * wanting an integer-exact threshold filter on (i, na) afterwards.
     */
-  def containmentPairs(sets: DataFrame, idCol: String, tau: Double): DataFrame = {
+  def containmentPairs(sets: DataFrame, idCol: String, tau: Double,
+                       minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val bg = sets.select(col(idCol), col("vid"))
     val sizes = bg.groupBy(idCol).agg(count(lit(1)).as("n"))
     val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
     // every doc's full list carries its global rank once; the A side
-    // keeps only the prefix, the B side the whole list (asymmetric —
-    // containment gives no right-hand prefix to exploit)
+    // keeps only its rarest-token window, the B side the whole list
+    // (asymmetric — containment gives no right-hand prefix to exploit)
     val ranked = bg.join(dfreq, "vid")
       .withColumn("r", row_number().over(w))
       .join(sizes, idCol)
-    val minI = ceil(lit(tau) * col("na") - lit(1e-9))
-    val pairs = ranked
-      .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-      .select(col(idCol).as("id_a"), col("vid"),
-        col("r").as("ra"), col("n").as("na"))
+    // ≥k-of-m group probe (the prefix theorem, strengthened by
+    // counting): with ℓ = n_a − ⌈τ·n_a⌉ + 1, B misses at most ℓ − 1
+    // of A's tokens, so among A's m = min(n_a, ℓ + minShared − 1)
+    // RAREST tokens B must share ≥ k_eff = m − ℓ + 1 =
+    // min(minShared, n_a − ℓ + 1). The ℓ-prefix/≥1 generator is the
+    // k_eff = 1 special case — on a vocabulary-saturated corpus its
+    // selectivity collapses (every prefix token's df ~ N/V, sf10
+    // measured 4.17e9 probe occurrences against a LINEAR true-pair
+    // set), while requiring 3 shared rare tokens multiplies the
+    // false-candidate rejection without touching completeness. The
+    // per-occurrence positional filter of the k=1 form is dropped:
+    // it only guarantees survival of a pair's EARLIEST common token,
+    // which is incompatible with counting (true pairs would lose
+    // later occurrences and miss the threshold).
+    val ellA = col("na") - ceil(lit(tau) * col("na") - lit(1e-9)) + 1
+    val kEff = least(lit(minShared), col("na") - ellA + 1)
+    val windowA = ranked
+      .where(col("r") <=
+        least(col("n"), col("n") - ceil(lit(tau) * col("n") - lit(1e-9))
+          + lit(minShared)))
+      .select(col(idCol).as("id_a"), col("vid"), col("n").as("na"))
+    val pairs = windowA
       .join(ranked.select(col(idCol).as("id_b"), col("vid"),
-        col("r").as("rb"), col("n").as("nb")), "vid")
+        col("n").as("nb")), "vid")
       .where(col("id_a") =!= col("id_b"))
       .where(col("nb").cast("double") >= lit(tau) * col("na") - lit(1e-9))
-      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
-        >= minI)
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b", "na")
+      .agg(count(lit(1)).as("shared_in_window"))
+      .where(col("shared_in_window") >= kEff)
+      .select("id_a", "id_b")
     verify(pairs, bg, sizes, idCol)
       .withColumn("c", col("i").cast("double") / col("na"))
       .drop("j")
