@@ -85,6 +85,9 @@ object PairsStats {
     // volume is Σ_vid prefix_df·(df−1) — computed here without the
     // join — and the positional/size filters prune in-stage.
     val tauC = if (args.length > 2) args(2).toDouble else 0.8
+    // the ≥k-of-m group-probe generator (minShared = 3) probes A's
+    // m = min(n, ℓ+2) rarest tokens; print both the legacy ℓ-prefix
+    // volume and the m-window volume the shipped generator pays
     val prefC = bg.join(dfreq, "vid")
       .withColumn("r", row_number().over(w))
       .join(sizes, "doc_id")
@@ -92,7 +95,16 @@ object PairsStats {
     val pdfC = prefC.groupBy("vid").agg(count(lit(1)).as("pdf"))
     val volC = pdfC.join(dfreq, "vid")
       .agg(sum(col("pdf") * (col("df") - 1))).head().get(0)
-    println(s"containment tau=$tauC probe_occurrences=$volC")
+    println(s"containment tau=$tauC probe_occurrences=$volC (l-prefix)")
+    val winC = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+      .where(col("r") <= least(col("n"),
+        col("n") - ceil(lit(tauC) * col("n") - lit(1e-9)) + lit(3)))
+    val pdfW = winC.groupBy("vid").agg(count(lit(1)).as("pdf"))
+    val volW = pdfW.join(dfreq, "vid")
+      .agg(sum(col("pdf") * (col("df") - 1))).head().get(0)
+    println(s"containment tau=$tauC probe_occurrences=$volW (k-of-m window)")
     if (!countsOnly) {
       val ranked = bg.join(dfreq, "vid")
         .withColumn("r", row_number().over(w))

@@ -8,8 +8,8 @@ Ratios against target/bench-baseline-sf1.json; flags >15x.
 """
 import json, re, sys
 
-sf1 = json.load(open('target/bench-baseline-sf1.json'))
-sf10 = json.load(open('target/bench-baseline-sf10.json'))
+sf1 = json.load(open('BENCH_sf1.json'))['queries']
+sf10 = json.load(open('BENCH_sf10.json'))['queries']
 for f in sys.argv[1:]:
     for m in re.finditer(r'\[bench\] done (\w+) ([0-9.]+)', open(f, errors='replace').read()):
         q, t = m.group(1), float(m.group(2))
@@ -31,4 +31,4 @@ for r, q, a, b in rows[:15]:
 import statistics
 print(f"\nmedian ratio {statistics.median(r for r,_,_,_ in rows):.2f}, "
       f">15x count {sum(1 for r,_,_,_ in rows if r>15)}")
-json.dump(sf10, open('target/bench-baseline-sf10.json','w'), indent=1, sort_keys=True)
+json.dump({'sf': 10, 'queries': sf10}, open('BENCH_sf10.json','w'), indent=1, sort_keys=True)
