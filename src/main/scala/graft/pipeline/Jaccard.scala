@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   *     best candidate similarity is a LOWER bound τ on the kth best
   *     overall (a subset's kth best can only be lower). LSH missing
   *     pairs only lowers τ — never correctness.
-  *  2. Prefix filter at τ (the ppjoin/AllPairs bound, Xiao et al. /
-  *     Bayardo et al., public literature): order each set's shingles
-  *     by ascending global document frequency (rarest first; window
+  *  2. ≥k-of-m counting probe at τ (the ppjoin/AllPairs prefix bound
+  *     of Xiao et al. / Bayardo et al., strengthened by counting —
+  *     see [[thresholdPairs]]): order each set's shingles by
+  *     ascending global document frequency (rarest first; window
   *     partitioned per document — no global sort); any pair with
-  *     J >= τ must share one of each side's first n - ceil(τ·n) + 1
-  *     shingles. The equi-join runs over only those prefixes — the
-  *     rare end of the posting lists — plus a size-ratio filter
-  *     (min/max >= τ).
+  *     J >= τ must share k_eff = min(3, ⌈τ·n⌉) of one side's first
+  *     min(n, n − ⌈τ·n⌉ + 3) shingles. The equi-join probes only
+  *     those windows — the rare end of the posting lists — plus a
+  *     size-ratio filter (min/max >= τ) and a map-combinable count
+  *     threshold before any verification.
   *  3. Exact verification of the surviving pairs (a pair-bounded join,
   *     not a corpus join), then top-k by (rounded J desc, ids).
   *
@@ -77,55 +79,71 @@ object Jaccard {
   }
 
   /** Exact (id_a, id_b, i, na, nb, j) for EVERY pair with J ≥ τ —
-    * provably complete: the ppjoin/AllPairs prefix theorem (any pair
-    * with J ≥ τ shares a shingle among each side's first
-    * n − ⌈τ·n⌉ + 1 in ascending-df order) generates a candidate
-    * superset, the size-ratio filter (min/max ≥ τ) prunes it, and
-    * exact verification scores it. Unlike banded MinHash-LSH, no
-    * qualifying pair can escape — at sf0.1 banding with 32 hashes /
-    * r=3 drops a true J ≥ 0.7 pair, which is why the dedup operators
-    * candidate through THIS path. Callers wanting an integer-exact
-    * threshold apply their own filter on (i, na, nb); the τ given
-    * here only has to be ≤ the real cutoff (candidates are a
-    * superset).
+    * provably complete, via the ≥k-of-m COUNTING strengthening of the
+    * ppjoin/AllPairs prefix theorem (the symmetric twin of
+    * [[containmentPairs]], which proved the shape at 100× scale):
+    *
+    *  - J ≥ τ forces i = |A∩B| ≥ τ/(1+τ)·(n_a+n_b) ≥ τ·n_a (since
+    *    n_b ≥ i), i.e. EVERY J-qualifying pair also satisfies the
+    *    ordered-containment bound C(a→b) ≥ τ in BOTH directions. So
+    *    the containment window guarantee holds verbatim with the
+    *    lower-id side probing: with ℓ = n_a − ⌈τ·n_a⌉ + 1, B misses
+    *    at most ℓ − 1 of A's tokens, hence among A's
+    *    m = min(n_a, ℓ + minShared − 1) RAREST tokens (ascending
+    *    global (df, vid) order) B must share
+    *    k_eff = min(minShared, ⌈τ·n_a⌉) — a per-pair COUNT threshold
+    *    applied by a map-combinable aggregation before any exact
+    *    verification. The classic ℓ-prefix/share-≥1 generator (with
+    *    its per-occurrence positional filter) is the k_eff = 1
+    *    special case; on a vocabulary-saturated corpus (df ~ N/V on
+    *    even the rarest tokens) its candidate volume is ~quadratic
+    *    (sf10 measured 2.67e9 post-positional-filter candidates
+    *    against a LINEAR true-pair set), while each extra required
+    *    shared rare token multiplies false-candidate rejection.
+    *  - Size-ratio filter: J ≥ τ ⟹ min(n_a,n_b) ≥ τ·max(n_a,n_b),
+    *    applied per occurrence inside the probe join's codegen stage.
+    *
+    * Unlike banded MinHash-LSH, no qualifying pair can escape — at
+    * sf0.1 banding with 32 hashes / r=3 drops a true J ≥ 0.7 pair,
+    * which is why the dedup operators candidate through THIS path.
+    * Callers wanting an integer-exact threshold apply their own
+    * filter on (i, na, nb); the τ given here only has to be ≤ the
+    * real cutoff (candidates are a superset).
     */
-  def thresholdPairs(sets: DataFrame, idCol: String, tau: Double): DataFrame = {
+  def thresholdPairs(sets: DataFrame, idCol: String, tau: Double,
+                     minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val bg = sets.select(col(idCol), col("vid"))
     val sizes = bg.groupBy(idCol).agg(count(lit(1)).as("n"))
     val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
-    val prefix = bg.join(dfreq, "vid")
+    val ranked = bg.join(dfreq, "vid")
       .withColumn("r", row_number().over(w))
       .join(sizes, idCol)
-      // integer-safe prefix bound: back the float product off by
-      // 1e-9 before ceil so an epsilon-above-integral tau*n can
-      // only LENGTHEN the prefix (never prune a qualifying pair)
-      .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-    // ppjoin POSITIONAL filter (Xiao et al.), applied per occurrence
-    // BEFORE the distinct shuffle: a pair sharing the prefix token at
-    // (ascending-df) positions (ra, rb) has i <= 1 + min(na-ra, nb-rb),
-    // and J >= tau forces i >= ceil(tau/(1+tau)·(na+nb)). Complete: for
-    // a qualifying pair, its EARLIEST common token in the shared global
-    // (df, vid) order has every common token at/after it on both
-    // sides, so that occurrence's bound >= i >= the threshold and the
-    // pair survives. The filter runs inside the join's codegen stage,
-    // so pruned occurrences never reach the shuffle — on a corpus
-    // whose vocabulary stops growing (prefixes forced onto ever-hotter
-    // shingles, candidate volume ~quadratic), this is the difference
-    // between shuffling the f² collision pairs and shuffling the
-    // survivors.
-    val alpha = ceil(lit(tau / (1.0 + tau)) *
-      (col("na") + col("nb")) - lit(1e-9))
-    val pairs = prefix.select(col(idCol).as("id_a"), col("vid"),
-        col("r").as("ra"), col("n").as("na"))
-      .join(prefix.select(col(idCol).as("id_b"), col("vid"),
-        col("r").as("rb"), col("n").as("nb")), "vid")
+    // ≥k-of-m group probe: A (the lower id) keeps only its rarest-token
+    // window, B probes with its whole list (the count is over A-window
+    // tokens PRESENT in B — restricting B too would drop matches a
+    // qualifying pair is entitled to). All ceil() bounds back the float
+    // product off by 1e-9 first, so an epsilon-above-integral τ·n can
+    // only LENGTHEN the window / LOWER k_eff — never prune a
+    // qualifying pair.
+    val ellA = col("na") - ceil(lit(tau) * col("na") - lit(1e-9)) + 1
+    val kEff = least(lit(minShared), col("na") - ellA + 1)
+    val windowA = ranked
+      .where(col("r") <=
+        least(col("n"), col("n") - ceil(lit(tau) * col("n") - lit(1e-9))
+          + lit(minShared)))
+      .select(col(idCol).as("id_a"), col("vid"), col("n").as("na"))
+    val pairs = windowA
+      .join(ranked.select(col(idCol).as("id_b"), col("vid"),
+        col("n").as("nb")), "vid")
       .where(col("id_a") < col("id_b"))
       .where(least(col("na"), col("nb")).cast("double") >=
-        lit(tau) * greatest(col("na"), col("nb")))
-      .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
-        >= alpha)
-      .select("id_a", "id_b").distinct()
+        lit(tau) * greatest(col("na"), col("nb")) - lit(1e-9))
+      .groupBy("id_a", "id_b", "na")
+      .agg(count(lit(1)).as("shared_in_window"))
+      .where(col("shared_in_window") >= kEff)
+      .select("id_a", "id_b")
     verify(pairs, bg, sizes, idCol)
   }
 

@@ -118,6 +118,44 @@ class PipelineScaleSpec extends SparkTestBase {
     assert(got == naive, s"got=$got\nwant=$naive")
   }
 
+  test("Jaccard.thresholdPairs == naive J>=tau pairs on random sets (property)") {
+    import graft.pipeline.Jaccard
+    val rnd = new scala.util.Random(53)
+    // 80 docs over a deliberately SATURATED 90-token vocabulary (every
+    // token hot — the adversarial case the counting probe exists for):
+    // 8 clusters share large cores with per-doc mutations, so the τ
+    // boundary is dense with near-misses, plus exact-duplicate pairs
+    val rows = (0 until 80).flatMap { d =>
+      val core = d % 8
+      val base = (0 until 22).map(i => (core * 30 + i % 25).toLong)
+      val mut = (0 until rnd.nextInt(6)).map(_ => rnd.nextInt(90).toLong)
+      val ids = if (d >= 72) base else base ++ mut // 8 exact dup pairs
+      ids.distinct.map(v => (d.toLong, v))
+    }
+    val sets = rows.toDF("doc_id", "vid").distinct().localCheckpoint(true)
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (tau <- Seq(0.5, 0.7, 0.85); ms <- Seq(1, 3)) {
+      val got = Jaccard.thresholdPairs(sets, "doc_id", tau, minShared = ms)
+        .where(col("j") >= tau) // exact post-filter, as callers do
+        .select("id_a", "id_b", "i", "na", "nb")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq.sorted
+      val naive = byDoc.keys.toSeq.sorted.combinations(2).flatMap {
+        case Seq(a, b) =>
+          val i = (byDoc(a) & byDoc(b)).size
+          val j = i.toDouble / (byDoc(a) | byDoc(b)).size
+          if (j >= tau)
+            Some((a, b, i.toLong, byDoc(a).size.toLong, byDoc(b).size.toLong))
+          else None
+      }.toSeq.sorted
+      assert(naive.nonEmpty, s"fixture planted no pairs at tau=$tau")
+      assert(got == naive, s"tau=$tau minShared=$ms: got=${got.size} " +
+        s"want=${naive.size}\nmissing=${naive.diff(got).take(5)} " +
+        s"extra=${got.diff(naive).take(5)}")
+    }
+  }
+
   test("Jaccard.containmentPairs == naive ordered containment on random sets (property)") {
     import graft.pipeline.Jaccard
     val rnd = new scala.util.Random(41)
