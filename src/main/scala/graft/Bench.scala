@@ -20,16 +20,48 @@ object Bench {
 
     // partial-results insurance for multi-hour scale-step sweeps: every
     // completed measurement rides stderr immediately, and a shutdown
-    // hook dumps the partial map if the JVM dies before the JSON line
+    // hook dumps the partial map if the JVM dies before the JSON line.
+    // On a NORMAL completion the hook stays silent — a 231-entry dump
+    // at exit lands AFTER the JSON line in the merged output and
+    // displaced it out of the driver's 2000-char tail (BENCH_r08
+    // arrived with parsed: null exactly that way).
     val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    @volatile var completedNormally = false
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      if (!done.isEmpty) {
+      if (!done.isEmpty && !completedNormally) {
         import scala.jdk.CollectionConverters._
         System.err.println("[bench] PARTIAL " + done.asScala.toSeq.sortBy(_._1)
           .map { case (k, v) => f"$k=$v%.3f" }.mkString(","))
       }))
 
+    // low-disk preflight for scale sweeps: a full spark.local.dir kills
+    // the WHOLE JVM mid-shuffle (two sf10 runs died on spill, taking
+    // every unmeasured query's outcome with them). With
+    // SPARK_GRAFT_BENCH_MIN_FREE_GB set, a query only starts if that
+    // much scratch space is free; otherwise IT alone is recorded as
+    // failed (reason on stderr + the partial map) and the sweep moves
+    // on — shuffle files of finished queries are reclaimed between
+    // queries, so later entries usually run fine.
+    val minFreeGb = sys.env.get("SPARK_GRAFT_BENCH_MIN_FREE_GB")
+      .map(_.toDouble).getOrElse(0.0)
+    def scratchFreeGb(): Double = {
+      val dir = spark.conf.getOption("spark.local.dir")
+        .orElse(sys.props.get("spark.local.dir"))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      new java.io.File(dir).getUsableSpace / 1e9
+    }
+
     def run(name: String): Double = {
+      if (minFreeGb > 0.0) {
+        val free = scratchFreeGb()
+        if (free < minFreeGb) {
+          done.put(name, -1.0)
+          System.err.println(
+            f"[bench] $name SKIPPED: low disk ($free%.1f GB free < " +
+              f"$minFreeGb%.1f GB preflight floor)")
+          return -1.0
+        }
+      }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -306,7 +338,14 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(localBaseline), full)
     }
-    println(line)
+    // the JSON line must be the LAST thing in the merged output: stop
+    // Spark FIRST (its shutdown logging otherwise lands after us), mark
+    // the run complete so the partial-dump hook stays silent, then emit
+    // the line on stderr AND stdout — whichever stream the driver's
+    // tail capture reads, the line is at its end.
+    completedNormally = true
     spark.stop()
+    System.err.println(line)
+    println(line)
   }
 }

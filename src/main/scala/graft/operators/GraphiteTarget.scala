@@ -281,9 +281,67 @@ object GraphiteTarget {
   private def out(df: DataFrame, name: Column, value: Column): DataFrame =
     df.select(name.as("series"), col("bucket"), value.cast("double").as("value"))
 
+  /** Enforce graphite's one-series-per-operand contract for the
+    * cross-series arithmetic functions (divideSeries, multiplySeries):
+    * a glob operand matching several series would otherwise silently
+    * fan out the per-bucket join and duplicate rows, where graphite-web
+    * raises. The check is a per-bucket `count(distinct series)` folded
+    * into the value expression itself (a plan-level raise_error, not a
+    * driver action — nothing collects, CaseWhen only evaluates the
+    * error branch when tripped), so the frame it returns is the same
+    * one-row-per-bucket broadcastable shape the join expects.
+    */
+  private def oneSeries(df: DataFrame, what: String): DataFrame =
+    df.groupBy(col("bucket"))
+      .agg(countDistinct(col("series")).as("__ns"),
+        first(col("value")).as("value"))
+      .select(col("bucket"),
+        when(col("__ns") > 1, raise_error(lit(
+          s"$what must evaluate to exactly one series")))
+          .otherwise(col("value")).as("value"))
+
   /** Evaluate `target` over `universe` (see class doc for its shape). */
   def eval(target: String, universe: DataFrame, step: Long): DataFrame =
     evalNode(parse(target), universe, step).df
+
+  /** Graphite `/render` `from`/`until` time specifier → epoch seconds,
+    * with `now` EXPLICIT (the §5.3 stance — no wall-clock reads).
+    * Public graphite-web forms covered: epoch seconds (`1311163200`),
+    * `now`, a signed duration relative to now (`-24h`, `+1h`), and
+    * `now±duration` (`now-7d`). Absolute date strings beyond epoch
+    * seconds are out of scope (the store's universe is epoch-bucketed).
+    */
+  def parseTimeSpec(spec: String, nowSec: Long): Long = {
+    val s = spec.trim
+    if (s == "now") nowSec
+    else if (s.matches("\\d+")) s.toLong
+    else if (s.startsWith("now-") || s.startsWith("now+"))
+      nowSec + parseDuration(s.stripPrefix("now"))
+    else if (s.startsWith("-") || s.startsWith("+"))
+      nowSec + parseDuration(s)
+    else throw new IllegalArgumentException(s"bad time spec '$spec'")
+  }
+
+  /** Net composed timeShift offsets reaching `node`'s leaves:
+    * (min, max) over every leaf's total shift, 0 for unshifted leaves.
+    * Nested shifts add. Drives the render fetch-window widening below.
+    */
+  private def shiftSpan(node: Node): (Long, Long) = node match {
+    case Glob(_) => (0L, 0L)
+    case Call("timeShift", args) =>
+      val sec = args(1) match {
+        case StrArg(v) => parseDuration(v)
+        case a => throw new IllegalArgumentException(s"timeShift: $a")
+      }
+      val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
+      val (lo, hi) = if (spans.isEmpty) (0L, 0L)
+        else (spans.map(_._1).min, spans.map(_._2).max)
+      (lo + sec, hi + sec)
+    case Call(_, args) =>
+      val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
+      if (spans.isEmpty) (0L, 0L)
+      else (spans.map(_._1).min, spans.map(_._2).max)
+  }
 
   /** The full `/render` endpoint semantics in one call: clamp the
     * universe to [from, until) FIRST (graphite fetches the window,
@@ -292,20 +350,49 @@ object GraphiteTarget {
     * one frame out, exactly what a dashboard panel asked for. Each
     * target stays an independent declarative plan; the union is
     * plan-level (no driver materialization between targets).
+    *
+    * A target containing timeShift gets its OWN fetch window, widened
+    * by the composed shift span so the data that shifts INTO
+    * [from, until) is actually fetched (graphite-web widens the fetch
+    * per target the same way); the shifted output is then re-clamped
+    * to [from, until) so no buckets escape the asked-for range.
     */
   def render(targets: Seq[String], universe: DataFrame, step: Long,
              fromSec: Long, untilSec: Long,
              maxDataPoints: Option[Int] = None): DataFrame = {
     require(targets.nonEmpty, "render needs at least one target")
-    val clamped = universe.where(
-      col("bucket") >= timestamp_seconds(lit(fromSec)) &&
-        col("bucket") < timestamp_seconds(lit(untilSec)))
+    def clamp(df: DataFrame, lo: Long, hi: Long): DataFrame = df.where(
+      col("bucket") >= timestamp_seconds(lit(lo)) &&
+        col("bucket") < timestamp_seconds(lit(hi)))
+    val clamped = clamp(universe, fromSec, untilSec)
     targets.map { t =>
-      val set = evalNode(parse(t), clamped, step)
+      val node = parse(t)
+      val (loShift, hiShift) = shiftSpan(node)
+      val set =
+        if (loShift == 0L && hiShift == 0L) evalNode(node, clamped, step)
+        else {
+          // input buckets land at bucket+shift: fetch the union of
+          // [from−s, until−s) over every leaf shift s (and 0), then
+          // re-clamp the evaluated output to the asked-for window
+          val widened = clamp(universe,
+            fromSec - math.max(hiShift, 0L), untilSec - math.min(loShift, 0L))
+          val ev = evalNode(node, widened, step)
+          ev.copy(df = clamp(ev.df, fromSec, untilSec))
+        }
       maxDataPoints.map(consolidate(set, fromSec, untilSec, _))
         .getOrElse(set).df
     }.reduce(_ unionByName _)
   }
+
+  /** [[render]] with graphite-web's string time specifiers
+    * (`-24h`, `now-7d`, epoch seconds) and an explicit `now`.
+    */
+  def render(targets: Seq[String], universe: DataFrame, step: Long,
+             from: String, until: String, nowSec: Long,
+             maxDataPoints: Option[Int]): DataFrame =
+    render(targets, universe, step,
+      parseTimeSpec(from, nowSec), parseTimeSpec(until, nowSec),
+      maxDataPoints)
 
   def evalNode(node: Node, universe: DataFrame, step: Long): SeriesSet = {
     def ev(n: Node): SeriesSet = evalNode(n, universe, step)
@@ -366,10 +453,10 @@ object GraphiteTarget {
                                 case a => throw new IllegalArgumentException(s"$fn: $a") }
             require(in.nonEmpty, "multiplySeries needs at least one target")
             require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
-            val first = in.head.df.select(col("bucket"), col("value"))
+            val first = oneSeries(in.head.df, "multiplySeries operand")
             val prod = in.tail.zipWithIndex.foldLeft(first) { case (acc, (s2, i)) =>
-              acc.join(broadcast(s2.df.select(col("bucket"),
-                  col("value").as(s"__m$i"))), Seq("bucket"), "inner")
+              acc.join(broadcast(oneSeries(s2.df, "multiplySeries operand")
+                  .withColumnRenamed("value", s"__m$i")), Seq("bucket"), "inner")
                 // q6 per fold step: a raw double product lands on
                 // .xxxxxx5 often enough that the engines' ROUND(x, 6)
                 // disagree — same contract as the division outputs
@@ -558,8 +645,13 @@ object GraphiteTarget {
           case "aliasByNode" =>
             val in = one(args)
             val idx = num(args(1)).toInt
+            // graphite node indices are 0-based from the left, negative
+            // from the right; Spark element_at is 1-based from the left
+            // and already negative-from-the-end, so only the
+            // non-negative case needs the +1
             in.copy(df = out(in.df,
-              element_at(split(col("series"), "\\."), idx + 1), col("value")))
+              element_at(split(col("series"), "\\."),
+                if (idx < 0) idx else idx + 1), col("value")))
           case "aliasByMetric" =>
             val in = one(args)
             in.copy(df = out(in.df,
@@ -581,8 +673,8 @@ object GraphiteTarget {
             require(a.step == b.step, "divideSeries: mixed steps")
             // divisor must be a single series (graphite's contract);
             // broadcast it — it is one row per bucket
-            val div = broadcast(b.df.select(col("bucket"),
-              col("value").as("__div")))
+            val div = broadcast(oneSeries(b.df, "divideSeries divisor")
+              .withColumnRenamed("value", "__div"))
             a.copy(df = out(a.df.join(div, Seq("bucket"), "left"),
               col("series"),
               q6(when(col("__div") =!= 0, col("value") / col("__div")))))

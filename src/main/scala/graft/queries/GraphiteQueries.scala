@@ -134,6 +134,23 @@ object GraphiteQueries {
         maxDataPoints = Some(50))
         .select(col("series"), col("bucket").cast("long").as("bucket_s"),
           round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket_s")),
+
+    // /render with graphite's RELATIVE time specs (from=now-7d,
+    // until=now; now explicit per the §5.3 stance) and a timeShift'd
+    // second target: the shifted data comes from BEFORE `from` — the
+    // per-target widened fetch window must pull it in, and the output
+    // must still be re-clamped to [from, until)
+    "g17_relrender" -> ((s, dir) =>
+      GraphiteTarget.render(
+        Seq("sumSeries(events.{click,view})",
+          "alias(timeShift(sumSeries(events.{click,view}), \"1d\"), 'shifted')"),
+        universe(s, dir), step = 3600,
+        from = "now-7d", until = "now",
+        nowSec = 1706745600L, // 2024-02-01 00:00 — window Jan 25 .. Feb 01
+        maxDataPoints = None)
+        .select(col("series"), col("bucket").cast("long").as("bucket_s"),
+          round(col("value"), 6).as("value"))
         .orderBy("series", "bucket_s"))
   )
 
@@ -365,6 +382,28 @@ object GraphiteQueries {
          |       b AS bucket_s, ROUND(v, 6) AS value FROM t1c
          |UNION ALL
          |SELECT 'avg' AS series, b AS bucket_s, ROUND(v, 6) AS value FROM t2c
+         |ORDER BY series, bucket_s""".stripMargin,
+
+    "g17_relrender" ->
+      s"""WITH $U,
+         |t1 AS (
+         |  SELECT bucket, CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |         AS DECIMAL(18,6)) AS DOUBLE) AS v
+         |  FROM u WHERE series IN ('events.click', 'events.view')
+         |  GROUP BY bucket)
+         |SELECT 'sumSeries(events.{click,view})' AS series,
+         |       epoch_us(bucket) // 1000000 AS bucket_s,
+         |       ROUND(v, 6) AS value
+         |FROM t1
+         |WHERE bucket >= TIMESTAMP '2024-01-25 00:00:00'
+         |  AND bucket < TIMESTAMP '2024-02-01 00:00:00'
+         |UNION ALL
+         |SELECT 'shifted' AS series,
+         |       epoch_us(bucket) // 1000000 + 86400 AS bucket_s,
+         |       ROUND(v, 6) AS value
+         |FROM t1
+         |WHERE bucket + INTERVAL 1 DAY >= TIMESTAMP '2024-01-25 00:00:00'
+         |  AND bucket + INTERVAL 1 DAY < TIMESTAMP '2024-02-01 00:00:00'
          |ORDER BY series, bucket_s""".stripMargin,
 
     "g5_target" ->

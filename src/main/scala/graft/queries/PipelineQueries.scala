@@ -1536,6 +1536,12 @@ object PipelineQueries {
       // per-row string work — one scan, no shuffle before the sort.
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      // total ORDER BY on (content_key, doc_id), NOT doc_id: sorting on
+      // the computed md5 pins the projection BELOW the range sort, so
+      // the shuffle carries only the 5 narrow output columns — ordered
+      // by doc_id the optimizer kept the project above the sort and
+      // range-shuffled 500k full-width text rows (measured 14× at the
+      // sf1→sf10 step; shuffle-volume-bound)
       docs(s, dir).select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars_raw"),
@@ -1543,7 +1549,7 @@ object PipelineQueries {
           when(norm === "", 0L)
             .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"),
           md5(norm.cast("binary")).as("content_key"))
-        .orderBy("doc_id")
+        .orderBy("content_key", "doc_id")
     }),
 
     "t11_fertility" -> ((s, dir) => {
@@ -4170,7 +4176,7 @@ object PipelineQueries {
         |        trim(regexp_replace(regexp_replace(lower(text),
         |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY content_key, doc_id""".stripMargin,
 
     // KN counts are all integers; the float P_KN expression mirrors the
     // Spark evaluation order operator-for-operator (tie-safe x*1e6)

@@ -49,7 +49,12 @@ object RelationalQueries {
       val discPct  = round(col("l_discount") * lit(100)).cast("long")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // round BEFORE the long cast: Spark's double->long cast
+          // truncates toward zero while DuckDB's CAST AS BIGINT rounds
+          // half-even, so a non-integral quantity would diverge
+          // cross-engine; ROUND first pins both engines to the same
+          // integerization (same pattern as epCents/discPct)
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
           sum(epCents).as("sum_base_cents"),
           sum(epCents * (lit(100) - discPct)).as("sum_disc_e4"),
           (round(avg(col("l_quantity")) * lit(1e6)) / lit(1e6)).as("avg_qty"),
@@ -1052,7 +1057,7 @@ object RelationalQueries {
 
     "q2_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
         |          (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
