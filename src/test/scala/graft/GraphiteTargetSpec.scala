@@ -247,7 +247,55 @@ class GraphiteTargetSpec extends SparkTestBase {
     assert(run("lowestCurrent(m.*, 1)").forall(_._1 == "m.a"))
     assert(run("lowestAverage(m.*, 1)").forall(_._1 == "m.a"))
     assert(run("aliasByMetric(m.a)").forall(_._1 == "a"))
+    // negative node index counts from the right (graphite contract)
+    assert(run("aliasByNode(m.a, -1)").forall(_._1 == "a"))
+    assert(run("aliasByNode(m.a, -2)").forall(_._1 == "m"))
     val g = run("group(m.a, m.b)")
     assert(g.map(_._1).distinct.sorted == Seq("m.a", "m.b"))
+  }
+
+  test("divideSeries/multiplySeries reject a multi-series operand") {
+    // m.* evaluates to two series: graphite-web raises; the silent
+    // alternative is a fanned-out bucket join with duplicated rows
+    val e1 = intercept[Exception](run("divideSeries(m.a, m.*)"))
+    assert(e1.getMessage.contains("exactly one series") ||
+      Option(e1.getCause).exists(_.getMessage.contains("exactly one series")))
+    val e2 = intercept[Exception](run("multiplySeries(m.*, m.a)"))
+    assert(e2.getMessage.contains("exactly one series") ||
+      Option(e2.getCause).exists(_.getMessage.contains("exactly one series")))
+    // single-series operands still work
+    assert(run("multiplySeries(m.a, m.b)").map(_._3.get) ==
+      Seq(10.0, 20.0, 80.0, 120.0))
+  }
+
+  test("render: relative time specs and timeShift fetch-window widening") {
+    assert(parseTimeSpec("now", 1000L) == 1000L)
+    assert(parseTimeSpec("1311163200", 0L) == 1311163200L)
+    assert(parseTimeSpec("-24h", 100000L) == 100000L - 86400L)
+    assert(parseTimeSpec("now-7d", 1000000L) == 1000000L - 604800L)
+    assert(parseTimeSpec("now+1h", 1000L) == 4600L)
+    intercept[IllegalArgumentException](parseTimeSpec("yesterday", 0L))
+
+    // window [1h, 3h): plain target sees buckets 1h,2h; the shifted
+    // target must surface the 0h,1h data AT 1h,2h — data from BEFORE
+    // `from` that a naive pre-clamp would have dropped
+    val got = GraphiteTarget.render(
+      Seq("alias(timeShift(m.a, \"1h\"), 'sh')", "m.a"),
+      uni, 3600, from = "3600", until = "now", nowSec = 10800L,
+      maxDataPoints = None)
+      .select(col("series"), col("bucket").cast("long"), col("value"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got == Seq(
+      ("m.a", 3600L, Some(2.0)), ("m.a", 7200L, Some(4.0)),
+      ("sh", 3600L, Some(1.0)), ("sh", 7200L, Some(2.0))))
+    // negative shift pulls FUTURE data back into the window and the
+    // shifted output stays clamped to [from, until)
+    val neg = GraphiteTarget.render(
+      Seq("timeShift(m.a, \"-1h\")"), uni, 3600,
+      fromSec = 3600L, untilSec = 10800L)
+      .select(col("bucket").cast("long"), col("value"))
+      .as[(Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(neg == Seq((3600L, Some(4.0)), (7200L, Some(3.0))))
   }
 }
