@@ -146,7 +146,18 @@ object Bench {
     if (excluded.nonEmpty)
       System.err.println("[bench] excluded: " +
         excluded.toSeq.sorted.mkString(","))
+    // targeted re-measure (comma list): run ONLY these queries — the
+    // scale-step complement of EXCLUDE (a 9-query sf10 re-measure was
+    // previously spelled as a 222-entry exclude list). The local
+    // baseline MERGE below folds the subset's numbers into the SF's
+    // full map, so partial runs never clobber it.
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (onlySet.nonEmpty)
+      System.err.println("[bench] only: " + onlySet.toSeq.sorted.mkString(","))
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
+      .filter(n => onlySet.isEmpty || onlySet(n))
     // store-gated queries construct their temp store through the full
     // write path ON FIRST RUN (per-JVM computeIfAbsent) — that's setup,
     // not the plan under measurement, and folding it in hides query
