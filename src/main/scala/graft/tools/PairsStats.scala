@@ -49,6 +49,19 @@ object PairsStats {
       s"avg_set=${docs.get(2)}")
     println(s"prefix_shingles=${stats.get(0)} prefix_rows=${stats.get(1)} " +
       s"candidate_pairs=${stats.get(2)} max_prefix_df=${stats.get(3)}")
+    // the SHIPPED symmetric generator (Jaccard.thresholdPairs, ≥k-of-m):
+    // window A (m = min(n, ℓ+2) rarest) probes FULL posting lists —
+    // in-stage occurrence volume is Σ_vid win_pdf·(df−1)/2 (the
+    // id_a<id_b predicate halves it in expectation), NOT Σ C(pdf,2)
+    val winS = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+      .where(col("r") <= least(col("n"),
+        col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + lit(3)))
+    val volS = winS.groupBy("vid").agg(count(lit(1)).as("pdf"))
+      .join(dfreq, "vid")
+      .agg(sum(col("pdf") * (col("df") - 1))).head().get(0)
+    println(s"symmetric tau=$tau probe_occurrences=$volS (k-of-m window x full, before id_a<id_b halving)")
     // the heaviest posting lists: where the pairs come from
     pdf.orderBy(col("pdf").desc).limit(10).collect()
       .foreach(r => println(s"hot vid=${r.get(0)} prefix_df=${r.get(1)}"))
