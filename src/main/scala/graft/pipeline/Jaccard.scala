@@ -109,43 +109,134 @@ object Jaccard {
     * Callers wanting an integer-exact threshold apply their own
     * filter on (i, na, nb); the τ given here only has to be ≤ the
     * real cutoff (candidates are a superset).
+    *
+    * GENERATOR CHOICE is adaptive (the p14 dual-generator pattern):
+    * both the classic prefix×prefix/positional-filter generator and
+    * the ≥k-of-m counting probe are complete, but their costs invert
+    * with candidate volume — one bounded aggregation computes both
+    * closed-form volumes and the cheaper plan is taken (decision
+    * recorded in [[lastGenerator]], plan-pinned both ways in
+    * PipelineScaleSpec).
     */
   def thresholdPairs(sets: DataFrame, idCol: String, tau: Double,
-                     minShared: Int = 3): DataFrame = {
+                     minShared: Int = 3,
+                     forceGenerator: Option[String] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val bg = sets.select(col(idCol), col("vid"))
     val sizes = bg.groupBy(idCol).agg(count(lit(1)).as("n"))
     val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
+    // deliberately NOT checkpointed: the probe side of the counting
+    // generator references ranked WITHOUT the rank column, and column
+    // pruning then drops the whole row_number window from that branch
+    // — materializing ranked here was measured 4× SLOWER at sf1
+    // (27.7 s vs 7.0 s, GenCompare) than letting each branch prune
     val ranked = bg.join(dfreq, "vid")
       .withColumn("r", row_number().over(w))
       .join(sizes, idCol)
-    // ≥k-of-m group probe: A (the lower id) keeps only its rarest-token
-    // window, B probes with its whole list (the count is over A-window
-    // tokens PRESENT in B — restricting B too would drop matches a
-    // qualifying pair is entitled to). All ceil() bounds back the float
-    // product off by 1e-9 first, so an epsilon-above-integral τ·n can
-    // only LENGTHEN the window / LOWER k_eff — never prune a
-    // qualifying pair.
-    val ellA = col("na") - ceil(lit(tau) * col("na") - lit(1e-9)) + 1
-    val kEff = least(lit(minShared), col("na") - ellA + 1)
-    val windowA = ranked
-      .where(col("r") <=
-        least(col("n"), col("n") - ceil(lit(tau) * col("n") - lit(1e-9))
-          + lit(minShared)))
-      .select(col(idCol).as("id_a"), col("vid"), col("n").as("na"))
-    val pairs = windowA
-      .join(ranked.select(col(idCol).as("id_b"), col("vid"),
-        col("n").as("nb")), "vid")
-      .where(col("id_a") < col("id_b"))
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(tau) * greatest(col("na"), col("nb")) - lit(1e-9))
-      .groupBy("id_a", "id_b", "na")
-      .agg(count(lit(1)).as("shared_in_window"))
-      .where(col("shared_in_window") >= kEff)
-      .select("id_a", "id_b")
+    // Closed-form generator costs, ONE bounded aggregation (the p14
+    // dual-generator pattern: measure the estimates, then choose):
+    //  - prefix generator emits Σ_vid C(pdf, 2) candidate rows into a
+    //    DISTINCT shuffle (pdf = docs whose ℓ-prefix holds vid),
+    //  - counting generator emits Σ_vid wdf·(df−1)/2 occurrence rows
+    //    into a map-combined count aggregation (wdf = docs whose
+    //    m-window holds vid; /2 for the id_a<id_b predicate).
+    // volPrefix ≤ volWindow ALWAYS (prefix rows ⊆ window rows and
+    // pdf−1 ≤ df−1 per vid), but a candidate row costs a multiple of
+    // an occurrence row: it rides a DISTINCT shuffle + per-candidate
+    // verify, vs a map-side-combined count. GenCompare measured the
+    // per-row gap at 3–8× (sf0.1 2.3 vs 1.7 s on 0.21M/0.29M rows;
+    // sf1 47.3 vs 7.0 s on 25.5M/34.3M; sf10 2332 vs ~620 s on
+    // 2.67e9/3.56e9 — the distinct's per-row cost also inflates once
+    // it spills, 42 GB at sf10). On THIS fixture the volume ratio
+    // stays ~1.35 at every SF, so counting always wins. Prefix exists
+    // for the corpus shape where the ratio explodes instead: mixed
+    // doc sizes under a Zipfian vocabulary put globally-COMMON tokens
+    // inside SHORT docs' windows, and each such token pays its whole
+    // posting list (wdf·df) against a C(pdf,2) that stays tiny —
+    // ratios of 100–10000× that no per-row cost gap can absorb.
+    // Decision: prefix only when its volume advantage exceeds the
+    // measured worst-case per-row cost gap.
+    val ell = col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1
+    val mWin = least(col("n"), ell + lit(minShared) - 1)
+    val volRow = ranked
+      .groupBy("vid")
+      .agg(sum(when(col("r") <= ell, 1L).otherwise(0L)).as("pdf"),
+        sum(when(col("r") <= mWin, 1L).otherwise(0L)).as("wdf"),
+        max(col("df")).as("df"))
+      .agg(sum(col("pdf") * (col("pdf") - 1)).as("volPrefix2"),
+        sum(col("wdf") * (col("df") - 1)).as("volWindow2"))
+      .head()
+    // halve on the driver: Spark's `/` is DOUBLE division and a
+    // ~1e10 volume cast through double would still be exact, but the
+    // long path never has to think about it
+    val volPrefix = Option(volRow.get(0)).fold(0L)(_.toString.toLong) / 2
+    val volWindow = Option(volRow.get(1)).fold(0L)(_.toString.toLong) / 2
+    val usePrefix = forceGenerator match {
+      case Some("prefix")   => true
+      case Some("counting") => false
+      case Some(g) => throw new IllegalArgumentException(
+        s"unknown generator '$g' (prefix|counting)")
+      case None => volWindow > 8L * volPrefix
+    }
+    lastGenerator.set(
+      s"${if (usePrefix) "prefix" else "counting"}:$volPrefix:$volWindow")
+
+    val pairs = if (usePrefix) {
+      // ppjoin prefix×prefix generator with the POSITIONAL filter
+      // (Xiao et al.), applied per occurrence BEFORE the distinct
+      // shuffle: a pair sharing the prefix token at (ascending-df)
+      // positions (ra, rb) has i ≤ 1 + min(na−ra, nb−rb), and J ≥ τ
+      // forces i ≥ ⌈τ/(1+τ)·(na+nb)⌉. Complete: a qualifying pair's
+      // EARLIEST common token in the shared global (df, vid) order
+      // has every common token at/after it on both sides, so that
+      // occurrence's bound ≥ i ≥ the threshold and the pair survives.
+      val prefix = ranked.where(col("r") <= ell)
+      val alpha = ceil(lit(tau / (1.0 + tau)) *
+        (col("na") + col("nb")) - lit(1e-9))
+      prefix.select(col(idCol).as("id_a"), col("vid"),
+          col("r").as("ra"), col("n").as("na"))
+        .join(prefix.select(col(idCol).as("id_b"), col("vid"),
+          col("r").as("rb"), col("n").as("nb")), "vid")
+        .where(col("id_a") < col("id_b"))
+        .where(least(col("na"), col("nb")).cast("double") >=
+          lit(tau) * greatest(col("na"), col("nb")))
+        .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+          >= alpha)
+        .select("id_a", "id_b").distinct()
+    } else {
+      // ≥k-of-m group probe: A (the lower id) keeps only its
+      // rarest-token window, B probes with its whole list (the count
+      // is over A-window tokens PRESENT in B — restricting B too
+      // would drop matches a qualifying pair is entitled to). All
+      // ceil() bounds back the float product off by 1e-9 first, so an
+      // epsilon-above-integral τ·n can only LENGTHEN the window /
+      // LOWER k_eff — never prune a qualifying pair.
+      val ellA = col("na") - ceil(lit(tau) * col("na") - lit(1e-9)) + 1
+      val kEff = least(lit(minShared), col("na") - ellA + 1)
+      val windowA = ranked
+        .where(col("r") <= mWin)
+        .select(col(idCol).as("id_a"), col("vid"), col("n").as("na"))
+      windowA
+        .join(ranked.select(col(idCol).as("id_b"), col("vid"),
+          col("n").as("nb")), "vid")
+        .where(col("id_a") < col("id_b"))
+        .where(least(col("na"), col("nb")).cast("double") >=
+          lit(tau) * greatest(col("na"), col("nb")) - lit(1e-9))
+        .groupBy("id_a", "id_b", "na")
+        .agg(count(lit(1)).as("shared_in_window"))
+        .where(col("shared_in_window") >= kEff)
+        .select("id_a", "id_b")
+    }
     verify(pairs, bg, sizes, idCol)
   }
+
+  /** Which generator the last [[thresholdPairs]] call chose — test
+    * seam for the plan-pinning specs (both directions), mirroring the
+    * p6/p14 path pins.
+    */
+  private[graft] val lastGenerator =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** Exact ORDERED containment pairs: every (id_a, id_b), a ≠ b, with
     * C(a→b) = |S_a ∩ S_b| / |S_a| ≥ τ, as (id_a, id_b, i, na, nb, c).

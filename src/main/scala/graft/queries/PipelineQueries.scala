@@ -71,9 +71,13 @@ object PipelineQueries {
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val p = pairsPath.getOrElseUpdate((System.identityHashCode(s), dir), {
       pairsComputeCount.incrementAndGet()
+      // checkpointed like exactTopK's input: thresholdPairs' volume-
+      // estimate job runs BEFORE the main plan, and without this it
+      // would re-run the shingling + distinct from scratch (+11 s on
+      // a 20 s sf1 build; the 2-column frame is cheap to materialize)
       val ids = TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
-        .distinct()
+        .distinct().localCheckpoint(true)
       val out = java.nio.file.Files
         .createTempDirectory("graft-neardup-pairs").toString
       Jaccard.thresholdPairs(ids, "doc_id", tau = 0.7)

@@ -134,8 +134,15 @@ class PipelineScaleSpec extends SparkTestBase {
     }
     val sets = rows.toDF("doc_id", "vid").distinct().localCheckpoint(true)
     val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    for (tau <- Seq(0.5, 0.7, 0.85); ms <- Seq(1, 3)) {
-      val got = Jaccard.thresholdPairs(sets, "doc_id", tau, minShared = ms)
+    // BOTH generators must reproduce the naive mirror — the adaptive
+    // pick may only ever change cost, never the result. (This fixture
+    // sits near the decision boundary by construction, so the
+    // DECISION itself is pinned in PlanShapeSpec on fixtures far from
+    // it, not here.)
+    for (tau <- Seq(0.5, 0.7, 0.85); ms <- Seq(1, 3);
+         gen <- Seq(None, Some("prefix"), Some("counting"))) {
+      val got = Jaccard.thresholdPairs(sets, "doc_id", tau,
+          minShared = ms, forceGenerator = gen)
         .where(col("j") >= tau) // exact post-filter, as callers do
         .select("id_a", "id_b", "i", "na", "nb")
         .collect()
@@ -150,9 +157,9 @@ class PipelineScaleSpec extends SparkTestBase {
           else None
       }.toSeq.sorted
       assert(naive.nonEmpty, s"fixture planted no pairs at tau=$tau")
-      assert(got == naive, s"tau=$tau minShared=$ms: got=${got.size} " +
-        s"want=${naive.size}\nmissing=${naive.diff(got).take(5)} " +
-        s"extra=${got.diff(naive).take(5)}")
+      assert(got == naive, s"tau=$tau minShared=$ms gen=$gen: " +
+        s"got=${got.size} want=${naive.size}\n" +
+        s"missing=${naive.diff(got).take(5)} extra=${got.diff(naive).take(5)}")
     }
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
@@ -341,6 +342,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!st.pruned && st.qualFrac == 1.0,
       s"p6's path at sf0.1 flipped (pruned=${st.pruned}, " +
         s"qualFrac=${st.qualFrac}) — re-measure and update BENCH_NOTES")
+  }
+
+  test("thresholdPairs generator choice is pinned on both corpus shapes") {
+    // Saturated-vocabulary side (the sf fixtures): window-vs-prefix
+    // volume ratio stays ~1.35 at every SF, under the 8× per-row cost
+    // gap GenCompare measured (sf0.1 counting 1.7 s vs prefix 2.3 s;
+    // sf1 7.0 vs 47.3; sf10 ~620 vs 2332) — the pick must be the
+    // counting probe.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val ids = graft.pipeline.TextOps.shinglesOfText(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+      .distinct()
+    graft.pipeline.Jaccard.thresholdPairs(ids, "doc_id", tau = 0.7)
+      .write.format("noop").mode("overwrite").save()
+    val dec = graft.pipeline.Jaccard.lastGenerator.get
+    info(s"sf0.1 decision: $dec")
+    assert(dec.startsWith("counting:"),
+      s"thresholdPairs generator at sf0.1 flipped ($dec) — re-measure " +
+        "with GenCompare and update BENCH_NOTES")
+
+    // Zipfian mixed-size side: globally-common tokens inside SHORT
+    // docs' windows each drag their WHOLE posting list into the
+    // counting probe (wdf·df) while prefix candidates stay C(pdf,2) —
+    // 300 long docs carry 5 hot tokens everywhere; 100 short docs of
+    // 5 tokens put those hot tokens in their ℓ=2/m=4 windows. The
+    // ratio explodes past the cost gap and the pick must be prefix.
+    import spark.implicits._
+    val zipf = (
+      (0 until 600).flatMap { d =>
+        ((0L to 4L) ++ (0 until 40).map(i => 100L + d * 40L + i))
+          .map(v => (d + 1000L, v))
+      } ++
+      (0 until 100).flatMap { d =>
+        Seq(0L, 1L, 2L, 3L, 4L).map(v => (d.toLong, v)) }
+    ).toDF("doc_id", "vid").distinct()
+    graft.pipeline.Jaccard.thresholdPairs(zipf, "doc_id", tau = 0.7)
+      .write.format("noop").mode("overwrite").save()
+    val dec2 = graft.pipeline.Jaccard.lastGenerator.get
+    info(s"zipfian decision: $dec2")
+    assert(dec2.startsWith("prefix:"),
+      s"thresholdPairs generator on the Zipfian fixture flipped ($dec2)")
   }
 
   test("h38/h41: series stats are aggregates; top-N via TakeOrdered") {
