@@ -126,14 +126,24 @@ object Jaccard {
     val sizes = bg.groupBy(idCol).agg(count(lit(1)).as("n"))
     val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("vid"))
-    // deliberately NOT checkpointed: the probe side of the counting
-    // generator references ranked WITHOUT the rank column, and column
-    // pruning then drops the whole row_number window from that branch
-    // — materializing ranked here was measured 4× SLOWER at sf1
-    // (27.7 s vs 7.0 s, GenCompare) than letting each branch prune
-    val ranked = bg.join(dfreq, "vid")
+    // The rank window runs ONCE and only its m-window rows (the only
+    // rows any generator's build side ever reads) are materialized:
+    // the volume-estimate job below, the prefix generator (both
+    // sides — prefix ⊆ window), and the counting generator's A side
+    // all reuse this checkpoint, and the counting probe side joins
+    // bg+sizes directly and never pays ranks at all. Materializing
+    // FULL ranked instead was measured 4× slower at sf1 (27.7 s vs
+    // 7.0 s, GenCompare — the probe side loses its window-free
+    // plan), and not materializing anything re-ran the whole window
+    // pass for the estimate (+114 s on the 620 s sf10 build).
+    val ell = col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1
+    val mWin = least(col("n"), ell + lit(minShared) - 1)
+    val windowed = bg.join(dfreq, "vid")
       .withColumn("r", row_number().over(w))
       .join(sizes, idCol)
+      .where(col("r") <= mWin)
+      .select(col(idCol), col("vid"), col("r"), col("n"))
+      .localCheckpoint(true)
     // Closed-form generator costs, ONE bounded aggregation (the p14
     // dual-generator pattern: measure the estimates, then choose):
     //  - prefix generator emits Σ_vid C(pdf, 2) candidate rows into a
@@ -157,13 +167,11 @@ object Jaccard {
     // ratios of 100–10000× that no per-row cost gap can absorb.
     // Decision: prefix only when its volume advantage exceeds the
     // measured worst-case per-row cost gap.
-    val ell = col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1
-    val mWin = least(col("n"), ell + lit(minShared) - 1)
-    val volRow = ranked
+    val volRow = windowed
       .groupBy("vid")
       .agg(sum(when(col("r") <= ell, 1L).otherwise(0L)).as("pdf"),
-        sum(when(col("r") <= mWin, 1L).otherwise(0L)).as("wdf"),
-        max(col("df")).as("df"))
+        count(lit(1)).as("wdf"))
+      .join(dfreq, "vid")
       .agg(sum(col("pdf") * (col("pdf") - 1)).as("volPrefix2"),
         sum(col("wdf") * (col("df") - 1)).as("volWindow2"))
       .head()
@@ -191,7 +199,7 @@ object Jaccard {
       // EARLIEST common token in the shared global (df, vid) order
       // has every common token at/after it on both sides, so that
       // occurrence's bound ≥ i ≥ the threshold and the pair survives.
-      val prefix = ranked.where(col("r") <= ell)
+      val prefix = windowed.where(col("r") <= ell)
       val alpha = ceil(lit(tau / (1.0 + tau)) *
         (col("na") + col("nb")) - lit(1e-9))
       prefix.select(col(idCol).as("id_a"), col("vid"),
@@ -214,12 +222,22 @@ object Jaccard {
       // LOWER k_eff — never prune a qualifying pair.
       val ellA = col("na") - ceil(lit(tau) * col("na") - lit(1e-9)) + 1
       val kEff = least(lit(minShared), col("na") - ellA + 1)
-      val windowA = ranked
-        .where(col("r") <= mWin)
+      // the checkpointed RDD carries no Catalyst stats, so AQE can't
+      // see when the window side is broadcast-sized (at high τ the
+      // m-window is ~minShared rows per doc) and falls back to a
+      // sort-merge that shuffles the WHOLE probe side — measured
+      // +290 s on p4's sf10 build. The exact row count is free here
+      // (counting cached blocks), so hint the broadcast ourselves;
+      // past ~100 MB the shuffled join is the right plan anyway.
+      val wCount = windowed.count()
+      val windowA0 = windowed
         .select(col(idCol).as("id_a"), col("vid"), col("n").as("na"))
+      val windowA =
+        if (wCount <= 4000000L) broadcast(windowA0) else windowA0
       windowA
-        .join(ranked.select(col(idCol).as("id_b"), col("vid"),
-          col("n").as("nb")), "vid")
+        .join(bg.join(sizes, idCol)
+          .select(col(idCol).as("id_b"), col("vid"),
+            col("n").as("nb")), "vid")
         .where(col("id_a") < col("id_b"))
         .where(least(col("na"), col("nb")).cast("double") >=
           lit(tau) * greatest(col("na"), col("nb")) - lit(1e-9))
