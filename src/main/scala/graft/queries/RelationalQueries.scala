@@ -26,6 +26,18 @@ object RelationalQueries {
   /** Exact-sum helper: decimal partial sums, double result. */
   private def sumDec(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Magnitude-unbounded money/value sums as exact integer cents
+    * (the q2 pattern): every such column in the synthetic data is an
+    * exact 2-decimal value, so the cents sum is integer-exact in both
+    * engines at ANY scale factor, where ROUND(double, 6) runs out of
+    * double precision — the sf10 correctness step caught q3/q29's
+    * DECIMAL-sum-cast-to-double diverging in the last ulp at ~7.6e11
+    * (double spacing there is 1.2e-4, coarser than the 6-decimal
+    * round being asserted).
+    */
+  private def sumCents(c: Column): Column =
+    sum(round(c * lit(100)).cast("long"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_scan" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -68,7 +80,7 @@ object RelationalQueries {
       // customer is the dimension side: broadcast to avoid shuffling orders
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), round(sumDec(col("o_totalprice")), 6).as("revenue"))
+        .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("revenue_cents"))
         .orderBy("c_mktsegment")
     }),
 
@@ -80,7 +92,7 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sumDec(col("o_totalprice")), 6).as("revenue"))
+          sumCents(col("o_totalprice")).as("revenue_cents"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -104,12 +116,12 @@ object RelationalQueries {
       def side(kind: String, nAs: String, vAs: String) =
         e.where(col("event_type") === kind)
           .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-          .agg(count(lit(1)).as(nAs), round(sumDec(col("value")), 6).as(vAs))
-      side("click", "n_clicks", "click_val")
-        .join(side("purchase", "n_buys", "buy_val"),
+          .agg(count(lit(1)).as(nAs), sumCents(col("value")).as(vAs))
+      side("click", "n_clicks", "click_cents")
+        .join(side("purchase", "n_buys", "buy_cents"),
           Seq("user_id", "day"), "full_outer")
         .select(col("user_id"), col("day").cast("date").cast("string").as("day"),
-          col("n_clicks"), col("click_val"), col("n_buys"), col("buy_val"))
+          col("n_clicks"), col("click_cents"), col("n_buys"), col("buy_cents"))
         .orderBy("user_id", "day")
     }),
 
@@ -547,7 +559,7 @@ object RelationalQueries {
         .where(col("ts") >= col("ws") && col("ts") < col("we"))
         .groupBy(col("ws"), col("we"))
         .agg(count(lit(1)).as("n"),
-          round(sumDec(col("value")), 6).as("sum_value"))
+          sumCents(col("value")).as("sum_value_cents"))
         .select(col("ws").cast("string").as("ws"),
           col("we").cast("string").as("we"), col("n"), col("sum_value"))
         .orderBy("ws")
@@ -568,7 +580,7 @@ object RelationalQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n_cust"),
-          round(sumDec(col("c_acctbal")), 6).as("acctbal"))
+          sumCents(col("c_acctbal")).as("acctbal_cents"))
         .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
           col("gid"), col("n_cust"), col("acctbal"))
@@ -589,7 +601,7 @@ object RelationalQueries {
           col("c_mktsegment"), col("o_orderstatus"))
         .agg(grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
-          round(sumDec(col("o_totalprice")), 6).as("revenue"))
+          sumCents(col("o_totalprice")).as("revenue_cents"))
         .select(coalesce(col("c_mktsegment"), lit("(all)")).as("c_mktsegment"),
           coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
           col("gid"), col("n"), col("revenue"))
@@ -951,7 +963,7 @@ object RelationalQueries {
       cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n"),
-          round(sumDec(col("c_acctbal")), 6).as("acctbal"))
+          sumCents(col("c_acctbal")).as("acctbal_cents"))
         .orderBy("n_name")
     }),
 
@@ -1068,13 +1080,13 @@ object RelationalQueries {
 
     "q3_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q4_multijoin" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
-        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -1093,18 +1105,18 @@ object RelationalQueries {
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |         COUNT(*) AS n_clicks,
-        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-        |           AS click_val
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS click_cents
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
         |b AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |         COUNT(*) AS n_buys,
-        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-        |           AS buy_val
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS buy_cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT COALESCE(c.user_id, b.user_id) AS user_id,
         |       CAST(CAST(COALESCE(c.day, b.day) AS DATE) AS VARCHAR) AS day,
-        |       c.n_clicks, c.click_val, b.n_buys, b.buy_val
+        |       c.n_clicks, c.click_cents, b.n_buys, b.buy_cents
         |FROM c FULL JOIN b ON c.user_id = b.user_id AND c.day = b.day
         |ORDER BY user_id, day""".stripMargin,
 
@@ -1353,7 +1365,7 @@ object RelationalQueries {
         |       COALESCE(n_name, '(all)') AS n_name,
         |       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
         |       COUNT(*) AS n_cust,
-        |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS acctbal
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM customer
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
@@ -1373,8 +1385,8 @@ object RelationalQueries {
         |  FROM hours)
         |SELECT CAST(w.ws AS VARCHAR) AS ws, CAST(w.we AS VARCHAR) AS we,
         |       COUNT(*) AS n,
-        |       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
-        |         AS sum_value
+        |       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_cents
         |FROM win w JOIN events e
         |  ON date_trunc('microseconds', e.ts) >= w.ws
         | AND date_trunc('microseconds', e.ts) < w.we
@@ -1421,8 +1433,8 @@ object RelationalQueries {
         |       COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
         |       CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
         |       COUNT(*) AS n,
-        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
-        |         AS revenue
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
         |                        (c_mktsegment), (o_orderstatus))
@@ -1606,8 +1618,8 @@ object RelationalQueries {
     // must be value-exact for the hashes to meet
     "q28_formats" ->
       """SELECT n_name, COUNT(*) AS n,
-        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
-        |   AS acctbal
+        | CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |   AS acctbal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 

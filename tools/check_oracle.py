@@ -78,8 +78,19 @@ def check_one(con, out_dir, name, oracles):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         return "NO SPARK OUTPUT"
-    spark_df = con.execute(
-        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+    # The spark result MUST be read in file order: this connection sets
+    # preserve_insertion_order=false (needed so big ORACLE queries
+    # don't hold ordering buffers), and at sf10 row counts DuckDB's
+    # parallel parquet read visibly scrambles rows under that setting —
+    # four queries false-failed the positional compare exactly that
+    # way (q24/q33/m6/q32 at sf10; every small-SF read happened to
+    # come back ordered). pyarrow reads a single coalesced file in
+    # physical order unconditionally. The oracle side is unaffected:
+    # its SQL carries an explicit ORDER BY, which duckdb honors
+    # regardless of preserve_insertion_order.
+    import pandas as pd
+    spark_df = pd.concat(
+        [pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
     if name not in oracles:
         return f"NO ORACLE (rows={len(spark_df)})"
     try:
