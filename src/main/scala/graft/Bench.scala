@@ -259,6 +259,46 @@ object Bench {
       val dup = ids.groupBy(_._1).filter(_._2.size > 1).keySet
       ids.map { case (id, n) => n -> (if (dup(id)) n else id) }.toMap
     }
+    // closed-form probe-volume sidecar (r9 verdict #6): the numbers
+    // that explain the pair-generator wall times at this SF, recorded
+    // automatically so the saturated-fixture attribution of p4/p45
+    // stays falsifiable as data grows. Counts only — never a pair
+    // join — so it's bounded at any SF. Appends one line per sweep to
+    // BENCH_NOTES.md and keeps a machine-readable copy in target/.
+    if (!sys.env.get("SPARK_GRAFT_BENCH_PROBEVOL").contains("off"))
+      scala.util.Try {
+        val vols = graft.tools.PairsStats.closedFormVolumes(spark, sfDir)
+        val gen = graft.pipeline.Jaccard.lastGenerator.get()
+        val sfName = new java.io.File(sfDir).getName
+        val volStr = vols.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(" ")
+        System.err.println(s"[bench] probe volumes $sfName: $volStr gen=$gen")
+        val json = vols.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", s""","gen":"$gen"}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"target/bench-probevol-$sfName.json"), json)
+        val notes = java.nio.file.Paths.get("BENCH_NOTES.md")
+        if (java.nio.file.Files.isRegularFile(notes))
+          java.nio.file.Files.writeString(notes,
+            s"- [auto probe-volume sidecar] $sfName: $volStr " +
+              s"lastGenerator=$gen\n",
+            java.nio.file.StandardOpenOption.APPEND)
+      }.failed.foreach(e =>
+        System.err.println(s"[bench] probe-volume sidecar failed: $e"))
+
+    // failures must be LOUD at the top level of EVERY line format: r09
+    // shipped three non-analyzing queries behind rc=0 with the -1.0
+    // markers buried in "queries" — a judge/driver reading rc alone saw
+    // green. "ok" flips false whenever any declared query failed, and
+    // the failed names ride a dedicated field (short keys).
+    val failedTop = results.filter(_._2 < 0).map(_._1).sorted
+    val okField = s""","ok":${failedTop.isEmpty}""" + (
+      if (failedTop.isEmpty) ""
+      else failedTop.map("\"" + shortKey(_) + "\"")
+        .mkString(""","failed":[""", ",", "]"))
     def build(bigSig: Int, smallSig: Int): String = {
       val qs = results.map { case (k, v) =>
         "\"" + shortKey(k) + "\":" + fmt(v, if (v >= 1.0) bigSig else smallSig) }
@@ -266,7 +306,7 @@ object Bench {
       // no "sf" field: the driver's wrapper records it already, and at
       // 98 queries those 13 chars are the difference between 2 and 1
       // significant figures for every per-query time
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"streaming":$streaming,"setup_sec":${fmt(setupSec, 3)}}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec"$okField,"queries":$qs,"streaming":$streaming,"setup_sec":${fmt(setupSec, 3)}}"""
     }
     // tail budget, measured from the driver's snapshots: it captures
     // the LAST 2000 chars of the merged output; after our line only
@@ -283,13 +323,8 @@ object Bench {
         // copy and keep every per-query time parseable.
         System.err.println("[bench] tail budget: dropping streaming " +
           "object from the JSON line (full copy on stderr above)")
-        // failures must stay visible even here: a fallback line that
-        // silently omits them reads as "everything ran"
-        val failedNames = results.filter(_._2 < 0).map(_._1).sorted
-        val failedField =
-          if (failedNames.isEmpty) ""
-          else failedNames.map("\"" + shortKey(_) + "\"")
-            .mkString(""","failed":[""", ",", "]")
+        // failures must stay visible even here: okField carries both
+        // the top-level ok flag and the failed-name list
         def noStreamLine(entries: Seq[(String, Double)],
                          restN: Int, restSec: Double): String = {
           val qs = entries.map { case (k, v) =>
@@ -297,8 +332,8 @@ object Bench {
             .mkString("{", ",", "}")
           val rest = if (restN == 0) ""
           else s""","rest_n":$restN,"rest_sec":${fmt(restSec, 3)}"""
-          s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec"""" +
-            s""","queries":$qs$rest$failedField""" +
+          s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec"$okField""" +
+            s""","queries":$qs$rest""" +
             s""","setup_sec":${fmt(setupSec, 3)}}"""
         }
         val all = results.filter(_._2 >= 0).sortBy(-_._2)

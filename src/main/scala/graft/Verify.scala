@@ -26,6 +26,8 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // a stale sentinel from a previous run must not mask this success
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.FAILED"))
         // Zero-rows guard: unless explicitly tagged allowEmpty, an empty
         // result means a source silently read nothing — delete the output
         // so the gate reports NO SPARK OUTPUT (loud) instead of comparing
@@ -40,6 +42,12 @@ object Verify {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // sentinel so a DataFrame-side crash can never silently vanish
+        // from the gate (r09: three analysis-broken queries were simply
+        // absent from CORRECTNESS_r09.json) — check_oracle.py reports
+        // any <name>.FAILED as a hard failure
+        scala.util.Try(Files.writeString(Paths.get(s"$outDir/$name.FAILED"),
+          s"${e.getClass.getName}: ${e.getMessage}\n"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -207,8 +207,12 @@ object Jaccard {
         .join(prefix.select(col(idCol).as("id_b"), col("vid"),
           col("r").as("rb"), col("n").as("nb")), "vid")
         .where(col("id_a") < col("id_b"))
+        // same -1e-9 backing-off as the counting branch (:243): float
+        // rounding of τ·max above the exact rational boundary must
+        // widen, never prune — else a qualifying pair exactly at
+        // nb = ceil(τ·na) could fail the size filter on this path only
         .where(least(col("na"), col("nb")).cast("double") >=
-          lit(tau) * greatest(col("na"), col("nb")))
+          lit(tau) * greatest(col("na"), col("nb")) - lit(1e-9))
         .where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
           >= alpha)
         .select("id_a", "id_b").distinct()

@@ -561,7 +561,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sumCents(col("value")).as("sum_value_cents"))
         .select(col("ws").cast("string").as("ws"),
-          col("we").cast("string").as("we"), col("n"), col("sum_value"))
+          col("we").cast("string").as("we"), col("n"), col("sum_value_cents"))
         .orderBy("ws")
     }),
 
@@ -583,7 +583,7 @@ object RelationalQueries {
           sumCents(col("c_acctbal")).as("acctbal_cents"))
         .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
-          col("gid"), col("n_cust"), col("acctbal"))
+          col("gid"), col("n_cust"), col("acctbal_cents"))
         .orderBy("gid", "r_name", "n_name")
     }),
 
@@ -604,7 +604,7 @@ object RelationalQueries {
           sumCents(col("o_totalprice")).as("revenue_cents"))
         .select(coalesce(col("c_mktsegment"), lit("(all)")).as("c_mktsegment"),
           coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
-          col("gid"), col("n"), col("revenue"))
+          col("gid"), col("n"), col("revenue_cents"))
         .orderBy("gid", "c_mktsegment", "o_orderstatus")
     }),
 

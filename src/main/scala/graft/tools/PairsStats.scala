@@ -16,6 +16,58 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.PairsStats <sfDir> [tau]
   */
 object PairsStats {
+
+  /** Closed-form candidate/probe volumes for the pair generators —
+    * counts only, never runs a pair join, so it's safe at any SF. The
+    * r9 verdict asked for these as a standing bench sidecar: p45/p4's
+    * "saturated-vocabulary fixture" attribution stays falsifiable as
+    * data grows only if each sweep records the volume that explains
+    * its wall time.
+    *
+    * Keys: ppjoin_candidate_pairs (Σ C(prefix_df, 2) — the prefix
+    * generator's join output), symmetric_probe_occ (≥k-of-m window ×
+    * full posting list, before id_a<id_b halving — the shipped
+    * thresholdPairs counting generator), containment_window_occ (the
+    * shipped p45 generator).
+    */
+  def closedFormVolumes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tau: Double = 0.7,
+      tauC: Double = 0.8): Map[String, Long] = {
+    val bg = TextOps.shinglesOfText(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
+      .distinct()
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = bg.groupBy("vid").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("vid"))
+    val ranked = bg.join(dfreq, "vid")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+      .localCheckpoint(true)
+    def l0(v: Any): Long = Option(v).map(_.toString.toDouble.toLong).getOrElse(0L)
+    val prefPdf = ranked
+      .where(col("r") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
+      .groupBy("vid").agg(count(lit(1)).as("pdf"))
+    val cand = l0(prefPdf
+      .agg(sum(col("pdf") * (col("pdf") - 1) / 2)).head().get(0))
+    val symOcc = l0(ranked
+      .where(col("r") <= least(col("n"),
+        col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + lit(3)))
+      .groupBy("vid").agg(count(lit(1)).as("pdf"))
+      .join(dfreq, "vid")
+      .agg(sum(col("pdf") * (col("df") - 1))).head().get(0))
+    val contOcc = l0(ranked
+      .where(col("r") <= least(col("n"),
+        col("n") - ceil(lit(tauC) * col("n") - lit(1e-9)) + lit(3)))
+      .groupBy("vid").agg(count(lit(1)).as("pdf"))
+      .join(dfreq, "vid")
+      .agg(sum(col("pdf") * (col("df") - 1))).head().get(0))
+    ranked.unpersist()
+    Map("ppjoin_candidate_pairs" -> cand,
+      "symmetric_probe_occ" -> symOcc,
+      "containment_window_occ" -> contOcc)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val tau = if (args.length > 1) args(1).toDouble else 0.7

@@ -139,7 +139,14 @@ def main(sf_dir, out_dir, opts):
 
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                     if os.path.isdir(p)])
-    for name in sorted(oracles):
+    # Verify writes <name>.FAILED when the DataFrame itself throws —
+    # those queries have no output dir and may not even be in oracles
+    # under --only, so enumerate the sentinels explicitly: a crashed
+    # query must appear as a failure, never silently vanish (r09 shipped
+    # three analysis-broken queries that were simply absent).
+    crashed = {os.path.basename(p)[:-len(".FAILED")]
+               for p in glob.glob(f"{out_dir}/*.FAILED")}
+    for name in sorted(set(oracles) | crashed):
         if name not in names:
             names.append(name)
     names = sorted(names)
@@ -150,7 +157,10 @@ def main(sf_dir, out_dir, opts):
     width = max((len(n) for n in names), default=10)
     con = None if opts["subprocess"] else connect(sf_dir, opts["mem"])
     for name in names:
-        if name in oracles and not glob.glob(f"{out_dir}/{name}"):
+        if name in crashed:
+            with open(f"{out_dir}/{name}.FAILED") as f:
+                status = f"SPARK QUERY FAILED: {f.read().strip()[:300]}"
+        elif name in oracles and not glob.glob(f"{out_dir}/{name}"):
             status = "MISSING SPARK RESULT DIR"
         elif opts["subprocess"]:
             cmdline = [sys.executable, os.path.abspath(__file__), sf_dir,
