@@ -281,6 +281,39 @@ object GraphiteTarget {
   private def out(df: DataFrame, name: Column, value: Column): DataFrame =
     df.select(name.as("series"), col("bucket"), value.cast("double").as("value"))
 
+  // ---------------------------------------------------------- tag support
+
+  /** Value of `tag` in a tagged series name (`name;k=v;k2=v2` — the
+    * carbon tagged-metric form): the pseudo-tag "name" is the path
+    * before the first ';'; a missing tag extracts as the empty string,
+    * which is exactly graphite's semantics for `tag=` (matches series
+    * without the tag). A codegen'd regexp on the series column — the
+    * filter stays a pushable scan predicate, no shuffle, no tag index
+    * needed.
+    */
+  private def tagValue(tag: String): Column =
+    if (tag == "name") substring_index(col("series"), ";", 1)
+    else regexp_extract(col("series"),
+      ";" + java.util.regex.Pattern.quote(tag) + "=([^;]*)", 1)
+
+  /** One graphite tag expression (`tag=v`, `tag!=v`, `tag=~re`,
+    * `tag!=~re`) → a Column predicate. Regex forms anchor at the start
+    * of the value (graphite matches with re.match).
+    */
+  private def tagPredicate(expr: String): Column = {
+    val m = "([^!=~]+)(!=~|=~|!=|=)(.*)".r
+    expr match {
+      case m(tag, op, v) => op match {
+        case "="   => tagValue(tag) === lit(v)
+        case "!="  => tagValue(tag) =!= lit(v)
+        case "=~"  => tagValue(tag).rlike("^(?:" + v + ")")
+        case "!=~" => !tagValue(tag).rlike("^(?:" + v + ")")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"bad seriesByTag expression '$expr'")
+    }
+  }
+
   /** Enforce graphite's one-series-per-operand contract for the
     * cross-series arithmetic functions (divideSeries, multiplySeries):
     * a glob operand matching several series would otherwise silently
@@ -753,6 +786,62 @@ object GraphiteTarget {
             val top = perSeries.withColumn("__rk", row_number().over(wAll))
               .where(col("__rk") <= k).select("series")
             in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))
+
+          // ---- tagged series (carbon tagged-metric form
+          // `name;k=v;k2=v2`): selection is a conjunction of codegen'd
+          // name predicates — a pushable scan filter, same plan shape
+          // as a Glob leaf, no tag index and no shuffle
+          case "seriesByTag" =>
+            require(args.nonEmpty, "seriesByTag needs at least one expression")
+            val pred = args.map(a => tagPredicate(str(a))).reduce(_ && _)
+            SeriesSet(universe.where(pred), step)
+
+          case "aliasByTags" =>
+            val in = one(args)
+            require(args.size > 1, "aliasByTags needs at least one tag")
+            val tags = args.tail.map(str)
+            in.copy(df = out(in.df,
+              concat_ws(".", tags.map(tagValue): _*), col("value")))
+
+          // ---- Holt-Winters render targets: the h25/h37 typed
+          // per-series folds (SeriesFold — group bounded by retention,
+          // dyadic constants, IEEE op order fixed) surfaced as render
+          // functions. Season = one day at the set's step. Forecast
+          // PRESERVES the series name (the façade's per-series
+          // transform contract); the bands fan one series into two, so
+          // those wrap the name the way graphite-web does.
+          case "holtWintersForecast" =>
+            val in = one(args)
+            val period = math.max(1L, 86400L / in.step).toInt
+            val hw = SeriesFold.holtWinters(in.df, "series", "bucket",
+              "value", alpha = 0.5, beta = 0.25, gamma = 0.25, period)
+            in.copy(df = out(hw, col("series"), col("forecast")))
+
+          case "holtWintersConfidenceBands" =>
+            val in = one(args)
+            val delta = if (args.size > 1) num(args(1)) else 3.0
+            val period = math.max(1L, 86400L / in.step).toInt
+            val hw = SeriesFold.holtWintersBands(in.df, "series", "bucket",
+              "value", alpha = 0.5, beta = 0.25, gamma = 0.25, period, delta)
+            val up = out(hw, concat(lit("holtWintersConfidenceUpper("),
+              col("series"), lit(")")), col("upper"))
+            val lo = out(hw, concat(lit("holtWintersConfidenceLower("),
+              col("series"), lit(")")), col("lower"))
+            in.copy(df = up.unionByName(lo))
+
+          case "holtWintersAberration" =>
+            val in = one(args)
+            val delta = if (args.size > 1) num(args(1)) else 3.0
+            val period = math.max(1L, 86400L / in.step).toInt
+            val hw = SeriesFold.holtWintersBands(in.df, "series", "bucket",
+              "value", alpha = 0.5, beta = 0.25, gamma = 0.25, period, delta)
+            // graphite: amount outside the band, 0 inside — a pure
+            // comparison of the fold's bit-identical doubles
+            in.copy(df = out(hw, concat(lit("holtWintersAberration("),
+              col("series"), lit(")")),
+              when(col("y") > col("upper"), col("y") - col("upper"))
+                .when(col("y") < col("lower"), col("y") - col("lower"))
+                .otherwise(lit(0.0))))
 
           case other =>
             throw new IllegalArgumentException(s"unknown render function '$other'")

@@ -177,11 +177,13 @@ object SeriesFold {
           t += 1
           val upper = pred + delta * dpre
           val lower = pred - delta * dpre
-          (key, bkt, pred, dpre, upper, lower,
+          // y rides along for holtWintersAberration (amount outside the
+          // band needs the observed value next to the band edges)
+          (key, bkt, v, pred, dpre, upper, lower,
             if (v > upper || v < lower) 1L else 0L)
         }
       }
-      .toDF(seriesCol, bucketCol, "pred", "dev", "upper", "lower",
+      .toDF(seriesCol, bucketCol, "y", "pred", "dev", "upper", "lower",
         "aberrant")
       .withColumn(bucketCol, timestamp_seconds(col(bucketCol)))
   }

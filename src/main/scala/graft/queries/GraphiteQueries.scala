@@ -34,6 +34,44 @@ object GraphiteQueries {
         round(col("value"), 6).as("value"))
       .orderBy("series", "bucket")
 
+  /** Tagged universe (carbon tagged-metric form): the same hourly lww
+    * series split by two deterministic tags derived from user_id —
+    * `events.<type>;dc=dc<id%2>;host=h<id%3>` — so tag selection and
+    * tag aliasing do real work (6 series per event_type) while the
+    * oracle mirrors the tag values from the generating columns.
+    */
+  private def taggedUniverse(s: SparkSession, dir: String): DataFrame =
+    Dedup.lastWriteWins(Tables.load(s, dir, "events"),
+      Seq(col("event_type"),
+        pmod(col("user_id"), lit(2)).as("dc"),
+        pmod(col("user_id"), lit(3)).as("host"),
+        Time.align(col("ts"), 3600).as("bucket")),
+      col("event_id"), Seq("value" -> col("value")))
+      .select(concat(lit("events."), col("event_type"),
+        lit(";dc=dc"), col("dc"), lit(";host=h"), col("host")).as("series"),
+        col("bucket"), col("value"))
+
+  private def renderTagged(s: SparkSession, dir: String,
+                           target: String): DataFrame =
+    GraphiteTarget.eval(target, taggedUniverse(s, dir), step = 3600)
+      .select(col("series"), col("bucket").cast("string").as("bucket"),
+        round(col("value"), 6).as("value"))
+      .orderBy("series", "bucket")
+
+  /** The DuckDB-side tagged-universe CTE (g18/g19). NOTE: no line may
+    * start with `||` — the oracle strings interpolate this text and
+    * re-apply stripMargin, which would eat the first pipe.
+    */
+  private val TU =
+    """tu AS (
+      |  SELECT concat('events.', event_type,
+      |           ';dc=dc', user_id % 2,
+      |           ';host=h', user_id % 3) AS series,
+      |         event_type, user_id % 2 AS dc, user_id % 3 AS host,
+      |         date_trunc('hour', ts) AS bucket,
+      |         arg_max(value, event_id) AS value
+      |  FROM events GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
   /** The DuckDB-side universe CTE (h17/h18's lww pattern). */
   private val U =
     """u AS (
@@ -151,7 +189,44 @@ object GraphiteQueries {
         maxDataPoints = None)
         .select(col("series"), col("bucket").cast("long").as("bucket_s"),
           round(col("value"), 6).as("value"))
-        .orderBy("series", "bucket_s"))
+        .orderBy("series", "bucket_s")),
+
+    // tagged-series selection: equality + anchored-regex tag
+    // expressions over the carbon tagged-metric name form — the
+    // filter is one codegen'd name predicate (a pushable scan filter,
+    // the same plan shape as a Glob leaf)
+    "g18_seriesbytag" -> ((s, dir) =>
+      renderTagged(s, dir,
+        "seriesByTag('host=h1', 'name=~events\\.(click|view)$')")),
+
+    // tag-driven renaming composed over tag selection (negated
+    // equality included): series become <name>.<host>
+    "g19_aliasbytags" -> ((s, dir) =>
+      renderTagged(s, dir,
+        "aliasByTags(seriesByTag('dc=dc0', 'host!=h2'), 'name', 'host')")),
+
+    // seasonal Holt-Winters forecast as a render target: the h25 fold
+    // (dyadic constants, daily season at the hourly step) surfaced
+    // through the target language; name preserved (per-series
+    // transform contract), r6 quantization as in h25
+    "g20_hwrender" -> ((s, dir) =>
+      GraphiteTarget.eval("holtWintersForecast(events.click)",
+        universe(s, dir), step = 3600)
+        .select(col("series"), col("bucket").cast("string").as("bucket"),
+          (round(col("value") * lit(1e6)) / lit(1e6)).as("value"))
+        .orderBy("series", "bucket")),
+
+    // Brutlag bands + aberration as render targets, grouped into one
+    // frame: one series fans into upper/lower (wrapped names) and the
+    // aberration amount outside the band
+    "g21_hwbands" -> ((s, dir) =>
+      GraphiteTarget.eval(
+        "group(holtWintersConfidenceBands(events.view), " +
+          "holtWintersAberration(events.view))",
+        universe(s, dir), step = 3600)
+        .select(col("series"), col("bucket").cast("string").as("bucket"),
+          (round(col("value") * lit(1e6)) / lit(1e6)).as("value"))
+        .orderBy("series", "bucket"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +493,106 @@ object GraphiteQueries {
          |       CAST(u.bucket + INTERVAL 1 DAY AS VARCHAR) AS bucket,
          |       ROUND(u.value, 6) AS value
          |FROM u JOIN st ON u.series = st.series
-         |ORDER BY series, bucket""".stripMargin
+         |ORDER BY series, bucket""".stripMargin,
+
+    // tag selection mirrored from the generating columns: host=h1 is
+    // user_id%3=1, the anchored name regex is the event_type IN list
+    "g18_seriesbytag" ->
+      s"""WITH $TU
+         |SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(value, 6) AS value
+         |FROM tu WHERE host = 1 AND event_type IN ('click', 'view')
+         |ORDER BY series, bucket""".stripMargin,
+
+    "g19_aliasbytags" ->
+      s"""WITH $TU
+         |SELECT 'events.' || event_type || '.h' || host AS series,
+         |       CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(value, 6) AS value
+         |FROM tu WHERE dc = 0 AND host <> 2
+         |ORDER BY series, bucket""".stripMargin,
+
+    // h25's recursive seasonal replay, one series, forecast only
+    "g20_hwrender" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, arg_max(value, event_id) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |o AS (SELECT h, v, row_number() OVER (ORDER BY h) AS rn FROM hourly),
+        |rec AS (
+        |  SELECT h, rn, v AS l, CAST(0.0 AS DOUBLE) AS b,
+        |         list_transform(range(1, 25), i -> CAST(0.0 AS DOUBLE)) AS s
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.h, o.rn,
+        |         0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |           + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                  + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+        |         list_transform(range(1, 25), i ->
+        |           CASE WHEN i = ((o.rn - 1) % 24) + 1
+        |             THEN 0.25 * (o.v -
+        |               (0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                + 0.5 * (r.l + r.b)))
+        |               + 0.75 * r.s[((o.rn - 1) % 24) + 1]
+        |             ELSE r.s[i] END)
+        |  FROM rec r JOIN o ON o.rn = r.rn + 1)
+        |SELECT 'events.click' AS series, CAST(h AS VARCHAR) AS bucket,
+        |       ROUND((l + b + s[(rn % 24) + 1]) * 1e6) / 1e6 AS value
+        |FROM rec ORDER BY series, bucket""".stripMargin,
+
+    // h37's recursion for one series; band edges and the aberration
+    // amount derive from the SAME pred/devpre doubles the fold emits
+    "g21_hwbands" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, arg_max(value, event_id) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |o AS (SELECT h, v, row_number() OVER (ORDER BY h) AS rn FROM hourly),
+        |rec AS (
+        |  SELECT h, rn, v, v AS l, CAST(0.0 AS DOUBLE) AS b,
+        |         list_transform(range(1, 25), i -> CAST(0.0 AS DOUBLE)) AS s,
+        |         list_transform(range(1, 25), i -> CAST(0.0 AS DOUBLE)) AS d,
+        |         v AS pred, CAST(0.0 AS DOUBLE) AS devpre
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.h, o.rn, o.v,
+        |         0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |           + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                  + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+        |         list_transform(range(1, 25), i ->
+        |           CASE WHEN i = ((o.rn - 1) % 24) + 1
+        |             THEN 0.25 * (o.v -
+        |               (0.5 * (o.v - r.s[((o.rn - 1) % 24) + 1])
+        |                + 0.5 * (r.l + r.b)))
+        |               + 0.75 * r.s[((o.rn - 1) % 24) + 1]
+        |             ELSE r.s[i] END),
+        |         list_transform(range(1, 25), i ->
+        |           CASE WHEN i = ((o.rn - 1) % 24) + 1
+        |             THEN 0.25 * abs(o.v -
+        |               (r.l + r.b + r.s[((o.rn - 1) % 24) + 1]))
+        |               + 0.75 * r.d[((o.rn - 1) % 24) + 1]
+        |             ELSE r.d[i] END),
+        |         r.l + r.b + r.s[((o.rn - 1) % 24) + 1],
+        |         r.d[((o.rn - 1) % 24) + 1]
+        |  FROM rec r JOIN o ON o.rn = r.rn + 1),
+        |bands AS (
+        |  SELECT h, v, pred + 3.0 * devpre AS upper,
+        |         pred - 3.0 * devpre AS lower
+        |  FROM rec)
+        |SELECT * FROM (
+        |  SELECT 'holtWintersConfidenceUpper(events.view)' AS series,
+        |         CAST(h AS VARCHAR) AS bucket,
+        |         ROUND(upper * 1e6) / 1e6 AS value FROM bands
+        |  UNION ALL
+        |  SELECT 'holtWintersConfidenceLower(events.view)' AS series,
+        |         CAST(h AS VARCHAR) AS bucket,
+        |         ROUND(lower * 1e6) / 1e6 AS value FROM bands
+        |  UNION ALL
+        |  SELECT 'holtWintersAberration(events.view)' AS series,
+        |         CAST(h AS VARCHAR) AS bucket,
+        |         ROUND((CASE WHEN v > upper THEN v - upper
+        |                     WHEN v < lower THEN v - lower
+        |                     ELSE 0.0 END) * 1e6) / 1e6 AS value FROM bands)
+        |ORDER BY series, bucket""".stripMargin
   )
 }

@@ -311,14 +311,15 @@ class AnalyticsAddSpec extends SparkTestBase {
         alpha = 0.5, beta = 0.25, gamma = 0.25, period = 24, delta = 3.0)
       .orderBy("bucket").collect()
     assert(out.length == 72)
-    val flagged = out.zipWithIndex.filter(_._1.getLong(6) == 1L).map(_._2)
+    val flagged = out.zipWithIndex.filter(_._1.getLong(7) == 1L).map(_._2)
     assert(flagged.contains(50), "the spike must be flagged")
     assert(!flagged.contains(0) && flagged.forall(i => i >= 50),
       s"nothing before the spike may flag: $flagged")
-    // band self-consistency on every row
+    // band self-consistency on every row (y at index 2 since the fold
+    // emits the observed value for holtWintersAberration)
     out.foreach { r =>
-      val (p, d, u, lo) = (r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5))
+      val (p, d, u, lo) = (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
       assert(math.abs(u - (p + 3.0 * d)) < 1e-9)
       assert(math.abs(lo - (p - 3.0 * d)) < 1e-9)
       assert(d >= 0.0)

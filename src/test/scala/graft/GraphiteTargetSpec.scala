@@ -298,4 +298,57 @@ class GraphiteTargetSpec extends SparkTestBase {
       .as[(Long, Option[Double])].collect().toSeq.sortBy(_._1)
     assert(neg == Seq((3600L, Some(4.0)), (7200L, Some(3.0))))
   }
+
+  test("seriesByTag/aliasByTags: equality, missing-tag, anchored regex, negation") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(i: Int) = java.sql.Timestamp.from(base.plusSeconds(i * 3600L))
+    val u = Seq(
+      ("web.req;dc=east;host=a", ts(0), 1.0),
+      ("web.req;dc=west;host=b", ts(0), 2.0),
+      ("db.req;dc=east", ts(0), 3.0), // no host tag
+      ("web.err;dc=east;host=a", ts(0), 4.0)
+    ).toDF("series", "bucket", "value")
+    def names(t: String): Set[String] =
+      GraphiteTarget.eval(t, u, 3600).select("series").distinct()
+        .as[String].collect().toSet
+    assert(names("seriesByTag('dc=east')") == Set(
+      "web.req;dc=east;host=a", "db.req;dc=east", "web.err;dc=east;host=a"))
+    // graphite semantics: 'tag=' (empty value) matches series WITHOUT the tag
+    assert(names("seriesByTag('host=')") == Set("db.req;dc=east"))
+    // anchored regex on the name pseudo-tag, conjoined with !=
+    assert(names("seriesByTag('name=~web\\.', 'host!=b')") == Set(
+      "web.req;dc=east;host=a", "web.err;dc=east;host=a"))
+    // negated regex
+    assert(names("seriesByTag('dc=east', 'name!=~web\\.req')") == Set(
+      "db.req;dc=east", "web.err;dc=east;host=a"))
+    // aliasByTags renames to the tag values joined by '.'
+    assert(names("aliasByTags(seriesByTag('dc=east', 'host=a'), 'host', 'name')")
+      == Set("a.web.req", "a.web.err"))
+    intercept[IllegalArgumentException](
+      GraphiteTarget.eval("seriesByTag('no-operator-here')", u, 3600))
+  }
+
+  test("holtWinters render targets: a constant series forecasts itself, zero aberration") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val u = (0 until 48).map(i => ("m.c",
+      java.sql.Timestamp.from(base.plusSeconds(i * 3600L)), 7.5))
+      .toDF("series", "bucket", "value")
+    val f = GraphiteTarget.eval("holtWintersForecast(m.c)", u, 3600)
+    assert(f.select("series").distinct().as[String].collect().toSeq == Seq("m.c"))
+    assert(f.agg(min(col("value")), max(col("value")))
+      .as[(Double, Double)].head() == ((7.5, 7.5)))
+    val g = GraphiteTarget.eval(
+      "group(holtWintersConfidenceBands(m.c), holtWintersAberration(m.c))",
+      u, 3600)
+    val byS = g.groupBy(col("series"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(byS.keySet == Set("holtWintersConfidenceUpper(m.c)",
+      "holtWintersConfidenceLower(m.c)", "holtWintersAberration(m.c)"))
+    assert(byS("holtWintersAberration(m.c)") == ((0.0, 0.0, 48L)))
+    assert(byS("holtWintersConfidenceUpper(m.c)") == ((7.5, 7.5, 48L)))
+    assert(byS("holtWintersConfidenceLower(m.c)") == ((7.5, 7.5, 48L)))
+  }
 }
