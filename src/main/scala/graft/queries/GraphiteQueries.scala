@@ -41,15 +41,20 @@ object GraphiteQueries {
     * oracle mirrors the tag values from the generating columns.
     */
   private def taggedUniverse(s: SparkSession, dir: String): DataFrame =
-    Dedup.lastWriteWins(Tables.load(s, dir, "events"),
-      Seq(col("event_type"),
-        pmod(col("user_id"), lit(2)).as("dc"),
-        pmod(col("user_id"), lit(3)).as("host"),
-        Time.align(col("ts"), 3600).as("bucket")),
+    // the tagged name is built BEFORE the lww agg and is itself the
+    // grouping key: seriesByTag's predicate then references a grouping
+    // column, so Catalyst pushes it BELOW the aggregate — tag selection
+    // prunes before the agg shuffle, not after (the thing that matters
+    // when the universe is 100 TB of raw events)
+    Dedup.lastWriteWins(
+      Tables.load(s, dir, "events").select(
+        concat(lit("events."), col("event_type"),
+          lit(";dc=dc"), pmod(col("user_id"), lit(2)),
+          lit(";host=h"), pmod(col("user_id"), lit(3))).as("series"),
+        col("ts"), col("event_id"), col("value")),
+      Seq(col("series"), Time.align(col("ts"), 3600).as("bucket")),
       col("event_id"), Seq("value" -> col("value")))
-      .select(concat(lit("events."), col("event_type"),
-        lit(";dc=dc"), col("dc"), lit(";host=h"), col("host")).as("series"),
-        col("bucket"), col("value"))
+      .select(col("series"), col("bucket"), col("value"))
 
   private def renderTagged(s: SparkSession, dir: String,
                            target: String): DataFrame =
