@@ -281,6 +281,46 @@ object GraphiteTarget {
   private def out(df: DataFrame, name: Column, value: Column): DataFrame =
     df.select(name.as("series"), col("bucket"), value.cast("double").as("value"))
 
+  /** Dotted-name node at a graphite index: 0-based from the left,
+    * negative from the right (Spark element_at is 1-based from the left
+    * and already negative-from-the-end, so only the non-negative case
+    * needs the +1). Shared by aliasByNode / groupByNode(s) /
+    * the WithWildcards aggregations / weightedAverage / substr.
+    */
+  private def nodeAt(series: Column, idx: Int): Column =
+    element_at(split(series, "\\."), if (idx < 0) idx else idx + 1)
+
+  /** The shared value fold behind every function that takes a named
+    * aggregation — aggregate / groupByNode(s) / groupByTags /
+    * {sum,average}SeriesWithWildcards / filterSeries / highest / lowest
+    * / aggregateLine, and the long-standing xxxSeries family. Works
+    * per-bucket (cross-series) and per-series (scores) alike. Exact
+    * decimal accumulation for everything that sums (the class doc's
+    * numeric contract); q6 on every division and on interpolated
+    * percentiles (the two engines' linear interpolations differ in the
+    * last ulp).
+    */
+  private def aggFor(func: String): Column = func match {
+    case "average" | "avg"   => q6(sum(dec(col("value"))).cast("double") /
+                                   count(col("value")))
+    case "sum" | "total"     => dec(sum(dec(col("value")))).cast("double")
+    case "max"               => max(col("value"))
+    case "min"               => min(col("value"))
+    case "count"             => count(col("value")).cast("double")
+    case "range" | "rangeOf" => max(col("value")) - min(col("value"))
+    case "median"            => q6(expr("percentile(value, 0.5)"))
+    case "last" | "current"  => max_by(col("value"), col("bucket"))
+    // population stddev from decimal sums: every accumulation is
+    // exact, the residual double ops are order-free
+    case "stddev"            => q6(sqrt(greatest(
+        (sum(dec(col("value") * col("value"))).cast("double") -
+          sum(dec(col("value"))).cast("double") *
+          sum(dec(col("value"))).cast("double") / count(col("value"))) /
+          count(col("value")), lit(0.0))))
+    case other => throw new IllegalArgumentException(
+      s"unknown aggregation '$other'")
+  }
+
   // ---------------------------------------------------------- tag support
 
   /** Value of `tag` in a tagged series name (`name;k=v;k2=v2` — the
@@ -457,22 +497,10 @@ object GraphiteTarget {
                                 case a => throw new IllegalArgumentException(s"$fn: $a") }
             require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
             val u = in.map(_.df).reduce(_ unionByName _)
-            val agg = fn match {
-              case "sumSeries"     => dec(sum(dec(col("value")))).cast("double")
-              case "averageSeries" => q6(sum(dec(col("value"))).cast("double") /
-                                        count(col("value")))
-              case "maxSeries"     => max(col("value"))
-              case "minSeries"     => min(col("value"))
-              case "countSeries"   => count(col("value")).cast("double")
-              case "rangeOfSeries" => max(col("value")) - min(col("value"))
-              // population stddev from decimal sums: every accumulation
-              // is exact, the residual double ops are order-free
-              case "stddevSeries"  => q6(sqrt(greatest(
-                (sum(dec(col("value") * col("value"))).cast("double") -
-                  sum(dec(col("value"))).cast("double") *
-                  sum(dec(col("value"))).cast("double") / count(col("value"))) /
-                  count(col("value")), lit(0.0))))
-            }
+            val agg = aggFor(fn match {
+              case "rangeOfSeries" => "range"
+              case f               => f.stripSuffix("Series")
+            })
             SeriesSet(out(u.groupBy(col("bucket")).agg(agg.as("v")),
               name, col("v")), in.head.step)
 
@@ -509,7 +537,7 @@ object GraphiteTarget {
             val in = one(args)
             in.copy(df = out(in.df, col("series"),
               col("value") * lit(num(args(1)))))
-          case "offset" =>
+          case "offset" | "add" => // add is graphite 1.1's offset alias
             val in = one(args)
             in.copy(df = out(in.df, col("series"),
               col("value") + lit(num(args(1)))))
@@ -677,14 +705,8 @@ object GraphiteTarget {
             in.copy(df = out(in.df, lit(str(args(1))), col("value")))
           case "aliasByNode" =>
             val in = one(args)
-            val idx = num(args(1)).toInt
-            // graphite node indices are 0-based from the left, negative
-            // from the right; Spark element_at is 1-based from the left
-            // and already negative-from-the-end, so only the
-            // non-negative case needs the +1
             in.copy(df = out(in.df,
-              element_at(split(col("series"), "\\."),
-                if (idx < 0) idx else idx + 1), col("value")))
+              nodeAt(col("series"), num(args(1)).toInt), col("value")))
           case "aliasByMetric" =>
             val in = one(args)
             in.copy(df = out(in.df,
@@ -842,6 +864,366 @@ object GraphiteTarget {
               when(col("y") > col("upper"), col("y") - col("upper"))
                 .when(col("y") < col("lower"), col("y") - col("lower"))
                 .otherwise(lit(0.0))))
+
+          // ---- generic cross-series aggregation (graphite 1.1's
+          // aggregate(list, "func")): one per-bucket hash agg through
+          // the shared [[aggFor]] dispatch — median included, which the
+          // legacy xxxSeries family never had
+          case "aggregate" =>
+            val in = one(args)
+            SeriesSet(out(in.df.groupBy(col("bucket"))
+              .agg(aggFor(str(args(1))).as("v")), name, col("v")), in.step)
+
+          // ---- grouped aggregation: the fan-in workhorses of real
+          // dashboards. Key from name nodes (groupByNode/s), from tags
+          // (groupByTags), or the name MINUS wildcard positions
+          // (xxxSeriesWithWildcards). All the same plan: one hash agg
+          // keyed (group-name, bucket) — series-count-bounded output,
+          // no window, no join, scale-indifferent
+          case "groupByNode" =>
+            val in = one(args)
+            val cb = if (args.length > 2) str(args(2)) else "average"
+            val key = nodeAt(col("series"), num(args(1)).toInt)
+            SeriesSet(in.df.groupBy(key.as("series"), col("bucket"))
+              .agg(aggFor(cb).as("v"))
+              .select(col("series"), col("bucket"),
+                col("v").cast("double").as("value")), in.step)
+
+          case "groupByNodes" =>
+            val in = one(args)
+            val cb = str(args(1))
+            val nodes = args.drop(2).map(a => num(a).toInt)
+            require(nodes.nonEmpty, "groupByNodes needs at least one node")
+            val key = concat_ws(".",
+              nodes.map(i => nodeAt(col("series"), i)): _*)
+            SeriesSet(in.df.groupBy(key.as("series"), col("bucket"))
+              .agg(aggFor(cb).as("v"))
+              .select(col("series"), col("bucket"),
+                col("v").cast("double").as("value")), in.step)
+
+          // group name = the tag VALUES dot-joined (deliberate
+          // simplification of graphite's re-tagged name form, matching
+          // aliasByTags' output contract above)
+          case "groupByTags" =>
+            val in = one(args)
+            val cb = str(args(1))
+            val tags = args.drop(2).map(str)
+            require(tags.nonEmpty, "groupByTags needs at least one tag")
+            val key = concat_ws(".", tags.map(tagValue): _*)
+            SeriesSet(in.df.groupBy(key.as("series"), col("bucket"))
+              .agg(aggFor(cb).as("v"))
+              .select(col("series"), col("bucket"),
+                col("v").cast("double").as("value")), in.step)
+
+          case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" =>
+            val in = one(args)
+            val drop = args.tail.map(a => num(a).toInt)
+            require(drop.nonEmpty, s"$fn needs at least one position")
+            // name with the wildcard node positions removed (0-based);
+            // filter-with-index keeps this one codegen'd projection
+            val key = array_join(filter(split(col("series"), "\\."),
+              (_, i) => !drop.map(d => i === lit(d)).reduce(_ || _)), ".")
+            val cb = if (fn.startsWith("sum")) "sum" else "average"
+            SeriesSet(in.df.groupBy(key.as("series"), col("bucket"))
+              .agg(aggFor(cb).as("v"))
+              .select(col("series"), col("bucket"),
+                col("v").cast("double").as("value")), in.step)
+
+          // ---- weightedAverage(listAvg, listWeight, nodes…): pair the
+          // two sets by node key, then ONE per-bucket agg
+          // Σ(v·w)/Σ(w) — null values drop their product but their
+          // weight still counts, graphite's sumSeries(products)/
+          // sumSeries(weights) semantics. Equi-join on (key, bucket) —
+          // co-partitioned, no fan-out (one series per key per side,
+          // graphite's contract)
+          case "weightedAverage" =>
+            val a = one(args)
+            val wgt = args(1) match {
+              case TargetArg(t) => ev(t)
+              case x => throw new IllegalArgumentException(s"$fn: $x")
+            }
+            require(a.step == wgt.step, s"$fn: mixed steps")
+            val nodes = args.drop(2).map(x => num(x).toInt)
+            require(nodes.nonEmpty, s"$fn needs at least one node")
+            def keyed(df: DataFrame, vname: String) = df.select(
+              concat_ws(".", nodes.map(i => nodeAt(col("series"), i)): _*)
+                .as("__k"),
+              col("bucket"), col("value").as(vname))
+            val j = keyed(a.df, "__v")
+              .join(keyed(wgt.df, "__w"), Seq("__k", "bucket"), "inner")
+            val sw = sum(dec(col("__w"))).cast("double")
+            val sv = sum(dec(col("__v") * col("__w"))).cast("double")
+            SeriesSet(out(j.groupBy(col("bucket"))
+              .agg(when(sw =!= 0, q6(sv / sw)).as("v")),
+              name, col("v")), a.step)
+
+          // ---- per-bucket distribution across series, flattened to
+          // one series (same q6'd-interpolation stance as nPercentile)
+          case "percentileOfSeries" =>
+            val in = one(args)
+            val p = num(args(1)) / 100.0
+            require(p > 0 && p <= 1, s"$fn: percentile out of range")
+            SeriesSet(out(in.df.groupBy(col("bucket"))
+              .agg(q6(expr(s"percentile(value, $p)")).as("v")),
+              name, col("v")), in.step)
+
+          // ---- generic per-series filter (the parameterized form of
+          // the maximumAbove/averageBelow family): bounded per-series
+          // agg + broadcast semi-join back
+          case "filterSeries" =>
+            val in = one(args)
+            val t = num(args(3))
+            val keepPred = str(args(2)) match {
+              case ">"  => col("__stat") > t
+              case ">=" => col("__stat") >= t
+              case "<"  => col("__stat") < t
+              case "<=" => col("__stat") <= t
+              case "="  => col("__stat") === t
+              case "!=" => col("__stat") =!= t
+              case op   => throw new IllegalArgumentException(
+                s"filterSeries: unknown operator '$op'")
+            }
+            val keep = in.df.groupBy(col("series"))
+              .agg(aggFor(str(args(1))).as("__stat"))
+              .where(keepPred).select("series")
+            in.copy(df = in.df.join(broadcast(keep), Seq("series"), "left_semi"))
+
+          // ---- generic top/bottom-k (the parameterized highest*/
+          // lowest*), plus mostDeviant (score = population stddev —
+          // same ranking as graphite's variance, both monotone)
+          case "highest" | "lowest" | "mostDeviant" =>
+            val in = one(args)
+            val k = num(args(1)).toInt
+            val score = fn match {
+              case "mostDeviant" => aggFor("stddev")
+              case _ => aggFor(if (args.length > 2) str(args(2)) else "average")
+            }
+            val perSeries = in.df.groupBy(col("series")).agg(score.as("__score"))
+            // unpartitioned window over a one-row-per-SERIES frame
+            val wAll =
+              if (fn == "lowest") Window.orderBy(col("__score").asc, col("series"))
+              else Window.orderBy(col("__score").desc, col("series"))
+            val top = perSeries.withColumn("__rk", row_number().over(wAll))
+              .where(col("__rk") <= k).select("series")
+            in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))
+
+          // ---- keep series whose average sits OUTSIDE the
+          // [100−n, n]th percentile band of the per-series averages —
+          // both percentiles from one agg over the bounded
+          // one-row-per-series frame
+          case "averageOutsidePercentile" =>
+            val in = one(args)
+            val nRaw = num(args(1))
+            val n = if (nRaw < 50) 100 - nRaw else nRaw
+            val (lo, hi) = ((100 - n) / 100.0, n / 100.0)
+            val avgs = in.df.groupBy(col("series")).agg(aggFor("average").as("__avg"))
+            val bounds = avgs.agg(
+              q6(expr(s"percentile(__avg, $lo)")).as("__lo"),
+              q6(expr(s"percentile(__avg, $hi)")).as("__hi"))
+            val keep = avgs.crossJoin(broadcast(bounds))
+              .where(col("__avg") < col("__lo") || col("__avg") > col("__hi"))
+              .select("series")
+            in.copy(df = in.df.join(broadcast(keep), Seq("series"), "left_semi"))
+
+          case "removeEmptySeries" =>
+            val in = one(args)
+            val keep = in.df.groupBy(col("series"))
+              .agg(count(col("value")).as("__n"))
+              .where(col("__n") > 0).select("series")
+            in.copy(df = in.df.join(broadcast(keep), Seq("series"), "left_semi"))
+
+          // first n series in NAME order — the deterministic stand-in
+          // for graphite's fetch order, which a distributed frame
+          // doesn't have (documented deviation)
+          case "limit" =>
+            val in = one(args)
+            val n = num(args(1)).toInt
+            val top = in.df.select("series").distinct()
+              .withColumn("__rk", row_number().over(Window.orderBy(col("series"))))
+              .where(col("__rk") <= n).select("series")
+            in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))
+
+          // union of the args, FIRST occurrence of each series name
+          // wins — a min-arg-index per name (bounded agg) + semi-join
+          case "unique" =>
+            val in = args.map { case TargetArg(t) => ev(t)
+                                case a => throw new IllegalArgumentException(s"unique: $a") }
+            require(in.nonEmpty, "unique needs at least one target")
+            require(in.map(_.step).distinct.size == 1, "unique: mixed steps")
+            val tagged = in.zipWithIndex.map { case (s0, i) =>
+              s0.df.withColumn("__arg", lit(i)) }.reduce(_ unionByName _)
+            val firstArg = tagged.groupBy(col("series"))
+              .agg(min(col("__arg")).as("__arg"))
+            SeriesSet(tagged
+              .join(broadcast(firstArg), Seq("series", "__arg"), "left_semi")
+              .drop("__arg"), in.head.step)
+
+          // ---- scalar tail: all single codegen'd projections
+          case "sigmoid" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              q6(lit(1.0) / (lit(1.0) + exp(-col("value"))))))
+          case "exp" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"), q6(exp(col("value")))))
+          case "round" =>
+            val in = one(args)
+            val p = if (args.length > 1) num(args(1)).toInt else 0
+            in.copy(df = out(in.df, col("series"), round(col("value"), p)))
+          case "isNonNull" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              when(col("value").isNotNull, 1.0).otherwise(0.0)))
+          // value · seconds/step — rate re-based to a per-`seconds` rate
+          case "scaleToSeconds" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              q6(col("value") * lit(num(args(1))) / lit(in.step.toDouble))))
+
+          // ---- per-series one-row aggregates broadcast back
+          // (nPercentile's plan shape)
+          case "minMax" =>
+            val in = one(args)
+            val mm = in.df.groupBy(col("series"))
+              .agg(min(col("value")).as("__mn"), max(col("value")).as("__mx"))
+            val j = in.df.join(broadcast(mm), Seq("series"), "left")
+            in.copy(df = out(j, col("series"),
+              when(col("value").isNull, lit(null))
+                .when(col("__mx") > col("__mn"),
+                  q6((col("value") - col("__mn")) / (col("__mx") - col("__mn"))))
+                .otherwise(lit(0.0))))
+          case "offsetToZero" =>
+            val in = one(args)
+            val mn = in.df.groupBy(col("series")).agg(min(col("value")).as("__mn"))
+            in.copy(df = out(in.df.join(broadcast(mn), Seq("series"), "left"),
+              col("series"), col("value") - col("__mn")))
+          // the series flattened to its named aggregate across its own
+          // buckets — name preserved (per-series transform contract)
+          case "aggregateLine" =>
+            val in = one(args)
+            val func = if (args.length > 1) str(args(1)) else "average"
+            val per = in.df.groupBy(col("series")).agg(aggFor(func).as("__line"))
+            in.copy(df = out(in.df.join(broadcast(per), Seq("series"), "left"),
+              col("series"), col("__line")))
+
+          // ---- per-series windows
+          case "changed" =>
+            val in = one(args)
+            val prev = lag(col("value"), 1).over(wSeries)
+            in.copy(df = out(in.df, col("series"),
+              when(prev.isNotNull && col("value").isNotNull &&
+                col("value") =!= prev, 1.0).otherwise(0.0)))
+          case "delay" =>
+            val in = one(args)
+            val n = num(args(1)).toInt
+            in.copy(df = out(in.df, col("series"),
+              if (n >= 0) lag(col("value"), n).over(wSeries)
+              else lead(col("value"), -n).over(wSeries)))
+          // linear interpolation across null gaps: the last/first
+          // non-null (value, time) pair on each side via ignore-nulls
+          // struct windows — leading/trailing nulls stay null
+          case "interpolate" =>
+            val in = one(args)
+            val t = unix_timestamp(col("bucket"))
+            val pt = struct(t.as("t"), col("value").as("v"))
+            val wPrev = wSeries.rowsBetween(Window.unboundedPreceding, -1)
+            val wNext = wSeries.rowsBetween(1, Window.unboundedFollowing)
+            val pv = last(when(col("value").isNotNull, pt),
+              ignoreNulls = true).over(wPrev)
+            val nv = first(when(col("value").isNotNull, pt),
+              ignoreNulls = true).over(wNext)
+            val fit = pv.getField("v") +
+              (nv.getField("v") - pv.getField("v")) *
+                (t - pv.getField("t")) / (nv.getField("t") - pv.getField("t"))
+            in.copy(df = out(in.df, col("series"),
+              when(col("value").isNotNull, col("value"))
+                .when(pv.isNotNull && nv.isNotNull, q6(fit))))
+          // running integral that RESETS each interval: the window just
+          // gains the coarse bucket as a second partition key
+          case "integralByInterval" =>
+            val in = one(args)
+            val ivl = parseDuration(str(args(1)))
+            require(ivl > 0, s"$fn interval must be positive")
+            val w = Window
+              .partitionBy(col("series"), Time.align(col("bucket"), ivl))
+              .orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            in.copy(df = out(in.df, col("series"),
+              sum(dec(col("value"))).over(w).cast("double")))
+
+          // ---- re-bucketing: Σ(value·step) per coarse interval —
+          // a rate turned back into a count (graphite's hitcount)
+          case "hitcount" =>
+            val in = one(args)
+            val ivl = parseDuration(str(args(1)))
+            require(ivl > 0, "hitcount interval must be positive")
+            val nb = Time.align(col("bucket"), ivl).as("bucket")
+            SeriesSet(in.df.groupBy(col("series"), nb)
+              .agg((dec(sum(dec(col("value")))).cast("double") *
+                lit(in.step.toDouble)).as("v"))
+              .select(col("series"), col("bucket"),
+                col("v").cast("double").as("value")), ivl)
+
+          // ---- the EMA recurrence (ema_t needs ema_{t-1}'s OUTPUT):
+          // the h13 typed per-series fold surfaced through the target
+          // language. α = 2/(points+1); seeded with the first value
+          // (documented deviation from graphite's first-window-average
+          // seed — the fold's long-standing h13 contract)
+          case "exponentialMovingAverage" =>
+            val in = one(args)
+            val pts = num(args(1)).toInt
+            require(pts > 0, s"$fn points must be positive")
+            val ema = SeriesFold.exponentialMovingAverage(in.df,
+              "series", "bucket", "value", alpha = 2.0 / (pts + 1.0))
+            in.copy(df = out(ema, col("series"), col("ema")))
+
+          // ---- per-series ordinary-least-squares fit, evaluated at
+          // every bucket. x = seconds offset from the series' FIRST
+          // bucket: the fit is affine-invariant in x, so the values
+          // equal graphite's absolute-timestamp fit while every decimal
+          // accumulation stays magnitude-bounded (Σx² ~ (points·step)²
+          // · points, comfortably inside DECIMAL(38,6) at any
+          // retention). Sums exact → the closed-form slope/intercept
+          // doubles are order-free
+          case "linearRegression" =>
+            val in = one(args)
+            val t = unix_timestamp(col("bucket"))
+            val mnT = min(t).over(Window.partitionBy(col("series")))
+            val base = in.df.withColumn("__x", (t - mnT).cast("double"))
+            def d38(c: Column): Column = c.cast("decimal(38,6)")
+            val st = base.where(col("value").isNotNull)
+              .groupBy(col("series")).agg(
+                count(lit(1)).cast("double").as("__n"),
+                d38(sum(d38(col("__x")))).cast("double").as("__sx"),
+                d38(sum(d38(col("value")))).cast("double").as("__sy"),
+                d38(sum(d38(col("__x") * col("value")))).cast("double").as("__sxy"),
+                d38(sum(d38(col("__x") * col("__x")))).cast("double").as("__sxx"))
+            val j = base.join(broadcast(st), Seq("series"), "left")
+            val det = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+            val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / det
+            val icept = (col("__sy") - slope * col("__sx")) / col("__n")
+            in.copy(df = out(j, col("series"),
+              when(det =!= 0, q6(icept + slope * col("__x")))))
+
+          // ---- renaming tail
+          // regex-substitute on the name; python \1 backrefs accepted
+          // and translated to Java's $1
+          case "aliasSub" =>
+            val in = one(args)
+            val repl = str(args(2)).replaceAll("\\\\(\\d)", "\\$$1")
+            in.copy(df = out(in.df,
+              regexp_replace(col("series"), str(args(1)), repl), col("value")))
+          // python-slice of the dotted nodes: substr(series, start, stop)
+          case "substr" =>
+            val in = one(args)
+            val start = num(args(1)).toInt
+            val stop = if (args.length > 2) num(args(2)).toInt else 0
+            require(start >= 0 && stop >= 0, "substr: negative index")
+            val parts = split(col("series"), "\\.")
+            val sliced =
+              if (stop == 0) slice(parts, start + 1, 10000)
+              else slice(parts, start + 1, stop - start)
+            in.copy(df = out(in.df, array_join(sliced, "."), col("value")))
 
           case other =>
             throw new IllegalArgumentException(s"unknown render function '$other'")

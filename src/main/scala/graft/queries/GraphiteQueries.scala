@@ -231,7 +231,60 @@ object GraphiteQueries {
         universe(s, dir), step = 3600)
         .select(col("series"), col("bucket").cast("string").as("bucket"),
           (round(col("value") * lit(1e6)) / lit(1e6)).as("value"))
-        .orderBy("series", "bucket"))
+        .orderBy("series", "bucket")),
+
+    // grouped aggregation by TAG value over the tagged universe — the
+    // fan-in workhorse of tag-based dashboards: tag selection is a
+    // pushable name predicate, the group-by-host fold is ONE hash agg
+    // keyed (tag-value, bucket)
+    "g22_groupbytags" -> ((s, dir) =>
+      renderTagged(s, dir,
+        "groupByTags(seriesByTag('name=~events\\.'), 'sum', 'host')")),
+
+    // weightedAverage pairs the two sets by node key (event_type) and
+    // folds Σ(v·w)/Σ(w) per bucket — self-weighted here so the oracle
+    // is the power mean Σv²/Σv
+    "g23_wavg" -> ((s, dir) =>
+      render(s, dir, "weightedAverage(events.*, events.*, 1)")),
+
+    // the EMA recurrence as a render target over a cross-series sum:
+    // points=7 → α=0.25 (dyadic, so the constant is exact in binary on
+    // both engines — the h13 determinism stance)
+    "g24_emarender" -> ((s, dir) =>
+      render(s, dir, "exponentialMovingAverage(sumSeries(events.*), 7)")),
+
+    // linear interpolation across the nulls a value filter introduces:
+    // per-series ignore-nulls (value, time) windows on both sides,
+    // edges stay null
+    "g25_interp" -> ((s, dir) =>
+      render(s, dir, "interpolate(removeAboveValue(events.click, 80))")),
+
+    // per-series OLS fit evaluated at every bucket — exact decimal
+    // moment sums, closed-form slope/intercept, fit values
+    // affine-invariant in the time origin
+    "g26_linreg" -> ((s, dir) =>
+      render(s, dir, "linearRegression(events.view)")),
+
+    // the exact-arithmetic scalar tail composed: per-series rebase to
+    // zero, rate re-based to per-minute, and transition flags —
+    // two independent targets in one frame
+    "g27_scalartail" -> ((s, dir) =>
+      render(s, dir,
+        "group(scaleToSeconds(offsetToZero(events.click), 60), " +
+          "changed(events.view))")),
+
+    // generic per-series filter + per-bucket cross-series distribution
+    // flattened to its 75th percentile
+    "g28_filterpct" -> ((s, dir) =>
+      render(s, dir,
+        "percentileOfSeries(filterSeries(events.*, 'max', '>', 50), 75)")),
+
+    // groupByNode fan-in piped into a per-interval resetting integral:
+    // the window just gains the day as a second partition key — no
+    // global sort at any scale
+    "g29_groupbyint" -> ((s, dir) =>
+      render(s, dir,
+        "integralByInterval(groupByNode(events.*, 1, 'sum'), '1d')"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,6 +651,160 @@ object GraphiteQueries {
         |         ROUND((CASE WHEN v > upper THEN v - upper
         |                     WHEN v < lower THEN v - lower
         |                     ELSE 0.0 END) * 1e6) / 1e6 AS value FROM bands)
-        |ORDER BY series, bucket""".stripMargin
+        |ORDER BY series, bucket""".stripMargin,
+
+    // every tagged series matches name=~events\. — the fold is the
+    // per-(host, bucket) exact decimal sum
+    "g22_groupbytags" ->
+      s"""WITH $TU
+         |SELECT 'h' || host AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |             AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
+         |FROM tu GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin,
+
+    // self-weighted: Σv²/Σv per bucket (node 1 pairs each type with
+    // itself), divisions q6'd per the façade contract
+    "g23_wavg" ->
+      s"""WITH $U
+         |SELECT 'weightedAverage(events.*,events.*,1)' AS series,
+         |       CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(CASE WHEN CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |                        AS DOUBLE) <> 0
+         |         THEN ROUND(CAST(SUM(CAST(value * value AS DECIMAL(18,6)))
+         |                    AS DOUBLE)
+         |              / CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |              * 1e6) / 1e6
+         |         END, 6) AS value
+         |FROM u GROUP BY bucket ORDER BY series, bucket""".stripMargin,
+
+    // h13's recursive replay over the per-bucket sum; α=0.25 is exact
+    // in binary so the per-step IEEE ops are identical on both engines
+    "g24_emarender" ->
+      s"""WITH RECURSIVE $U,
+         |tot AS (
+         |  SELECT bucket, CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |         AS DECIMAL(18,6)) AS DOUBLE) AS v
+         |  FROM u GROUP BY bucket),
+         |o AS (SELECT bucket, v, row_number() OVER (ORDER BY bucket) AS rn
+         |      FROM tot),
+         |rec AS (
+         |  SELECT bucket, rn, v AS ema FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.bucket, o.rn, 0.25 * o.v + 0.75 * r.ema
+         |  FROM rec r JOIN o ON o.rn = r.rn + 1)
+         |SELECT 'sumSeries(events.*)' AS series, CAST(bucket AS VARCHAR)
+         |         AS bucket,
+         |       ROUND(ema, 6) AS value
+         |FROM rec ORDER BY series, bucket""".stripMargin,
+
+    // both sides' (value, time) anchors come from the same ignore-nulls
+    // window rows; the fit expression mirrors the engine's op order
+    // (pv + (nv−pv)·(t−pt)/(nt−pt)) so the doubles are identical
+    "g25_interp" ->
+      s"""WITH $U,
+         |c AS (
+         |  SELECT bucket, epoch_us(bucket) // 1000000 AS t,
+         |         CASE WHEN value <= 80 THEN value END AS v
+         |  FROM u WHERE series = 'events.click'),
+         |w AS (
+         |  SELECT bucket, t, v,
+         |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (ORDER BY bucket
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         |    last_value(v IGNORE NULLS)
+         |      OVER (ORDER BY bucket
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (ORDER BY bucket
+         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+         |    first_value(v IGNORE NULLS)
+         |      OVER (ORDER BY bucket
+         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+         |  FROM c)
+         |SELECT 'events.click' AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |  ROUND(CASE WHEN v IS NOT NULL THEN v
+         |        WHEN pt IS NOT NULL AND nt IS NOT NULL
+         |        THEN ROUND((pv + (nv - pv) * (t - pt) / (nt - pt)) * 1e6)
+         |             / 1e6
+         |        END, 6) AS value
+         |FROM w ORDER BY series, bucket""".stripMargin,
+
+    // exact decimal moment sums → the closed-form slope/intercept
+    // doubles are order-free and identical across engines; fit
+    // expression mirrors icept + slope·x
+    "g26_linreg" ->
+      s"""WITH $U,
+         |c AS (
+         |  SELECT bucket, value,
+         |         CAST(epoch_us(bucket) // 1000000
+         |           - MIN(epoch_us(bucket) // 1000000) OVER () AS DOUBLE) AS x
+         |  FROM u WHERE series = 'events.view'),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DECIMAL(38,6))
+         |         AS DOUBLE) AS sx,
+         |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+         |         AS DOUBLE) AS sy,
+         |    CAST(CAST(SUM(CAST(x * value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+         |         AS DOUBLE) AS sxy,
+         |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DECIMAL(38,6))
+         |         AS DOUBLE) AS sxx
+         |  FROM c WHERE value IS NOT NULL),
+         |f AS (
+         |  SELECT n, sx, sy, sxx, n * sxx - sx * sx AS det,
+         |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+         |  FROM st)
+         |SELECT 'events.view' AS series, CAST(c.bucket AS VARCHAR) AS bucket,
+         |  ROUND(CASE WHEN f.det <> 0
+         |    THEN ROUND(((f.sy - f.slope * f.sx) / f.n + f.slope * c.x) * 1e6)
+         |         / 1e6
+         |    END, 6) AS value
+         |FROM c, f ORDER BY series, bucket""".stripMargin,
+
+    // target 1: ((v − min)·60)/3600, q6'd — every op exact-rounded
+    // IEEE on both engines; target 2: transition flags, pure compares
+    "g27_scalartail" ->
+      s"""WITH $U,
+         |c AS (SELECT bucket, value, MIN(value) OVER () AS mn
+         |      FROM u WHERE series = 'events.click'),
+         |ch AS (SELECT bucket, value, lag(value) OVER (ORDER BY bucket) AS prev
+         |       FROM u WHERE series = 'events.view')
+         |SELECT * FROM (
+         |  SELECT 'events.click' AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |         ROUND(ROUND((value - mn) * 60 / 3600 * 1e6) / 1e6, 6)
+         |           AS value
+         |  FROM c
+         |  UNION ALL
+         |  SELECT 'events.view' AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |         CASE WHEN prev IS NOT NULL AND value IS NOT NULL
+         |                   AND value <> prev
+         |              THEN 1.0 ELSE 0.0 END AS value
+         |  FROM ch)
+         |ORDER BY series, bucket""".stripMargin,
+
+    "g28_filterpct" ->
+      s"""WITH $U,
+         |keep AS (SELECT series FROM u GROUP BY series HAVING MAX(value) > 50),
+         |f AS (SELECT u.* FROM u JOIN keep USING (series))
+         |SELECT 'percentileOfSeries(filterSeries(events.*,"max",">",50),75)'
+         |         AS series,
+         |       CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(ROUND(quantile_cont(value, 0.75) * 1e6) / 1e6, 6)
+         |         AS value
+         |FROM f GROUP BY bucket ORDER BY series, bucket""".stripMargin,
+
+    // the groupByNode fold is a no-op re-key here (one series per
+    // type), so the oracle is the per-(type, day) running decimal sum
+    "g29_groupbyint" ->
+      s"""WITH $U,
+         |i AS (SELECT split_part(series, '.', 2) AS etype, bucket, value
+         |      FROM u)
+         |SELECT etype AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         |         PARTITION BY etype, date_trunc('day', bucket)
+         |         ORDER BY bucket
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS DOUBLE), 6) AS value
+         |FROM i ORDER BY series, bucket""".stripMargin
   )
 }

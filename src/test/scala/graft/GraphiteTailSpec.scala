@@ -1,0 +1,184 @@
+package graft
+
+import graft.operators.GraphiteTarget
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The round-10 render-function tail: grouped aggregation
+  * (groupByNode/s, groupByTags, WithWildcards), the generic
+  * aggregate/filterSeries/highest forms, weightedAverage,
+  * percentileOfSeries, the scalar/window tail (sigmoid, minMax,
+  * changed, delay, interpolate, integralByInterval, hitcount, EMA,
+  * linearRegression) and the renaming tail (aliasSub, substr).
+  * Exact expected values over a 4-point hand-computable universe.
+  */
+class GraphiteTailSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(h: Int) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L))
+
+  /** two series, 4 hourly points each (GraphiteTargetSpec's universe) */
+  private def uni = Seq(
+    ("m.a", ts(0), 1.0), ("m.a", ts(1), 2.0), ("m.a", ts(2), 4.0), ("m.a", ts(3), 3.0),
+    ("m.b", ts(0), 10.0), ("m.b", ts(1), 10.0), ("m.b", ts(2), 20.0), ("m.b", ts(3), 40.0)
+  ).toDF("series", "bucket", "value")
+
+  /** three node-structured series for the grouping family */
+  private def web = Seq(
+    ("web.s1.req", ts(0), 1.0), ("web.s1.req", ts(1), 2.0),
+    ("web.s2.req", ts(0), 3.0), ("web.s2.req", ts(1), 5.0),
+    ("web.s1.err", ts(0), 1.0), ("web.s1.err", ts(1), 1.0)
+  ).toDF("series", "bucket", "value")
+
+  /** carbon tagged-metric names for groupByTags */
+  private def tagged = Seq(
+    ("cpu;dc=east;host=h1", ts(0), 1.0),
+    ("cpu;dc=east;host=h2", ts(0), 3.0),
+    ("cpu;dc=west;host=h1", ts(0), 5.0)
+  ).toDF("series", "bucket", "value")
+
+  private def run(t: String, u: DataFrame = uni): Seq[(String, Long, Option[Double])] =
+    GraphiteTarget.eval(t, u, 3600)
+      .select(col("series"), col("bucket").cast("long"), col("value"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  test("aggregate: the generic form reaches median") {
+    val got = run("aggregate(m.*, 'median')")
+    assert(got.map(_._1).distinct == Seq("aggregate(m.*,\"median\")"))
+    assert(got.map(_._3.get) == Seq(5.5, 6.0, 12.0, 21.5))
+  }
+
+  test("groupByNode groups by one node; groupByNodes by several") {
+    val g1 = run("groupByNode(web.*.*, 2, 'sum')", web)
+    assert(g1 == Seq(
+      ("err", 0L, Some(1.0)), ("err", 3600L, Some(1.0)),
+      ("req", 0L, Some(4.0)), ("req", 3600L, Some(7.0))))
+    val g2 = run("groupByNodes(web.*.*, 'sum', 0, 2)", web)
+    assert(g2.map(_._1).distinct.sorted == Seq("web.err", "web.req"))
+    assert(g2.filter(_._1 == "web.req").map(_._3.get) == Seq(4.0, 7.0))
+  }
+
+  test("groupByTags groups by tag values of the carbon tagged form") {
+    val got = run("groupByTags(seriesByTag('name=cpu'), 'sum', 'dc')", tagged)
+    assert(got == Seq(("east", 0L, Some(4.0)), ("west", 0L, Some(5.0))))
+  }
+
+  test("xxxSeriesWithWildcards drops the wildcard node and aggregates") {
+    val s = run("sumSeriesWithWildcards(web.*.*, 1)", web)
+    assert(s == Seq(
+      ("web.err", 0L, Some(1.0)), ("web.err", 3600L, Some(1.0)),
+      ("web.req", 0L, Some(4.0)), ("web.req", 3600L, Some(7.0))))
+    val a = run("averageSeriesWithWildcards(web.*.*, 1)", web)
+    assert(a.filter(_._1 == "web.req").map(_._3.get) == Seq(2.0, 3.5))
+  }
+
+  test("weightedAverage pairs by node key: Σ(v·w)/Σ(w)") {
+    val got = run("weightedAverage(web.*.req, web.*.req, 1)", web)
+    // self-weighted: h0 (1+9)/(1+3) = 2.5; h1 (4+25)/7 = 4.142857
+    assert(got.map(_._3.get) == Seq(2.5, 4.142857))
+  }
+
+  test("percentileOfSeries flattens the per-bucket distribution") {
+    val got = run("percentileOfSeries(m.*, 50)")
+    assert(got.map(_._3.get) == Seq(5.5, 6.0, 12.0, 21.5))
+  }
+
+  test("filterSeries: generic func/operator/threshold keep") {
+    assert(run("filterSeries(m.*, 'max', '>', 5)").map(_._1).distinct == Seq("m.b"))
+    assert(run("filterSeries(m.*, 'average', '<=', 2.5)").map(_._1).distinct == Seq("m.a"))
+    intercept[IllegalArgumentException](
+      run("filterSeries(m.*, 'max', '~', 5)"))
+  }
+
+  test("highest/lowest generic forms and mostDeviant") {
+    assert(run("highest(m.*, 1, 'max')").map(_._1).distinct == Seq("m.b"))
+    assert(run("lowest(m.*, 1)").map(_._1).distinct == Seq("m.a"))
+    // sd(m.a) ≈ 1.118, sd(m.b) ≈ 12.247 → b deviates most
+    assert(run("mostDeviant(m.*, 1)").map(_._1).distinct == Seq("m.b"))
+  }
+
+  test("averageOutsidePercentile keeps the outliers of the per-series averages") {
+    // averages: s1.req 1.5, s2.req 4, s1.err 1 → 10/90th band [1.1, 3.5]
+    val got = run("averageOutsidePercentile(web.*.*, 90)", web)
+    assert(got.map(_._1).distinct.sorted == Seq("web.s1.err", "web.s2.req"))
+  }
+
+  test("removeEmptySeries drops all-null series; limit keeps first n by name") {
+    val got = run("removeEmptySeries(removeAboveValue(m.*, 5))")
+    assert(got.map(_._1).distinct == Seq("m.a"))
+    assert(run("limit(m.*, 1)").map(_._1).distinct == Seq("m.a"))
+  }
+
+  test("unique: first occurrence of a series name wins across args") {
+    val got = run("unique(m.a, m.*)")
+    assert(got.size == 8) // no duplicated (series, bucket) rows
+    assert(got.map(_._1).distinct.sorted == Seq("m.a", "m.b"))
+  }
+
+  test("scalar tail: add, sigmoid, exp, round, isNonNull, scaleToSeconds") {
+    assert(run("add(m.a, 10)").map(_._3.get) == Seq(11.0, 12.0, 14.0, 13.0))
+    assert(run("sigmoid(m.a)").map(_._3.get).head == 0.731059)
+    assert(run("exp(m.a)").map(_._3.get).head == 2.718282)
+    assert(run("round(scale(m.a, 0.123), 1)").map(_._3.get) ==
+      Seq(0.1, 0.2, 0.5, 0.4))
+    assert(run("isNonNull(removeAboveValue(m.b, 15))").map(_._3.get) ==
+      Seq(1.0, 1.0, 0.0, 0.0))
+    // per-hour values re-based to per-minute: v·60/3600
+    assert(run("scaleToSeconds(m.a, 60)").map(_._3.get) ==
+      Seq(0.016667, 0.033333, 0.066667, 0.05))
+  }
+
+  test("minMax normalizes per series; offsetToZero rebases; aggregateLine flattens") {
+    assert(run("minMax(m.a)").map(_._3.get) == Seq(0.0, 0.333333, 1.0, 0.666667))
+    assert(run("offsetToZero(m.a)").map(_._3.get) == Seq(0.0, 1.0, 3.0, 2.0))
+    assert(run("aggregateLine(m.a, 'max')").map(_._3.get) ==
+      Seq(4.0, 4.0, 4.0, 4.0))
+  }
+
+  test("changed flags transitions; delay shifts values in place") {
+    assert(run("changed(m.b)").map(_._3.get) == Seq(0.0, 0.0, 1.0, 1.0))
+    assert(run("delay(m.a, 1)").map(_._3) ==
+      Seq(None, Some(1.0), Some(2.0), Some(4.0)))
+    assert(run("delay(m.a, -1)").map(_._3) ==
+      Seq(Some(2.0), Some(4.0), Some(3.0), None))
+  }
+
+  test("interpolate fills interior gaps linearly, leaves edges null") {
+    // removeAboveValue(m.a, 3): 1, 2, null, 3 — anchors at h1 (v=2)
+    // and h3 (v=3), so the h2 gap is the time midpoint → 2.5
+    val got = run("interpolate(removeAboveValue(m.a, 3))")
+    assert(got.map(_._3) ==
+      Seq(Some(1.0), Some(2.0), Some(2.5), Some(3.0)))
+    // trailing nulls have no right anchor and stay null
+    val tail = run("interpolate(removeAboveValue(m.b, 15))")
+    assert(tail.map(_._3) == Seq(Some(10.0), Some(10.0), None, None))
+  }
+
+  test("integralByInterval resets per interval; hitcount is Σ(v·step)") {
+    assert(run("integralByInterval(m.a, '2h')").map(_._3.get) ==
+      Seq(1.0, 3.0, 4.0, 7.0))
+    val h = run("hitcount(m.a, '2h')")
+    assert(h == Seq(("m.a", 0L, Some(10800.0)), ("m.a", 7200L, Some(25200.0))))
+  }
+
+  test("exponentialMovingAverage: α = 2/(points+1), first-value seed") {
+    val got = run("exponentialMovingAverage(m.a, 3)") // α = 0.5
+    assert(got.map(_._3.get) == Seq(1.0, 1.5, 2.75, 2.875))
+  }
+
+  test("linearRegression fits per series and evaluates at each bucket") {
+    // y = 1,2,4,3 at x = 0..3 → slope 0.8, intercept 1.3
+    val got = run("linearRegression(m.a)")
+    assert(got.map(_._3.get) == Seq(1.3, 2.1, 2.9, 3.7))
+  }
+
+  test("aliasSub rewrites with backrefs; substr slices nodes") {
+    val a = run("aliasSub(web.s1.req, 'web\\.(\\w+)\\..*', 'srv_\\1')", web)
+    assert(a.map(_._1).distinct == Seq("srv_s1"))
+    assert(run("substr(web.s1.req, 1)", web).map(_._1).distinct == Seq("s1.req"))
+    assert(run("substr(web.s1.req, 1, 2)", web).map(_._1).distinct == Seq("s1"))
+  }
+}
