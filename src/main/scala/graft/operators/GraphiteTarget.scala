@@ -410,6 +410,20 @@ object GraphiteTarget {
       val (lo, hi) = if (spans.isEmpty) (0L, 0L)
         else (spans.map(_._1).min, spans.map(_._2).max)
       (lo + sec, hi + sec)
+    case Call("timeStack", args) =>
+      // the stack spans every shift in [start·sec, (end−1)·sec]
+      val sec = args.lift(1) match {
+        case Some(StrArg(v)) => parseDuration(v)
+        case a => throw new IllegalArgumentException(s"timeStack: $a")
+      }
+      val start = args.lift(2).collect { case NumArg(v) => v.toInt }.getOrElse(0)
+      val end = args.lift(3).collect { case NumArg(v) => v.toInt }.getOrElse(7)
+      val shifts = (start until end).map(_ * sec)
+      val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
+      val (lo, hi) = if (spans.isEmpty) (0L, 0L)
+        else (spans.map(_._1).min, spans.map(_._2).max)
+      (lo + (if (shifts.isEmpty) 0L else shifts.min),
+        hi + (if (shifts.isEmpty) 0L else shifts.max))
     case Call(_, args) =>
       val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
       if (spans.isEmpty) (0L, 0L)
@@ -765,13 +779,13 @@ object GraphiteTarget {
           // ---- threshold filters: one per-series agg (bounded: one
           // row per series) + broadcast semi-join back
           case "maximumAbove" | "maximumBelow" | "minimumAbove" |
-               "averageAbove" | "averageBelow" | "currentAbove" |
-               "currentBelow" =>
+               "minimumBelow" | "averageAbove" | "averageBelow" |
+               "currentAbove" | "currentBelow" =>
             val in = one(args)
             val n = num(args(1))
             val statCol = fn match {
               case "maximumAbove" | "maximumBelow" => max(col("value"))
-              case "minimumAbove"                  => min(col("value"))
+              case "minimumAbove" | "minimumBelow" => min(col("value"))
               case "averageAbove" | "averageBelow" =>
                 q6(sum(dec(col("value"))).cast("double") / count(col("value")))
               case _ => max_by(col("value"), col("bucket")) // current*
@@ -1204,6 +1218,112 @@ object GraphiteTarget {
             val icept = (col("__sy") - slope * col("__sx")) / col("__n")
             in.copy(df = out(j, col("series"),
               when(det =!= 0, q6(icept + slope * col("__x")))))
+
+          // ---- generic trailing window (the parameterized form of the
+          // moving* family): same per-series ROWS frame, value fold
+          // picked by name. Window-attached directly to the aggregates
+          // (the compound q6 forms can't ride a bare aggFor().over)
+          case "movingWindow" =>
+            val in = one(args)
+            val n = num(args(1)).toInt
+            require(n > 0, "movingWindow size must be positive")
+            val w = wSeries.rowsBetween(-(n - 1), Window.currentRow)
+            val v = (if (args.length > 2) str(args(2)) else "average") match {
+              case "average" | "avg" =>
+                q6(sum(dec(col("value"))).over(w).cast("double") /
+                   count(col("value")).over(w))
+              case "sum" | "total" => sum(dec(col("value"))).over(w).cast("double")
+              case "max"           => max(col("value")).over(w)
+              case "min"           => min(col("value")).over(w)
+              case "count"         => count(col("value")).over(w).cast("double")
+              case "range" | "rangeOf" =>
+                max(col("value")).over(w) - min(col("value")).over(w)
+              case "median"        => expr("percentile(value, 0.5)").over(w)
+              case "last" | "current" =>
+                max_by(col("value"), col("bucket")).over(w)
+              case "stddev" =>
+                val s = sum(dec(col("value"))).over(w).cast("double")
+                val m2 = sum(dec(col("value") * col("value"))).over(w).cast("double")
+                val cnt = count(col("value")).over(w)
+                q6(sqrt(greatest((m2 - s * s / cnt) / cnt, lit(0.0))))
+              case other => throw new IllegalArgumentException(
+                s"movingWindow: unknown func '$other'")
+            }
+            in.copy(df = out(in.df, col("series"), v))
+
+          // graphite's cumulative(): consolidateBy(series, 'sum')
+          case "cumulative" =>
+            one(args).copy(cf = "sum")
+
+          // ---- plan-level emptiness pivot: primary if it has ANY
+          // rows, else the fallback — one O(1)-row count broadcast into
+          // both branches, no driver decision, no collect
+          case "fallbackSeries" =>
+            val a = one(args)
+            val b = args(1) match {
+              case TargetArg(t) => ev(t)
+              case x => throw new IllegalArgumentException(s"$fn: $x")
+            }
+            require(a.step == b.step, "fallbackSeries: mixed steps")
+            val cnt = a.df.agg(count(lit(1)).as("__cnt"))
+            val keepA = a.df.crossJoin(broadcast(cnt))
+              .where(col("__cnt") > 0).drop("__cnt")
+            val keepB = b.df.crossJoin(broadcast(cnt))
+              .where(col("__cnt") === 0).drop("__cnt")
+            SeriesSet(keepA.unionByName(keepB), a.step)
+
+          // values nulled outside [start, end] — epoch-second bounds
+          // (graphite's relative timespec forms need a `now`, which the
+          // §5.3 stance keeps out of the evaluator; render() callers
+          // clamp with parseTimeSpec instead)
+          case "timeSlice" =>
+            val in = one(args)
+            val lo = num(args(1)).toLong
+            val hi = if (args.length > 2) num(args(2)).toLong else Long.MaxValue
+            in.copy(df = out(in.df, col("series"),
+              when(unix_timestamp(col("bucket")).between(lo, hi), col("value"))))
+
+          // ---- generated series over the universe's bucket spine
+          // (graphite generates on the render range; the facade's range
+          // IS the universe): identity = the timestamp as the value,
+          // constantLine/threshold = a flat line
+          case "identity" =>
+            SeriesSet(universe.select(col("bucket")).distinct()
+              .select(lit(str(args.head)).as("series"), col("bucket"),
+                unix_timestamp(col("bucket")).cast("double").as("value")), step)
+          case "constantLine" | "threshold" =>
+            val v = num(args.head)
+            val nm = if (fn == "threshold" && args.length > 1) str(args(1))
+                     else text(c)
+            SeriesSet(universe.select(col("bucket")).distinct()
+              .select(lit(nm).as("series"), col("bucket"),
+                lit(v).cast("double").as("value")), step)
+
+          // the series and its last `end−1` self-shifts, names wrapped
+          // the way graphite labels the stack; the render() fetch
+          // window widens by the stack's span (see shiftSpan)
+          case "timeStack" =>
+            val in = one(args)
+            val sec = parseDuration(str(args(1)))
+            val start = if (args.length > 2) num(args(2)).toInt else 0
+            val end = if (args.length > 3) num(args(3)).toInt else 7
+            require(end > start, "timeStack: end must exceed start")
+            val shifted = (start until end).map { i =>
+              out(in.df,
+                concat(lit("timeShift("), col("series"), lit(s",${i * sec})")),
+                col("value"))
+                .withColumn("bucket", timestamp_seconds(
+                  unix_timestamp(col("bucket")) + lit(i * sec)))
+            }
+            SeriesSet(shifted.reduce(_ unionByName _), in.step)
+
+          // ---- display-only attributes: accepted and ignored so real
+          // dashboard target strings evaluate — color/linewidth/stack
+          // rendering is a chart concern, the DATA is unchanged
+          case "color" | "dashed" | "lineWidth" | "drawAsInfinite" |
+               "secondYAxis" | "stacked" | "alpha" | "legendValue" |
+               "cactiStyle" | "areaBetween" | "sortByName" =>
+            one(args)
 
           // ---- renaming tail
           // regex-substitute on the name; python \1 backrefs accepted

@@ -284,7 +284,21 @@ object GraphiteQueries {
     // global sort at any scale
     "g29_groupbyint" -> ((s, dir) =>
       render(s, dir,
-        "integralByInterval(groupByNode(events.*, 1, 'sum'), '1d')"))
+        "integralByInterval(groupByNode(events.*, 1, 'sum'), '1d')")),
+
+    // the generic trailing window over a groupByNode re-key — range is
+    // exact arithmetic (max/min + one subtraction), so the composition
+    // is bit-deterministic at any SF
+    "g30_movingwindow" -> ((s, dir) =>
+      render(s, dir,
+        "movingWindow(groupByNode(events.*, 1, 'max'), 6, 'range')")),
+
+    // plan-level fallback (empty primary → generated constant line over
+    // the bucket spine) grouped with an epoch-bounded time slice
+    "g31_fallback" -> ((s, dir) =>
+      render(s, dir,
+        "group(fallbackSeries(events.nosuch, constantLine(42)), " +
+          "timeSlice(events.click, 1704499200, 1704585599))"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -792,6 +806,35 @@ object GraphiteQueries {
          |       ROUND(ROUND(quantile_cont(value, 0.75) * 1e6) / 1e6, 6)
          |         AS value
          |FROM f GROUP BY bucket ORDER BY series, bucket""".stripMargin,
+
+    // max-fold over one-series groups is the identity, so the oracle
+    // is the trailing 6-point range per type — exact max/min arithmetic
+    "g30_movingwindow" ->
+      s"""WITH $U,
+         |i AS (SELECT split_part(series, '.', 2) AS etype, bucket, value
+         |      FROM u)
+         |SELECT etype AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(MAX(value) OVER w - MIN(value) OVER w, 6) AS value
+         |FROM i WINDOW w AS (PARTITION BY etype ORDER BY bucket
+         |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         |ORDER BY series, bucket""".stripMargin,
+
+    // events.nosuch is empty → the fallback constant line over the
+    // universe's distinct buckets; the slice nulls everything outside
+    // Jan 06
+    "g31_fallback" ->
+      s"""WITH $U
+         |SELECT * FROM (
+         |  SELECT 'constantLine(42)' AS series,
+         |         CAST(bucket AS VARCHAR) AS bucket, 42.0 AS value
+         |  FROM (SELECT DISTINCT bucket FROM u)
+         |  UNION ALL
+         |  SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+         |         ROUND(CASE WHEN epoch_us(bucket) // 1000000
+         |                         BETWEEN 1704499200 AND 1704585599
+         |                    THEN value END, 6) AS value
+         |  FROM u WHERE series = 'events.click')
+         |ORDER BY series, bucket""".stripMargin,
 
     // the groupByNode fold is a no-op re-key here (one series per
     // type), so the oracle is the per-(type, day) running decimal sum

@@ -175,6 +175,60 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(got.map(_._3.get) == Seq(1.3, 2.1, 2.9, 3.7))
   }
 
+  test("minimumBelow completes the threshold-filter family") {
+    assert(run("minimumBelow(m.*, 5)").map(_._1).distinct == Seq("m.a"))
+  }
+
+  test("movingWindow: the generic trailing fold (median, range, last)") {
+    assert(run("movingWindow(m.a, 2, 'median')").map(_._3.get) ==
+      Seq(1.0, 1.5, 3.0, 3.5))
+    assert(run("movingWindow(m.a, 2, 'range')").map(_._3.get) ==
+      Seq(0.0, 1.0, 2.0, 1.0))
+    assert(run("movingWindow(m.a, 2, 'last')").map(_._3.get) ==
+      Seq(1.0, 2.0, 4.0, 3.0))
+    intercept[IllegalArgumentException](run("movingWindow(m.a, 2, 'mode')"))
+  }
+
+  test("cumulative tags the set's cf as sum") {
+    val set = GraphiteTarget.evalNode(
+      GraphiteTarget.parse("cumulative(m.a)"), uni, 3600)
+    assert(set.cf == "sum")
+  }
+
+  test("fallbackSeries: primary wins when non-empty, fallback when empty") {
+    assert(run("fallbackSeries(m.nosuch, m.a)").map(_._1).distinct == Seq("m.a"))
+    assert(run("fallbackSeries(m.a, m.b)").map(_._1).distinct == Seq("m.a"))
+  }
+
+  test("timeSlice nulls values outside the epoch-second range") {
+    assert(run("timeSlice(m.a, 3600, 7200)").map(_._3) ==
+      Seq(None, Some(2.0), Some(4.0), None))
+  }
+
+  test("identity / constantLine / threshold generate over the bucket spine") {
+    val id = run("identity('ts')")
+    assert(id == Seq(("ts", 0L, Some(0.0)), ("ts", 3600L, Some(3600.0)),
+      ("ts", 7200L, Some(7200.0)), ("ts", 10800L, Some(10800.0))))
+    val cl = run("constantLine(5)")
+    assert(cl.map(_._1).distinct == Seq("constantLine(5)"))
+    assert(cl.map(_._3.get) == Seq(5.0, 5.0, 5.0, 5.0))
+    assert(run("threshold(5, 'lim')").map(_._1).distinct == Seq("lim"))
+  }
+
+  test("timeStack unions the self-shifts with wrapped names") {
+    val got = run("timeStack(m.a, '1h', 0, 2)")
+    val s0 = got.filter(_._1 == "timeShift(m.a,0)")
+    val s1 = got.filter(_._1 == "timeShift(m.a,3600)")
+    assert(s0.map(_._2) == Seq(0L, 3600L, 7200L, 10800L))
+    assert(s1.map(_._2) == Seq(3600L, 7200L, 10800L, 14400L))
+    assert(s1.map(_._3.get) == Seq(1.0, 2.0, 4.0, 3.0))
+  }
+
+  test("display-only attributes pass the data through unchanged") {
+    assert(run("color(m.a, 'blue')") == run("m.a"))
+    assert(run("stacked(lineWidth(m.*, 2))") == run("m.*"))
+  }
+
   test("aliasSub rewrites with backrefs; substr slices nodes") {
     val a = run("aliasSub(web.s1.req, 'web\\.(\\w+)\\..*', 'srv_\\1')", web)
     assert(a.map(_._1).distinct == Seq("srv_s1"))
