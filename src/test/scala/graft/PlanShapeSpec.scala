@@ -424,4 +424,35 @@ class PlanShapeSpec extends SparkTestBase {
         }
     }
   }
+
+  test("g18/g22: tag predicates filter directly above the scan, below the lww agg") {
+    // the taggedUniverse builds the tagged name BEFORE the lww agg so a
+    // seriesByTag selection references a grouping column and Catalyst
+    // pushes it below the aggregate — the property that prunes a 100 TB
+    // raw-event scan before the agg shuffle. A silent reorder of the
+    // universe construction would undo it without changing results, so
+    // pin the plan fact: some Filter carrying the tag regex sits with
+    // the parquet scan in its subtree and NO shuffle in between.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq("g18_seriesbytag", "g22_groupbytags")) {
+      val nodes = executed(q)
+      val pushed = nodes.collect { case f: FilterExec => f }.exists { f =>
+        val sub = flatten(f)
+        sub.exists(_.isInstanceOf[FileSourceScanExec]) &&
+          !sub.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+          { val c = f.condition.toString
+            c.contains("RLIKE") || c.contains("regexp_extract") }
+      }
+      assert(pushed, s"$q: tag predicate not pushed below the agg shuffle")
+    }
+  }
+
+  test("g29/g30: render-tail trailing windows are partitioned per series") {
+    for (q <- Seq("g29_groupbyint", "g30_movingwindow")) {
+      val bad = executed(q).collect { case w: WindowExec => w }
+        .filter(_.partitionSpec.isEmpty)
+      assert(bad.isEmpty, s"$q plans a partitionless window")
+    }
+  }
 }
