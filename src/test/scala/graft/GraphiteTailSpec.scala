@@ -229,6 +229,60 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(run("stacked(lineWidth(m.*, 2))") == run("m.*"))
   }
 
+  test("parser property: canonical text round-trips for 500 random ASTs") {
+    import GraphiteTarget._
+    val rnd = new scala.util.Random(1031)
+    // shapes: (target), (target, num), (target, 'str'), (t, t, num)
+    val fn1 = Seq("absolute", "derivative", "keepLastValue", "sumSeries",
+      "removeEmptySeries", "interpolate", "linearRegression")
+    val fn2n = Seq("scale", "offset", "movingAverage", "highest", "limit",
+      "nPercentile", "delay", "round", "percentileOfSeries")
+    val fn2s = Seq("alias", "summarize", "exclude", "aggregate",
+      "timeShift", "hitcount", "aggregateLine")
+    def glob(): Node = Glob(Seq.fill(rnd.between(1, 4))(
+      Seq("web", "srv1", "cpu*", "a?b", "{x,y}", "m_1")(rnd.nextInt(6)))
+      .mkString("."))
+    def gen(depth: Int): Node =
+      if (depth == 0 || rnd.nextInt(4) == 0) glob()
+      else rnd.nextInt(4) match {
+        case 0 => Call(fn1(rnd.nextInt(fn1.size)), Seq(TargetArg(gen(depth - 1))))
+        case 1 => Call(fn2n(rnd.nextInt(fn2n.size)),
+          Seq(TargetArg(gen(depth - 1)), NumArg(rnd.between(-99, 100))))
+        case 2 => Call(fn2s(rnd.nextInt(fn2s.size)),
+          Seq(TargetArg(gen(depth - 1)), StrArg(Seq("1h", "1d", "sum",
+            "max", "avg")(rnd.nextInt(5)))))
+        case _ => Call("group",
+          Seq(TargetArg(gen(depth - 1)), TargetArg(gen(depth - 1))))
+      }
+    (1 to 500).foreach { _ =>
+      val ast = gen(rnd.between(1, 5))
+      val t = text(ast)
+      assert(parse(t) == ast, s"round-trip failed for '$t'")
+      assert(text(parse(t)) == t)
+    }
+  }
+
+  test("glob property: * never crosses a dot; braces alternate exactly") {
+    import GraphiteTarget._
+    val rnd = new scala.util.Random(733)
+    (1 to 300).foreach { _ =>
+      val nodes = Seq.fill(rnd.between(2, 5))(
+        Seq.fill(rnd.between(1, 6))(('a' + rnd.nextInt(26)).toChar).mkString)
+      val name = nodes.mkString(".")
+      // star at a random node position matches; an extra node never does
+      val i = rnd.nextInt(nodes.size)
+      val g = nodes.updated(i, "*").mkString(".")
+      assert(name.matches(globToRegex(g)), s"'$name' !~ '$g'")
+      assert(!(name + ".extra").matches(globToRegex(g)))
+      // brace of the true node plus a decoy matches; decoy-only doesn't
+      val gb = nodes.updated(i, s"{${nodes(i)},zzz9}").mkString(".")
+      assert(name.matches(globToRegex(gb)))
+      val gd = nodes.updated(i, "{zzz9,qqq8}").mkString(".")
+      assert(!name.matches(globToRegex(gd)) ||
+        nodes(i) == "zzz9" || nodes(i) == "qqq8")
+    }
+  }
+
   test("aliasSub rewrites with backrefs; substr slices nodes") {
     val a = run("aliasSub(web.s1.req, 'web\\.(\\w+)\\..*', 'srv_\\1')", web)
     assert(a.map(_._1).distinct == Seq("srv_s1"))
