@@ -495,6 +495,18 @@ object GraphiteTarget {
       case StrArg(v) => v
       case a0 => throw new IllegalArgumentException(s"expected a string, got $a0")
     }
+    // a moving-window size: either a point count (5) or a duration
+    // string ('1d') divided by the set's step — the two forms
+    // graphite's moving* family accepts
+    def windowPoints(a: Arg, stepSec: Long): Int = a match {
+      case NumArg(v) => v.toInt
+      case StrArg(s0) =>
+        val sec = parseDuration(s0)
+        require(sec > 0 && sec % stepSec == 0,
+          s"window '$s0' must be a positive multiple of the ${stepSec}s step")
+        (sec / stepSec).toInt
+      case x => throw new IllegalArgumentException(s"bad window: $x")
+    }
 
     node match {
       case Glob(pat) =>
@@ -613,7 +625,7 @@ object GraphiteTarget {
               sum(dec(col("value"))).over(w).cast("double")))
           case "movingAverage" =>
             val in = one(args)
-            val n = num(args(1)).toInt
+            val n = windowPoints(args(1), in.step)
             require(n > 0, "movingAverage window must be positive")
             val w = wSeries.rowsBetween(-(n - 1), Window.currentRow)
             in.copy(df = out(in.df, col("series"),
@@ -621,7 +633,7 @@ object GraphiteTarget {
                 count(col("value")).over(w))))
           case "movingSum" | "movingMax" | "movingMin" | "movingMedian" =>
             val in = one(args)
-            val n = num(args(1)).toInt
+            val n = windowPoints(args(1), in.step)
             require(n > 0, s"$fn window must be positive")
             val w = wSeries.rowsBetween(-(n - 1), Window.currentRow)
             val v = fn match {
@@ -729,10 +741,29 @@ object GraphiteTarget {
           // ---- cross-series arithmetic: per-bucket window / join
           case "asPercent" =>
             val in = one(args)
-            val wB = Window.partitionBy(col("bucket"))
-            in.copy(df = out(in.df, col("series"),
-              q6(col("value") * lit(100.0) /
-                sum(dec(col("value"))).over(wB).cast("double"))))
+            args.lift(1) match {
+              // explicit numeric total: a pure scalar projection
+              case Some(NumArg(total)) =>
+                in.copy(df = out(in.df, col("series"),
+                  q6(col("value") * lit(100.0) / lit(total))))
+              // a total SERIES: one-per-bucket, broadcast like a divisor
+              case Some(TargetArg(t)) =>
+                val tot = ev(t)
+                require(tot.step == in.step, "asPercent: mixed steps")
+                val div = broadcast(oneSeries(tot.df, "asPercent total")
+                  .withColumnRenamed("value", "__tot"))
+                in.copy(df = out(in.df.join(div, Seq("bucket"), "left"),
+                  col("series"),
+                  q6(when(col("__tot") =!= 0,
+                    col("value") * lit(100.0) / col("__tot")))))
+              case Some(x) => throw new IllegalArgumentException(s"asPercent: $x")
+              // default: the per-bucket sum of the set itself
+              case None =>
+                val wB = Window.partitionBy(col("bucket"))
+                in.copy(df = out(in.df, col("series"),
+                  q6(col("value") * lit(100.0) /
+                    sum(dec(col("value"))).over(wB).cast("double"))))
+            }
           case "divideSeries" =>
             val a = one(args)
             val b = args(1) match {
@@ -1225,7 +1256,7 @@ object GraphiteTarget {
           // (the compound q6 forms can't ride a bare aggFor().over)
           case "movingWindow" =>
             val in = one(args)
-            val n = num(args(1)).toInt
+            val n = windowPoints(args(1), in.step)
             require(n > 0, "movingWindow size must be positive")
             val w = wSeries.rowsBetween(-(n - 1), Window.currentRow)
             val v = (if (args.length > 2) str(args(2)) else "average") match {

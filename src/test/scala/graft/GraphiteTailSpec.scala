@@ -229,6 +229,19 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(run("stacked(lineWidth(m.*, 2))") == run("m.*"))
   }
 
+  test("moving* windows accept duration strings; asPercent takes a total") {
+    // '2h' at the 3600s step = 2 points — same values as movingSum(.., 2)
+    assert(run("movingSum(m.a, '2h')") == run("movingSum(m.a, 2)"))
+    assert(run("movingWindow(m.a, '2h', 'range')") ==
+      run("movingWindow(m.a, 2, 'range')"))
+    intercept[IllegalArgumentException](run("movingSum(m.a, '90s')"))
+    // numeric total: v·100/50
+    assert(run("asPercent(m.a, 50)").map(_._3.get) == Seq(2.0, 4.0, 8.0, 6.0))
+    // series total: m.a as a percent of m.b
+    assert(run("asPercent(m.a, m.b)").map(_._3.get) ==
+      Seq(10.0, 20.0, 20.0, 7.5))
+  }
+
   test("parser property: canonical text round-trips for 500 random ASTs") {
     import GraphiteTarget._
     val rnd = new scala.util.Random(1031)
