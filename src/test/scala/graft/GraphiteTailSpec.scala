@@ -242,6 +242,22 @@ class GraphiteTailSpec extends SparkTestBase {
       Seq(10.0, 20.0, 20.0, 7.5))
   }
 
+  test("render widens the fetch window for timeStack's shifted-in data") {
+    // window [h2, h4): the stack's 1h-shift needs h1's value (outside
+    // the window) to land on h2 — only the widened per-target fetch
+    // sees it; the unshifted copy stays clamped
+    val got = GraphiteTarget.render(Seq("timeStack(m.a, '1h', 0, 2)"),
+        uni, 3600, fromSec = 7200L, untilSec = 14400L)
+      .select(col("series"), col("bucket").cast("long"), col("value"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got == Seq(
+      ("timeShift(m.a,0)", 7200L, Some(4.0)),
+      ("timeShift(m.a,0)", 10800L, Some(3.0)),
+      ("timeShift(m.a,3600)", 7200L, Some(2.0)),  // h1's value, shifted in
+      ("timeShift(m.a,3600)", 10800L, Some(4.0))))
+  }
+
   test("parser property: canonical text round-trips for 500 random ASTs") {
     import GraphiteTarget._
     val rnd = new scala.util.Random(1031)
