@@ -36,6 +36,44 @@ import org.apache.spark.sql.functions._
   * call's canonical [[text]]) and the explicit alias/aliasByNode rename.
   * This keeps node-indexed functions (aliasByNode) meaningful on any
   * composition depth, where graphite's wrapped names break them.
+  *
+  * Supported render functions (~95 of graphite-web's ~120):
+  *  - cross-series: sumSeries averageSeries maxSeries minSeries
+  *    countSeries rangeOfSeries stddevSeries multiplySeries group
+  *    aggregate percentileOfSeries weightedAverage diffSeries
+  *    divideSeries asPercent (self / numeric total / total series)
+  *  - grouped: groupByNode groupByNodes groupByTags
+  *    sumSeriesWithWildcards averageSeriesWithWildcards
+  *    aggregateWithWildcards
+  *  - scalar: scale offset add absolute invert squareRoot logarithm
+  *    pow exp sigmoid round transformNull removeAboveValue
+  *    removeBelowValue isNonNull scaleToSeconds
+  *  - windows: derivative nonNegativeDerivative perSecond integral
+  *    integralByInterval movingAverage movingSum movingMax movingMin
+  *    movingMedian movingWindow stdev keepLastValue changed delay
+  *    interpolate exponentialMovingAverage linearRegression
+  *  - per-series stats: nPercentile removeAbovePercentile
+  *    removeBelowPercentile minMax offsetToZero aggregateLine
+  *  - selection: exclude grep maximumAbove maximumBelow minimumAbove
+  *    minimumBelow averageAbove averageBelow currentAbove currentBelow
+  *    filterSeries highestAverage highestMax highestCurrent
+  *    lowestAverage lowestCurrent highest lowest mostDeviant
+  *    averageOutsidePercentile removeEmptySeries limit unique
+  *  - re-bucketing/time: summarize hitcount timeShift timeStack
+  *    timeSlice consolidateBy cumulative
+  *  - tags: seriesByTag aliasByTags groupByTags
+  *  - naming: alias aliasByNode aliasByMetric aliasSub substr
+  *  - Holt-Winters: holtWintersForecast holtWintersConfidenceBands
+  *    holtWintersAberration
+  *  - generated/structural: identity constantLine threshold
+  *    fallbackSeries
+  *  - display attributes (accepted, data-neutral): color dashed
+  *    lineWidth drawAsInfinite secondYAxis stacked alpha legendValue
+  *    cactiStyle areaBetween sortByName
+  * Unmapped by intent: options needing graphite-web's render context
+  * (smartSummarize from-alignment, relative timeSlice, useSeriesAbove
+  * and applyByNode refetch) and nondeterministic chart generators
+  * (randomWalk, sinFunction).
   */
 object GraphiteTarget {
 
@@ -960,15 +998,19 @@ object GraphiteTarget {
               .select(col("series"), col("bucket"),
                 col("v").cast("double").as("value")), in.step)
 
-          case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" =>
+          case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" |
+               "aggregateWithWildcards" =>
             val in = one(args)
-            val drop = args.tail.map(a => num(a).toInt)
+            // the generic form names its fold; the legacy pair encode it
+            val (cb, posArgs) =
+              if (fn == "aggregateWithWildcards") (str(args(1)), args.drop(2))
+              else (if (fn.startsWith("sum")) "sum" else "average", args.tail)
+            val drop = posArgs.map(a => num(a).toInt)
             require(drop.nonEmpty, s"$fn needs at least one position")
             // name with the wildcard node positions removed (0-based);
             // filter-with-index keeps this one codegen'd projection
             val key = array_join(filter(split(col("series"), "\\."),
               (_, i) => !drop.map(d => i === lit(d)).reduce(_ || _)), ".")
-            val cb = if (fn.startsWith("sum")) "sum" else "average"
             SeriesSet(in.df.groupBy(key.as("series"), col("bucket"))
               .agg(aggFor(cb).as("v"))
               .select(col("series"), col("bucket"),

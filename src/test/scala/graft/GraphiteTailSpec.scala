@@ -73,6 +73,9 @@ class GraphiteTailSpec extends SparkTestBase {
       ("web.req", 0L, Some(4.0)), ("web.req", 3600L, Some(7.0))))
     val a = run("averageSeriesWithWildcards(web.*.*, 1)", web)
     assert(a.filter(_._1 == "web.req").map(_._3.get) == Seq(2.0, 3.5))
+    // the generic form reaches every aggFor fold
+    val m = run("aggregateWithWildcards(web.*.*, 'max', 1)", web)
+    assert(m.filter(_._1 == "web.req").map(_._3.get) == Seq(3.0, 5.0))
   }
 
   test("weightedAverage pairs by node key: Σ(v·w)/Σ(w)") {
