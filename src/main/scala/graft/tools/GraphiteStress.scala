@@ -1,0 +1,98 @@
+package graft.tools
+
+import graft.Graft
+import graft.operators.GraphiteTarget
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Wide-universe stress for the render façade: the declared g-queries
+  * exercise COMPOSITION depth over a handful of series (the events
+  * universe is bounded by event types), but a production graphite
+  * backend serves MILLIONS of series — the shapes that must hold there
+  * are different plan facts:
+  *
+  *   - tag/glob SELECTION must stay a codegen'd scan predicate (never
+  *     an index lookup the engine doesn't have, never a shuffle);
+  *   - per-series aggregates (highest/filterSeries/…) must produce one
+  *     row per series and broadcast back, so cost tracks the DATA, not
+  *     series-count × data;
+  *   - grouped fan-in (groupByTags/groupByNode) must be ONE hash agg
+  *     whose output is bounded by group count;
+  *   - /metrics/find over the catalog must aggregate, never collect.
+  *
+  * Generates n series (default 1,000,000) × 24 hourly buckets of
+  * deterministic xxhash64 values in the carbon tagged-metric name form
+  * (`web.s<k>.cpu;dc=dc<k%4>;host=h<k%1000>`), evaluates one target per
+  * shape, and prints wall seconds + output row counts. No asserts on
+  * time (boxes differ) — the gate is the printed shape facts: row
+  * counts bounded as designed, and every run completing at 24M rows in
+  * seconds. Results land in BENCH_NOTES.
+  *
+  * Usage: runMain graft.tools.GraphiteStress [series] (default 1e6)
+  */
+object GraphiteStress {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = Graft.session(cores = 32, appName = "graphite-stress")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = 1704067200L // 2024-01-01 UTC
+    val universe: DataFrame = spark.range(n).select(
+        concat(lit("web.s"), col("id"), lit(".cpu"),
+          lit(";dc=dc"), pmod(col("id"), lit(4)),
+          lit(";host=h"), pmod(col("id"), lit(1000))).as("series"),
+        col("id"))
+      .crossJoin(spark.range(24).select(
+        timestamp_seconds(lit(base) + col("id") * 3600L).as("bucket"),
+        col("id").as("h")))
+      .select(col("series"),
+        col("bucket"),
+        (pmod(xxhash64(col("id"), col("h")), lit(100000)).cast("double") /
+          lit(1000.0)).as("value"))
+      .repartition(64)
+
+    println(s"[gstress] series=$n rows=${n * 24}")
+
+    def run(label: String, target: String, boundNote: String): Unit = {
+      val (cnt, t) = time(GraphiteTarget.eval(target, universe, 3600).count())
+      println(f"[gstress] $label%-22s ${t}%7.2f s  rows=$cnt%-10d $boundNote")
+    }
+
+    // tag selection (1/4 of the universe) + per-series score + top-5:
+    // the score agg is one row per selected series, rank over that
+    // bounded frame, semi-join back
+    run("highest(seriesByTag)",
+      "highest(seriesByTag('dc=dc1'), 5, 'max')",
+      "bound: 5 series x 24 buckets = 120")
+
+    // grouped fan-in across the full universe: ONE hash agg keyed
+    // (host, bucket) -> 1000 x 24 rows out of 24M in
+    run("groupByTags(sum)",
+      "groupByTags(seriesByTag('name=~web\\.'), 'sum', 'host')",
+      "bound: 1000 hosts x 24 = 24000")
+
+    // per-series threshold filter: agg + broadcast semi-join, output
+    // tracks the surviving data
+    run("filterSeries(avg)",
+      "filterSeries(seriesByTag('dc=dc2'), 'average', '>', 75)",
+      "bound: selected series' rows")
+
+    // glob selection staying a scan predicate (one series of n)
+    run("glob one-of-1M", "movingAverage(web.s777777.cpu*, 4)",
+      "bound: 24")
+
+    // /metrics/find over the 1M-name catalog: aggregate, never collect
+    val names = universe.select("series").distinct()
+    val (fc, ft) = time(GraphiteTarget.findNodes(names, "web.*").count())
+    println(f"[gstress] findNodes(web.*)     ${ft}%7.2f s  rows=$fc%-10d bound: n distinct s<k> nodes")
+
+    spark.stop()
+  }
+}
