@@ -782,6 +782,7 @@ object GraphiteTarget {
             args.lift(1) match {
               // explicit numeric total: a pure scalar projection
               case Some(NumArg(total)) =>
+                require(total != 0, "asPercent: zero total")
                 in.copy(df = out(in.df, col("series"),
                   q6(col("value") * lit(100.0) / lit(total))))
               // a total SERIES: one-per-bucket, broadcast like a divisor

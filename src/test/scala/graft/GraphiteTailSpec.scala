@@ -243,6 +243,7 @@ class GraphiteTailSpec extends SparkTestBase {
     // series total: m.a as a percent of m.b
     assert(run("asPercent(m.a, m.b)").map(_._3.get) ==
       Seq(10.0, 20.0, 20.0, 7.5))
+    intercept[IllegalArgumentException](run("asPercent(m.a, 0)"))
   }
 
   test("render widens the fetch window for timeStack's shifted-in data") {
