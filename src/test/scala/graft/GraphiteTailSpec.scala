@@ -262,6 +262,34 @@ class GraphiteTailSpec extends SparkTestBase {
       ("timeShift(m.a,3600)", 10800L, Some(4.0))))
   }
 
+  test("malformed arguments fail loudly at plan-build time, never inside Spark") {
+    // every rejection is an IllegalArgumentException from the façade's
+    // own validation — a user typo surfaces as the graphite message,
+    // not an AnalysisException from deep in a plan
+    val bad = Seq(
+      "aggregate(m.*, 'mode')",            // unknown fold
+      "groupByNodes(m.*, 'sum')",          // no node positions
+      "groupByTags(m.*, 'sum')",           // no tags
+      "sumSeriesWithWildcards(m.*)",       // no positions
+      "weightedAverage(m.*, m.*)",         // no node key
+      "percentileOfSeries(m.*, 0)",        // percentile out of range
+      "percentileOfSeries(m.*, 101)",
+      "movingWindow(m.a, 0)",              // empty window
+      "movingWindow(m.a, '90s')",          // non-multiple duration
+      "exponentialMovingAverage(m.a, 0)",  // no points
+      "integralByInterval(m.a, '0s')",     // bad duration literal
+      "hitcount(m.a, 'tomorrow')",
+      "timeStack(m.a, '1h', 3, 3)",        // empty stack
+      "substr(m.a, -1)",                   // negative slice
+      "unique()",                          // no targets
+      "asPercent(m.a, 0)")                 // zero total
+    bad.foreach { t =>
+      intercept[IllegalArgumentException] {
+        GraphiteTarget.eval(t, uni, 3600)
+      }
+    }
+  }
+
   test("parser property: canonical text round-trips for 500 random ASTs") {
     import GraphiteTarget._
     val rnd = new scala.util.Random(1031)
