@@ -519,6 +519,27 @@ object GraphiteTarget {
       parseTimeSpec(from, nowSec), parseTimeSpec(until, nowSec),
       maxDataPoints)
 
+  /** graphite-web's `/render?format=json` response shape as a frame:
+    * one row per output series — (target, datapoints), datapoints =
+    * [value, epoch-seconds] pairs in bucket order, exactly the arrays
+    * the HTTP layer serializes. The per-series fold is bounded by the
+    * RENDERED point count: the maxDataPoints valve caps the set before
+    * this collect_list, so a 10-year panel folds at most maxDataPoints
+    * elements per series — the fold can never become the unbounded
+    * per-key state a naive collect-the-series would be.
+    */
+  def renderJson(targets: Seq[String], universe: DataFrame, step: Long,
+                 fromSec: Long, untilSec: Long,
+                 maxDataPoints: Option[Int] = None): DataFrame = {
+    val r = render(targets, universe, step, fromSec, untilSec, maxDataPoints)
+    r.groupBy(col("series").as("target"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          unix_timestamp(col("bucket")).as("t"), col("value").as("v")))),
+        p => array(p.getField("v"), p.getField("t").cast("double")))
+        .as("datapoints"))
+  }
+
   def evalNode(node: Node, universe: DataFrame, step: Long): SeriesSet = {
     def ev(n: Node): SeriesSet = evalNode(n, universe, step)
     def one(args: Seq[Arg]): SeriesSet = args.head match {

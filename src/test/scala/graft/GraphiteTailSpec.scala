@@ -262,6 +262,24 @@ class GraphiteTailSpec extends SparkTestBase {
       ("timeShift(m.a,3600)", 10800L, Some(4.0))))
   }
 
+  test("renderJson folds the graphite-web response shape, capped by maxDataPoints") {
+    val got = GraphiteTarget.renderJson(Seq("m.a", "sumSeries(m.*)"),
+        uni, 3600, 0L, 14400L)
+      .orderBy("target")
+      .as[(String, Seq[Seq[Double]])].collect().toSeq
+    assert(got == Seq(
+      ("m.a", Seq(Seq(1.0, 0.0), Seq(2.0, 3600.0), Seq(4.0, 7200.0),
+        Seq(3.0, 10800.0))),
+      ("sumSeries(m.*)", Seq(Seq(11.0, 0.0), Seq(12.0, 3600.0),
+        Seq(24.0, 7200.0), Seq(43.0, 10800.0)))))
+    // the maxDataPoints valve caps the fold BEFORE collect_list
+    val capped = GraphiteTarget.renderJson(Seq("consolidateBy(m.b, 'max')"),
+        uni, 3600, 0L, 14400L, maxDataPoints = Some(2))
+      .as[(String, Seq[Seq[Double]])].collect().toSeq
+    assert(capped == Seq(
+      ("m.b", Seq(Seq(10.0, 0.0), Seq(40.0, 7200.0)))))
+  }
+
   test("malformed arguments fail loudly at plan-build time, never inside Spark") {
     // every rejection is an IllegalArgumentException from the façade's
     // own validation — a user typo surfaces as the graphite message,
