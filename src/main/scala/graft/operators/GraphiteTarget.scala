@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   * This keeps node-indexed functions (aliasByNode) meaningful on any
   * composition depth, where graphite's wrapped names break them.
   *
-  * Supported render functions (~95 of graphite-web's ~120):
+  * Supported render functions (~100 of graphite-web's ~120):
   *  - cross-series: sumSeries averageSeries maxSeries minSeries
   *    countSeries rangeOfSeries stddevSeries multiplySeries group
   *    aggregate percentileOfSeries weightedAverage diffSeries
@@ -59,8 +59,11 @@ import org.apache.spark.sql.functions._
   *    filterSeries highestAverage highestMax highestCurrent
   *    lowestAverage lowestCurrent highest lowest mostDeviant
   *    averageOutsidePercentile removeEmptySeries limit unique
-  *  - re-bucketing/time: summarize hitcount timeShift timeStack
-  *    timeSlice consolidateBy cumulative
+  *    useSeriesAbove
+  *  - re-bucketing/time: summarize smartSummarize (from-aligned, with
+  *    alignTo calendar units) hitcount timeShift timeStack timeSlice
+  *    (epoch or relative specs) consolidateBy cumulative
+  *  - per-prefix macro: applyByNode
   *  - tags: seriesByTag aliasByTags groupByTags
   *  - naming: alias aliasByNode aliasByMetric aliasSub substr
   *  - Holt-Winters: holtWintersForecast holtWintersConfidenceBands
@@ -70,10 +73,12 @@ import org.apache.spark.sql.functions._
   *  - display attributes (accepted, data-neutral): color dashed
   *    lineWidth drawAsInfinite secondYAxis stacked alpha legendValue
   *    cactiStyle areaBetween sortByName
-  * Unmapped by intent: options needing graphite-web's render context
-  * (smartSummarize from-alignment, relative timeSlice, useSeriesAbove
-  * and applyByNode refetch) and nondeterministic chart generators
-  * (randomWalk, sinFunction).
+  * Render-context functions (smartSummarize from-alignment, relative
+  * timeSlice) resolve against the request state [[render]] threads
+  * through evaluation as [[RenderContext]]; useSeriesAbove and
+  * applyByNode re-probe the render universe ([[globLeaves]] widens a
+  * store-backed fetch to cover them). Unmapped by intent:
+  * nondeterministic chart generators (randomWalk, sinFunction).
   */
 object GraphiteTarget {
 
@@ -229,6 +234,51 @@ object GraphiteTarget {
     if (m.group(1) == "-") -v else v
   }
 
+  /** timeStack's shift unit with graphite-web's sign normalization: an
+    * UNSIGNED duration means the past (`'1d'` behaves as `'-1d'` —
+    * graphite prepends '-' when the spec starts with a digit); an
+    * explicit sign is honored. Returned as the per-multiplier shift
+    * magnitude `sec` used as output bucket = input − i·sec.
+    */
+  private def timeStackSec(spec: String): Long = {
+    val raw = parseDuration(spec)
+    if (spec.trim.headOption.exists(_.isDigit)) -raw else raw
+  }
+
+  /** Truncate an epoch second to a UTC calendar-unit boundary —
+    * smartSummarize's alignTo origins, computed once on the driver.
+    * Accepts graphite's unit names and duration-style suffixes
+    * (`days` / `1d`, `hours` / `1h`, …); weeks start Monday
+    * (graphite's `startTime − weekday()` rule).
+    */
+  private[graft] def truncateEpoch(sec: Long, unit: String): Long = {
+    import java.time.{Instant, ZoneOffset}
+    import java.time.temporal.ChronoUnit
+    val z = Instant.ofEpochSecond(sec).atZone(ZoneOffset.UTC)
+    val u = unit.trim.dropWhile(_.isDigit)
+    val t = u match {
+      case "s" | "seconds" => z
+      case "m" | "min" | "minutes" => z.truncatedTo(ChronoUnit.MINUTES)
+      case "h" | "hours"   => z.truncatedTo(ChronoUnit.HOURS)
+      case "d" | "days"    => z.truncatedTo(ChronoUnit.DAYS)
+      case "w" | "weeks"   => z.truncatedTo(ChronoUnit.DAYS)
+        .minusDays(z.getDayOfWeek.getValue - 1L)
+      case "mon" | "months" => z.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+      case "y" | "years"    => z.truncatedTo(ChronoUnit.DAYS).withDayOfYear(1)
+      case other => throw new IllegalArgumentException(
+        s"bad alignTo unit '$other'")
+    }
+    t.toEpochSecond
+  }
+
+  /** Cap on the distinct node prefixes applyByNode fans out over — the
+    * one bounded driver-side collect in the facade (fetchValues'
+    * require-capped discipline): graphite-web itself re-evaluates the
+    * template once per series, so the prefix count is a dashboard-scale
+    * quantity, never a data-scale one.
+    */
+  val MaxApplyByNodePrefixes: Int = 1000
+
   // ---------------------------------------------------------- evaluator
 
   /** A series set mid-evaluation: the frame plus its current step
@@ -260,16 +310,7 @@ object GraphiteTarget {
       val factor = ((points + maxPoints - 1) / maxPoints).toInt
       val newStep = set.step * factor
       val nb = Time.align(col("bucket"), newStep).as("bucket")
-      val agg = set.cf match {
-        case "average" | "avg" => q6(sum(dec(col("value"))).cast("double") /
-                                     count(col("value")))
-        case "sum"  => dec(sum(dec(col("value")))).cast("double")
-        case "max"  => max(col("value"))
-        case "min"  => min(col("value"))
-        case "last" => max_by(col("value"), col("bucket"))
-        case other  => throw new IllegalArgumentException(
-          s"consolidate: unknown cf '$other'")
-      }
+      val agg = cfAgg(set.cf, "consolidate")
       SeriesSet(set.df.groupBy(col("series"), nb).agg(agg.as("v"))
         .select(col("series"), col("bucket"),
           col("v").cast("double").as("value")), newStep, set.cf)
@@ -283,6 +324,35 @@ object GraphiteTarget {
     */
   def globLeaves(n: Node): Seq[String] = n match {
     case Glob(p) => Seq(p)
+    // useSeriesAbove refetches series named by search→replace over the
+    // input names: a store-backed caller must fetch the replaced globs
+    // too, so each inner leaf contributes its replaced form (a sound
+    // over-approximation — replace applied to the PATTERN covers
+    // replace applied to every name the pattern matches whenever the
+    // replaced text lies outside wildcard spans, graphite's
+    // documented usage)
+    case Call("useSeriesAbove", args) =>
+      val inner = args.collect { case TargetArg(t) => globLeaves(t) }.flatten
+      (args.lift(2), args.lift(3)) match {
+        case (Some(StrArg(search)), Some(StrArg(repl))) =>
+          (inner ++ inner.map(_.replace(search, repl))).distinct
+        case _ => inner
+      }
+    // applyByNode evaluates its template per matched prefix: the
+    // template's leaves with '%' widened to the prefix-depth glob of
+    // each inner leaf cover every per-prefix expansion
+    case Call("applyByNode", args) =>
+      val inner = args.collect { case TargetArg(t) => globLeaves(t) }.flatten
+      (args.lift(1), args.lift(2)) match {
+        case (Some(NumArg(nn)), Some(StrArg(template))) =>
+          val prefixGlobs = inner
+            .map(_.split("\\.").take(nn.toInt + 1).mkString(".")).distinct
+          (inner ++ prefixGlobs.flatMap { p =>
+            scala.util.Try(globLeaves(parse(template.replace("%", p))))
+              .getOrElse(Nil)
+          }).distinct
+        case _ => inner
+      }
     case Call(_, args) => args.collect { case TargetArg(t) => globLeaves(t) }.flatten
   }
 
@@ -316,6 +386,24 @@ object GraphiteTarget {
   /** 6-decimal quantization — THE division-output contract (scaladoc). */
   private def q6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
 
+  /** The per-(series, coarse-bucket) consolidation fold shared by
+    * [[consolidate]], summarize and smartSummarize. `last` is
+    * graphite's safeLast (latest NON-null value — the null-keyed rows
+    * never win a max_by; within a per-series group the bucket alone
+    * orders deterministically).
+    */
+  private def cfAgg(cf: String, who: String): Column = cf match {
+    case "average" | "avg" => q6(sum(dec(col("value"))).cast("double") /
+                                 count(col("value")))
+    case "sum"  => dec(sum(dec(col("value")))).cast("double")
+    case "max"  => max(col("value"))
+    case "min"  => min(col("value"))
+    case "last" => max_by(col("value"),
+      when(col("value").isNotNull, col("bucket")))
+    case other  => throw new IllegalArgumentException(
+      s"$who: unknown cf '$other'")
+  }
+
   private def out(df: DataFrame, name: Column, value: Column): DataFrame =
     df.select(name.as("series"), col("bucket"), value.cast("double").as("value"))
 
@@ -347,7 +435,13 @@ object GraphiteTarget {
     case "count"             => count(col("value")).cast("double")
     case "range" | "rangeOf" => max(col("value")) - min(col("value"))
     case "median"            => q6(expr("percentile(value, 0.5)"))
-    case "last" | "current"  => max_by(col("value"), col("bucket"))
+    // graphite's safeLast: the latest NON-null value (max_by skips rows
+    // whose ordering key is null, so null values never win); the series
+    // name breaks per-bucket ties, making the fold deterministic in
+    // per-BUCKET grouped contexts (aggregate/groupByNode/groupByTags)
+    // where bucket is the grouping key and every row would otherwise tie
+    case "last" | "current"  => max_by(col("value"),
+      when(col("value").isNotNull, struct(col("bucket"), col("series"))))
     // population stddev from decimal sums: every accumulation is
     // exact, the residual double ops are order-free
     case "stddev"            => q6(sqrt(greatest(
@@ -415,6 +509,16 @@ object GraphiteTarget {
   def eval(target: String, universe: DataFrame, step: Long): DataFrame =
     evalNode(parse(target), universe, step).df
 
+  /** The render request context threaded through [[evalNode]] for the
+    * functions that need graphite-web's request state: smartSummarize
+    * aligns its buckets to `fromSec`, and timeSlice's relative time
+    * specs resolve against `nowSec`. Built by [[render]]; a bare
+    * [[eval]] call carries none, and those functions then fail loudly
+    * at plan-build time.
+    */
+  final case class RenderContext(fromSec: Long, untilSec: Long,
+                                 nowSec: Long)
+
   /** Graphite `/render` `from`/`until` time specifier → epoch seconds,
     * with `now` EXPLICIT (the §5.3 stance — no wall-clock reads).
     * Public graphite-web forms covered: epoch seconds (`1311163200`),
@@ -449,14 +553,15 @@ object GraphiteTarget {
         else (spans.map(_._1).min, spans.map(_._2).max)
       (lo + sec, hi + sec)
     case Call("timeStack", args) =>
-      // the stack spans every shift in [start·sec, (end−1)·sec]
+      // the stack spans every effective shift −i·sec for i in
+      // [start, end) (sec sign-normalized as the evaluator does)
       val sec = args.lift(1) match {
-        case Some(StrArg(v)) => parseDuration(v)
+        case Some(StrArg(v)) => timeStackSec(v)
         case a => throw new IllegalArgumentException(s"timeStack: $a")
       }
       val start = args.lift(2).collect { case NumArg(v) => v.toInt }.getOrElse(0)
       val end = args.lift(3).collect { case NumArg(v) => v.toInt }.getOrElse(7)
-      val shifts = (start until end).map(_ * sec)
+      val shifts = (start until end).map(i => -i * sec)
       val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
       val (lo, hi) = if (spans.isEmpty) (0L, 0L)
         else (spans.map(_._1).min, spans.map(_._2).max)
@@ -484,8 +589,23 @@ object GraphiteTarget {
     */
   def render(targets: Seq[String], universe: DataFrame, step: Long,
              fromSec: Long, untilSec: Long,
-             maxDataPoints: Option[Int] = None): DataFrame = {
+             maxDataPoints: Option[Int] = None): DataFrame =
+    renderSets(targets, universe, step, fromSec, untilSec,
+      nowSec = untilSec, maxDataPoints).reduce(_ unionByName _)
+
+  /** One evaluated-and-consolidated frame PER target, in target order —
+    * the shared engine under [[render]] (which unions them) and
+    * [[renderJson]] (which must keep same-named series from different
+    * targets apart, the way graphite's response does). `nowSec` anchors
+    * relative time specs inside function arguments (timeSlice); the
+    * epoch-seconds [[render]] overload anchors it at `untilSec`.
+    */
+  private def renderSets(targets: Seq[String], universe: DataFrame,
+                         step: Long, fromSec: Long, untilSec: Long,
+                         nowSec: Long,
+                         maxDataPoints: Option[Int]): Seq[DataFrame] = {
     require(targets.nonEmpty, "render needs at least one target")
+    val ctx = Some(RenderContext(fromSec, untilSec, nowSec))
     def clamp(df: DataFrame, lo: Long, hi: Long): DataFrame = df.where(
       col("bucket") >= timestamp_seconds(lit(lo)) &&
         col("bucket") < timestamp_seconds(lit(hi)))
@@ -494,19 +614,19 @@ object GraphiteTarget {
       val node = parse(t)
       val (loShift, hiShift) = shiftSpan(node)
       val set =
-        if (loShift == 0L && hiShift == 0L) evalNode(node, clamped, step)
+        if (loShift == 0L && hiShift == 0L) evalNode(node, clamped, step, ctx)
         else {
           // input buckets land at bucket+shift: fetch the union of
           // [from−s, until−s) over every leaf shift s (and 0), then
           // re-clamp the evaluated output to the asked-for window
           val widened = clamp(universe,
             fromSec - math.max(hiShift, 0L), untilSec - math.min(loShift, 0L))
-          val ev = evalNode(node, widened, step)
+          val ev = evalNode(node, widened, step, ctx)
           ev.copy(df = clamp(ev.df, fromSec, untilSec))
         }
       maxDataPoints.map(consolidate(set, fromSec, untilSec, _))
         .getOrElse(set).df
-    }.reduce(_ unionByName _)
+    }
   }
 
   /** [[render]] with graphite-web's string time specifiers
@@ -515,33 +635,59 @@ object GraphiteTarget {
   def render(targets: Seq[String], universe: DataFrame, step: Long,
              from: String, until: String, nowSec: Long,
              maxDataPoints: Option[Int]): DataFrame =
-    render(targets, universe, step,
+    renderSets(targets, universe, step,
       parseTimeSpec(from, nowSec), parseTimeSpec(until, nowSec),
-      maxDataPoints)
+      nowSec, maxDataPoints).reduce(_ unionByName _)
+
+  /** The default [[renderJson]] point budget when the caller sets no
+    * maxDataPoints — fetchValues' bounded-by-default discipline applied
+    * to the JSON endpoint: an uncapped 10-year 1-second panel folds to
+    * at most this many points per series where the data lives instead
+    * of building an unbounded per-series array state.
+    */
+  val DefaultMaxDataPoints: Int = 1000000
 
   /** graphite-web's `/render?format=json` response shape as a frame:
-    * one row per output series — (target, datapoints), datapoints =
-    * [value, epoch-seconds] pairs in bucket order, exactly the arrays
-    * the HTTP layer serializes. The per-series fold is bounded by the
-    * RENDERED point count: the maxDataPoints valve caps the set before
-    * this collect_list, so a 10-year panel folds at most maxDataPoints
-    * elements per series — the fold can never become the unbounded
-    * per-key state a naive collect-the-series would be.
+    * one row per output series per TARGET — (target, datapoints),
+    * datapoints = (v, t) structs in bucket order; the HTTP layer
+    * serializes each as graphite's `[value, epoch]` pair (t is integral
+    * here, as graphite emits it). Same-named series from DIFFERENT
+    * targets stay separate entries (grouped per target ordinal, the
+    * way graphite's response lists them), they never merge into one
+    * interleaved array. The per-series fold is bounded by the RENDERED
+    * point count: maxDataPoints (defaulted to
+    * [[DefaultMaxDataPoints]]) caps the set before this collect_list,
+    * so the fold can never become the unbounded per-key state a naive
+    * collect-the-series would be.
     */
   def renderJson(targets: Seq[String], universe: DataFrame, step: Long,
                  fromSec: Long, untilSec: Long,
                  maxDataPoints: Option[Int] = None): DataFrame = {
-    val r = render(targets, universe, step, fromSec, untilSec, maxDataPoints)
-    r.groupBy(col("series").as("target"))
-      .agg(transform(
-        array_sort(collect_list(struct(
-          unix_timestamp(col("bucket")).as("t"), col("value").as("v")))),
-        p => array(p.getField("v"), p.getField("t").cast("double")))
+    val cap = Some(maxDataPoints.getOrElse(DefaultMaxDataPoints))
+    renderSets(targets, universe, step, fromSec, untilSec,
+        nowSec = untilSec, cap).zipWithIndex
+      .map { case (df, i) => df.withColumn("__t", lit(i)) }
+      .reduce(_ unionByName _)
+      .groupBy(col("__t"), col("series").as("target"))
+      .agg(array_sort(collect_list(struct(
+        col("value").as("v"), unix_timestamp(col("bucket")).as("t"))),
+        (a, b) => when(a.getField("t") < b.getField("t"), -1)
+          .when(a.getField("t") > b.getField("t"), 1).otherwise(0))
         .as("datapoints"))
+      .orderBy(col("__t"), col("target"))
+      .select(col("target"), col("datapoints"))
   }
 
-  def evalNode(node: Node, universe: DataFrame, step: Long): SeriesSet = {
-    def ev(n: Node): SeriesSet = evalNode(n, universe, step)
+  def evalNode(node: Node, universe: DataFrame, step: Long): SeriesSet =
+    evalNode(node, universe, step, None)
+
+  def evalNode(node: Node, universe: DataFrame, step: Long,
+               ctx: Option[RenderContext]): SeriesSet = {
+    def ev(n: Node): SeriesSet = evalNode(n, universe, step, ctx)
+    def renderCtx(who: String): RenderContext = ctx.getOrElse(
+      throw new IllegalArgumentException(
+        s"$who needs the render request context — evaluate it through " +
+          "render(), not a bare eval()"))
     def one(args: Seq[Arg]): SeriesSet = args.head match {
       case TargetArg(t) => ev(t)
       case a => throw new IllegalArgumentException(s"expected a target, got $a")
@@ -737,17 +883,33 @@ object GraphiteTarget {
             require(ivl > 0, "summarize interval must be positive")
             val cf = if (args.length > 2) str(args(2)) else "sum"
             val nb = Time.align(col("bucket"), ivl).as("bucket")
-            val agg = cf match {
-              case "sum" => dec(sum(dec(col("value")))).cast("double")
-              case "avg" | "average" => q6(sum(dec(col("value"))).cast("double") /
-                                           count(col("value")))
-              case "max" => max(col("value"))
-              case "min" => min(col("value"))
-              case "last" => max_by(col("value"), col("bucket"))
-              case other => throw new IllegalArgumentException(
-                s"summarize: unknown cf '$other'")
-            }
+            val agg = cfAgg(cf, "summarize")
             SeriesSet(in.df.groupBy(col("series"), nb).agg(agg.as("v"))
+              .select(col("series"), col("bucket"),
+                col("v").cast("double").as("value")), ivl)
+
+          // summarize aligned to the render request's `from` (graphite's
+          // smartSummarize) instead of the epoch grid: bucket = origin +
+          // ⌊(t − origin)/interval⌋·interval, where origin is `from`,
+          // optionally truncated to a calendar unit (alignTo) — the
+          // origin is one driver-side number, the fold is the same
+          // per-(series, coarse-bucket) hash agg as summarize
+          case "smartSummarize" =>
+            val in = one(args)
+            val ivl = parseDuration(str(args(1)))
+            require(ivl > 0, "smartSummarize interval must be positive")
+            val cf = if (args.length > 2) str(args(2)) else "sum"
+            val c = renderCtx("smartSummarize")
+            val origin = args.lift(3) match {
+              case Some(a) => truncateEpoch(c.fromSec, str(a))
+              case None    => c.fromSec
+            }
+            val nb = timestamp_seconds(lit(origin) +
+              floor((unix_timestamp(col("bucket")) - lit(origin)) /
+                lit(ivl)).cast("long") * lit(ivl)).as("bucket")
+            SeriesSet(in.df
+              .groupBy(col("series"), nb)
+              .agg(cfAgg(cf, "smartSummarize").as("v"))
               .select(col("series"), col("bucket"),
                 col("v").cast("double").as("value")), ivl)
 
@@ -879,7 +1041,9 @@ object GraphiteTarget {
               case "minimumAbove" | "minimumBelow" => min(col("value"))
               case "averageAbove" | "averageBelow" =>
                 q6(sum(dec(col("value"))).cast("double") / count(col("value")))
-              case _ => max_by(col("value"), col("bucket")) // current*
+              case _ => // current*: safeLast — latest NON-null value
+                max_by(col("value"),
+                  when(col("value").isNotNull, col("bucket")))
             }
             val keepPred = fn match {
               case "maximumAbove" | "minimumAbove" | "averageAbove" |
@@ -899,19 +1063,20 @@ object GraphiteTarget {
             val score = fn match {
               case "highestAverage" | "lowestAverage" =>
                 q6(sum(dec(col("value"))).cast("double") / count(col("value")))
-              case "highestCurrent" | "lowestCurrent" =>
-                max_by(col("value"), col("bucket"))
+              case "highestCurrent" | "lowestCurrent" => // safeLast
+                max_by(col("value"),
+                  when(col("value").isNotNull, col("bucket")))
               case _ => max(col("value"))
             }
             val perSeries = in.df.groupBy(col("series")).agg(score.as("__score"))
-            // unpartitioned window is safe here: the frame is one row
-            // per SERIES (bounded by series count, not data volume)
-            val wAll =
-              if (fn.startsWith("lowest"))
-                Window.orderBy(col("__score").asc, col("series"))
-              else Window.orderBy(col("__score").desc, col("series"))
-            val top = perSeries.withColumn("__rk", row_number().over(wAll))
-              .where(col("__rk") <= k).select("series")
+            // orderBy+limit over the one-row-per-series frame plans as
+            // TakeOrderedAndProject — per-partition top-k merged at the
+            // driver (h18's shape), never a single-task global sort,
+            // so a million-series universe ranks without a bottleneck
+            val top = (if (fn.startsWith("lowest"))
+                perSeries.orderBy(col("__score").asc, col("series"))
+              else perSeries.orderBy(col("__score").desc, col("series")))
+              .limit(k).select("series")
             in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))
 
           // ---- tagged series (carbon tagged-metric form
@@ -1043,8 +1208,14 @@ object GraphiteTarget {
           // Σ(v·w)/Σ(w) — null values drop their product but their
           // weight still counts, graphite's sumSeries(products)/
           // sumSeries(weights) semantics. Equi-join on (key, bucket) —
-          // co-partitioned, no fan-out (one series per key per side,
-          // graphite's contract)
+          // co-partitioned, no fan-out. Graphite's one-series-per-key-
+          // per-side contract is ENFORCED (divideSeries' oneSeries
+          // stance): a node set that collapses distinct series would
+          // silently inflate Σ(v·w)/Σ(w) through join fan-out, so each
+          // side folds to one row per (key, bucket) with a plan-level
+          // raise_error when >1 series lands on a key — no collect,
+          // and the pre-agg shares the join's (key, bucket) keys so it
+          // adds no extra shuffle
           case "weightedAverage" =>
             val a = one(args)
             val wgt = args(1) match {
@@ -1055,9 +1226,16 @@ object GraphiteTarget {
             val nodes = args.drop(2).map(x => num(x).toInt)
             require(nodes.nonEmpty, s"$fn needs at least one node")
             def keyed(df: DataFrame, vname: String) = df.select(
-              concat_ws(".", nodes.map(i => nodeAt(col("series"), i)): _*)
-                .as("__k"),
-              col("bucket"), col("value").as(vname))
+                concat_ws(".", nodes.map(i => nodeAt(col("series"), i)): _*)
+                  .as("__k"),
+                col("bucket"), col("series"), col("value"))
+              .groupBy(col("__k"), col("bucket"))
+              .agg(countDistinct(col("series")).as("__ns"),
+                first(col("value")).as(vname))
+              .select(col("__k"), col("bucket"),
+                when(col("__ns") > 1, raise_error(lit(
+                  s"$fn: node key matches more than one series on a side")))
+                  .otherwise(col(vname)).as(vname))
             val j = keyed(a.df, "__v")
               .join(keyed(wgt.df, "__w"), Seq("__k", "bucket"), "inner")
             val sw = sum(dec(col("__w"))).cast("double")
@@ -1097,6 +1275,75 @@ object GraphiteTarget {
               .where(keepPred).select("series")
             in.copy(df = in.df.join(broadcast(keep), Seq("series"), "left_semi"))
 
+          // ---- useSeriesAbove(series, value, search, replace):
+          // graphite's indirection — series whose max exceeds `value`
+          // NAME new series via literal search→replace, and those new
+          // series are re-fetched. The derived name set is one bounded
+          // per-series agg (a row per qualifying series) broadcast as a
+          // semi-join against the universe — the "refetch" is a plan-
+          // level name probe, no collect, no second scan beyond the
+          // semi-join's. Names with no matching series drop out, which
+          // is graphite's removeEmptySeries tail. (Store-backed callers
+          // fetch the replaced globs too — see [[globLeaves]].)
+          case "useSeriesAbove" =>
+            val in = one(args)
+            val v = num(args(1))
+            val search = str(args(2)); val repl = str(args(3))
+            val keep = in.df.groupBy(col("series"))
+              .agg(max(col("value")).as("__mx")).where(col("__mx") > v)
+              .select(regexp_replace(col("series"),
+                java.util.regex.Pattern.quote(search),
+                java.util.regex.Matcher.quoteReplacement(repl)).as("series"))
+            SeriesSet(universe
+              .select(col("series"), col("bucket"), col("value"))
+              .join(broadcast(keep), Seq("series"), "left_semi"), step)
+
+          // ---- applyByNode(series, nodeNum, template, newName?):
+          // evaluate `template` once per distinct (nodeNum+1)-node
+          // prefix of the matched series, '%' replaced by the prefix —
+          // graphite's per-prefix macro. The prefix list is THE bounded
+          // driver collect of the facade (capped at
+          // [[MaxApplyByNodePrefixes]], fetchValues' discipline;
+          // graphite-web re-evaluates per series, so this is strictly
+          // less driver work than the original). Each prefix's plan is
+          // an independent declarative subtree over the same universe —
+          // its leaf globs carry the prefix, so scan pruning still
+          // applies — and the union is plan-level.
+          case "applyByNode" =>
+            val in = one(args)
+            val nodeNum = num(args(1)).toInt
+            require(nodeNum >= 0, "applyByNode: negative node")
+            val template = str(args(2))
+            val newName = args.lift(3).map(str)
+            val prefixes = in.df
+              .select(array_join(slice(split(col("series"), "\\."), 1,
+                nodeNum + 1), ".").as("__p"))
+              .distinct().orderBy("__p").limit(MaxApplyByNodePrefixes + 1)
+              .collect().map(_.getString(0)).toSeq
+            require(prefixes.size <= MaxApplyByNodePrefixes,
+              s"applyByNode: more than $MaxApplyByNodePrefixes distinct " +
+                "prefixes — group first (groupByNode) or narrow the glob")
+            if (prefixes.isEmpty)
+              SeriesSet(universe
+                .select(col("series"), col("bucket"), col("value"))
+                .where(lit(false)), step)
+            else {
+              val parts = prefixes.map { p =>
+                val sub = evalNode(parse(template.replace("%", p)),
+                  universe, step, ctx)
+                newName match {
+                  case Some(nn) =>
+                    sub.copy(df = out(sub.df, lit(nn.replace("%", p)),
+                      col("value")))
+                  case None => sub
+                }
+              }
+              require(parts.map(_.step).distinct.size == 1,
+                "applyByNode: template evaluations disagree on step")
+              SeriesSet(parts.map(_.df).reduce(_ unionByName _),
+                parts.head.step)
+            }
+
           // ---- generic top/bottom-k (the parameterized highest*/
           // lowest*), plus mostDeviant (score = population stddev —
           // same ranking as graphite's variance, both monotone)
@@ -1108,12 +1355,12 @@ object GraphiteTarget {
               case _ => aggFor(if (args.length > 2) str(args(2)) else "average")
             }
             val perSeries = in.df.groupBy(col("series")).agg(score.as("__score"))
-            // unpartitioned window over a one-row-per-SERIES frame
-            val wAll =
-              if (fn == "lowest") Window.orderBy(col("__score").asc, col("series"))
-              else Window.orderBy(col("__score").desc, col("series"))
-            val top = perSeries.withColumn("__rk", row_number().over(wAll))
-              .where(col("__rk") <= k).select("series")
+            // TakeOrdered top-k over the per-series frame (h18's shape
+            // — see the highestAverage family above)
+            val top = (if (fn == "lowest")
+                perSeries.orderBy(col("__score").asc, col("series"))
+              else perSeries.orderBy(col("__score").desc, col("series")))
+              .limit(k).select("series")
             in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))
 
           // ---- keep series whose average sits OUTSIDE the
@@ -1143,13 +1390,13 @@ object GraphiteTarget {
 
           // first n series in NAME order — the deterministic stand-in
           // for graphite's fetch order, which a distributed frame
-          // doesn't have (documented deviation)
+          // doesn't have (documented deviation). distinct+orderBy+limit
+          // is a TakeOrdered over the name set, never a global sort
           case "limit" =>
             val in = one(args)
             val n = num(args(1)).toInt
             val top = in.df.select("series").distinct()
-              .withColumn("__rk", row_number().over(Window.orderBy(col("series"))))
-              .where(col("__rk") <= n).select("series")
+              .orderBy(col("series")).limit(n)
             in.copy(df = in.df.join(broadcast(top), Seq("series"), "left_semi"))
 
           // union of the args, FIRST occurrence of each series name
@@ -1334,8 +1581,9 @@ object GraphiteTarget {
               case "range" | "rangeOf" =>
                 max(col("value")).over(w) - min(col("value")).over(w)
               case "median"        => expr("percentile(value, 0.5)").over(w)
-              case "last" | "current" =>
-                max_by(col("value"), col("bucket")).over(w)
+              case "last" | "current" => // safeLast over the frame
+                max_by(col("value"),
+                  when(col("value").isNotNull, col("bucket"))).over(w)
               case "stddev" =>
                 val s = sum(dec(col("value"))).over(w).cast("double")
                 val m2 = sum(dec(col("value") * col("value"))).over(w).cast("double")
@@ -1367,14 +1615,20 @@ object GraphiteTarget {
               .where(col("__cnt") === 0).drop("__cnt")
             SeriesSet(keepA.unionByName(keepB), a.step)
 
-          // values nulled outside [start, end] — epoch-second bounds
-          // (graphite's relative timespec forms need a `now`, which the
-          // §5.3 stance keeps out of the evaluator; render() callers
-          // clamp with parseTimeSpec instead)
+          // values nulled outside [start, end] — epoch-second bounds,
+          // or graphite's relative/`now±` string specs resolved against
+          // the render request's explicit `now` (the §5.3 stance: a
+          // bare eval() has no now, so string specs require the
+          // render() context)
           case "timeSlice" =>
             val in = one(args)
-            val lo = num(args(1)).toLong
-            val hi = if (args.length > 2) num(args(2)).toLong else Long.MaxValue
+            def bound(a: Arg): Long = a match {
+              case NumArg(v) => v.toLong
+              case StrArg(s0) => parseTimeSpec(s0, renderCtx("timeSlice").nowSec)
+              case x => throw new IllegalArgumentException(s"timeSlice: $x")
+            }
+            val lo = bound(args(1))
+            val hi = if (args.length > 2) bound(args(2)) else Long.MaxValue
             in.copy(df = out(in.df, col("series"),
               when(unix_timestamp(col("bucket")).between(lo, hi), col("value"))))
 
@@ -1394,21 +1648,28 @@ object GraphiteTarget {
               .select(lit(nm).as("series"), col("bucket"),
                 lit(v).cast("double").as("value")), step)
 
-          // the series and its last `end−1` self-shifts, names wrapped
-          // the way graphite labels the stack; the render() fetch
-          // window widens by the stack's span (see shiftSpan)
+          // the series and its `end−start` self-shifts. Graphite's
+          // normalization: an UNSIGNED unit means the past ('1d' →
+          // '-1d'), so copy i draws data from i·|unit| ago at the
+          // current position (output bucket = input − i·sec with sec
+          // sign-normalized); an explicit '+' asks for future data,
+          // drawn earlier. Labels carry the MULTIPLIER index the way
+          // graphite-web does (timeShift(name, i)), so aliasSub
+          // patterns written for graphite dashboards keep matching.
+          // The render() fetch window widens by the stack's span
+          // (see shiftSpan).
           case "timeStack" =>
             val in = one(args)
-            val sec = parseDuration(str(args(1)))
+            val sec = timeStackSec(str(args(1)))
             val start = if (args.length > 2) num(args(2)).toInt else 0
             val end = if (args.length > 3) num(args(3)).toInt else 7
             require(end > start, "timeStack: end must exceed start")
             val shifted = (start until end).map { i =>
               out(in.df,
-                concat(lit("timeShift("), col("series"), lit(s",${i * sec})")),
+                concat(lit("timeShift("), col("series"), lit(s",$i)")),
                 col("value"))
                 .withColumn("bucket", timestamp_seconds(
-                  unix_timestamp(col("bucket")) + lit(i * sec)))
+                  unix_timestamp(col("bucket")) - lit(i * sec)))
             }
             SeriesSet(shifted.reduce(_ unionByName _), in.step)
 

@@ -63,6 +63,20 @@ object GraphiteQueries {
         round(col("value"), 6).as("value"))
       .orderBy("series", "bucket")
 
+  /** Three-level names (`events.<type>.h<user_id%3>`) for the
+    * node-prefix macro family (applyByNode) — same hourly lww fold,
+    * one more name level so per-prefix evaluation does real work.
+    */
+  private def deepUniverse(s: SparkSession, dir: String): DataFrame =
+    Dedup.lastWriteWins(
+      Tables.load(s, dir, "events").select(
+        concat(lit("events."), col("event_type"),
+          lit(".h"), pmod(col("user_id"), lit(3))).as("series"),
+        col("ts"), col("event_id"), col("value")),
+      Seq(col("series"), Time.align(col("ts"), 3600).as("bucket")),
+      col("event_id"), Seq("value" -> col("value")))
+      .select(col("series"), col("bucket"), col("value"))
+
   /** The DuckDB-side tagged-universe CTE (g18/g19). NOTE: no line may
     * start with `||` — the oracle strings interpolate this text and
     * re-apply stripMargin, which would eat the first pipe.
@@ -298,7 +312,54 @@ object GraphiteQueries {
     "g31_fallback" -> ((s, dir) =>
       render(s, dir,
         "group(fallbackSeries(events.nosuch, constantLine(42)), " +
-          "timeSlice(events.click, 1704499200, 1704585599))"))
+          "timeSlice(events.click, 1704499200, 1704585599))")),
+
+    // smartSummarize: daily sums aligned to the render window's `from`
+    // (03:00 — NOT the epoch grid summarize uses), and the alignTo
+    // variant that truncates the origin back to the day boundary — the
+    // request context threaded through evaluation, two targets in one
+    // render (window Jan 08 03:00 .. Jan 15 03:00)
+    "g32_smartsummarize" -> ((s, dir) =>
+      GraphiteTarget.render(
+        Seq("smartSummarize(events.*, '1d', 'sum')",
+          "alias(smartSummarize(events.click, '1d', 'max', 'days'), 'clickmax')"),
+        universe(s, dir), step = 3600,
+        fromSec = 1704682800L, untilSec = 1705287600L,
+        maxDataPoints = None)
+        .select(col("series"), col("bucket").cast("long").as("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket_s")),
+
+    // useSeriesAbove: dc0 series whose max clears 280 name their dc1
+    // mirrors, which are re-probed from the universe — the derived
+    // name set is one bounded per-series agg broadcast as a semi-join
+    // (names without a live series drop out)
+    "g33_useseriesabove" -> ((s, dir) =>
+      renderTagged(s, dir,
+        "useSeriesAbove(seriesByTag('dc=dc0'), 280, 'dc=dc0', 'dc=dc1')")),
+
+    // applyByNode: asPercent evaluated once per events.<type> prefix —
+    // each host's share of its own type's per-bucket total (the
+    // prefix list is the facade's one capped driver collect)
+    "g34_applybynode" -> ((s, dir) =>
+      GraphiteTarget.eval("applyByNode(events.*.*, 1, 'asPercent(%.*)')",
+        deepUniverse(s, dir), step = 3600)
+        .select(col("series"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket")),
+
+    // relative timeSlice: '-2d'..'now' resolved against the render
+    // request's explicit now (Feb 01) inside a now-relative window —
+    // values outside the last two days null, buckets stay
+    "g35_relslice" -> ((s, dir) =>
+      GraphiteTarget.render(
+        Seq("timeSlice(events.click, '-2d', 'now')"),
+        universe(s, dir), step = 3600,
+        from = "now-7d", until = "now", nowSec = 1706745600L,
+        maxDataPoints = None)
+        .select(col("series"), col("bucket").cast("long").as("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket_s"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,6 +896,68 @@ object GraphiteQueries {
          |                    THEN value END, 6) AS value
          |  FROM u WHERE series = 'events.click')
          |ORDER BY series, bucket""".stripMargin,
+
+    // t1: daily sums on the 03:00 `from` grid; t2: daily max for click
+    // on the alignTo-'days' grid (origin truncated back to midnight)
+    "g32_smartsummarize" ->
+      s"""WITH $U,
+         |w AS (
+         |  SELECT series, epoch_us(bucket) // 1000000 AS t, value FROM u
+         |  WHERE bucket >= TIMESTAMP '2024-01-08 03:00:00'
+         |    AND bucket < TIMESTAMP '2024-01-15 03:00:00')
+         |SELECT * FROM (
+         |  SELECT series,
+         |         1704682800 + (t - 1704682800) // 86400 * 86400 AS bucket_s,
+         |         ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |               AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
+         |  FROM w GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'clickmax' AS series,
+         |         1704672000 + (t - 1704672000) // 86400 * 86400 AS bucket_s,
+         |         ROUND(MAX(value), 6) AS value
+         |  FROM w WHERE series = 'events.click' GROUP BY 1, 2)
+         |ORDER BY series, bucket_s""".stripMargin,
+
+    // dc0 series clearing max > 280 name their dc1 mirrors; only
+    // names with a live series survive the probe
+    "g33_useseriesabove" ->
+      s"""WITH $TU,
+         |keep AS (
+         |  SELECT DISTINCT replace(series, 'dc=dc0', 'dc=dc1') AS series
+         |  FROM tu WHERE dc = 0 GROUP BY series HAVING MAX(value) > 280)
+         |SELECT tu.series, CAST(tu.bucket AS VARCHAR) AS bucket,
+         |       ROUND(tu.value, 6) AS value
+         |FROM tu JOIN keep ON tu.series = keep.series
+         |ORDER BY tu.series, bucket""".stripMargin,
+
+    // per-prefix asPercent: each host's share of its own type's
+    // per-bucket decimal total (g3's oracle with the type partition)
+    "g34_applybynode" ->
+      """WITH du AS (
+        |  SELECT concat('events.', event_type, '.h', user_id % 3) AS series,
+        |         event_type, date_trunc('hour', ts) AS bucket,
+        |         arg_max(value, event_id) AS value
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+        |       ROUND(ROUND(value * 100
+        |             / CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |                    OVER (PARTITION BY event_type, bucket) AS DOUBLE)
+        |             * 1e6) / 1e6, 6) AS value
+        |FROM du ORDER BY series, bucket""".stripMargin,
+
+    // window [now−7d, now); slice keeps [now−2d, now] inclusive —
+    // values outside null, buckets stay
+    "g35_relslice" ->
+      s"""WITH $U
+         |SELECT 'events.click' AS series,
+         |       epoch_us(bucket) // 1000000 AS bucket_s,
+         |       ROUND(CASE WHEN epoch_us(bucket) // 1000000
+         |                       BETWEEN 1706572800 AND 1706745600
+         |                  THEN value END, 6) AS value
+         |FROM u WHERE series = 'events.click'
+         |  AND bucket >= TIMESTAMP '2024-01-25 00:00:00'
+         |  AND bucket < TIMESTAMP '2024-02-01 00:00:00'
+         |ORDER BY series, bucket_s""".stripMargin,
 
     // the groupByNode fold is a no-op re-key here (one series per
     // type), so the oracle is the per-(type, day) running decimal sum

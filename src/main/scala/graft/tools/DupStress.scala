@@ -29,7 +29,16 @@ object DupStress {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = graft.Graft.session(cores = 32, appName = "graft-dupstress")
     spark.sparkContext.setLogLevel("WARN")
+    val ok = run(spark, n)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
 
+  /** The envelope as a boolean (StressAll's unit): every op's
+    * hot-duplicate ratio ≤ 2× its all-distinct time, and keep-first
+    * keeps exactly the first survivor however hot the key.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
     // 16 tokens/doc: two 8-token lines, nine 8-token spans per doc.
     // distinct: last token varies per doc → every hash unique.
     // dup: byte-identical docs → ONE md5 / line / span key corpus-wide.
@@ -82,6 +91,6 @@ object DupStress {
       val verdict = if (r <= 2.0) "OK (<=2x)" else "FAIL (>2x)"
       println(f"[dup] $name%-11s $r%.2f  $verdict")
     }
-    spark.stop()
+    results.forall(_._2 <= 2.0) && kept == 1L && keptLine == 2L
   }
 }

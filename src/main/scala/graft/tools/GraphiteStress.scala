@@ -42,7 +42,19 @@ object GraphiteStress {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val spark = Graft.session(cores = 32, appName = "graphite-stress")
     spark.sparkContext.setLogLevel("WARN")
+    val ok = run(spark, n)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
 
+  /** The envelope as a boolean (StressAll's unit): output row counts
+    * exactly at their designed bounds — the facts that prove selection
+    * stayed a scan predicate, per-series aggregates stayed bounded,
+    * fan-in stayed one hash agg, and the catalog browse aggregated.
+    * (Wall times print for the BENCH_NOTES record; boxes differ, so
+    * the asserted facts are counts, not seconds.)
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
     val base = 1704067200L // 2024-01-01 UTC
     val universe: DataFrame = spark.range(n).select(
         concat(lit("web.s"), col("id"), lit(".cpu"),
@@ -60,39 +72,48 @@ object GraphiteStress {
 
     println(s"[gstress] series=$n rows=${n * 24}")
 
-    def run(label: String, target: String, boundNote: String): Unit = {
+    def runOne(label: String, target: String,
+               boundNote: String): (String, Long) = {
       val (cnt, t) = time(GraphiteTarget.eval(target, universe, 3600).count())
       println(f"[gstress] $label%-22s ${t}%7.2f s  rows=$cnt%-10d $boundNote")
+      (label, cnt)
     }
 
-    // tag selection (1/4 of the universe) + per-series score + top-5:
-    // the score agg is one row per selected series, rank over that
-    // bounded frame, semi-join back
-    run("highest(seriesByTag)",
-      "highest(seriesByTag('dc=dc1'), 5, 'max')",
-      "bound: 5 series x 24 buckets = 120")
+    val hosts = math.min(n, 1000L)
+    val checks = Seq(
+      // tag selection (1/4 of the universe) + per-series score + top-5:
+      // the score agg is one row per selected series, TakeOrdered over
+      // that bounded frame, semi-join back
+      (runOne("highest(seriesByTag)",
+        "highest(seriesByTag('dc=dc1'), 5, 'max')",
+        "bound: 5 series x 24 buckets = 120"), 120L, 120L),
+      // grouped fan-in across the full universe: ONE hash agg keyed
+      // (host, bucket) -> hosts x 24 rows out of 24n in
+      (runOne("groupByTags(sum)",
+        "groupByTags(seriesByTag('name=~web\\.'), 'sum', 'host')",
+        s"bound: $hosts hosts x 24 = ${hosts * 24}"), hosts * 24, hosts * 24),
+      // per-series threshold filter: agg + broadcast semi-join, output
+      // tracks the surviving data (avg>75 of uniform(0,100) over 24
+      // points: rare — bounded by the dc2 slice, usually near zero)
+      (runOne("filterSeries(avg)",
+        "filterSeries(seriesByTag('dc=dc2'), 'average', '>', 75)",
+        "bound: selected series' rows"), 0L, (n / 4 + 1) * 24),
+      // glob selection staying a scan predicate (one series of n)
+      (runOne("glob one-of-1M",
+        s"movingAverage(web.s${math.max(0L, n - 1)}.cpu*, 4)",
+        "bound: 24"), 24L, 24L))
 
-    // grouped fan-in across the full universe: ONE hash agg keyed
-    // (host, bucket) -> 1000 x 24 rows out of 24M in
-    run("groupByTags(sum)",
-      "groupByTags(seriesByTag('name=~web\\.'), 'sum', 'host')",
-      "bound: 1000 hosts x 24 = 24000")
-
-    // per-series threshold filter: agg + broadcast semi-join, output
-    // tracks the surviving data
-    run("filterSeries(avg)",
-      "filterSeries(seriesByTag('dc=dc2'), 'average', '>', 75)",
-      "bound: selected series' rows")
-
-    // glob selection staying a scan predicate (one series of n)
-    run("glob one-of-1M", "movingAverage(web.s777777.cpu*, 4)",
-      "bound: 24")
-
-    // /metrics/find over the 1M-name catalog: aggregate, never collect
+    // /metrics/find over the full-name catalog: aggregate, never collect
     val names = universe.select("series").distinct()
     val (fc, ft) = time(GraphiteTarget.findNodes(names, "web.*").count())
     println(f"[gstress] findNodes(web.*)     ${ft}%7.2f s  rows=$fc%-10d bound: n distinct s<k> nodes")
 
-    spark.stop()
+    val ok = checks.forall { case ((label, cnt), lo, hi) =>
+      val pass = cnt >= lo && cnt <= hi
+      if (!pass) println(s"[gstress] $label OUT OF BOUNDS: $cnt not in [$lo, $hi]")
+      pass
+    } && fc == n
+    if (fc != n) println(s"[gstress] findNodes OUT OF BOUNDS: $fc != $n")
+    ok
   }
 }

@@ -28,7 +28,17 @@ object ManifestStress {
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val spark = graft.Graft.session(cores = 32, appName = "graft-manifeststress")
     spark.sparkContext.setLogLevel("WARN")
+    val ok = run(spark, writers, batches)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
 
+  /** The envelope as a boolean (StressAll's unit): every racing batch
+    * lands, no `_lock` file ever appears, and the converged key sets
+    * equal a sequential replay's (the linearizability gate).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, writers: Int,
+          batches: Int): Boolean = {
     val policy = ArchivePolicy(Seq(
       Archive(60, 60), Archive(3600, 24), Archive(86400, 30)))
     val now = 1700000000L
@@ -61,8 +71,9 @@ object ManifestStress {
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[mstress] $writers writers x $batches batches in $wall%.1f s; " +
       s"last-batch attempts per writer: ${attempts.mkString(",")}")
-    require(java.nio.file.Files.notExists(
-      java.nio.file.Paths.get(root, "_lock")), "a _lock file appeared")
+    val noLock = java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(root, "_lock"))
+    if (!noLock) println("[mstress] FAIL: a _lock file appeared")
 
     // sequential reference in commit-base order: the store's own claim
     // markers define the serialization the lww keys encode
@@ -98,7 +109,6 @@ object ManifestStress {
     }
     println(if (ok) "[mstress] OK — all batches landed, key sets converged"
       else "[mstress] FAIL")
-    spark.stop()
-    if (!ok) sys.exit(1)
+    ok && noLock
   }
 }

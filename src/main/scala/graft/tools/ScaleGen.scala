@@ -34,45 +34,77 @@ import org.apache.spark.sql.functions._
   * columns stay TIMESTAMP_NTZ so the physical type (timestamp[us], not
   * UTC-adjusted) round-trips identically for the DuckDB oracle.
   *
+  * Round-11 additions:
+  *  - docMode "heaps": instead of rotating the FIXED vocabulary (which
+  *    saturates — every replica reuses the same ~31 words, so shingle
+  *    document frequencies grow linearly in F and pair-probe volumes
+  *    quadratically), replica r > 0 renames a deterministic fraction p
+  *    of the vocabulary to replica-private tokens, with p chosen so
+  *    total word vocab ≈ V0·F^0.7 (Heaps' law). Within a replica the
+  *    word map is injective, so dedup/Jaccard/shingle structure stays
+  *    ISOMORPHIC to the source corpus; across replicas most shingles
+  *    differ (a k-word shingle collides only if all k words stayed
+  *    shared), so the shingle vocabulary grows near-linearly in F —
+  *    the realistic corpus shape the r10 verdict asked to measure
+  *    against.
+  *  - a table filter, for narrow scale steps (e.g. events-only sf100)
+  *    that don't need the full fixture's disk.
+  *
   * Usage: runMain graft.tools.ScaleGen <srcDir> <dstDir> [factor=10]
+  *          [docMode=rotate|heaps] [tables=a,b,c]
   */
 object ScaleGen {
+
+  val AllTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val f = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "rotate"
+    val only = if (args.length > 4) args(4).split(',').toSet
+               else AllTables.toSet
     val spark = Graft.session(cores = 32, appName = "graft-scalegen")
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    generate(spark, src, dst, f)
+    generate(spark, src, dst, f, mode, only)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, f: Int,
+               docMode: String = "rotate",
+               only: Set[String] = AllTables.toSet): Unit = {
+    require(Set("rotate", "heaps")(docMode), s"unknown docMode '$docMode'")
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite")
+    // by-name df: a filtered-out table never builds its plan (or forces
+    // the lazy key spaces it references)
+    def write(df: => DataFrame, t: String, files: Int): Unit =
+      if (only(t)) df.repartition(files).write.mode("overwrite")
         .parquet(s"$dst/$t.parquet")
 
-    // source key-space sizes (keys are dense 0..N-1 in the driver data)
+    // source key-space sizes (keys are dense 0..N-1 in the driver
+    // data); lazy so a narrow table filter reads only what it scales
     def keySpace(t: String, key: String): Long =
       read(t).agg(max(col(key))).head().getLong(0) + 1L
-    val nCust = keySpace("customer", "c_custkey")
-    val nSupp = keySpace("supplier", "s_suppkey")
-    val nPart = keySpace("part", "p_partkey")
-    val nOrd = keySpace("orders", "o_orderkey")
-    val nEvt = keySpace("events", "event_id")
-    val nDoc = keySpace("documents", "doc_id")
-    val nVec = keySpace("embeddings", "vec_id")
+    lazy val nCust = keySpace("customer", "c_custkey")
+    lazy val nSupp = keySpace("supplier", "s_suppkey")
+    lazy val nPart = keySpace("part", "p_partkey")
+    lazy val nOrd = keySpace("orders", "o_orderkey")
+    lazy val nEvt = keySpace("events", "event_id")
+    lazy val nDoc = keySpace("documents", "doc_id")
+    lazy val nVec = keySpace("embeddings", "vec_id")
     // events.user_id's FK domain is c_custkey (the hs2 join), so its
     // replication stride must be nCust, not max(user_id)+1 — with a
     // user_id-derived stride, any customer absent from events would make
     // scaled user_ids land on replica-crossing customer keys and shift
     // user→customer attribution. Loud check that the domain really nests.
-    val maxUser = read("events").agg(max(col("user_id"))).head().getLong(0)
-    require(maxUser < nCust,
-      s"events.user_id max $maxUser outside customer key space $nCust")
+    if (only("events")) {
+      val maxUser = read("events").agg(max(col("user_id"))).head().getLong(0)
+      require(maxUser < nCust,
+        s"events.user_id max $maxUser outside customer key space $nCust")
+    }
 
     val reps = explode(sequence(lit(0), lit(f - 1))).as("r")
     def r = col("r").cast("long")
@@ -126,46 +158,71 @@ object ScaleGen {
         .drop("r"),
       "events", 4)
 
-    // documents: per-replica vocab rotation (see scaladoc)
-    val vocab: Array[String] = read("documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(col("w") =!= "").distinct()
-      .orderBy("w").collect().map(_.getString(0))
-    require(vocab.length < 100000, s"vocab unexpectedly large: ${vocab.length}")
-    val v = vocab.length
-    val vocabArr = array(vocab.map(lit): _*)
-    val idxMap = map(vocab.zipWithIndex.flatMap {
-      case (w, i) => Seq(lit(w), lit(i)) }: _*)
-    val rotated = array_join(
-      transform(split(col("text"), " "), w =>
-        coalesce(
-          element_at(vocabArr,
-            (pmod(element_at(idxMap, w) + lit(7) * r, lit(v)) + 1)
-              .cast("int")),
-          w)),
-      " ")
-    write(
-      read("documents").withColumn("r", reps)
-        .withColumn("doc_id", col("doc_id") + r * nDoc)
-        .withColumn("text", rotated)
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .drop("r"),
-      "documents", 2)
+    // documents: per-replica vocab rotation, or Heaps-law growth
+    // (docMode "heaps" — see scaladoc)
+    if (only("documents")) {
+      val vocab: Array[String] = read("documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "").distinct()
+        .orderBy("w").collect().map(_.getString(0))
+      require(vocab.length < 100000, s"vocab unexpectedly large: ${vocab.length}")
+      val v = vocab.length
+      val vocabArr = array(vocab.map(lit): _*)
+      val idxMap = map(vocab.zipWithIndex.flatMap {
+        case (w, i) => Seq(lit(w), lit(i)) }: _*)
+      val newText = docMode match {
+        case "rotate" => array_join(
+          transform(split(col("text"), " "), w =>
+            coalesce(
+              element_at(vocabArr,
+                (pmod(element_at(idxMap, w) + lit(7) * r, lit(v)) + 1)
+                  .cast("int")),
+              w)),
+          " ")
+        case "heaps" =>
+          // rename fraction p per replica r>0 so total word vocab
+          // ≈ V0·(1 + p·(F−1)) = V0·F^0.7; the (word, replica) choice
+          // is a deterministic hash, the per-replica map injective
+          // (suffixed tokens can't collide with the base vocab)
+          val p = if (f <= 1) 0.0
+                  else (math.pow(f.toDouble, 0.7) - 1.0) / (f - 1.0)
+          val pm = math.round(p * 1000.0)
+          println(f"[scalegen] heaps mode: rename fraction p=$p%.3f " +
+            s"→ expected vocab ≈ ${math.round(v * math.pow(f, 0.7))}")
+          array_join(
+            transform(split(col("text"), " "), w =>
+              when(w === "" || element_at(idxMap, w).isNull, w)
+                .when(r > 0 &&
+                  pmod(xxhash64(element_at(idxMap, w).cast("long"), r),
+                    lit(1000L)) < lit(pm),
+                  concat(w, lit("g"), r))
+                .otherwise(w)),
+            " ")
+      }
+      write(
+        read("documents").withColumn("r", reps)
+          .withColumn("doc_id", col("doc_id") + r * nDoc)
+          .withColumn("text", newText)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .drop("r"),
+        "documents", 2)
+    }
 
     // embeddings: cyclic rotation by 13r mod dim (norm-preserving)
-    val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
-    val k = pmod(r * 13, lit(dim.toLong)).cast("int")
-    write(
-      read("embeddings").withColumn("r", reps)
-        .withColumn("vec_id", col("vec_id") + r * nVec)
-        .withColumn("embedding",
-          concat(slice(col("embedding"), k + 1, lit(dim) - k),
-                 slice(col("embedding"), lit(1), k)))
-        .drop("r"),
-      "embeddings", 1)
+    if (only("embeddings")) {
+      val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val k = pmod(r * 13, lit(dim.toLong)).cast("int")
+      write(
+        read("embeddings").withColumn("r", reps)
+          .withColumn("vec_id", col("vec_id") + r * nVec)
+          .withColumn("embedding",
+            concat(slice(col("embedding"), k + 1, lit(dim) - k),
+                   slice(col("embedding"), lit(1), k)))
+          .drop("r"),
+        "embeddings", 1)
+    }
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+    AllTables.filter(only).foreach { t =>
       val n = spark.read.parquet(s"$dst/$t.parquet").count()
       println(s"[scalegen] $t: $n rows")
     }

@@ -72,7 +72,16 @@ object SkewStress {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = graft.Graft.session(cores = 32, appName = "graft-skewstress")
     spark.sparkContext.setLogLevel("WARN")
+    val ok = run(spark, n, timeNaive = args.contains("naive"))
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
 
+  /** The envelope as a boolean (StressAll's unit): every skew-sensitive
+    * query within 2× of its uniform-fixture time at equal volume, and
+    * q8's bucketized plan result-identical to the naive join.
+    */
+  def run(spark: SparkSession, n: Long, timeNaive: Boolean = false): Boolean = {
     val root = java.nio.file.Files.createTempDirectory("graft-skew").toString
     val dirs = Seq(("uniform", false, false), ("hot", true, false),
       ("burst", false, true)).map { case (name, h, b) =>
@@ -99,14 +108,15 @@ object SkewStress {
         (q, name, t)
       }
     println("[skew] ratios vs uniform:")
-    queries.foreach { q =>
+    val ratiosOk = queries.map { q =>
       val m = results.collect { case (`q`, nm, t) => nm -> t }.toMap
-      Seq("hot", "burst").foreach { variant =>
+      Seq("hot", "burst").map { variant =>
         val r = m(variant) / m("uniform")
         val verdict = if (r <= 2.0) "OK (<=2x)" else "FAIL (>2x)"
         println(f"[skew] $q%-15s $variant%-6s ${r}%.2f  $verdict")
-      }
-    }
+        r <= 2.0
+      }.forall(identity)
+    }.forall(identity)
 
     // q8 correctness under skew: bucketized plan ≡ naive join. The
     // naive join is exactly the quadratic-per-hot-key plan this stress
@@ -131,7 +141,7 @@ object SkewStress {
 
     // opt-in: time the UNDECOMPOSED join on the full hot fixture to
     // demonstrate the per-hot-key quadratic the bucketization removes
-    if (args.contains("naive")) {
+    if (timeNaive) {
       val ef = graft.Tables.load(spark, dirs("hot"), "events")
       val cf = ef.where(col("event_type") === "click")
         .select(col("user_id").as("u1"), col("event_id"), col("ts").as("ts1"))
@@ -144,6 +154,6 @@ object SkewStress {
       }
       println(f"[skew] q8 NAIVE (undecomposed) on hot fixture: ${t}%.2f s")
     }
-    spark.stop()
+    ratiosOk && diff == 0L
   }
 }

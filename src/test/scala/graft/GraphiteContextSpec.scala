@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators.GraphiteTarget
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-11 facade closure: the render-context tail (smartSummarize
+  * from/alignTo alignment, relative timeSlice, useSeriesAbove and
+  * applyByNode re-probing) plus the determinism fixes to the
+  * 'last'/'current' fold (graphite's safeLast, series-name
+  * tie-breaking) and weightedAverage's one-series-per-key contract.
+  * Exact expected values over hand-computable universes.
+  */
+class GraphiteContextSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(h: Int) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L))
+
+  private def uni = Seq(
+    ("m.a", ts(0), 1.0), ("m.a", ts(1), 2.0), ("m.a", ts(2), 4.0), ("m.a", ts(3), 3.0),
+    ("m.b", ts(0), 10.0), ("m.b", ts(1), 10.0), ("m.b", ts(2), 20.0), ("m.b", ts(3), 40.0)
+  ).toDF("series", "bucket", "value")
+
+  private def web = Seq(
+    ("web.s1.req", ts(0), 1.0), ("web.s1.req", ts(1), 2.0),
+    ("web.s2.req", ts(0), 3.0), ("web.s2.req", ts(1), 5.0),
+    ("web.s1.err", ts(0), 1.0), ("web.s1.err", ts(1), 1.0)
+  ).toDF("series", "bucket", "value")
+
+  /** trailing nulls exercise the safeLast semantics */
+  private def nulled = Seq(
+    ("m.a", ts(0), Some(1.0)), ("m.a", ts(1), Some(2.0)), ("m.a", ts(2), None),
+    ("m.b", ts(0), Some(5.0)), ("m.b", ts(1), None), ("m.b", ts(2), None)
+  ).toDF("series", "bucket", "value")
+
+  private def run(t: String, u: DataFrame = uni): Seq[(String, Long, Option[Double])] =
+    GraphiteTarget.eval(t, u, 3600)
+      .select(col("series"), col("bucket").cast("long"), col("value"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  private def renderRows(targets: Seq[String], u: DataFrame, from: Long,
+                         until: Long): Seq[(String, Long, Option[Double])] =
+    GraphiteTarget.render(targets, u, 3600, from, until)
+      .select(col("series"), col("bucket").cast("long"), col("value"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  // ---------------------------------------------------- safeLast fixes
+
+  test("'last'/'current' folds skip trailing nulls (graphite's safeLast)") {
+    // aggregateLine flattens each series to its latest NON-null value
+    val line = run("aggregateLine(m.*, 'current')", nulled)
+    assert(line.filter(_._1 == "m.a").map(_._3) ==
+      Seq(Some(2.0), Some(2.0), Some(2.0)))
+    assert(line.filter(_._1 == "m.b").map(_._3) ==
+      Seq(Some(5.0), Some(5.0), Some(5.0)))
+    // currentAbove sees 5.0 for m.b (not the trailing null)
+    assert(run("currentAbove(m.*, 3)", nulled).map(_._1).distinct == Seq("m.b"))
+  }
+
+  test("per-bucket 'last' is deterministic: series name breaks the tie") {
+    // aggregate(..., 'last') groups by BUCKET — every row ties on the
+    // bucket, so the fold must pick by the series tie-break, the
+    // largest name whose value is non-null
+    val got = run("aggregate(m.*, 'last')", nulled)
+    assert(got.map(_._3) == Seq(Some(5.0), Some(2.0), None))
+  }
+
+  // ------------------------------------------- weightedAverage contract
+
+  test("weightedAverage raises when a node key matches several series") {
+    // node 0 is 'web' for every series — three series collapse onto
+    // one key, which would silently inflate the join; the plan-level
+    // guard must raise instead
+    val bad = GraphiteTarget.eval("weightedAverage(web.*.*, web.*.*, 0)",
+      web, 3600)
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("more than one series") ||
+      Option(e.getCause).exists(_.getMessage.contains("more than one series")))
+    // the one-per-key case still works: Σ(v·w)/Σ(w) self-weighted
+    val ok = run("weightedAverage(web.*.req, web.*.req, 1)", web)
+    assert(ok.map(_._3.get) == Seq(2.5, 4.142857))
+  }
+
+  // ------------------------------------------------------ smartSummarize
+
+  test("smartSummarize aligns buckets to the render window's from") {
+    // from = 1.5h: buckets fall on the 1.5h + k·2h grid, NOT the epoch
+    // grid summarize would use
+    val got = renderRows(Seq("smartSummarize(m.a, '2h', 'sum')"),
+      uni, from = 5400L, until = 14400L)
+    assert(got == Seq(("m.a", 5400L, Some(7.0))))
+    // alignTo 'hours' truncates the origin to 1h → the epoch-hour grid
+    val aligned = renderRows(
+      Seq("smartSummarize(m.a, '2h', 'sum', 'hours')"),
+      uni, from = 5400L, until = 14400L)
+    assert(aligned == Seq(("m.a", 3600L, Some(4.0)), ("m.a", 10800L, Some(3.0))))
+    // outside a render context the function fails loudly at build time
+    val e = intercept[IllegalArgumentException](
+      run("smartSummarize(m.a, '2h')"))
+    assert(e.getMessage.contains("render request context"))
+  }
+
+  test("truncateEpoch lands on UTC calendar boundaries") {
+    // 2024-01-10 13:47:05 UTC
+    val t = 1704894425L
+    assert(GraphiteTarget.truncateEpoch(t, "minutes") == 1704894420L)
+    assert(GraphiteTarget.truncateEpoch(t, "1h") == 1704891600L)
+    assert(GraphiteTarget.truncateEpoch(t, "days") == 1704844800L)
+    // 2024-01-10 is a Wednesday; the week starts Monday 2024-01-08
+    assert(GraphiteTarget.truncateEpoch(t, "weeks") == 1704672000L)
+    assert(GraphiteTarget.truncateEpoch(t, "months") == 1704067200L)
+    assert(GraphiteTarget.truncateEpoch(t, "1y") == 1704067200L)
+    intercept[IllegalArgumentException](
+      GraphiteTarget.truncateEpoch(t, "fortnights"))
+  }
+
+  // ------------------------------------------------- relative timeSlice
+
+  test("timeSlice resolves relative specs against the render now") {
+    // epoch render anchors now at untilSec = 4h: '-2h'..'now' keeps
+    // buckets in [2h, 4h], nulls the rest
+    val got = renderRows(Seq("timeSlice(m.a, '-2h', 'now')"),
+      uni, from = 0L, until = 14400L)
+    assert(got.map(_._3) == Seq(None, None, Some(4.0), Some(3.0)))
+    // a bare eval has no now — string specs must fail loudly
+    val e = intercept[IllegalArgumentException](
+      run("timeSlice(m.a, '-2h', 'now')"))
+    assert(e.getMessage.contains("render request context"))
+    // epoch bounds still work without a context
+    assert(run("timeSlice(m.a, 3600, 7200)").map(_._3) ==
+      Seq(None, Some(2.0), Some(4.0), None))
+  }
+
+  // --------------------------------------------------- useSeriesAbove
+
+  test("useSeriesAbove re-probes the universe with replaced names") {
+    // web.s1.req (max 2) and web.s2.req (max 5) pass the >1.5 gate →
+    // candidate names web.s1.err and web.s2.err; only web.s1.err
+    // exists, so the probe returns exactly its rows (graphite's
+    // removeEmptySeries tail falls out of the semi-join)
+    val got = run("useSeriesAbove(web.*.req, 1.5, 'req', 'err')", web)
+    assert(got == Seq(
+      ("web.s1.err", 0L, Some(1.0)), ("web.s1.err", 3600L, Some(1.0))))
+    // nothing passes the gate → empty
+    assert(run("useSeriesAbove(web.*.req, 99, 'req', 'err')", web).isEmpty)
+    // the store-side fetch plan covers the replaced globs
+    val leaves = GraphiteTarget.globLeaves(
+      GraphiteTarget.parse("useSeriesAbove(web.*.req, 1.5, 'req', 'err')"))
+    assert(leaves.toSet == Set("web.*.req", "web.*.err"))
+  }
+
+  // ----------------------------------------------------- applyByNode
+
+  test("applyByNode evaluates the template once per node prefix") {
+    val got = run("applyByNode(web.*.*, 1, 'sumSeries(%.*)', '%.total')", web)
+    assert(got == Seq(
+      ("web.s1.total", 0L, Some(2.0)), ("web.s1.total", 3600L, Some(3.0)),
+      ("web.s2.total", 0L, Some(3.0)), ("web.s2.total", 3600L, Some(5.0))))
+    // without newName the inner call text names the outputs
+    val named = run("applyByNode(web.*.req, 1, 'sumSeries(%.req)')", web)
+    assert(named.map(_._1).distinct.sorted ==
+      Seq("sumSeries(web.s1.req)", "sumSeries(web.s2.req)"))
+    // an empty match is an empty frame, not an error
+    assert(run("applyByNode(web.nosuch.*, 1, 'sumSeries(%.*)')", web).isEmpty)
+    // the fetch plan includes the prefix-widened template leaves
+    val leaves = GraphiteTarget.globLeaves(
+      GraphiteTarget.parse("applyByNode(web.*.*, 1, 'sumSeries(%.cpu)')"))
+    assert(leaves.toSet == Set("web.*.*", "web.*.cpu"))
+  }
+}

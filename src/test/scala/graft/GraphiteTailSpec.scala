@@ -218,13 +218,20 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(run("threshold(5, 'lim')").map(_._1).distinct == Seq("lim"))
   }
 
-  test("timeStack unions the self-shifts with wrapped names") {
+  test("timeStack unions the self-shifts, labeled by multiplier index") {
+    // unsigned '1h' means the PAST (graphite's normalization): copy 1
+    // draws each value one hour later than it occurred, labeled with
+    // the multiplier (graphite-web's timeShift(name, i) form)
     val got = run("timeStack(m.a, '1h', 0, 2)")
     val s0 = got.filter(_._1 == "timeShift(m.a,0)")
-    val s1 = got.filter(_._1 == "timeShift(m.a,3600)")
+    val s1 = got.filter(_._1 == "timeShift(m.a,1)")
     assert(s0.map(_._2) == Seq(0L, 3600L, 7200L, 10800L))
     assert(s1.map(_._2) == Seq(3600L, 7200L, 10800L, 14400L))
     assert(s1.map(_._3.get) == Seq(1.0, 2.0, 4.0, 3.0))
+    // an explicit '+' asks for FUTURE data, drawn earlier
+    val fut = run("timeStack(m.a, '+1h', 0, 2)")
+    assert(fut.filter(_._1 == "timeShift(m.a,1)").map(_._2) ==
+      Seq(-3600L, 0L, 3600L, 7200L))
   }
 
   test("display-only attributes pass the data through unchanged") {
@@ -258,26 +265,48 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(got == Seq(
       ("timeShift(m.a,0)", 7200L, Some(4.0)),
       ("timeShift(m.a,0)", 10800L, Some(3.0)),
-      ("timeShift(m.a,3600)", 7200L, Some(2.0)),  // h1's value, shifted in
-      ("timeShift(m.a,3600)", 10800L, Some(4.0))))
+      ("timeShift(m.a,1)", 7200L, Some(2.0)),  // h1's value, shifted in
+      ("timeShift(m.a,1)", 10800L, Some(4.0))))
   }
 
   test("renderJson folds the graphite-web response shape, capped by maxDataPoints") {
     val got = GraphiteTarget.renderJson(Seq("m.a", "sumSeries(m.*)"),
         uni, 3600, 0L, 14400L)
-      .orderBy("target")
-      .as[(String, Seq[Seq[Double]])].collect().toSeq
+      .as[(String, Seq[(Option[Double], Long)])].collect().toSeq
+    // target order preserved; t integral, as graphite's [v, t] emits it
     assert(got == Seq(
-      ("m.a", Seq(Seq(1.0, 0.0), Seq(2.0, 3600.0), Seq(4.0, 7200.0),
-        Seq(3.0, 10800.0))),
-      ("sumSeries(m.*)", Seq(Seq(11.0, 0.0), Seq(12.0, 3600.0),
-        Seq(24.0, 7200.0), Seq(43.0, 10800.0)))))
+      ("m.a", Seq((Some(1.0), 0L), (Some(2.0), 3600L), (Some(4.0), 7200L),
+        (Some(3.0), 10800L))),
+      ("sumSeries(m.*)", Seq((Some(11.0), 0L), (Some(12.0), 3600L),
+        (Some(24.0), 7200L), (Some(43.0), 10800L)))))
     // the maxDataPoints valve caps the fold BEFORE collect_list
     val capped = GraphiteTarget.renderJson(Seq("consolidateBy(m.b, 'max')"),
         uni, 3600, 0L, 14400L, maxDataPoints = Some(2))
-      .as[(String, Seq[Seq[Double]])].collect().toSeq
+      .as[(String, Seq[(Option[Double], Long)])].collect().toSeq
     assert(capped == Seq(
-      ("m.b", Seq(Seq(10.0, 0.0), Seq(40.0, 7200.0)))))
+      ("m.b", Seq((Some(10.0), 0L), (Some(40.0), 7200L)))))
+  }
+
+  test("renderJson keeps same-named series from different targets apart") {
+    // two targets aliased to the SAME name: graphite's response lists
+    // two entries — they must not merge into one interleaved array
+    val got = GraphiteTarget.renderJson(
+        Seq("alias(m.a, 'x')", "alias(m.b, 'x')"), uni, 3600, 0L, 7200L)
+      .as[(String, Seq[(Option[Double], Long)])].collect().toSeq
+    assert(got == Seq(
+      ("x", Seq((Some(1.0), 0L), (Some(2.0), 3600L))),
+      ("x", Seq((Some(10.0), 0L), (Some(10.0), 3600L)))))
+  }
+
+  test("renderJson bounds an uncapped wide call by DefaultMaxDataPoints") {
+    // a 10-year 1-second window asks for ~3e8 points per series; with
+    // no explicit maxDataPoints the default cap must coarsen the step
+    // (the fold stays bounded) instead of building an unbounded array
+    val wide = GraphiteTarget.renderJson(Seq("m.*"), uni, 1,
+        0L, 300L * 1000L * 1000L)
+      .as[(String, Seq[(Option[Double], Long)])].collect().toSeq
+    assert(wide.forall(_._2.size <= GraphiteTarget.DefaultMaxDataPoints))
+    assert(wide.nonEmpty)
   }
 
   test("malformed arguments fail loudly at plan-build time, never inside Spark") {

@@ -455,4 +455,31 @@ class PlanShapeSpec extends SparkTestBase {
       assert(bad.isEmpty, s"$q plans a partitionless window")
     }
   }
+
+  test("facade top-k (highest/limit) is TakeOrdered, never a single-task sort") {
+    // the highest/lowest/limit rank used to ride an unpartitioned
+    // row_number window — safe only because the per-series frame is
+    // bounded, but still a one-task sort of the whole series catalog
+    // at 4M series. The h18 TakeOrdered shape merges per-partition
+    // top-k at the driver instead; pin it for the facade forms.
+    import graft.operators.GraphiteTarget
+    import spark.implicits._
+    val uni = (0 until 64).map { i =>
+      (s"cpu;dc=dc${i % 2};host=h$i",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(3600L * (i % 4))),
+        i.toDouble)
+    }.toDF("series", "bucket", "value")
+    for (t <- Seq("highest(seriesByTag('dc=dc0'), 3, 'max')",
+                  "highestAverage(cpu*, 3)",
+                  "limit(seriesByTag('dc=dc1'), 2)")) {
+      val df = GraphiteTarget.eval(t, uni, 3600)
+      df.collect()
+      val nodes = this.flatten(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        s"$t: expected TakeOrderedAndProject for the top-k series cut")
+      val bad = nodes.collect { case w: WindowExec => w }
+        .filter(_.partitionSpec.isEmpty)
+      assert(bad.isEmpty, s"$t plans a partitionless window")
+    }
+  }
 }
