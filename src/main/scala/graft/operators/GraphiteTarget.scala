@@ -37,16 +37,20 @@ import org.apache.spark.sql.functions._
   * This keeps node-indexed functions (aliasByNode) meaningful on any
   * composition depth, where graphite's wrapped names break them.
   *
-  * Supported render functions (~100 of graphite-web's ~120):
+  * Supported render functions (~112 of graphite-web's ~120):
   *  - cross-series: sumSeries averageSeries maxSeries minSeries
-  *    countSeries rangeOfSeries stddevSeries multiplySeries group
-  *    aggregate percentileOfSeries weightedAverage diffSeries
-  *    divideSeries asPercent (self / numeric total / total series)
+  *    countSeries rangeOfSeries stddevSeries multiplySeries powSeries
+  *    group aggregate (with the xFilesFactor arg) percentileOfSeries
+  *    weightedAverage diffSeries divideSeries asPercent (self /
+  *    numeric total / total series)
+  *  - pairwise lists: divideSeriesLists multiplySeriesLists
+  *    subtractSeriesLists diffSeriesLists aggregateSeriesLists
+  *    (name-order pairing — documented proxy for fetch order)
   *  - grouped: groupByNode groupByNodes groupByTags
   *    sumSeriesWithWildcards averageSeriesWithWildcards
-  *    aggregateWithWildcards
+  *    aggregateWithWildcards mapSeries reduceSeries
   *  - scalar: scale offset add absolute invert squareRoot logarithm
-  *    pow exp sigmoid round transformNull removeAboveValue
+  *    pow logit exp sigmoid round transformNull removeAboveValue
   *    removeBelowValue isNonNull scaleToSeconds
   *  - windows: derivative nonNegativeDerivative perSecond integral
   *    integralByInterval movingAverage movingSum movingMax movingMin
@@ -62,17 +66,20 @@ import org.apache.spark.sql.functions._
   *    useSeriesAbove
   *  - re-bucketing/time: summarize smartSummarize (from-aligned, with
   *    alignTo calendar units) hitcount timeShift timeStack timeSlice
-  *    (epoch or relative specs) consolidateBy cumulative
+  *    (epoch or relative specs) consolidateBy setXFilesFactor
+  *    cumulative
   *  - per-prefix macro: applyByNode
   *  - tags: seriesByTag aliasByTags groupByTags
   *  - naming: alias aliasByNode aliasByMetric aliasSub substr
   *  - Holt-Winters: holtWintersForecast holtWintersConfidenceBands
-  *    holtWintersAberration
-  *  - generated/structural: identity constantLine threshold
-  *    fallbackSeries
+  *    holtWintersConfidenceArea holtWintersAberration
+  *  - generated/structural: identity time/timeFunction constantLine
+  *    threshold fallbackSeries
   *  - display attributes (accepted, data-neutral): color dashed
   *    lineWidth drawAsInfinite secondYAxis stacked alpha legendValue
-  *    cactiStyle areaBetween sortByName
+  *    cactiStyle areaBetween sortByName sortBy sortByTotal
+  *    sortByMaxima (ordering is a chart concern; sortByMinima also
+  *    filters, and is implemented)
   * Render-context functions (smartSummarize from-alignment, relative
   * timeSlice) resolve against the request state [[render]] threads
   * through evaluation as [[RenderContext]]; useSeriesAbove and
@@ -107,6 +114,64 @@ object GraphiteTarget {
       case StrArg(s) => "\"" + s + "\""
     }.mkString(",") + ")"
   }
+
+  /** The supported-function inventory as DATA: (family, function), the
+    * scaladoc list above made machine-checkable. GraphiteQueries
+    * declares it as an artifact query (g41_inventory) so facade
+    * coverage is itself a gated, diffable artifact, and
+    * GraphiteTailSpec asserts every listed name actually DISPATCHES —
+    * the evaluator's unknown-function default never fires for an
+    * inventory entry, so the list can't drift ahead of the code.
+    * Canonical names only; pure aliases (add, log, grepSeries, map,
+    * reduce, timeFunction, xFilesFactor, avg) ride their canonical
+    * entry.
+    */
+  val functionInventory: Seq[(String, String)] = Seq(
+    "cross-series" -> Seq("sumSeries", "averageSeries", "maxSeries",
+      "minSeries", "countSeries", "rangeOfSeries", "stddevSeries",
+      "multiplySeries", "powSeries", "group", "aggregate",
+      "percentileOfSeries", "weightedAverage", "diffSeries",
+      "divideSeries", "asPercent"),
+    "pairwise-lists" -> Seq("divideSeriesLists", "multiplySeriesLists",
+      "subtractSeriesLists", "diffSeriesLists", "aggregateSeriesLists"),
+    "grouped" -> Seq("groupByNode", "groupByNodes", "groupByTags",
+      "sumSeriesWithWildcards", "averageSeriesWithWildcards",
+      "aggregateWithWildcards", "mapSeries", "reduceSeries"),
+    "scalar" -> Seq("scale", "offset", "absolute", "invert",
+      "squareRoot", "logarithm", "pow", "logit", "exp", "sigmoid",
+      "round", "transformNull", "removeAboveValue", "removeBelowValue",
+      "isNonNull", "scaleToSeconds"),
+    "window" -> Seq("derivative", "nonNegativeDerivative", "perSecond",
+      "integral", "integralByInterval", "movingAverage", "movingSum",
+      "movingMax", "movingMin", "movingMedian", "movingWindow", "stdev",
+      "keepLastValue", "changed", "delay", "interpolate",
+      "exponentialMovingAverage", "linearRegression"),
+    "per-series-stats" -> Seq("nPercentile", "removeAbovePercentile",
+      "removeBelowPercentile", "minMax", "offsetToZero", "aggregateLine"),
+    "selection" -> Seq("exclude", "grep", "maximumAbove", "maximumBelow",
+      "minimumAbove", "minimumBelow", "averageAbove", "averageBelow",
+      "currentAbove", "currentBelow", "filterSeries", "highestAverage",
+      "highestMax", "highestCurrent", "lowestAverage", "lowestCurrent",
+      "highest", "lowest", "mostDeviant", "averageOutsidePercentile",
+      "removeEmptySeries", "limit", "unique", "useSeriesAbove",
+      "sortByMinima"),
+    "re-bucketing" -> Seq("summarize", "smartSummarize", "hitcount",
+      "timeShift", "timeStack", "timeSlice", "consolidateBy",
+      "setXFilesFactor", "cumulative"),
+    "macro" -> Seq("applyByNode"),
+    "tags" -> Seq("seriesByTag", "aliasByTags"),
+    "naming" -> Seq("alias", "aliasByNode", "aliasByMetric", "aliasSub",
+      "substr"),
+    "holt-winters" -> Seq("holtWintersForecast",
+      "holtWintersConfidenceBands", "holtWintersConfidenceArea",
+      "holtWintersAberration"),
+    "generated" -> Seq("identity", "time", "constantLine", "threshold",
+      "fallbackSeries"),
+    "display" -> Seq("color", "dashed", "lineWidth", "drawAsInfinite",
+      "secondYAxis", "stacked", "alpha", "legendValue", "cactiStyle",
+      "areaBetween", "sortByName", "sortBy", "sortByTotal",
+      "sortByMaxima")
+  ).flatMap { case (fam, fns) => fns.map(fam -> _) }
 
   // ------------------------------------------------------------- parser
 
@@ -286,10 +351,14 @@ object GraphiteTarget {
     * consolidation function (consolidateBy sets it; [[consolidate]]
     * applies it when a maxDataPoints render cap coarsens the step).
     * Per-series transforms propagate `cf` via copy(); cross-series
-    * aggregations reset it to the default "average".
+    * aggregations reset it to the default "average". `xff` is the
+    * setXFilesFactor attribute: the minimum non-null fraction a
+    * re-bucketing fold (summarize / smartSummarize) or a 3-arg
+    * aggregate needs before a coarse bucket counts — 0 (the default)
+    * keeps graphite's keep-everything behavior.
     */
   final case class SeriesSet(df: DataFrame, step: Long,
-                             cf: String = "average")
+                             cf: String = "average", xff: Double = 0.0)
 
   /** Render-time consolidation — graphite-web's maxDataPoints contract:
     * a client asking to draw a [from, until) range at most `maxPoints`
@@ -763,6 +832,30 @@ object GraphiteTarget {
             require(in.map(_.step).distinct.size == 1, "group: mixed steps")
             SeriesSet(in.map(_.df).reduce(_ unionByName _), in.head.step)
 
+          // ---- per-bucket left-fold exponentiation (graphite's
+          // powSeries): s1 ^ s2 ^ … in NAME order. One hash agg per
+          // bucket collecting a series-count-bounded struct array
+          // (sorted so the float op order is pinned by the names, not
+          // by partitioning); a null operand poisons the bucket the
+          // way graphite's `None in row` does
+          case "powSeries" =>
+            val in = args.map { case TargetArg(t) => ev(t)
+                                case a => throw new IllegalArgumentException(s"$fn: $a") }
+            require(in.nonEmpty, "powSeries needs at least one target")
+            require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
+            val u = in.map(_.df).reduce(_ unionByName _)
+            val folded = u.groupBy(col("bucket"))
+              .agg(array_sort(collect_list(struct(
+                col("series").as("s"), col("value").as("v")))).as("__a"))
+              .select(col("bucket"),
+                when(exists(col("__a"), x => x.getField("v").isNull),
+                  lit(null))
+                  .otherwise(q6(aggregate(
+                    slice(col("__a"), 2, 1000000),
+                    element_at(col("__a"), 1).getField("v"),
+                    (acc, x) => pow(acc, x.getField("v"))))).as("value"))
+            SeriesSet(out(folded, name, col("value")), in.head.step)
+
           // ---- scalar transforms: stay inside whole-stage codegen
           case "scale" =>
             val in = one(args)
@@ -792,6 +885,13 @@ object GraphiteTarget {
             val in = one(args)
             in.copy(df = out(in.df, col("series"),
               q6(pow(col("value"), lit(num(args(1)))))))
+          // ln(v/(1−v)); graphite Nones the out-of-domain values (its
+          // math.log raises), so v outside (0,1) nulls here too
+          case "logit" =>
+            val in = one(args)
+            in.copy(df = out(in.df, col("series"),
+              when(col("value") > 0 && col("value") < 1,
+                q6(log(col("value") / (lit(1.0) - col("value")))))))
           case "transformNull" =>
             val in = one(args)
             val d = if (args.length > 1) num(args(1)) else 0.0
@@ -884,9 +984,17 @@ object GraphiteTarget {
             val cf = if (args.length > 2) str(args(2)) else "sum"
             val nb = Time.align(col("bucket"), ivl).as("bucket")
             val agg = cfAgg(cf, "summarize")
-            SeriesSet(in.df.groupBy(col("series"), nb).agg(agg.as("v"))
+            // setXFilesFactor: a coarse bucket needs ≥ xff·slots
+            // non-null fine points or it nulls (slots = the coarse/
+            // fine step ratio — the bucket's full capacity)
+            val slots = math.max(1L, ivl / math.max(1L, in.step))
+            val v =
+              if (in.xff <= 0) col("v")
+              else when(col("__n") >= lit(in.xff * slots), col("v"))
+            SeriesSet(in.df.groupBy(col("series"), nb)
+              .agg(agg.as("v"), count(col("value")).as("__n"))
               .select(col("series"), col("bucket"),
-                col("v").cast("double").as("value")), ivl)
+                v.cast("double").as("value")), ivl)
 
           // summarize aligned to the render request's `from` (graphite's
           // smartSummarize) instead of the epoch grid: bucket = origin +
@@ -907,11 +1015,16 @@ object GraphiteTarget {
             val nb = timestamp_seconds(lit(origin) +
               floor((unix_timestamp(col("bucket")) - lit(origin)) /
                 lit(ivl)).cast("long") * lit(ivl)).as("bucket")
+            val slots = math.max(1L, ivl / math.max(1L, in.step))
+            val v =
+              if (in.xff <= 0) col("v")
+              else when(col("__n") >= lit(in.xff * slots), col("v"))
             SeriesSet(in.df
               .groupBy(col("series"), nb)
-              .agg(cfAgg(cf, "smartSummarize").as("v"))
+              .agg(cfAgg(cf, "smartSummarize").as("v"),
+                count(col("value")).as("__n"))
               .select(col("series"), col("bucket"),
-                col("v").cast("double").as("value")), ivl)
+                v.cast("double").as("value")), ivl)
 
           // ---- per-series order statistics: one bounded agg (a row per
           // series) broadcast back — nPercentile flattens the series to
@@ -945,6 +1058,17 @@ object GraphiteTarget {
             require(Set("average", "avg", "sum", "max", "min", "last")(cf),
               s"consolidateBy: unknown cf '$cf'")
             in.copy(cf = cf)
+
+          // ---- xFilesFactor attribute: like consolidateBy, data
+          // untouched — the factor rides the set until a re-bucketing
+          // fold (summarize/smartSummarize) or a 3-arg aggregate
+          // applies it
+          case "setXFilesFactor" | "xFilesFactor" =>
+            val in = one(args)
+            val v = num(args(1))
+            require(v >= 0 && v <= 1,
+              s"$fn: factor must be in [0,1], got $v")
+            in.copy(xff = v)
 
           // ---- renaming
           case "alias" =>
@@ -1019,6 +1143,87 @@ object GraphiteTarget {
             a.copy(df = out(a.df.join(sub, Seq("bucket"), "left"),
               col("series"),
               col("value") - coalesce(col("__sub"), lit(0.0))))
+
+          // ---- pairwise list combination (graphite's xxxSeriesLists
+          // family): the i-th series of the first list pairs with the
+          // i-th of the second. Fetch order isn't a frame concept; the
+          // deterministic proxy is NAME order per side (documented
+          // deviation). The rank window runs over the one-row-per-
+          // series name frame (bounded by the set's series count, the
+          // same shape as the selection family's score frames); the
+          // pair map broadcasts; unequal list lengths raise at
+          // EXECUTION via the unmatched-rank rows of the full join
+          // (graphite raises InputParameterError the same way) — no
+          // driver-side count. Bucket semantics follow the engine's
+          // own divideSeries/diffSeries contracts: the first list's
+          // buckets survive, an absent divisor/factor nulls, an
+          // absent subtrahend counts 0.
+          case "divideSeriesLists" | "multiplySeriesLists" |
+               "subtractSeriesLists" | "diffSeriesLists" |
+               "aggregateSeriesLists" =>
+            val a = one(args)
+            val b = args(1) match {
+              case TargetArg(t) => ev(t)
+              case x => throw new IllegalArgumentException(s"$fn: $x")
+            }
+            require(a.step == b.step, s"$fn: mixed steps")
+            val func = if (fn == "aggregateSeriesLists") str(args(2)) else ""
+            def ranked(df: DataFrame, c: String) = df.select("series")
+              .distinct()
+              .select(col("series").as(c), row_number()
+                .over(Window.orderBy(col("series"))).as("__rk"))
+            val pairs = ranked(a.df, "__sa")
+              .join(ranked(b.df, "__sb"), Seq("__rk"), "full_outer")
+              .select(col("__rk"),
+                when(col("__sa").isNull || col("__sb").isNull, raise_error(
+                  lit(s"$fn: the two series lists must be the same length")))
+                  .otherwise(col("__sa")).as("__sa"),
+                col("__sb"))
+            val aKeyed = a.df.join(broadcast(pairs),
+              a.df("series") === pairs("__sa"))
+            val pairName = fn match {
+              case "divideSeriesLists" =>
+                concat(lit("divideSeries("), col("__sa"), lit(","),
+                  col("__sb"), lit(")"))
+              case "multiplySeriesLists" =>
+                concat(lit("multiplySeries("), col("__sa"), lit(","),
+                  col("__sb"), lit(")"))
+              case "aggregateSeriesLists" =>
+                concat(lit(s"${func}Series("), col("__sa"), lit(","),
+                  col("__sb"), lit(")"))
+              case _ =>
+                concat(lit("diffSeries("), col("__sa"), lit(","),
+                  col("__sb"), lit(")"))
+            }
+            val bSide = b.df.select(col("series").as("__sb"),
+              col("bucket"), col("value").as("__bv"))
+            fn match {
+              case "aggregateSeriesLists" =>
+                // the named fold over each pair's union of buckets —
+                // one hash agg keyed (pair, bucket), aggFor's decimal
+                // contract
+                val bKeyed = bSide.join(broadcast(pairs), Seq("__sb"))
+                  .select(pairName.as("series"), col("bucket"),
+                    col("__bv").as("value"))
+                val aNamed = aKeyed.select(pairName.as("series"),
+                  col("bucket"), col("value"))
+                SeriesSet(aNamed.unionByName(bKeyed)
+                  .groupBy(col("series"), col("bucket"))
+                  .agg(aggFor(func).as("v"))
+                  .select(col("series"), col("bucket"),
+                    col("v").cast("double").as("value")), a.step)
+              case _ =>
+                val joined = aKeyed.join(bSide, Seq("__sb", "bucket"), "left")
+                val v = fn match {
+                  case "divideSeriesLists" =>
+                    q6(when(col("__bv") =!= 0, col("value") / col("__bv")))
+                  case "multiplySeriesLists" =>
+                    q6(col("value") * col("__bv"))
+                  case _ => // subtract/diff: absent subtrahend counts 0
+                    col("value") - coalesce(col("__bv"), lit(0.0))
+                }
+                SeriesSet(out(joined, pairName, v), a.step)
+            }
 
           // ---- series-set filters: regex on the name (codegen'd
           // predicate, no shuffle)
@@ -1109,7 +1314,8 @@ object GraphiteTarget {
               "value", alpha = 0.5, beta = 0.25, gamma = 0.25, period)
             in.copy(df = out(hw, col("series"), col("forecast")))
 
-          case "holtWintersConfidenceBands" =>
+          // the Area form is the Bands rendered filled — same data
+          case "holtWintersConfidenceBands" | "holtWintersConfidenceArea" =>
             val in = one(args)
             val delta = if (args.size > 1) num(args(1)) else 3.0
             val period = math.max(1L, 86400L / in.step).toInt
@@ -1141,8 +1347,24 @@ object GraphiteTarget {
           // legacy xxxSeries family never had
           case "aggregate" =>
             val in = one(args)
-            SeriesSet(out(in.df.groupBy(col("bucket"))
-              .agg(aggFor(str(args(1))).as("v")), name, col("v")), in.step)
+            val xff = args.lift(2).map(num).getOrElse(in.xff)
+            val base = in.df.groupBy(col("bucket"))
+              .agg(aggFor(str(args(1))).as("v"),
+                count(col("value")).as("__n"))
+            val df0 =
+              if (xff <= 0) base
+              else {
+                // graphite's xFilesFactor arg: a bucket only counts
+                // when nonNull/series ≥ xff. The series total is one
+                // bounded agg row, broadcast — never a driver read.
+                val tot = in.df.agg(
+                  countDistinct(col("series")).as("__tot"))
+                base.crossJoin(broadcast(tot))
+                  .select(col("bucket"),
+                    when(col("__n") >= lit(xff) * col("__tot"),
+                      col("v")).as("v"))
+              }
+            SeriesSet(out(df0, name, col("v")), in.step)
 
           // ---- grouped aggregation: the fan-in workhorses of real
           // dashboards. Key from name nodes (groupByNode/s), from tags
@@ -1202,6 +1424,66 @@ object GraphiteTarget {
               .agg(aggFor(cb).as("v"))
               .select(col("series"), col("bucket"),
                 col("v").cast("double").as("value")), in.step)
+
+          // ---- map/reduce templating (graphite's mapSeries /
+          // reduceSeries): mapSeries only marks the grouping — the
+          // frame already carries every series — so it passes through;
+          // reduceSeries does the work as ONE hash agg keyed
+          // (prefix, bucket), pivoting the matcher node into columns
+          // for the order-dependent 2-ary folds (asPercent /
+          // divideSeries / diffSeries) and running the aggFor fold
+          // directly for the symmetric ones. Output names follow
+          // graphite-web functions.py reduceSeries:
+          // nodes[0:reduceNode] + '.reduce.' + func. Duplicate series
+          // per (prefix, matcher) fold by max for determinism
+          // (graphite's dict assignment keeps an arbitrary one).
+          case "mapSeries" | "map" => one(args)
+          case "reduceSeries" | "reduce" =>
+            val in = one(args)
+            val func = str(args(1))
+            val nodeIdx = num(args(2)).toInt
+            require(nodeIdx > 0, "reduceSeries: node must be positive")
+            val matchers = args.drop(3).map(str)
+            require(matchers.nonEmpty, "reduceSeries needs matchers")
+            val parts = split(col("series"), "\\.")
+            val prefix = array_join(slice(parts, 1, nodeIdx), ".")
+            val nodeV = element_at(parts, nodeIdx + 1)
+            val filtered = in.df.where(nodeV.isin(matchers: _*))
+            val outName = concat(col("__pre"), lit(s".reduce.$func"))
+            func match {
+              case "asPercent" | "divideSeries" | "diffSeries" =>
+                val aggs = matchers.zipWithIndex.map { case (m, i) =>
+                  max(when(nodeV === lit(m), col("value"))).as(s"__v$i") }
+                val pivoted = filtered
+                  .groupBy(prefix.as("__pre"), col("bucket"))
+                  .agg(aggs.head, aggs.tail: _*)
+                def v(i: Int) = col(s"__v$i")
+                val folded: Column = func match {
+                  case "asPercent" =>
+                    require(matchers.length == 2,
+                      "reduceSeries asPercent needs exactly 2 matchers")
+                    q6(when(v(1) =!= 0, v(0) * lit(100.0) / v(1)))
+                  case "divideSeries" =>
+                    require(matchers.length == 2,
+                      "reduceSeries divideSeries needs exactly 2 matchers")
+                    q6(when(v(1) =!= 0, v(0) / v(1)))
+                  case _ => // diffSeries: absent subtrahends count 0
+                    (1 until matchers.length)
+                      .foldLeft(v(0)) { (acc, i) =>
+                        acc - coalesce(v(i), lit(0.0)) }
+                }
+                SeriesSet(out(pivoted, outName, folded), in.step)
+              case f =>
+                // symmetric folds route through aggFor; the legacy
+                // xxxSeries names map to their aggregation
+                val cb = f.stripSuffix("Series") match {
+                  case "" => f
+                  case base => base
+                }
+                SeriesSet(out(filtered
+                  .groupBy(prefix.as("__pre"), col("bucket"))
+                  .agg(aggFor(cb).as("v")), outName, col("v")), in.step)
+            }
 
           // ---- weightedAverage(listAvg, listWeight, nodes…): pair the
           // two sets by node key, then ONE per-bucket agg
@@ -1640,6 +1922,19 @@ object GraphiteTarget {
             SeriesSet(universe.select(col("bucket")).distinct()
               .select(lit(str(args.head)).as("series"), col("bucket"),
                 unix_timestamp(col("bucket")).cast("double").as("value")), step)
+          // identity with graphite's optional coarser step: the bucket
+          // epoch as the value, generated over the universe's spine
+          // restricted to the requested grid
+          case "time" | "timeFunction" =>
+            val nm = str(args.head)
+            val ts = if (args.length > 1) num(args(1)).toLong else step
+            require(ts > 0 && ts % step == 0,
+              s"$fn: step $ts must be a positive multiple of the " +
+                s"set's ${step}s step")
+            SeriesSet(universe.select(col("bucket")).distinct()
+              .where(unix_timestamp(col("bucket")) % lit(ts) === 0)
+              .select(lit(nm).as("series"), col("bucket"),
+                unix_timestamp(col("bucket")).cast("double").as("value")), ts)
           case "constantLine" | "threshold" =>
             val v = num(args.head)
             val nm = if (fn == "threshold" && args.length > 1) str(args(1))
@@ -1676,10 +1971,27 @@ object GraphiteTarget {
           // ---- display-only attributes: accepted and ignored so real
           // dashboard target strings evaluate — color/linewidth/stack
           // rendering is a chart concern, the DATA is unchanged
+          // the sortBy family reorders only — ordering is a rendering
+          // concern here (renderJson orders by name); sortByMinima is
+          // the exception below (graphite-web also FILTERS in it)
           case "color" | "dashed" | "lineWidth" | "drawAsInfinite" |
                "secondYAxis" | "stacked" | "alpha" | "legendValue" |
-               "cactiStyle" | "areaBetween" | "sortByName" =>
+               "cactiStyle" | "areaBetween" | "sortByName" | "sortBy" |
+               "sortByTotal" | "sortByMaxima" =>
             one(args)
+
+          // graphite-web's sortByMinima drops series without a
+          // positive max before sorting (functions.py sortByMinima) —
+          // that part is data-visible, so it gets the bounded
+          // per-series agg + broadcast semi-join the threshold
+          // filters use
+          case "sortByMinima" =>
+            val in = one(args)
+            val keep = in.df.groupBy(col("series"))
+              .agg(max(col("value")).as("__mx"))
+              .where(col("__mx") > 0).select("series")
+            in.copy(df = in.df.join(broadcast(keep),
+              Seq("series"), "left_semi"))
 
           // ---- renaming tail
           // regex-substitute on the name; python \1 backrefs accepted

@@ -359,7 +359,69 @@ object GraphiteQueries {
         maxDataPoints = None)
         .select(col("series"), col("bucket").cast("long").as("bucket_s"),
           round(col("value"), 6).as("value"))
-        .orderBy("series", "bucket_s"))
+        .orderBy("series", "bucket_s")),
+
+    // pairwise list combination: the i-th series of each list pairs by
+    // name order; divide keeps the dividend's buckets (absent divisor
+    // nulls), the aggregate form folds each pair's bucket union
+    "g36_serieslists" -> ((s, dir) =>
+      render(s, dir,
+        "group(divideSeriesLists(events.{click,purchase}, " +
+          "events.{signup,view}), " +
+          "aggregateSeriesLists(events.{click,purchase}, " +
+          "events.{signup,view}, 'sum'))")),
+
+    // map/reduce templating over three-level names: each type's h0
+    // share of its h1 mirror — one hash agg keyed (prefix, bucket)
+    "g37_reduce" -> ((s, dir) =>
+      GraphiteTarget.eval(
+        "reduceSeries(mapSeries(events.*.*, 1), 'asPercent', 2, 'h0', 'h1')",
+        deepUniverse(s, dir), step = 3600)
+        .select(col("series"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket")),
+
+    // generated/fold tail: name-ordered pow fold across two series,
+    // logit of a (0,1)-scaled series, and the time generator on its
+    // own 2-hour step (a second render target — group() insists on
+    // uniform steps, the same reason graphite draws them separately);
+    // window = the fixture's full Jan 2024
+    "g38_gen" -> ((s, dir) =>
+      GraphiteTarget.render(
+        Seq("group(powSeries(scale(events.click, 0.01), " +
+            "scale(events.signup, 0.01)), " +
+            "logit(scale(events.click, 0.001)))",
+          "time('tick', 7200)"),
+        universe(s, dir), step = 3600,
+        fromSec = 1704067200L, untilSec = 1706745600L,
+        maxDataPoints = None)
+        .select(col("series"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket")),
+
+    // setXFilesFactor riding into summarize: a day only counts with
+    // ≥ 0.99·24 non-null hours (complete days only)
+    "g39_xff" -> ((s, dir) =>
+      render(s, dir,
+        "alias(summarize(setXFilesFactor(events.click, 0.99), " +
+          "'1d', 'sum'), 'fullday')")),
+
+    // aggregate's 3-arg xFilesFactor form: a bucket only averages
+    // when ≥ 0.9 of the universe's series report
+    "g40_aggxff" -> ((s, dir) =>
+      render(s, dir,
+        "alias(aggregate(events.*, 'average', 0.9), 'avg90')")),
+
+    // the facade's function inventory as an artifact: one row per
+    // supported render function. The oracle is generated from the SAME
+    // Seq (coverage-as-artifact, not a computation check); the
+    // companion dispatchability test in GraphiteTailSpec is what keeps
+    // the list honest against the evaluator.
+    "g41_inventory" -> ((s, _) => {
+      import s.implicits._
+      GraphiteTarget.functionInventory.toDF("family", "fn")
+        .orderBy("family", "fn")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -971,6 +1033,116 @@ object GraphiteQueries {
          |         ORDER BY bucket
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |         AS DOUBLE), 6) AS value
-         |FROM i ORDER BY series, bucket""".stripMargin
+         |FROM i ORDER BY series, bucket""".stripMargin,
+
+    // name-order pairing: (click,signup) and (purchase,view); divide
+    // keeps the dividend's buckets, sum folds each pair's union in
+    // the decimal contract
+    "g36_serieslists" ->
+      s"""WITH $U,
+         |pr AS (SELECT 'events.click' AS sa, 'events.signup' AS sb
+         |       UNION ALL SELECT 'events.purchase', 'events.view'),
+         |a AS (SELECT * FROM u
+         |      WHERE series IN ('events.click', 'events.purchase')),
+         |b AS (SELECT * FROM u
+         |      WHERE series IN ('events.signup', 'events.view')),
+         |dv AS (
+         |  SELECT 'divideSeries(' || pr.sa || ',' || pr.sb || ')' AS series,
+         |         CAST(a.bucket AS VARCHAR) AS bucket,
+         |         ROUND(ROUND(CASE WHEN b.value <> 0
+         |               THEN a.value / b.value END * 1e6) / 1e6, 6) AS value
+         |  FROM a JOIN pr ON a.series = pr.sa
+         |  LEFT JOIN b ON b.series = pr.sb AND b.bucket = a.bucket),
+         |ag AS (
+         |  SELECT 'sumSeries(' || pr.sa || ',' || pr.sb || ')' AS series,
+         |         CAST(u.bucket AS VARCHAR) AS bucket,
+         |         ROUND(CAST(CAST(SUM(CAST(u.value AS DECIMAL(18,6)))
+         |               AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
+         |  FROM u JOIN pr ON u.series = pr.sa OR u.series = pr.sb
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (SELECT * FROM dv UNION ALL SELECT * FROM ag)
+         |ORDER BY series, bucket""".stripMargin,
+
+    // one row per (type, bucket) where an h0/h1 member exists; the
+    // pivot is exact (one series per matcher per prefix)
+    "g37_reduce" ->
+      """WITH du AS (
+        |  SELECT concat('events.', event_type, '.h', user_id % 3) AS series,
+        |         event_type, user_id % 3 AS h,
+        |         date_trunc('hour', ts) AS bucket,
+        |         arg_max(value, event_id) AS value
+        |  FROM events GROUP BY 1, 2, 3, 4)
+        |SELECT 'events.' || event_type || '.reduce.asPercent' AS series,
+        |       CAST(bucket AS VARCHAR) AS bucket,
+        |       ROUND(ROUND(CASE WHEN MAX(CASE WHEN h = 1 THEN value END) <> 0
+        |             THEN MAX(CASE WHEN h = 0 THEN value END) * 100
+        |                  / MAX(CASE WHEN h = 1 THEN value END) END
+        |             * 1e6) / 1e6, 6) AS value
+        |FROM du WHERE h IN (0, 1)
+        |GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin,
+
+    // pow fold in name order (click before signup; a lone member is
+    // the fold's init), logit on the (0,1)-scaled series, and the
+    // 2-hour time generator over the bucket spine
+    "g38_gen" ->
+      s"""WITH $U,
+         |c AS (SELECT bucket, value * 0.01 AS v FROM u
+         |      WHERE series = 'events.click'),
+         |sg AS (SELECT bucket, value * 0.01 AS v FROM u
+         |       WHERE series = 'events.signup'),
+         |pw AS (
+         |  SELECT 'powSeries(scale(events.click,0.01),scale(events.signup,0.01))'
+         |           AS series,
+         |         CAST(COALESCE(c.bucket, sg.bucket) AS VARCHAR) AS bucket,
+         |         ROUND(ROUND(CASE
+         |           WHEN c.v IS NOT NULL AND sg.v IS NOT NULL
+         |             THEN POW(c.v, sg.v)
+         |           WHEN c.v IS NOT NULL THEN c.v ELSE sg.v END
+         |           * 1e6) / 1e6, 6) AS value
+         |  FROM c FULL OUTER JOIN sg ON c.bucket = sg.bucket),
+         |lg AS (
+         |  SELECT 'events.click' AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |         ROUND(ROUND(CASE WHEN value * 0.001 > 0
+         |                          AND value * 0.001 < 1
+         |               THEN LN(value * 0.001 / (1 - value * 0.001)) END
+         |               * 1e6) / 1e6, 6) AS value
+         |  FROM u WHERE series = 'events.click'),
+         |tick AS (
+         |  SELECT 'tick' AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |         CAST(epoch_us(bucket) // 1000000 AS DOUBLE) AS value
+         |  FROM (SELECT DISTINCT bucket FROM u)
+         |  WHERE (epoch_us(bucket) // 1000000) % 7200 = 0)
+         |SELECT * FROM (SELECT * FROM pw UNION ALL SELECT * FROM lg
+         |               UNION ALL SELECT * FROM tick)
+         |ORDER BY series, bucket""".stripMargin,
+
+    // xff 0.99 over 24 hourly slots: only complete days keep their sum
+    "g39_xff" ->
+      s"""WITH $U
+         |SELECT 'fullday' AS series,
+         |       CAST(CAST(date_trunc('day', bucket) AS TIMESTAMP)
+         |            AS VARCHAR) AS bucket,
+         |       ROUND(CASE WHEN COUNT(value) >= 0.99 * 24
+         |             THEN CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |                  AS DECIMAL(18,6)) AS DOUBLE) END, 6) AS value
+         |FROM u WHERE series = 'events.click'
+         |GROUP BY 2 ORDER BY series, bucket""".stripMargin,
+
+    // aggregate's xFilesFactor arg: a bucket averages only when ≥ 0.9
+    // of the universe's distinct series report a value there
+    "g40_aggxff" ->
+      s"""WITH $U,
+         |tot AS (SELECT COUNT(DISTINCT series) AS n FROM u)
+         |SELECT 'avg90' AS series, CAST(bucket AS VARCHAR) AS bucket,
+         |       ROUND(CASE WHEN COUNT(value) >= 0.9 * (SELECT n FROM tot)
+         |             THEN ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |                  AS DOUBLE) / COUNT(value) * 1e6) / 1e6
+         |             END, 6) AS value
+         |FROM u GROUP BY 2 ORDER BY series, bucket""".stripMargin,
+
+    "g41_inventory" -> ("SELECT * FROM (VALUES " +
+      GraphiteTarget.functionInventory
+        .map { case (f, n) => s"('$f', '$n')" }.mkString(", ") +
+      ") AS t(family, fn) ORDER BY family, fn")
   )
 }

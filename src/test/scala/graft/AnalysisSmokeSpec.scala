@@ -42,4 +42,15 @@ class AnalysisSmokeSpec extends SparkTestBase {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql keys without a query: $missing")
   }
+
+  test("every declared query is oracle-gated — no rows-only checks") {
+    // the full surface ships with a DuckDB oracle (the strong gate);
+    // a query landing without one silently downgrades to the driver's
+    // rows-only check, which round 9 showed can pass a broken query.
+    // New non-SQL-expressible operators must be argued here, not
+    // defaulted.
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(ungated.isEmpty,
+      s"queries without an oracle (rows-only gate): ${ungated.toSeq.sorted}")
+  }
 }

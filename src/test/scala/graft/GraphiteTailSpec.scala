@@ -397,4 +397,110 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(run("substr(web.s1.req, 1)", web).map(_._1).distinct == Seq("s1.req"))
     assert(run("substr(web.s1.req, 1, 2)", web).map(_._1).distinct == Seq("s1"))
   }
+
+  // ------------------------------------------ round-11 additions
+
+  /** m.a's 4 points plus a 2-point m.c — the xff family's gap case */
+  private def uniGap = uni.where(col("series") === "m.a").unionByName(Seq(
+    ("m.c", ts(0), 5.0), ("m.c", ts(1), 7.0)).toDF("series", "bucket", "value"))
+
+  test("powSeries folds in name order per bucket") {
+    val got = run("powSeries(m.a, m.b)")
+    assert(got.map(_._1).distinct == Seq("powSeries(m.a,m.b)"))
+    val vs = got.map(_._3.get)
+    assert(vs(0) == 1.0 && vs(1) == 1024.0)
+    assert(math.abs(vs(2) - math.pow(4, 20)) / math.pow(4, 20) < 1e-12)
+    assert(math.abs(vs(3) - math.pow(3, 40)) / math.pow(3, 40) < 1e-12)
+    // a lone member is the fold's init
+    val lone = run("powSeries(m.a)")
+    assert(lone.map(_._3.get) == Seq(1.0, 2.0, 4.0, 3.0))
+  }
+
+  test("SeriesLists: name-order pairing, engine bucket contracts") {
+    val dv = run("divideSeriesLists(m.a, m.b)")
+    assert(dv.map(_._1).distinct == Seq("divideSeries(m.a,m.b)"))
+    assert(dv.map(_._3.get) == Seq(0.1, 0.2, 0.2, 0.075))
+    val sub = run("subtractSeriesLists(m.a, m.b)")
+    assert(sub.map(_._1).distinct == Seq("diffSeries(m.a,m.b)"))
+    assert(sub.map(_._3.get) == Seq(-9.0, -8.0, -16.0, -37.0))
+    val ag = run("aggregateSeriesLists(m.a, m.b, 'sum')")
+    assert(ag.map(_._1).distinct == Seq("sumSeries(m.a,m.b)"))
+    assert(ag.map(_._3.get) == Seq(11.0, 12.0, 24.0, 43.0))
+    val mu = run("multiplySeriesLists(m.a, m.b)")
+    assert(mu.map(_._3.get) == Seq(10.0, 20.0, 80.0, 120.0))
+  }
+
+  test("SeriesLists: unequal lengths raise at execution") {
+    assertThrows[Exception] { run("divideSeriesLists(m.*, m.a)") }
+    assertThrows[Exception] { run("divideSeriesLists(m.a, m.*)") }
+  }
+
+  test("reduceSeries pivots matchers per prefix; mapSeries passes through") {
+    val got = run(
+      "reduceSeries(mapSeries(web.*.*, 1), 'divideSeries', 2, 'err', 'req')",
+      web)
+    assert(got.map(_._1).distinct.sorted ==
+      Seq("web.s1.reduce.divideSeries", "web.s2.reduce.divideSeries"))
+    val s1 = got.filter(_._1.contains(".s1.")).map(_._3.get)
+    assert(s1 == Seq(1.0, 0.5))
+    // s2 has no err member: the dividend is absent -> null, rows stay
+    assert(got.filter(_._1.contains(".s2.")).forall(_._3.isEmpty))
+    // the symmetric route goes through aggFor
+    val sm = run("reduceSeries(mapSeries(web.*.*, 1), 'sumSeries', 2, 'err', 'req')", web)
+    assert(sm.filter(_._1.contains(".s1.")).map(_._3.get) == Seq(2.0, 3.0))
+  }
+
+  test("sortBy* pass through; sortByMinima drops non-positive-max series") {
+    assert(run("sortByTotal(m.*)") == run("m.*"))
+    assert(run("sortBy(m.*, 'average')") == run("m.*"))
+    val withNeg = uni.unionByName(
+      Seq(("m.neg", ts(0), -5.0)).toDF("series", "bucket", "value"))
+    val got = run("sortByMinima(m.*)", withNeg)
+    assert(got.map(_._1).distinct.sorted == Seq("m.a", "m.b"))
+  }
+
+  test("time generates the bucket epoch on its own grid") {
+    val got = run("time('tick', 7200)")
+    assert(got == Seq(("tick", 0L, Some(0.0)), ("tick", 7200L, Some(7200.0))))
+    assertThrows[IllegalArgumentException] { run("time('t', 5000)") }
+  }
+
+  test("logit nulls outside (0,1)") {
+    val got = run("logit(scale(m.a, 0.1))").map(_._3.get)
+    assert(math.abs(got(0) - -2.197225) < 1e-6)
+    assert(math.abs(got(1) - -1.386294) < 1e-6)
+    val outOfDomain = run("logit(m.b)") // values 10..40, all ≥ 1
+    assert(outOfDomain.forall(_._3.isEmpty))
+  }
+
+  test("every inventory function dispatches — the unknown default never fires") {
+    GraphiteTarget.functionInventory.foreach { case (_, fn) =>
+      // probe a few arg shapes: a WRONG-args error is fine (different
+      // message), the unknown-function default firing for every probe
+      // means the inventory lists something the evaluator doesn't have
+      val probes = Seq(s"$fn(m.a)", s"$fn(m.a, 1)", s"$fn(m.a, 'x')",
+        s"$fn(m.a, m.b)", s"$fn('x')")
+      val dispatched = probes.exists { p =>
+        try { GraphiteTarget.eval(p, uni, 3600); true }
+        catch {
+          case e: Throwable => !Option(e.getMessage)
+            .exists(_.contains("unknown render function"))
+        }
+      }
+      assert(dispatched, s"inventory entry '$fn' does not dispatch")
+    }
+    assert(GraphiteTarget.functionInventory.size >= 110)
+  }
+
+  test("setXFilesFactor gates summarize; aggregate's 3-arg form gates buckets") {
+    val sm = run("summarize(setXFilesFactor(m.*, 0.75), '4h', 'sum')", uniGap)
+    assert(sm.filter(_._1 == "m.a").map(_._3) == Seq(Some(10.0)))
+    assert(sm.filter(_._1 == "m.c").map(_._3) == Seq(None)) // 2 of 4 slots
+    // without the factor the partial day keeps its sum
+    val plain = run("summarize(m.*, '4h', 'sum')", uniGap)
+    assert(plain.filter(_._1 == "m.c").map(_._3) == Seq(Some(12.0)))
+    val ag = run("aggregate(m.*, 'sum', 1.0)", uniGap)
+    assert(ag.map(_._3) ==
+      Seq(Some(6.0), Some(9.0), None, None)) // late buckets miss m.c
+  }
 }
