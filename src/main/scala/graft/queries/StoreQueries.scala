@@ -85,13 +85,16 @@ object StoreQueries {
         col("ts").cast("long").as("ts"), // uint32-second semantics: truncate
         col("value"),
         col("event_id").as("seq"))      // ingest sequence breaks second-ties
-      // the oracle packs (second, seq) as second*1e7 + event_id — that
-      // ordering breaks down once event_id reaches 1e7, so fail loudly
-      // instead of flapping the gate on a bigger fixture
+      // the oracle packs (second, seq) as second*1e9 + event_id — 9
+      // digits is the int64-safe max (epoch ~1.7e9 * 1e9 < 2^63); the
+      // engine itself orders by the (ts, seq) PAIR, so the guard is
+      // on the oracle's packing, not the store. Fail loudly instead
+      // of flapping the gate on a bigger fixture (tripped at sf100's
+      // 1e8 event_ids with the old 7-digit pack).
       val maxId = Option(ev.agg(max(col("seq"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      require(maxId < 10000000L,
-        s"hs oracle key packs seq into 7 digits; max event_id $maxId too large")
+      require(maxId < 1000000000L,
+        s"hs oracle key packs seq into 9 digits; max event_id $maxId too large")
       st.updateManyDf(ev, Now)
       tmp
     })
@@ -733,7 +736,7 @@ object StoreQueries {
   private val DailyRollupSql =
     """WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS h,
-      |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+      |         arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
       |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
       |daily AS (
       |  SELECT event_type, date_trunc('day', h) AS d,
@@ -757,7 +760,7 @@ object StoreQueries {
     "hs17_rendertarget" ->
       """WITH hourly AS (
         |  SELECT event_type AS sid, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |w AS (
         |  SELECT h, v FROM hourly
@@ -851,7 +854,7 @@ object StoreQueries {
     "hs11_snapshot" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
         |  FROM events WHERE (epoch_us(ts) // 1000000) < 1705406400
         |  GROUP BY event_type, date_trunc('hour', ts)),
         |daily AS (
@@ -868,7 +871,7 @@ object StoreQueries {
     "hs10_delete" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
         |  FROM events WHERE event_type <> 'click'
         |  GROUP BY event_type, date_trunc('hour', ts)),
         |daily AS (
@@ -887,7 +890,7 @@ object StoreQueries {
     "hs1_storefetch" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
         |  FROM events WHERE event_type = 'click'
         |  GROUP BY date_trunc('hour', ts)),
         |spine AS (
@@ -903,7 +906,7 @@ object StoreQueries {
     "hs8_seriesglob" ->
       """WITH hourly AS (
         |  SELECT event_type AS series_id, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |series AS (
         |  SELECT DISTINCT event_type AS series_id FROM events
@@ -922,7 +925,7 @@ object StoreQueries {
     "hs4_multifetch" ->
       """WITH hourly AS (
         |  SELECT event_type AS series_id, date_trunc('hour', ts) AS h,
-        |         arg_max(value, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |         arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |series AS (SELECT DISTINCT event_type AS series_id FROM events),
         |spine AS (
@@ -955,7 +958,7 @@ object StoreQueries {
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,
         |         arg_max(value,
-        |           (epoch_us(ts) // 1000000) * 10000000 + event_id) AS v
+        |           (epoch_us(ts) // 1000000) * 1000000000 + event_id) AS v
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |two_day AS (
         |  SELECT event_type,

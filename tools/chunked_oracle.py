@@ -1,0 +1,325 @@
+#!/usr/bin/env python3
+"""Chunked DuckDB oracle replay for the pairs family at sf10-scale.
+
+The monolithic mirrors (check_oracle.py) replay each query as ONE SQL
+statement; for the all-pairs-style pair queries at 500k docs the join
+intermediate exceeds the box's spill disk (observed: >65 GB for
+p23_increment's shingle equi-join at sf10h) even though the OUTPUT is
+bounded. This runner verifies the same results per-batch (r10 verdict
+item 3): the LEFT pair key is split into K residue classes, each chunk
+replays the join for its class only, and the chunk union IS the
+unchunked result because every per-pair / per-incoming-doc computation
+(group counts, per-id_in rank/count, thresholds) is a function of rows
+that share the chunk key. Shared linear-size relations (shingle sets,
+sizes, LSH candidates) are materialized ONCE as temp tables so the
+window-function CTEs don't re-run K times.
+
+The SQL bodies are copied verbatim from the dumped oracle_sql.json
+expressions (same rounding, same thresholds) — only the chunk
+predicate and the temp-table factoring differ.
+
+Usage:
+  python3 tools/chunked_oracle.py <sfDir> <verifyOutDir> [options]
+    --only a,b,c   queries to check (default: all supported)
+    --k N          chunk count (default 8)
+    --mem LIMIT    duckdb memory_limit (default 24GB)
+    --json PATH    merge {name: status} into PATH
+"""
+import sys, os, json, glob, importlib.util
+
+_here = os.path.dirname(os.path.abspath(__file__))
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", os.path.join(_here, "check_oracle.py"))
+co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(co)
+
+# shared shingle/bigram temp tables (verbatim from the oracle CTEs)
+TOKS = """CREATE TEMP TABLE t_toks AS
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents"""
+
+BIG = """CREATE TEMP TABLE t_big AS
+  SELECT DISTINCT doc_id,
+         token || ' ' || lead(token, 1)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM t_toks QUALIFY bg IS NOT NULL"""
+
+SH3 = """CREATE TEMP TABLE t_sh AS
+  SELECT DISTINCT doc_id,
+         token || ' ' || lead(token, 1) OVER w || ' ' ||
+         lead(token, 2) OVER w AS shingle
+  FROM t_toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(token, 2) OVER w IS NOT NULL"""
+
+SID = """CREATE TEMP TABLE t_sid AS
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS vid
+  FROM t_sh"""
+
+# p23/s4: xxhash64-vid shingles (IncrementOracle's ShinglesCte uses the
+# engine-side hash domain via the plain shingle string join; its sh CTE
+# is the 3-gram one and vid identity is the shingle itself)
+def setup_for(name):
+    if name in ("p4_jaccard",):
+        return [TOKS, BIG,
+                "CREATE TEMP TABLE t_sizes AS "
+                "SELECT doc_id, COUNT(*) AS n FROM t_big GROUP BY doc_id"]
+    if name in ("p45_containment",):
+        return [TOKS, SH3, SID,
+                "CREATE TEMP TABLE t_sizes AS "
+                "SELECT doc_id, COUNT(*) AS n FROM t_sid GROUP BY doc_id"]
+    if name in ("p10_lshdedup",):
+        return [TOKS, SH3,
+                "CREATE TEMP TABLE t_sizes AS "
+                "SELECT doc_id, COUNT(*) AS n FROM t_sh GROUP BY doc_id"]
+    if name in ("p23_increment", "s4_streamincrement"):
+        return [TOKS, SH3,
+                "CREATE TEMP TABLE t_shx AS "
+                "SELECT DISTINCT doc_id, shingle FROM t_sh",
+                "CREATE TEMP TABLE t_sizes AS "
+                "SELECT doc_id, COUNT(*) AS n FROM t_shx GROUP BY doc_id"]
+    if name in ("p8_annlsh",):
+        return ["""CREATE TEMP TABLE t_bk AS
+  WITH ex AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS d
+    FROM embeddings),
+  dots AS (
+    SELECT vec_id, j,
+           ROUND(SUM((CAST((1103515245*(j*64+d)+12345) % 2048 AS DOUBLE)/2048.0
+                      - 0.5) * CAST(x AS DOUBLE)), 6) AS dotp
+    FROM ex CROSS JOIN range(62) t(j)
+    WHERE j < (SELECT GREATEST(4, CAST(CEIL(LOG2(
+                 CAST(COUNT(*) AS DOUBLE) / 128.0)) AS INT))
+               FROM embeddings)
+    GROUP BY vec_id, j)
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dotp > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id"""]
+    if name in ("p60_lshrecall",):
+        return [TOKS, SH3, SID,
+                "CREATE TEMP TABLE t_sizes AS "
+                "SELECT doc_id, COUNT(*) AS n FROM t_sh GROUP BY doc_id",
+                """CREATE TEMP TABLE t_cands AS
+  WITH sigs AS (
+    SELECT doc_id, j,
+           MIN(CAST(((2*j+3)::HUGEINT * (vid % 2305843009213693951)
+                     + (5*j+7)) % 2305843009213693951 AS BIGINT)) AS mh
+    FROM t_sid CROSS JOIN range(16) t(j) GROUP BY doc_id, j),
+  bands AS (
+    SELECT doc_id, j // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS key
+    FROM sigs GROUP BY doc_id, j // 4)
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""]
+    raise KeyError(name)
+
+
+def chunk_sql(name, k, K):
+    if name == "p4_jaccard":
+        # per-chunk top-50; the global top-50 is re-ranked in pandas
+        return f"""WITH inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM t_big a JOIN t_big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {K} = {k}
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6) / 1e6 AS jaccard
+FROM inter
+ JOIN t_sizes sa ON sa.doc_id = id_a
+ JOIN t_sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b LIMIT 50"""
+    if name == "p45_containment":
+        return f"""WITH inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM t_sid a JOIN t_sid b
+    ON a.vid = b.vid AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % {K} = {k}
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / sa.n * 1e6) / 1e6 AS containment
+FROM inter JOIN t_sizes sa ON sa.doc_id = id_a
+WHERE i * 10 >= sa.n * 8"""
+    if name == "p10_lshdedup":
+        return f"""WITH inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM t_sh a JOIN t_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {K} = {k}
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6) / 1e6 AS jaccard
+FROM inter
+ JOIN t_sizes sa ON sa.doc_id = id_a
+ JOIN t_sizes sb ON sb.doc_id = id_b
+WHERE i * 17 >= (sa.n + sb.n) * 7"""
+    if name in ("p23_increment", "s4_streamincrement"):
+        # incoming (odd) docs chunked: all of one id_in's matches,
+        # counts and best-witness rank stay inside its chunk
+        return f"""WITH inter AS (
+  SELECT b.doc_id AS id_in, a.doc_id AS id_ex, COUNT(*) AS i
+  FROM t_shx a JOIN t_shx b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    AND (b.doc_id // 2) % {K} = {k}
+  GROUP BY 1, 2),
+v AS (
+  SELECT id_in, id_ex,
+         ROUND(CAST(i AS DOUBLE) / (si.n + se.n - i) * 1e6) / 1e6
+           AS jaccard
+  FROM inter
+   JOIN t_sizes si ON si.doc_id = id_in
+   JOIN t_sizes se ON se.doc_id = id_ex
+  WHERE i * 17 >= (si.n + se.n) * 7),
+cnt AS (SELECT id_in, COUNT(*) AS n_matches FROM v GROUP BY id_in),
+pick AS (
+  SELECT id_in, id_ex, jaccard,
+         row_number() OVER (PARTITION BY id_in
+           ORDER BY jaccard DESC, id_ex) AS rn
+  FROM v)
+SELECT p.id_in AS doc_id, CAST(c.n_matches AS BIGINT) AS n_matches,
+       p.id_ex AS best_match, p.jaccard AS best_jaccard
+FROM pick p JOIN cnt c USING (id_in)
+WHERE rn = 1"""
+    if name == "p8_annlsh":
+        # per-query top-3: every row of a query_id lives in its chunk
+        return f"""WITH scored AS (
+  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id, ka.bucket,
+         ROUND(list_cosine_similarity(
+           list_transform(qa.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(qb.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+  FROM embeddings qa JOIN t_bk ka ON qa.vec_id = ka.vec_id
+   JOIN t_bk kb ON ka.bucket = kb.bucket
+   JOIN embeddings qb ON qb.vec_id = kb.vec_id
+  WHERE qa.vec_id <> qb.vec_id AND qa.vec_id % {K} = {k})
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+       neighbor_id, sim, bucket
+FROM scored QUALIFY rnk <= 3"""
+    if name == "p60_lshrecall":
+        # per-chunk exact/hit counts; candidates counted once (chunk 0)
+        return f"""WITH inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM t_sh a JOIN t_sh b ON a.shingle = b.shingle
+                         AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {K} = {k}
+  GROUP BY a.doc_id, b.doc_id),
+exact AS (
+  SELECT id_a, id_b FROM inter
+   JOIN t_sizes sa ON sa.doc_id = id_a
+   JOIN t_sizes sb ON sb.doc_id = id_b
+  WHERE i * 17 >= (sa.n + sb.n) * 7)
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM exact e JOIN t_cands c
+          ON e.id_a = c.id_a AND e.id_b = c.id_b) AS n_hit"""
+    raise KeyError(name)
+
+
+SORT_KEYS = {
+    "p45_containment": ["id_a", "id_b"],
+    "p10_lshdedup": ["id_a", "id_b"],
+    "p23_increment": ["doc_id"],
+    "s4_streamincrement": ["doc_id"],
+    "p8_annlsh": ["query_id", "rnk"],
+}
+
+SUPPORTED = ["p4_jaccard", "p45_containment", "p10_lshdedup",
+             "p23_increment", "s4_streamincrement", "p60_lshrecall",
+             "p8_annlsh"]
+
+
+def run_one(con, name, K, out_dir):
+    import pandas as pd
+    for stmt in setup_for(name):
+        con.execute(stmt)
+    parts = [con.execute(chunk_sql(name, k, K)).df() for k in range(K)]
+    for t in ["t_toks", "t_big", "t_sh", "t_shx", "t_sid", "t_sizes",
+              "t_cands", "t_bk"]:
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+    if name == "p4_jaccard":
+        duck = pd.concat(parts, ignore_index=True).sort_values(
+            ["jaccard", "id_a", "id_b"],
+            ascending=[False, True, True]).head(50).reset_index(drop=True)
+    else:
+        duck = pd.concat(parts, ignore_index=True).sort_values(
+            SORT_KEYS[name]).reset_index(drop=True)
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    spark = pd.concat([pd.read_parquet(f) for f in files],
+                      ignore_index=True)
+    return co.cmp(spark, duck)
+
+
+def run_p60(con, K, out_dir):
+    import pandas as pd
+    for stmt in setup_for("p60_lshrecall"):
+        con.execute(stmt)
+    n_exact = n_hit = 0
+    for k in range(K):
+        p = con.execute(chunk_sql("p60_lshrecall", k, K)).df()
+        n_exact += int(p["n_exact"].iloc[0])
+        n_hit += int(p["n_hit"].iloc[0])
+    n_cands = int(con.execute("SELECT COUNT(*) FROM t_cands").df().iloc[0, 0])
+    recall = 1.0 if n_exact == 0 else round(n_hit / n_exact * 1e6) / 1e6
+    duck = pd.DataFrame({
+        "n_exact": pd.Series([n_exact], dtype="int64"),
+        "n_candidates": pd.Series([n_cands], dtype="int64"),
+        "n_hit": pd.Series([n_hit], dtype="int64"),
+        "recall": pd.Series([recall], dtype="float64")})
+    files = sorted(glob.glob(f"{out_dir}/p60_lshrecall/*.parquet"))
+    spark = pd.concat([pd.read_parquet(f) for f in files],
+                      ignore_index=True)
+    return co.cmp(spark, duck)
+
+
+def main(argv):
+    sf_dir, out_dir = argv[0], argv[1]
+    only, K, mem, json_path = None, 8, "24GB", None
+    i = 2
+    while i < len(argv):
+        if argv[i] == "--only":
+            only = set(argv[i + 1].split(",")); i += 2
+        elif argv[i] == "--k":
+            K = int(argv[i + 1]); i += 2
+        elif argv[i] == "--mem":
+            mem = argv[i + 1]; i += 2
+        elif argv[i] == "--json":
+            json_path = argv[i + 1]; i += 2
+        else:
+            raise SystemExit(f"unknown arg {argv[i]}")
+    names = [n for n in SUPPORTED if only is None or n in only]
+    results = {}
+    for name in names:
+        con = co.connect(sf_dir, mem, tmp=f"/tmp/duckspill-chunk-{name}")
+        try:
+            if name == "p60_lshrecall":
+                status = run_p60(con, K, out_dir)
+            else:
+                status = run_one(con, name, K, out_dir)
+            status += f" (chunked K={K})"
+        except Exception as e:
+            status = f"CHUNKED ORACLE ERROR: {e}"
+        finally:
+            con.close()
+        results[name] = status
+        print(f"{name:<22} {status}", flush=True)
+        if json_path:
+            merged = {}
+            if os.path.exists(json_path):
+                with open(json_path) as f:
+                    merged = json.load(f)
+            merged.update(results)
+            tmp = json_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f, indent=1, sort_keys=True)
+            os.replace(tmp, json_path)
+    bad = [n for n, s in results.items() if not s.startswith("OK")]
+    print("ALL GREEN" if not bad else f"{len(bad)} FAILING: {bad}",
+          flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
