@@ -173,6 +173,155 @@ object GraphiteTarget {
       "sortByMaxima")
   ).flatMap { case (fam, fns) => fns.map(fam -> _) }
 
+  /** One KNOWN-VALID target per inventory function, over a 2-series
+    * universe named `m.a`/`m.b` (hourly buckets from epoch 0). The
+    * dispatch gate evaluates each through [[render]] (which supplies
+    * the request context the context-dependent functions require) and
+    * demands the plan BUILDS — a listed function whose handler fails
+    * for every generic arg shape can no longer hide behind a
+    * non-"unknown function" error (the r11 advice finding), and
+    * PlanShapeSpec walks the same probes' executed plans for the
+    * no-partitionless-window pin. Keeping the probes next to the
+    * inventory means a new entry without a working probe fails the
+    * suite immediately.
+    */
+  val functionProbes: Map[String, String] = Map(
+    "sumSeries" -> "sumSeries(m.*)",
+    "averageSeries" -> "averageSeries(m.*)",
+    "maxSeries" -> "maxSeries(m.*)",
+    "minSeries" -> "minSeries(m.*)",
+    "countSeries" -> "countSeries(m.*)",
+    "rangeOfSeries" -> "rangeOfSeries(m.*)",
+    "stddevSeries" -> "stddevSeries(m.*)",
+    "multiplySeries" -> "multiplySeries(m.a, m.b)",
+    "powSeries" -> "powSeries(m.a, m.b)",
+    "group" -> "group(m.a, m.b)",
+    "aggregate" -> "aggregate(m.*, 'sum')",
+    "percentileOfSeries" -> "percentileOfSeries(m.*, 50)",
+    "weightedAverage" -> "weightedAverage(m.*, m.*, 1)",
+    "diffSeries" -> "diffSeries(m.a, m.b)",
+    "divideSeries" -> "divideSeries(m.a, m.b)",
+    "asPercent" -> "asPercent(m.*)",
+    "divideSeriesLists" -> "divideSeriesLists(m.a, m.b)",
+    "multiplySeriesLists" -> "multiplySeriesLists(m.a, m.b)",
+    "subtractSeriesLists" -> "subtractSeriesLists(m.a, m.b)",
+    "diffSeriesLists" -> "diffSeriesLists(m.a, m.b)",
+    "aggregateSeriesLists" -> "aggregateSeriesLists(m.a, m.b, 'sum')",
+    "groupByNode" -> "groupByNode(m.*, 0, 'sum')",
+    "groupByNodes" -> "groupByNodes(m.*, 'sum', 0)",
+    "groupByTags" -> "groupByTags(m.*, 'sum', 'dc')",
+    "sumSeriesWithWildcards" -> "sumSeriesWithWildcards(m.*, 1)",
+    "averageSeriesWithWildcards" -> "averageSeriesWithWildcards(m.*, 1)",
+    "aggregateWithWildcards" -> "aggregateWithWildcards(m.*, 'sum', 1)",
+    "mapSeries" -> "mapSeries(m.*, 0)",
+    "reduceSeries" -> "reduceSeries(mapSeries(m.*, 0), 'sumSeries', 1, 'a', 'b')",
+    "scale" -> "scale(m.a, 2)",
+    "offset" -> "offset(m.a, 1)",
+    "absolute" -> "absolute(m.a)",
+    "invert" -> "invert(m.a)",
+    "squareRoot" -> "squareRoot(m.a)",
+    "logarithm" -> "logarithm(m.a)",
+    "pow" -> "pow(m.a, 2)",
+    "logit" -> "logit(m.a)",
+    "exp" -> "exp(m.a)",
+    "sigmoid" -> "sigmoid(m.a)",
+    "round" -> "round(m.a)",
+    "transformNull" -> "transformNull(m.a)",
+    "removeAboveValue" -> "removeAboveValue(m.a, 5)",
+    "removeBelowValue" -> "removeBelowValue(m.a, 5)",
+    "isNonNull" -> "isNonNull(m.a)",
+    "scaleToSeconds" -> "scaleToSeconds(m.a, 60)",
+    "derivative" -> "derivative(m.a)",
+    "nonNegativeDerivative" -> "nonNegativeDerivative(m.a)",
+    "perSecond" -> "perSecond(m.a)",
+    "integral" -> "integral(m.a)",
+    "integralByInterval" -> "integralByInterval(m.a, '1d')",
+    "movingAverage" -> "movingAverage(m.a, 2)",
+    "movingSum" -> "movingSum(m.a, 2)",
+    "movingMax" -> "movingMax(m.a, 2)",
+    "movingMin" -> "movingMin(m.a, 2)",
+    "movingMedian" -> "movingMedian(m.a, 2)",
+    "movingWindow" -> "movingWindow(m.a, 2)",
+    "stdev" -> "stdev(m.a, 2)",
+    "keepLastValue" -> "keepLastValue(m.a)",
+    "changed" -> "changed(m.a)",
+    "delay" -> "delay(m.a, 1)",
+    "interpolate" -> "interpolate(m.a)",
+    "exponentialMovingAverage" -> "exponentialMovingAverage(m.a, 2)",
+    "linearRegression" -> "linearRegression(m.a)",
+    "nPercentile" -> "nPercentile(m.a, 50)",
+    "removeAbovePercentile" -> "removeAbovePercentile(m.a, 50)",
+    "removeBelowPercentile" -> "removeBelowPercentile(m.a, 50)",
+    "minMax" -> "minMax(m.a)",
+    "offsetToZero" -> "offsetToZero(m.a)",
+    "aggregateLine" -> "aggregateLine(m.a, 'avg')",
+    "exclude" -> "exclude(m.*, 'b')",
+    "grep" -> "grep(m.*, 'a')",
+    "maximumAbove" -> "maximumAbove(m.*, 0)",
+    "maximumBelow" -> "maximumBelow(m.*, 100)",
+    "minimumAbove" -> "minimumAbove(m.*, 0)",
+    "minimumBelow" -> "minimumBelow(m.*, 100)",
+    "averageAbove" -> "averageAbove(m.*, 0)",
+    "averageBelow" -> "averageBelow(m.*, 100)",
+    "currentAbove" -> "currentAbove(m.*, 0)",
+    "currentBelow" -> "currentBelow(m.*, 100)",
+    "filterSeries" -> "filterSeries(m.*, 'average', '>', 0)",
+    "highestAverage" -> "highestAverage(m.*, 1)",
+    "highestMax" -> "highestMax(m.*, 1)",
+    "highestCurrent" -> "highestCurrent(m.*, 1)",
+    "lowestAverage" -> "lowestAverage(m.*, 1)",
+    "lowestCurrent" -> "lowestCurrent(m.*, 1)",
+    "highest" -> "highest(m.*, 1)",
+    "lowest" -> "lowest(m.*, 1)",
+    "mostDeviant" -> "mostDeviant(m.*, 1)",
+    "averageOutsidePercentile" -> "averageOutsidePercentile(m.*, 90)",
+    "removeEmptySeries" -> "removeEmptySeries(m.*)",
+    "limit" -> "limit(m.*, 1)",
+    "unique" -> "unique(m.*)",
+    "useSeriesAbove" -> "useSeriesAbove(m.*, 0, 'a', 'b')",
+    "sortByMinima" -> "sortByMinima(m.*)",
+    "summarize" -> "summarize(m.*, '4h')",
+    "smartSummarize" -> "smartSummarize(m.*, '4h')",
+    "hitcount" -> "hitcount(m.*, '4h')",
+    "timeShift" -> "timeShift(m.*, '1h')",
+    "timeStack" -> "timeStack(m.*, '1h')",
+    "timeSlice" -> "timeSlice(m.*, 0)",
+    "consolidateBy" -> "consolidateBy(m.*, 'sum')",
+    "setXFilesFactor" -> "setXFilesFactor(m.*, 0.5)",
+    "cumulative" -> "cumulative(m.*)",
+    "applyByNode" -> "applyByNode(m.*, 0, 'sumSeries(%.*)')",
+    "seriesByTag" -> "seriesByTag('name=~m')",
+    "aliasByTags" -> "aliasByTags(m.*, 'name')",
+    "alias" -> "alias(m.a, 'x')",
+    "aliasByNode" -> "aliasByNode(m.*, 0)",
+    "aliasByMetric" -> "aliasByMetric(m.*)",
+    "aliasSub" -> "aliasSub(m.*, 'a', 'b')",
+    "substr" -> "substr(m.*, 0, 1)",
+    "holtWintersForecast" -> "holtWintersForecast(m.a)",
+    "holtWintersConfidenceBands" -> "holtWintersConfidenceBands(m.a)",
+    "holtWintersConfidenceArea" -> "holtWintersConfidenceArea(m.a)",
+    "holtWintersAberration" -> "holtWintersAberration(m.a)",
+    "identity" -> "identity('x')",
+    "time" -> "time('x')",
+    "constantLine" -> "constantLine(5)",
+    "threshold" -> "threshold(5)",
+    "fallbackSeries" -> "fallbackSeries(m.*, constantLine(1))",
+    "color" -> "color(m.*, 'red')",
+    "dashed" -> "dashed(m.*)",
+    "lineWidth" -> "lineWidth(m.*, 2)",
+    "drawAsInfinite" -> "drawAsInfinite(m.*)",
+    "secondYAxis" -> "secondYAxis(m.*)",
+    "stacked" -> "stacked(m.*)",
+    "alpha" -> "alpha(m.*, 0.5)",
+    "legendValue" -> "legendValue(m.*, 'avg')",
+    "cactiStyle" -> "cactiStyle(m.*)",
+    "areaBetween" -> "areaBetween(m.*)",
+    "sortByName" -> "sortByName(m.*)",
+    "sortBy" -> "sortBy(m.*, 'average')",
+    "sortByTotal" -> "sortByTotal(m.*)",
+    "sortByMaxima" -> "sortByMaxima(m.*)"
+  )
+
   // ------------------------------------------------------------- parser
 
   /** Recursive-descent parse of a render target. Grammar:
@@ -475,6 +624,37 @@ object GraphiteTarget {
 
   private def out(df: DataFrame, name: Column, value: Column): DataFrame =
     df.select(name.as("series"), col("bucket"), value.cast("double").as("value"))
+
+  /** The xFilesFactor gate for the re-bucketing folds (summarize /
+    * smartSummarize), evaluated after the per-(series, coarse-bucket)
+    * agg where `v` is the fold, `__n` the non-null count, and `bucket`
+    * the coarse bucket. Graphite's denominator is the number of fetch
+    * GRID slots actually inside the bucket — under a render context
+    * partial boundary buckets (a window that is not a multiple of the
+    * interval) get the clamped slot count, not the bucket's full
+    * capacity (full capacity would null boundary buckets graphite
+    * keeps). A bare eval() has no window, so the full ivl/step
+    * capacity stands in. Pure column arithmetic — no extra scan.
+    */
+  private def xffGate(in: SeriesSet, ivl: Long,
+                      ctx: Option[RenderContext]): Column = {
+    if (in.xff <= 0) col("v")
+    else {
+      val st = math.max(1L, in.step)
+      val denom: Column = ctx match {
+        case Some(c) =>
+          // fine grid slots are step-multiples in
+          // [max(bucket, from), min(bucket + ivl, until))
+          val nbE = unix_timestamp(col("bucket"))
+          val lo = greatest(nbE, lit(c.fromSec))
+          val hi = least(nbE + lit(ivl), lit(c.untilSec))
+          greatest(lit(1L), (floor((hi - lit(1L)) / lit(st)) -
+            floor((lo + lit(st - 1)) / lit(st)) + lit(1L)).cast("long"))
+        case None => lit(math.max(1L, ivl / st))
+      }
+      when(col("__n") >= lit(in.xff) * denom, col("v"))
+    }
+  }
 
   /** Dotted-name node at a graphite index: 0-based from the left,
     * negative from the right (Spark element_at is 1-based from the left
@@ -833,22 +1013,36 @@ object GraphiteTarget {
             SeriesSet(in.map(_.df).reduce(_ unionByName _), in.head.step)
 
           // ---- per-bucket left-fold exponentiation (graphite's
-          // powSeries): s1 ^ s2 ^ … in NAME order. One hash agg per
-          // bucket collecting a series-count-bounded struct array
-          // (sorted so the float op order is pinned by the names, not
-          // by partitioning); a null operand poisons the bucket the
-          // way graphite's `None in row` does
+          // powSeries): s1 ^ s2 ^ … in ARGUMENT order (pow is
+          // non-commutative; name order only breaks ties WITHIN one
+          // glob arg, the fetch-order proxy). One hash agg per bucket
+          // collecting a series-count-bounded struct array (sorted by
+          // (argIdx, series) so the float op order is pinned by the
+          // target text, never by partitioning). Graphite evaluates
+          // over the None-filled shared grid, so a bucket where ANY
+          // input series lacks a point is poisoned: a null value row
+          // nulls it, and a MISSING row does too (the per-bucket
+          // member count is compared against the set's distinct
+          // (arg, series) count — an O(1)-row broadcast frame)
           case "powSeries" =>
             val in = args.map { case TargetArg(t) => ev(t)
                                 case a => throw new IllegalArgumentException(s"$fn: $a") }
             require(in.nonEmpty, "powSeries needs at least one target")
             require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
-            val u = in.map(_.df).reduce(_ unionByName _)
+            val u = in.zipWithIndex.map { case (s0, i) =>
+              s0.df.select(lit(i).as("__ai"), col("series"),
+                col("bucket"), col("value")) }
+              .reduce(_ unionByName _)
+            val nSer = u.select(col("__ai"), col("series")).distinct()
+              .agg(count(lit(1)).as("__n"))
             val folded = u.groupBy(col("bucket"))
               .agg(array_sort(collect_list(struct(
-                col("series").as("s"), col("value").as("v")))).as("__a"))
+                col("__ai").as("i"), col("series").as("s"),
+                col("value").as("v")))).as("__a"))
+              .crossJoin(broadcast(nSer))
               .select(col("bucket"),
-                when(exists(col("__a"), x => x.getField("v").isNull),
+                when(exists(col("__a"), x => x.getField("v").isNull) ||
+                     size(col("__a")) < col("__n"),
                   lit(null))
                   .otherwise(q6(aggregate(
                     slice(col("__a"), 2, 1000000),
@@ -984,13 +1178,7 @@ object GraphiteTarget {
             val cf = if (args.length > 2) str(args(2)) else "sum"
             val nb = Time.align(col("bucket"), ivl).as("bucket")
             val agg = cfAgg(cf, "summarize")
-            // setXFilesFactor: a coarse bucket needs ≥ xff·slots
-            // non-null fine points or it nulls (slots = the coarse/
-            // fine step ratio — the bucket's full capacity)
-            val slots = math.max(1L, ivl / math.max(1L, in.step))
-            val v =
-              if (in.xff <= 0) col("v")
-              else when(col("__n") >= lit(in.xff * slots), col("v"))
+            val v = xffGate(in, ivl, ctx)
             SeriesSet(in.df.groupBy(col("series"), nb)
               .agg(agg.as("v"), count(col("value")).as("__n"))
               .select(col("series"), col("bucket"),
@@ -1015,10 +1203,7 @@ object GraphiteTarget {
             val nb = timestamp_seconds(lit(origin) +
               floor((unix_timestamp(col("bucket")) - lit(origin)) /
                 lit(ivl)).cast("long") * lit(ivl)).as("bucket")
-            val slots = math.max(1L, ivl / math.max(1L, in.step))
-            val v =
-              if (in.xff <= 0) col("v")
-              else when(col("__n") >= lit(in.xff * slots), col("v"))
+            val v = xffGate(in, ivl, ctx)
             SeriesSet(in.df
               .groupBy(col("series"), nb)
               .agg(cfAgg(cf, "smartSummarize").as("v"),
@@ -1148,9 +1333,13 @@ object GraphiteTarget {
           // family): the i-th series of the first list pairs with the
           // i-th of the second. Fetch order isn't a frame concept; the
           // deterministic proxy is NAME order per side (documented
-          // deviation). The rank window runs over the one-row-per-
-          // series name frame (bounded by the set's series count, the
-          // same shape as the selection family's score frames); the
+          // deviation). Ranking each side's one-row-per-series name
+          // frame is a distributed range sort + zipWithIndex (one
+          // bounded extra job: per-partition counts to the driver,
+          // O(#partitions) longs) — NOT a partitionless row_number
+          // window, which would single-task-sort the whole matched
+          // universe (the shape r11 evicted from highest/lowest/limit;
+          // PlanShapeSpec's inventory sweep now pins it out). The
           // pair map broadcasts; unequal list lengths raise at
           // EXECUTION via the unmatched-rank rows of the full join
           // (graphite raises InputParameterError the same way) — no
@@ -1168,10 +1357,25 @@ object GraphiteTarget {
             }
             require(a.step == b.step, s"$fn: mixed steps")
             val func = if (fn == "aggregateSeriesLists") str(args(2)) else ""
-            def ranked(df: DataFrame, c: String) = df.select("series")
-              .distinct()
-              .select(col("series").as(c), row_number()
-                .over(Window.orderBy(col("series"))).as("__rk"))
+            def ranked(df: DataFrame, c: String) = {
+              val ss = df.sparkSession
+              // localCheckpoint the one-row-per-series name frame
+              // BEFORE zipWithIndex: its startIndices job and the
+              // downstream join would otherwise each re-execute the
+              // whole upstream universe aggregation (measured 3× the
+              // query wall at the sf100 step); the checkpointed frame
+              // is series-count-bounded
+              val rows = df.select(col("series")).distinct()
+                .orderBy(col("series")).localCheckpoint().rdd
+                .zipWithIndex.map { case (r, i) =>
+                  org.apache.spark.sql.Row(r.getString(0), i + 1L) }
+              ss.createDataFrame(rows,
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField(c,
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("__rk",
+                    org.apache.spark.sql.types.LongType))))
+            }
             val pairs = ranked(a.df, "__sa")
               .join(ranked(b.df, "__sb"), Seq("__rk"), "full_outer")
               .select(col("__rk"),
@@ -1923,18 +2127,31 @@ object GraphiteTarget {
               .select(lit(str(args.head)).as("series"), col("bucket"),
                 unix_timestamp(col("bucket")).cast("double").as("value")), step)
           // identity with graphite's optional coarser step: the bucket
-          // epoch as the value, generated over the universe's spine
-          // restricted to the requested grid
+          // epoch as the value. Under a render context the grid is
+          // DATA-INDEPENDENT, stepping from `from` to `until` exactly
+          // like graphite-web's timeFunction (a gap in fetched data
+          // cannot drop a tick, and alignment anchors at `from`, not
+          // the epoch); a bare eval() has no request range, so it
+          // falls back to the universe's bucket spine at epoch
+          // multiples — documented spine dependency of the
+          // context-free form.
           case "time" | "timeFunction" =>
             val nm = str(args.head)
             val ts = if (args.length > 1) num(args(1)).toLong else step
             require(ts > 0 && ts % step == 0,
               s"$fn: step $ts must be a positive multiple of the " +
                 s"set's ${step}s step")
-            SeriesSet(universe.select(col("bucket")).distinct()
-              .where(unix_timestamp(col("bucket")) % lit(ts) === 0)
-              .select(lit(nm).as("series"), col("bucket"),
-                unix_timestamp(col("bucket")).cast("double").as("value")), ts)
+            val grid = ctx match {
+              case Some(c) =>
+                // spark.range is a leaf plan: parallel, no data scan
+                universe.sparkSession.range(c.fromSec, c.untilSec, ts)
+                  .select(timestamp_seconds(col("id")).as("bucket"))
+              case None =>
+                universe.select(col("bucket")).distinct()
+                  .where(unix_timestamp(col("bucket")) % lit(ts) === 0)
+            }
+            SeriesSet(grid.select(lit(nm).as("series"), col("bucket"),
+              unix_timestamp(col("bucket")).cast("double").as("value")), ts)
           case "constantLine" | "threshold" =>
             val v = num(args.head)
             val nm = if (fn == "threshold" && args.length > 1) str(args(1))

@@ -1081,9 +1081,11 @@ object GraphiteQueries {
         |FROM du WHERE h IN (0, 1)
         |GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin,
 
-    // pow fold in name order (click before signup; a lone member is
-    // the fold's init), logit on the (0,1)-scaled series, and the
-    // 2-hour time generator over the bucket spine
+    // pow fold in ARGUMENT order (click before signup); graphite
+    // evaluates over the None-filled shared grid, so a bucket missing
+    // EITHER operand is null (row kept). logit on the (0,1)-scaled
+    // series. The time generator is data-independent: ticks step from
+    // `from` to `until` on the request range, not the data spine.
     "g38_gen" ->
       s"""WITH $U,
          |c AS (SELECT bucket, value * 0.01 AS v FROM u
@@ -1096,8 +1098,7 @@ object GraphiteQueries {
          |         CAST(COALESCE(c.bucket, sg.bucket) AS VARCHAR) AS bucket,
          |         ROUND(ROUND(CASE
          |           WHEN c.v IS NOT NULL AND sg.v IS NOT NULL
-         |             THEN POW(c.v, sg.v)
-         |           WHEN c.v IS NOT NULL THEN c.v ELSE sg.v END
+         |             THEN POW(c.v, sg.v) END
          |           * 1e6) / 1e6, 6) AS value
          |  FROM c FULL OUTER JOIN sg ON c.bucket = sg.bucket),
          |lg AS (
@@ -1108,10 +1109,10 @@ object GraphiteQueries {
          |               * 1e6) / 1e6, 6) AS value
          |  FROM u WHERE series = 'events.click'),
          |tick AS (
-         |  SELECT 'tick' AS series, CAST(bucket AS VARCHAR) AS bucket,
-         |         CAST(epoch_us(bucket) // 1000000 AS DOUBLE) AS value
-         |  FROM (SELECT DISTINCT bucket FROM u)
-         |  WHERE (epoch_us(bucket) // 1000000) % 7200 = 0)
+         |  SELECT 'tick' AS series,
+         |         CAST(make_timestamp(e * 1000000) AS VARCHAR) AS bucket,
+         |         CAST(e AS DOUBLE) AS value
+         |  FROM range(1704067200, 1706745600, 7200) t(e))
          |SELECT * FROM (SELECT * FROM pw UNION ALL SELECT * FROM lg
          |               UNION ALL SELECT * FROM tick)
          |ORDER BY series, bucket""".stripMargin,

@@ -171,4 +171,47 @@ class GraphiteContextSpec extends SparkTestBase {
       GraphiteTarget.parse("applyByNode(web.*.*, 1, 'sumSeries(%.cpu)')"))
     assert(leaves.toSet == Set("web.*.*", "web.*.cpu"))
   }
+
+  // ------------------------------------------- r12 context-tail fixes
+
+  test("time under render is data-independent and anchors at from") {
+    // a universe with a HOLE at hour 1 and a from that is NOT a
+    // multiple of the tick step: graphite's timeFunction steps from
+    // `from` regardless of the data, so the gap cannot drop a tick and
+    // the grid is from-anchored (r11 advice: the spine-filtered form
+    // dropped ticks and epoch-anchored)
+    val holey = Seq(("m.a", ts(0), 1.0), ("m.a", ts(2), 4.0), ("m.a", ts(3), 3.0))
+      .toDF("series", "bucket", "value")
+    val got = renderRows(Seq("time('tick', 7200)"), holey,
+      from = 3600L, until = 4 * 3600L)
+    assert(got == Seq(
+      ("tick", 3600L, Some(3600.0)), ("tick", 10800L, Some(10800.0))))
+    // the bare-eval fallback keeps the documented spine behavior
+    val bare = run("time('tick', 7200)", holey)
+    assert(bare == Seq(("tick", 0L, Some(0.0)), ("tick", 7200L, Some(7200.0))))
+  }
+
+  test("summarize xFilesFactor denominator clamps to the render window") {
+    // window = [0h, 6h) with a 4h interval: the second coarse bucket
+    // holds only 2 of its 4 slots inside the window. m.a is dense over
+    // the window (6 points) — graphite's nonNull/len(values) sees 2/2
+    // there, so xff=0.75 keeps BOTH buckets; the full-capacity
+    // denominator (the r11 advice finding) would null the boundary
+    // bucket at 2/4
+    val dense = (0 until 6).map(h => ("m.a", ts(h), 1.0))
+      .toDF("series", "bucket", "value")
+    val got = renderRows(
+      Seq("summarize(setXFilesFactor(m.a, 0.75), '4h', 'sum')"), dense,
+      from = 0L, until = 6 * 3600L)
+    assert(got.map(r => (r._2, r._3)) ==
+      Seq((0L, Some(4.0)), (4 * 3600L, Some(2.0))))
+    // a genuinely sparse boundary bucket still nulls: 1 of its 2
+    // in-window slots misses the 0.75 gate
+    val sparse = dense.where(col("bucket") =!= ts(5))
+    val got2 = renderRows(
+      Seq("summarize(setXFilesFactor(m.a, 0.75), '4h', 'sum')"), sparse,
+      from = 0L, until = 6 * 3600L)
+    assert(got2.map(r => (r._2, r._3)) ==
+      Seq((0L, Some(4.0)), (4 * 3600L, None)))
+  }
 }

@@ -404,16 +404,34 @@ class GraphiteTailSpec extends SparkTestBase {
   private def uniGap = uni.where(col("series") === "m.a").unionByName(Seq(
     ("m.c", ts(0), 5.0), ("m.c", ts(1), 7.0)).toDF("series", "bucket", "value"))
 
-  test("powSeries folds in name order per bucket") {
+  test("powSeries folds in ARGUMENT order per bucket") {
     val got = run("powSeries(m.a, m.b)")
     assert(got.map(_._1).distinct == Seq("powSeries(m.a,m.b)"))
     val vs = got.map(_._3.get)
     assert(vs(0) == 1.0 && vs(1) == 1024.0)
     assert(math.abs(vs(2) - math.pow(4, 20)) / math.pow(4, 20) < 1e-12)
     assert(math.abs(vs(3) - math.pow(3, 40)) / math.pow(3, 40) < 1e-12)
+    // pow is non-commutative: reversed args compute b^a, not a^b
+    // (the r11 advice finding — name order must not override the
+    // user-written argument order)
+    val rev = run("powSeries(m.b, m.a)")
+    val rs = rev.map(_._3.get)
+    assert(rs(0) == 10.0 && rs(1) == 100.0)
+    assert(math.abs(rs(2) - math.pow(20, 4)) / math.pow(20, 4) < 1e-12)
+    assert(math.abs(rs(3) - math.pow(40, 3)) / math.pow(40, 3) < 1e-12)
     // a lone member is the fold's init
     val lone = run("powSeries(m.a)")
     assert(lone.map(_._3.get) == Seq(1.0, 2.0, 4.0, 3.0))
+  }
+
+  test("powSeries nulls a bucket any input series misses (None-grid parity)") {
+    // m.c exists only at hours 0-1: graphite None-fills it across the
+    // shared grid, so safePow poisons hours 2-3 — the bucket rows stay,
+    // their values null (r11 advice: the sparse-frame fold silently
+    // proceeded over the present rows)
+    val got = run("powSeries(m.a, m.c)", uniGap)
+    assert(got.map(_._2) == Seq(0L, 3600L, 7200L, 10800L))
+    assert(got.map(_._3) == Seq(Some(1.0), Some(128.0), None, None))
   }
 
   test("SeriesLists: name-order pairing, engine bucket contracts") {
@@ -473,23 +491,32 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(outOfDomain.forall(_._3.isEmpty))
   }
 
-  test("every inventory function dispatches — the unknown default never fires") {
-    GraphiteTarget.functionInventory.foreach { case (_, fn) =>
-      // probe a few arg shapes: a WRONG-args error is fine (different
-      // message), the unknown-function default firing for every probe
-      // means the inventory lists something the evaluator doesn't have
-      val probes = Seq(s"$fn(m.a)", s"$fn(m.a, 1)", s"$fn(m.a, 'x')",
-        s"$fn(m.a, m.b)", s"$fn('x')")
-      val dispatched = probes.exists { p =>
-        try { GraphiteTarget.eval(p, uni, 3600); true }
-        catch {
-          case e: Throwable => !Option(e.getMessage)
-            .exists(_.contains("unknown render function"))
-        }
+  test("every inventory function EVALUATES its declared probe — not just dispatches") {
+    // r11 advice: "any error other than unknown-function" let a broken
+    // handler pass. Now every inventory entry must carry a known-valid
+    // probe (functionProbes) and that probe must BUILD ITS PLAN through
+    // render() — which also supplies the request context the
+    // context-dependent functions (smartSummarize, useSeriesAbove,
+    // applyByNode, relative timeSlice) require.
+    val failures = GraphiteTarget.functionInventory.flatMap { case (_, fn) =>
+      GraphiteTarget.functionProbes.get(fn) match {
+        case None => Some(s"$fn: no probe declared in functionProbes")
+        case Some(p) =>
+          try {
+            GraphiteTarget.render(Seq(p), uni, 3600,
+              fromSec = 0L, untilSec = 4 * 3600L)
+            None
+          } catch { case e: Throwable =>
+            Some(s"$fn: probe '$p' failed to plan: ${e.getMessage}")
+          }
       }
-      assert(dispatched, s"inventory entry '$fn' does not dispatch")
     }
+    assert(failures.isEmpty, failures.mkString("\n"))
     assert(GraphiteTarget.functionInventory.size >= 110)
+    // no orphan probes either: the two lists describe the same surface
+    val inv = GraphiteTarget.functionInventory.map(_._2).toSet
+    val orphans = GraphiteTarget.functionProbes.keySet -- inv
+    assert(orphans.isEmpty, s"probes without inventory entries: $orphans")
   }
 
   test("setXFilesFactor gates summarize; aggregate's 3-arg form gates buckets") {

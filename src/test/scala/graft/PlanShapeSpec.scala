@@ -482,4 +482,36 @@ class PlanShapeSpec extends SparkTestBase {
       assert(bad.isEmpty, s"$t plans a partitionless window")
     }
   }
+
+  test("facade inventory sweep: no probe plans a partitionless window") {
+    // r11 verdict item 3: the no-partitionless-window pin extended from
+    // the three top-k forms to the WHOLE function inventory — every
+    // declared function's known-valid probe (functionProbes) runs
+    // through the executed-plan walker, so the next facade function
+    // cannot silently reintroduce a single-task sort of the series
+    // universe (the shape g36's seriesLists rank carried until this
+    // round: its pairing now rides a distributed sorted zipWithIndex).
+    import graft.operators.GraphiteTarget
+    import spark.implicits._
+    def ts(h: Int) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L))
+    val uni = Seq(
+      ("m.a", ts(0), 1.0), ("m.a", ts(1), 2.0),
+      ("m.a", ts(2), 4.0), ("m.a", ts(3), 3.0),
+      ("m.b", ts(0), 10.0), ("m.b", ts(1), 10.0),
+      ("m.b", ts(2), 20.0), ("m.b", ts(3), 40.0)
+    ).toDF("series", "bucket", "value")
+    val bad = GraphiteTarget.functionInventory.flatMap { case (_, fn) =>
+      val p = GraphiteTarget.functionProbes(fn)
+      val df = GraphiteTarget.render(Seq(p), uni, 3600,
+        fromSec = 0L, untilSec = 4 * 3600L)
+      df.collect()
+      val nodes = this.flatten(df.queryExecution.executedPlan)
+      val badW = nodes.collect { case w: WindowExec => w }
+        .filter(_.partitionSpec.isEmpty)
+      if (badW.nonEmpty) Some(fn) else None
+    }
+    assert(bad.isEmpty,
+      s"inventory probes planning partitionless windows: $bad")
+  }
 }
