@@ -101,7 +101,14 @@ object GraphiteStress {
       // glob selection staying a scan predicate (one series of n)
       (runOne("glob one-of-1M",
         s"movingAverage(web.s${math.max(0L, n - 1)}.cpu*, 4)",
-        "bound: 24"), 24L, 24L))
+        "bound: 24"), 24L, 24L),
+      // positional list pairing at n/4-vs-n/4 series: the rank frames
+      // are distributed sorted zipWithIndex (r12 — no single-task
+      // row_number sort of the matched universe), the pair map
+      // broadcasts, output = the first list's rows
+      (runOne("divideSeriesLists",
+        "divideSeriesLists(seriesByTag('dc=dc0'), seriesByTag('dc=dc1'))",
+        s"bound: n/4 x 24 = ${n / 4 * 24}"), n / 4 * 24, n / 4 * 24))
 
     // /metrics/find over the full-name catalog: aggregate, never collect
     val names = universe.select("series").distinct()

@@ -3,21 +3,43 @@ package graft.tools
 /** The one-command stress gate (round-11 verdict item 6): runs every
   * scale-stress envelope — hot-duplicate dedup (DupStress), hot-key /
   * flash-crowd skew (SkewStress), wide-universe render facade
-  * (GraphiteStress), and optimistic-commit contention (ManifestStress)
-  * — and ASSERTS each tool's recorded envelope instead of printing
-  * numbers for a human to eyeball. A regression in any envelope (a
-  * keep-first fold going window-shaped, a top-k rank going single-task,
-  * a lost manifest batch) turns the command red; quoting BENCH_NOTES is
-  * no longer the only record.
+  * (GraphiteStress), optimistic-commit contention (ManifestStress),
+  * and the ppjoin capped-heap gate (PpjoinHeapStress: thresholdPairs
+  * over a Heaps-mode ~100k-doc corpus in a CHILD JVM at -Xmx8g /
+  * local[4] — the 8 GB-executor shape the sf10h OOM made a standing
+  * question) — and ASSERTS each tool's recorded envelope instead of
+  * printing numbers for a human to eyeball. A regression in any
+  * envelope (a keep-first fold going window-shaped, a top-k rank going
+  * single-task, a lost manifest batch, a generator that OOMs instead
+  * of spilling) turns the command red.
   *
   * Default sizes are CI-scale (minutes, not the 1M/4M campaign sizes
   * whose absolute numbers BENCH_NOTES records); the envelopes asserted
   * are RATIOS and SHAPE BOUNDS, which hold at any size.
   *
+  * The run is also recorded as a MACHINE-WRITTEN artifact (round-11
+  * verdict: nothing ran the gate automatically): pass a JSON path via
+  * SPARK_GRAFT_STRESS_JSON (or default target/stressall.json) and the
+  * per-suite booleans + wall seconds land there for the round's
+  * STRESS_r*.json.
+  *
   * Usage: runMain graft.tools.StressAll [rows]   (default 200,000)
   * Exits nonzero on any failed envelope.
   */
 object StressAll {
+
+  /** ~100k-doc Heaps-mode corpus for the capped-heap step, generated
+    * deterministically from the driver's sf0.1 documents on first use
+    * (ScaleGen heaps x20; same generator as the sf1h/sf10h campaign
+    * fixtures).
+    */
+  private def ppjoinFixture(spark: org.apache.spark.sql.SparkSession): String = {
+    val dir = "testdata/sf2h"
+    if (!new java.io.File(s"$dir/documents.parquet").isDirectory)
+      ScaleGen.generate(spark, "/root/testdata/sf0.1", dir, 20,
+        docMode = "heaps", only = Set("documents"))
+    dir
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
@@ -29,20 +51,39 @@ object StressAll {
       ("SkewStress", () => SkewStress.run(spark, n)),
       ("GraphiteStress", () => GraphiteStress.run(spark, n)),
       ("ManifestStress", () => ManifestStress.run(spark, writers = 4,
-        batches = 3)))
+        batches = 3)),
+      ("PpjoinCappedHeap", () =>
+        PpjoinHeapStress.runCapped(ppjoinFixture(spark))))
 
     val results = suites.map { case (name, body) =>
+      val t0 = System.nanoTime()
       val ok = try body() catch {
         case e: Throwable =>
           println(s"[stressall] $name threw: ${e.getMessage}")
           false
       }
-      println(s"[stressall] $name: " + (if (ok) "PASS" else "FAIL"))
-      (name, ok)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[stressall] $name: ${if (ok) "PASS" else "FAIL"} " +
+        f"($wall%.1f s)")
+      (name, ok, wall)
     }
     val failed = results.filterNot(_._2).map(_._1)
     println(if (failed.isEmpty) "[stressall] ALL ENVELOPES GREEN"
       else s"[stressall] FAILED: ${failed.mkString(", ")}")
+    // machine-written record for the round artifacts
+    scala.util.Try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_STRESS_JSON",
+        "target/stressall.json")
+      val suitesJson = results.map { case (name, ok, wall) =>
+        f""""$name":{"ok":$ok,"wall_sec":${"%.1f".format(wall)}}"""
+      }.mkString("{", ",", "}")
+      val json = s"""{"rows":$n,"ok":${failed.isEmpty},""" +
+        s""""suites":$suitesJson}"""
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(path).toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      println(s"[stressall] record: $path")
+    }.failed.foreach(e => println(s"[stressall] record failed: $e"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -105,7 +105,7 @@ def check_one(con, out_dir, name, oracles):
 
 def parse_args(argv):
     opts = {"only": None, "json": None, "timeout": 900, "mem": "24GB",
-            "subprocess": True, "one": None}
+            "subprocess": True, "one": None, "autochunk": True}
     pos = []
     i = 0
     while i < len(argv):
@@ -120,11 +120,46 @@ def parse_args(argv):
             opts["mem"] = argv[i + 1]; i += 2
         elif a == "--no-subprocess":
             opts["subprocess"] = False; i += 1
+        elif a == "--no-auto-chunk":
+            opts["autochunk"] = False; i += 1
         elif a == "--one":  # internal: child mode, check a single query
             opts["one"] = argv[i + 1]; i += 2
         else:
             pos.append(a); i += 1
     return pos[0], pos[1], opts
+
+
+# Auto-chunk dispatch (r11 verdict item 7): above this documents-table
+# row count the monolithic all-pairs mirrors exceed the box's spill
+# disk (observed at sf1's 50k docs), so the pair-family queries route
+# to tools/chunked_oracle.py automatically — one code path, no manual
+# tool selection at sf >= 1.
+AUTO_CHUNK_DOCS = 20000
+
+
+def autochunk_set_and_k(sf_dir):
+    try:
+        import duckdb
+        p = f"{sf_dir}/documents.parquet"
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else \
+              f"read_parquet('{p}')"
+        if not os.path.exists(p):
+            return set(), 8
+        n = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM {src}").fetchone()[0]
+        if n <= AUTO_CHUNK_DOCS:
+            return set(), 8
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "chunked_oracle",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "chunked_oracle.py"))
+        chunked = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(chunked)
+        return set(chunked.SUPPORTED), (8 if n <= 100000 else 32)
+    except Exception as e:
+        print(f"[auto-chunk] disabled: {e}", flush=True)
+        return set(), 8
 
 
 def main(sf_dir, out_dir, opts):
@@ -153,6 +188,12 @@ def main(sf_dir, out_dir, opts):
     if opts["only"] is not None:
         names = [n for n in names if n in opts["only"]]
 
+    chunk_set, chunk_k = (autochunk_set_and_k(sf_dir)
+                          if opts["autochunk"] else (set(), 8))
+    if chunk_set & set(names):
+        print(f"[auto-chunk] K={chunk_k} for "
+              f"{sorted(chunk_set & set(names))}", flush=True)
+
     results = {}
     width = max((len(n) for n in names), default=10)
     con = None if opts["subprocess"] else connect(sf_dir, opts["mem"])
@@ -162,6 +203,26 @@ def main(sf_dir, out_dir, opts):
                 status = f"SPARK QUERY FAILED: {f.read().strip()[:300]}"
         elif name in oracles and not glob.glob(f"{out_dir}/{name}"):
             status = "MISSING SPARK RESULT DIR"
+        elif name in chunk_set:
+            cmdline = [sys.executable,
+                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "chunked_oracle.py"),
+                       sf_dir, out_dir, "--only", name,
+                       "--k", str(chunk_k), "--mem", opts["mem"]]
+            try:
+                # chunked replays are the heavy tail by construction:
+                # give them 8x the per-query budget
+                r = subprocess.run(cmdline, capture_output=True, text=True,
+                                   timeout=8 * opts["timeout"])
+                line = next((l for l in r.stdout.splitlines()
+                             if l.startswith(name)), "")
+                status = (line[len(name):].strip() or
+                          f"CHUNKED CHILD DIED rc={r.returncode}: "
+                          f"{r.stderr.strip()[-300:]}")
+            except subprocess.TimeoutExpired:
+                status = f"CHUNKED ORACLE TIMEOUT >{8 * opts['timeout']}s"
+            import shutil
+            shutil.rmtree(f"/tmp/duckspill-chunk-{name}", ignore_errors=True)
         elif opts["subprocess"]:
             cmdline = [sys.executable, os.path.abspath(__file__), sf_dir,
                        out_dir, "--one", name, "--mem", opts["mem"]]

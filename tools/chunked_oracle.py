@@ -65,6 +65,87 @@ def setup_for(name):
         return [TOKS, BIG,
                 "CREATE TEMP TABLE t_sizes AS "
                 "SELECT doc_id, COUNT(*) AS n FROM t_big GROUP BY doc_id"]
+    if name in ("p14_sparsecos",):
+        # tf/n2 are linear-size; the quadratic token equi-join lives in
+        # the chunked body
+        return [TOKS,
+                "CREATE TEMP TABLE t_tf AS "
+                "SELECT doc_id, token, COUNT(*) AS tf "
+                "FROM t_toks GROUP BY doc_id, token",
+                "CREATE TEMP TABLE t_n2 AS "
+                "SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 "
+                "FROM t_tf GROUP BY doc_id"]
+    if name in ("p13_annkmeans",):
+        # the Lloyd chain (K=8 centroids, 2 refinement passes) is
+        # LINEAR in N and runs once; materializing t_u/t_pr as real
+        # tables also stops DuckDB from re-materializing the
+        # multiply-referenced CTEs (the monolithic form's disk blowup).
+        # The quadratic part — probes x same-cell neighbors x 64-dim
+        # dots — is the chunked body.
+        return ["""CREATE TEMP TABLE t_u AS
+  WITH ex AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS d
+    FROM embeddings),
+  n0 AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM ex GROUP BY vec_id)
+  SELECT e.vec_id, e.d, e.x / n.nrm AS x
+  FROM ex e JOIN n0 n USING (vec_id)""",
+                """CREATE TEMP TABLE t_pr AS
+  WITH c0 AS (SELECT vec_id AS c_id, d, x FROM t_u WHERE vec_id < 8),
+  s1 AS (
+    SELECT u.vec_id, c.c_id, SUM(u.x*c.x) AS sim
+    FROM t_u u JOIN c0 c ON u.d = c.d GROUP BY u.vec_id, c.c_id),
+  a1 AS (
+    SELECT vec_id, c_id FROM (
+      SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+        ORDER BY ROUND(sim, 6) DESC, c_id) AS rn FROM s1) t
+    WHERE rn = 1),
+  m1 AS (
+    SELECT a.c_id, u.d,
+           CAST(SUM(CAST(u.x AS DECIMAL(24,18))) AS DOUBLE)/COUNT(*) AS m
+    FROM a1 a JOIN t_u u ON u.vec_id = a.vec_id GROUP BY a.c_id, u.d),
+  n1 AS (
+    SELECT c_id,
+           sqrt(CAST(SUM(CAST(m*m AS DECIMAL(30,20))) AS DOUBLE)) AS nrm
+    FROM m1 GROUP BY c_id),
+  c1 AS (
+    SELECT m.c_id, m.d, m.m/n.nrm AS x
+    FROM m1 m JOIN n1 n USING (c_id) WHERE n.nrm > 0
+    UNION ALL
+    SELECT p.c_id, p.d, p.x FROM c0 p
+    WHERE p.c_id NOT IN (SELECT c_id FROM n1 WHERE nrm > 0)),
+  s2 AS (
+    SELECT u.vec_id, c.c_id, SUM(u.x*c.x) AS sim
+    FROM t_u u JOIN c1 c ON u.d = c.d GROUP BY u.vec_id, c.c_id),
+  a2 AS (
+    SELECT vec_id, c_id FROM (
+      SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+        ORDER BY ROUND(sim, 6) DESC, c_id) AS rn FROM s2) t
+    WHERE rn = 1),
+  m2 AS (
+    SELECT a.c_id, u.d,
+           CAST(SUM(CAST(u.x AS DECIMAL(24,18))) AS DOUBLE)/COUNT(*) AS m
+    FROM a2 a JOIN t_u u ON u.vec_id = a.vec_id GROUP BY a.c_id, u.d),
+  n2x AS (
+    SELECT c_id,
+           sqrt(CAST(SUM(CAST(m*m AS DECIMAL(30,20))) AS DOUBLE)) AS nrm
+    FROM m2 GROUP BY c_id),
+  c2 AS (
+    SELECT m.c_id, m.d, m.m/n.nrm AS x
+    FROM m2 m JOIN n2x n USING (c_id) WHERE n.nrm > 0
+    UNION ALL
+    SELECT p.c_id, p.d, p.x FROM c1 p
+    WHERE p.c_id NOT IN (SELECT c_id FROM n2x WHERE nrm > 0)),
+  cs AS (
+    SELECT u.vec_id, c.c_id, SUM(u.x*c.x) AS sim
+    FROM t_u u JOIN c2 c ON u.d = c.d GROUP BY u.vec_id, c.c_id)
+  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+    ORDER BY ROUND(sim, 6) DESC, c_id) AS crn FROM cs""",
+                "CREATE TEMP TABLE t_assign AS "
+                "SELECT vec_id, c_id AS cell FROM t_pr WHERE crn = 1",
+                "CREATE TEMP TABLE t_probes AS "
+                "SELECT vec_id, c_id AS cell FROM t_pr "
+                "WHERE crn <= 2 AND vec_id < 2000"]
     if name in ("p45_containment",):
         return [TOKS, SH3, SID,
                 "CREATE TEMP TABLE t_sizes AS "
@@ -120,6 +201,37 @@ def setup_for(name):
 
 
 def chunk_sql(name, k, K):
+    if name == "p14_sparsecos":
+        # per-chunk top-50; the global top-50 is re-ranked in pandas
+        return f"""WITH inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf*b.tf) AS BIGINT) AS i
+  FROM t_tf a JOIN t_tf b ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {K} = {k}
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) /
+             sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) * 1e6) / 1e6 AS cosine
+FROM inter
+ JOIN t_n2 na ON na.doc_id = id_a
+ JOIN t_n2 nb ON nb.doc_id = id_b
+ORDER BY cosine DESC, id_a, id_b LIMIT 50"""
+    if name == "p13_annkmeans":
+        # per-query top-3: every row of a query_id lives in its chunk
+        return f"""WITH scored AS (
+  SELECT kq.vec_id AS query_id, kn.vec_id AS neighbor_id, kq.cell,
+         ROUND(SUM(a.x*b.x), 6) AS sim
+  FROM t_probes kq
+   JOIN t_assign kn ON kq.cell = kn.cell AND kq.vec_id <> kn.vec_id
+   JOIN t_u a ON a.vec_id = kq.vec_id
+   JOIN t_u b ON b.vec_id = kn.vec_id AND b.d = a.d
+  WHERE kq.vec_id % {K} = {k}
+  GROUP BY kq.vec_id, kn.vec_id, kq.cell)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+       neighbor_id, sim, cell
+FROM scored QUALIFY rnk <= 3"""
     if name == "p4_jaccard":
         # per-chunk top-50; the global top-50 is re-ranked in pandas
         return f"""WITH inter AS (
@@ -224,11 +336,16 @@ SORT_KEYS = {
     "p23_increment": ["doc_id"],
     "s4_streamincrement": ["doc_id"],
     "p8_annlsh": ["query_id", "rnk"],
+    "p13_annkmeans": ["query_id", "rnk"],
 }
+
+# global top-k queries: each chunk emits ITS top-k, pandas re-ranks the
+# union (the global top-k is a subset of the per-chunk winners)
+TOPK = {"p4_jaccard": ("jaccard", 50), "p14_sparsecos": ("cosine", 50)}
 
 SUPPORTED = ["p4_jaccard", "p45_containment", "p10_lshdedup",
              "p23_increment", "s4_streamincrement", "p60_lshrecall",
-             "p8_annlsh"]
+             "p8_annlsh", "p13_annkmeans", "p14_sparsecos"]
 
 
 def run_one(con, name, K, out_dir):
@@ -237,12 +354,14 @@ def run_one(con, name, K, out_dir):
         con.execute(stmt)
     parts = [con.execute(chunk_sql(name, k, K)).df() for k in range(K)]
     for t in ["t_toks", "t_big", "t_sh", "t_shx", "t_sid", "t_sizes",
-              "t_cands", "t_bk"]:
+              "t_cands", "t_bk", "t_tf", "t_n2", "t_u", "t_pr",
+              "t_assign", "t_probes"]:
         con.execute(f"DROP TABLE IF EXISTS {t}")
-    if name == "p4_jaccard":
+    if name in TOPK:
+        scoreCol, topN = TOPK[name]
         duck = pd.concat(parts, ignore_index=True).sort_values(
-            ["jaccard", "id_a", "id_b"],
-            ascending=[False, True, True]).head(50).reset_index(drop=True)
+            [scoreCol, "id_a", "id_b"],
+            ascending=[False, True, True]).head(topN).reset_index(drop=True)
     else:
         duck = pd.concat(parts, ignore_index=True).sort_values(
             SORT_KEYS[name]).reset_index(drop=True)
