@@ -4,17 +4,34 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Incremental corpus-update dedup: match an INCOMING document batch
-  * against an EXISTING corpus via a cross-side-only LSH band join,
-  * then exact-verify. The existing side's band keys and shingle-id
-  * sets are what a production pipeline persists as its dedup index —
-  * per-update work is O(incoming + collided buckets), independent of
-  * the existing corpus's pair count, and existing×existing pairs are
-  * never enumerated.
+  * against an EXISTING corpus via a cross-side COMPLETE ≥k-of-m
+  * counting probe (the [[Jaccard.thresholdPairs]] counting generator,
+  * one-sided), then exact-verify. The existing side's rarest-token
+  * windows and shingle-id sets are what a production pipeline
+  * persists as its dedup index — per-update work is O(incoming +
+  * collided window occurrences), independent of the existing corpus's
+  * pair count, and existing×existing pairs are never enumerated.
+  *
+  * COMPLETENESS (r12): the original candidate generator was a banded
+  * MinHash join (32 hashes, r=3) — a J≈0.7 pair misses all bands with
+  * probability (1−0.7³)¹⁰ ≈ 1.5%, and at the 500k-doc sf10 fixture
+  * three matched docs lost ALL their pairs that way (caught the
+  * moment the chunked DuckDB oracle closed the sf10 exclusion). The
+  * generator is now the pigeonhole counting probe: J ≥ τ forces an
+  * overlap i ≥ ⌈τ·ne⌉ on the indexed side, whose m-window holds its
+  * ℓe + k − 1 = ne − ⌈τ·ne⌉ + k rarest tokens — at most ne − i ≤
+  * ne − ⌈τ·ne⌉ of them can be non-shared, so a qualifying pair shares
+  * ≥ k window tokens. Provably complete, no hash-family recall term,
+  * and only the INDEXED side needs an order: its document-frequency
+  * order is FROZEN at build time (completeness holds for any fixed
+  * order — a stale-df window stays complete under appends, it only
+  * prunes less), while the probe side joins its WHOLE token list and
+  * needs no order at all.
   *
   * Exact verification (integer-form τ: 17·i ≥ 7·(ni+ne) ⟺ jaccard ≥
-  * 0.7) makes the result independent of the hash family, so the
-  * batch query (p23) is gated by an all-pairs DuckDB oracle and the
-  * streaming wrapper (s4) must converge to the identical answer.
+  * 0.7) is unchanged, so the batch query (p23) is gated by an
+  * all-pairs DuckDB oracle and the streaming wrapper (s4) must
+  * converge to the identical answer — now at any scale.
   *
   * Both entry points take (id, vid) DISTINCT shingle-id frames so
   * callers choose the hash (xxhash64 engine-only, hashId for oracle
@@ -22,38 +39,58 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** The persisted index of the existing corpus: band keys for
-    * candidate generation, shingle-id sets + set sizes for exact
-    * verification. A production pipeline maintains these as tables
-    * and only APPENDS to them as batches are accepted.
-    */
-  final case class Index(bands: DataFrame, ids: DataFrame, sizes: DataFrame)
+  private val Tau = 0.7
+  private val MinShared = 3
 
-  def buildIndex(exIds: DataFrame, idCol: String): Index = Index(
-    MinHashLsh.bands(MinHashLsh.signatures(exIds, idCol, 32), idCol, r = 3),
-    exIds,
-    exIds.groupBy(idCol).agg(count(lit(1)).as("ne")))
+  /** The persisted index of the existing corpus: per-doc rarest-token
+    * m-windows (with each doc's k_eff) for candidate generation,
+    * shingle-id sets + set sizes for exact verification. A production
+    * pipeline maintains these as tables and only APPENDS to them as
+    * batches are accepted; the window's df-order is frozen at build.
+    */
+  final case class Index(window: DataFrame, ids: DataFrame,
+                         sizes: DataFrame)
+
+  def buildIndex(exIds: DataFrame, idCol: String): Index = {
+    // ⌈τ·n⌉ computed integer-exactly as ⌊(7n+9)/10⌋; the rank window
+    // is partitioned per document (bounded groups, never a global
+    // sort). ℓ = n − ⌈τn⌉ + 1; m-window = min(n, ℓ + k − 1);
+    // k_eff = min(k, n − ℓ + 1) handles tiny sets exactly like
+    // thresholdPairs' counting branch.
+    val dfreq = exIds.groupBy("vid").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("vid"))
+    val sz = exIds.groupBy(idCol).agg(count(lit(1)).as("ne"))
+    val ell = col("ne") - floor((col("ne") * 7 + 9) / 10).cast("long") + 1
+    val window = exIds.join(dfreq, "vid").join(sz, idCol)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= least(col("ne"), ell + lit(MinShared - 1)))
+      .select(col(idCol), col("vid"),
+        least(lit(MinShared.toLong), col("ne") - ell + 1).as("__k"))
+    Index(window, exIds, sz)
+  }
 
   /** (id_in, id_ex, jaccard): every incoming-vs-existing pair with
-    * exact jaccard ≥ 0.7, found through the cross-side band join.
+    * exact jaccard ≥ 0.7, found through the cross-side counting probe.
     */
   def crossMatches(inIds: DataFrame, exIds: DataFrame,
                    idCol: String): DataFrame =
     crossMatches(inIds, buildIndex(exIds, idCol), idCol)
 
-  /** Persisted-index form: only the INCOMING side is hashed here, so
-    * the per-update cost is O(incoming + collided buckets) no matter
-    * how large the indexed corpus is.
+  /** Persisted-index form: the incoming side probes with its WHOLE
+    * (id, vid) list — per-update cost is O(incoming + collided window
+    * occurrences) no matter how large the indexed corpus is, and no
+    * incoming-side ordering exists to drift.
     */
   def crossMatches(inIds: DataFrame, index: Index,
                    idCol: String): DataFrame = {
-    val inBands = MinHashLsh.bands(
-      MinHashLsh.signatures(inIds, idCol, 32), idCol, r = 3)
-    val cands = index.bands
-      .select(col("band"), col("key"), col(idCol).as("id_ex"))
-      .join(inBands.select(col("band"), col("key"), col(idCol).as("id_in")),
-        Seq("band", "key"))
-      .select("id_in", "id_ex").distinct()
+    val cands = index.window
+      .select(col(idCol).as("id_ex"), col("vid"), col("__k"))
+      .join(inIds.select(col(idCol).as("id_in"), col("vid")), Seq("vid"))
+      .groupBy("id_in", "id_ex", "__k")
+      .agg(count(lit(1)).as("__shared"))
+      .where(col("__shared") >= col("__k"))
+      .select("id_in", "id_ex")
     val inSz = inIds.groupBy(idCol).agg(count(lit(1)).as("ni"))
       .withColumnRenamed(idCol, "id_in")
     cands

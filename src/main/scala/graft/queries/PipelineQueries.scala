@@ -1067,7 +1067,7 @@ object PipelineQueries {
         val ix = IncrementalDedup.buildIndex(shingleIds(
           s.read.parquet(path).where(pmod(col("doc_id"), lit(2)) === 0)),
           "doc_id")
-        IncrementalDedup.Index(ix.bands.localCheckpoint(true),
+        IncrementalDedup.Index(ix.window.localCheckpoint(true),
           ix.ids.localCheckpoint(true), ix.sizes.localCheckpoint(true))
       }
       val out = java.nio.file.Files

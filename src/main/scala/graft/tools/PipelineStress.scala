@@ -133,7 +133,7 @@ object PipelineStress {
           .distinct()
         val ix = graft.pipeline.IncrementalDedup.buildIndex(exIds, "doc_id")
         graft.pipeline.IncrementalDedup.Index(
-          ix.bands.localCheckpoint(true), ix.ids.localCheckpoint(true),
+          ix.window.localCheckpoint(true), ix.ids.localCheckpoint(true),
           ix.sizes.localCheckpoint(true))
       }
       timed("p23 incr (ex=kx)") {

@@ -137,7 +137,7 @@ class StreamingSpec extends SparkTestBase {
     val exIndex = {
       val ix = IncrementalDedup.buildIndex(
         shingleIds(docs.where(pmod(col("doc_id"), lit(2)) === 0)), "doc_id")
-      IncrementalDedup.Index(ix.bands.localCheckpoint(true),
+      IncrementalDedup.Index(ix.window.localCheckpoint(true),
         ix.ids.localCheckpoint(true), ix.sizes.localCheckpoint(true))
     }
 
