@@ -46,6 +46,28 @@ object StressAll {
     val spark = graft.Graft.session(cores = 32, appName = "graft-stressall")
     spark.sparkContext.setLogLevel("WARN")
 
+    // the asserted envelope per suite, as DATA (the g41 inventory
+    // pattern for the stress surface): what each boolean MEANS rides
+    // the artifact, so a reader of STRESS_r*.json sees the contract,
+    // not just the verdict
+    val envelopes = Map(
+      "DupStress" -> ("hot-duplicate corpus dedups in <= 2x its " +
+        "all-distinct wall; keep-first survivors exact (1 exact, " +
+        "2 line)"),
+      "SkewStress" -> ("hot-key flash crowd: salted (user, bucket) " +
+        "equi-join beats the unsalted plan; per-key results exact"),
+      "GraphiteStress" -> ("wide-universe facade: selection stays a " +
+        "scan predicate, per-series aggs one row per series, " +
+        "grouped fan-in one hash agg, seriesLists pairing " +
+        "distributed, catalog browse aggregates — output row counts " +
+        "exactly at their designed bounds"),
+      "ManifestStress" -> ("4 concurrent optimistic writers x 3 " +
+        "batches: every commit lands exactly once, reads at every " +
+        "version consistent, no lost batch"),
+      "PpjoinCappedHeap" -> ("thresholdPairs over a 100k-doc heaps " +
+        "corpus completes in a -Xmx8g local[4] CHILD JVM (the 8 GB " +
+        "executor shape): the generator must spill, never OOM"))
+
     val suites: Seq[(String, () => Boolean)] = Seq(
       ("DupStress", () => DupStress.run(spark, n)),
       ("SkewStress", () => SkewStress.run(spark, n)),
@@ -74,8 +96,11 @@ object StressAll {
     scala.util.Try {
       val path = sys.env.getOrElse("SPARK_GRAFT_STRESS_JSON",
         "target/stressall.json")
+      def q(s: String) = "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
       val suitesJson = results.map { case (name, ok, wall) =>
-        f""""$name":{"ok":$ok,"wall_sec":${"%.1f".format(wall)}}"""
+        f""""$name":{"ok":$ok,"wall_sec":${"%.1f".format(wall)},""" +
+          s""""envelope":${q(envelopes.getOrElse(name, ""))}}"""
       }.mkString("{", ",", "}")
       val json = s"""{"rows":$n,"ok":${failed.isEmpty},""" +
         s""""suites":$suitesJson}"""
