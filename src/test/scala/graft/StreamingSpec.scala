@@ -121,6 +121,49 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(1).getAs[Long]("n") == 1)
   }
 
+  test("incremental dedup candidates are COMPLETE: crossMatches == brute force") {
+    // r12 regression pin for the banded-LSH completeness bug (sf10:
+    // 3 docs lost every J>=0.7 pair to band misses). The counting
+    // generator is provably complete, so crossMatches must equal the
+    // brute-force vid equi-join EXACTLY on a seeded random corpus
+    // dense in near-threshold pairs: 120 docs sharing a 40-token
+    // vocabulary with heavy mutation-of-a-parent structure.
+    import graft.pipeline.IncrementalDedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(v => 1000L + v)
+    // 60 parent/child doc pairs across the even/odd parity split: the
+    // odd doc drops d in {0,1,2,3} tokens from its 12-token even
+    // parent (J = (12-d)/(12+d) = 1.0, .846, .714, .6 — the last is
+    // below tau, so the expected set exercises both sides of the
+    // threshold), plus per-doc random extra tokens for noise
+    val docs: Seq[(Long, Seq[Long])] = (0 until 60).flatMap { k =>
+      val parent = rnd.shuffle(vocab).take(12).toSeq.sorted
+      val d = k % 4
+      val child = rnd.shuffle(parent).drop(d) ++
+        rnd.shuffle(vocab.filterNot(parent.contains)).take(d)
+      Seq((2L * k, parent), (2L * k + 1, child.sorted))
+    }
+    val ids = docs.flatMap { case (id, vs) => vs.map(v => (id, v)) }
+      .toDF("doc_id", "vid")
+    val in = ids.where(col("doc_id") % 2 === 1)
+    val ex = ids.where(col("doc_id") % 2 === 0)
+    val got = IncrementalDedup.crossMatches(in, ex, "doc_id")
+      .select("id_in", "id_ex").as[(Long, Long)].collect().toSet
+    val brute = in.select(col("doc_id").as("id_in"), col("vid"))
+      .join(ex.select(col("doc_id").as("id_ex"), col("vid")), "vid")
+      .groupBy("id_in", "id_ex").agg(count(lit(1)).as("i"))
+      .join(in.groupBy(col("doc_id").as("id_in"))
+        .agg(count(lit(1)).as("ni")), "id_in")
+      .join(ex.groupBy(col("doc_id").as("id_ex"))
+        .agg(count(lit(1)).as("ne")), "id_ex")
+      .where(col("i") * 17 >= (col("ni") + col("ne")) * 7)
+      .select("id_in", "id_ex").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == brute,
+      s"missed: ${(brute -- got).take(5)} extra: ${(got -- brute).take(5)}")
+  }
+
   test("incremental dedup composes across micro-batches (two-file source == batch answer)") {
     // s4's cross-batch contract: the incoming odd docs split into TWO
     // source files, maxFilesPerTrigger=1 => two genuine micro-batches,
