@@ -768,6 +768,24 @@ object GraphiteTarget {
   final case class RenderContext(fromSec: Long, untilSec: Long,
                                  nowSec: Long)
 
+  /** The request fetch window, applied at every universe-consuming
+    * LEAF (glob / seriesByTag / the useSeriesAbove refetch / the
+    * generated-series spines): graphite-web fetches [from, until) per
+    * leaf and timeShift shifts the WINDOW the inner target fetches
+    * (requestContext.startTime/endTime move by the shift), so the
+    * clamp must be ctx-driven here — not one render-top filter over a
+    * pre-widened universe, whose boundary summarize/xff folds saw
+    * rows graphite never fetched and whose time()/identity grids
+    * anchored to the UNSHIFTED request window under timeShift (r12
+    * advice). A bare eval() has no ctx and sees the caller's universe
+    * unclamped, exactly as before.
+    */
+  private def ctxClamp(df: DataFrame,
+                       ctx: Option[RenderContext]): DataFrame =
+    ctx.fold(df)(c => df.where(
+      col("bucket") >= timestamp_seconds(lit(c.fromSec)) &&
+        col("bucket") < timestamp_seconds(lit(c.untilSec))))
+
   /** Graphite `/render` `from`/`until` time specifier → epoch seconds,
     * with `now` EXPLICIT (the §5.3 stance — no wall-clock reads).
     * Public graphite-web forms covered: epoch seconds (`1311163200`),
@@ -786,55 +804,21 @@ object GraphiteTarget {
     else throw new IllegalArgumentException(s"bad time spec '$spec'")
   }
 
-  /** Net composed timeShift offsets reaching `node`'s leaves:
-    * (min, max) over every leaf's total shift, 0 for unshifted leaves.
-    * Nested shifts add. Drives the render fetch-window widening below.
-    */
-  private def shiftSpan(node: Node): (Long, Long) = node match {
-    case Glob(_) => (0L, 0L)
-    case Call("timeShift", args) =>
-      val sec = args(1) match {
-        case StrArg(v) => parseDuration(v)
-        case a => throw new IllegalArgumentException(s"timeShift: $a")
-      }
-      val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
-      val (lo, hi) = if (spans.isEmpty) (0L, 0L)
-        else (spans.map(_._1).min, spans.map(_._2).max)
-      (lo + sec, hi + sec)
-    case Call("timeStack", args) =>
-      // the stack spans every effective shift −i·sec for i in
-      // [start, end) (sec sign-normalized as the evaluator does)
-      val sec = args.lift(1) match {
-        case Some(StrArg(v)) => timeStackSec(v)
-        case a => throw new IllegalArgumentException(s"timeStack: $a")
-      }
-      val start = args.lift(2).collect { case NumArg(v) => v.toInt }.getOrElse(0)
-      val end = args.lift(3).collect { case NumArg(v) => v.toInt }.getOrElse(7)
-      val shifts = (start until end).map(i => -i * sec)
-      val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
-      val (lo, hi) = if (spans.isEmpty) (0L, 0L)
-        else (spans.map(_._1).min, spans.map(_._2).max)
-      (lo + (if (shifts.isEmpty) 0L else shifts.min),
-        hi + (if (shifts.isEmpty) 0L else shifts.max))
-    case Call(_, args) =>
-      val spans = args.collect { case TargetArg(t) => shiftSpan(t) }
-      if (spans.isEmpty) (0L, 0L)
-      else (spans.map(_._1).min, spans.map(_._2).max)
-  }
-
-  /** The full `/render` endpoint semantics in one call: clamp the
-    * universe to [from, until) FIRST (graphite fetches the window,
-    * functions see only it), evaluate every target, apply the
-    * maxDataPoints consolidation to each, and union the series sets —
-    * one frame out, exactly what a dashboard panel asked for. Each
-    * target stays an independent declarative plan; the union is
-    * plan-level (no driver materialization between targets).
+  /** The full `/render` endpoint semantics in one call: every LEAF
+    * fetches the request window [from, until) ([[ctxClamp]] — graphite
+    * fetches the window per leaf, functions see only it), every target
+    * is evaluated, the maxDataPoints consolidation applies to each,
+    * and the series sets union — one frame out, exactly what a
+    * dashboard panel asked for. Each target stays an independent
+    * declarative plan; the union is plan-level (no driver
+    * materialization between targets).
     *
-    * A target containing timeShift gets its OWN fetch window, widened
-    * by the composed shift span so the data that shifts INTO
-    * [from, until) is actually fetched (graphite-web widens the fetch
-    * per target the same way); the shifted output is then re-clamped
-    * to [from, until) so no buckets escape the asked-for range.
+    * A timeShift subtree evaluates under a ctx shifted by its offset
+    * (graphite-web shifts the inner requestContext the same way), so
+    * its leaves fetch [from−s, until−s), its xff denominators and
+    * generated grids anchor where the data actually lives, and the
+    * shifted output is re-clamped to [from, until) so no buckets
+    * escape the asked-for range.
     */
   def render(targets: Seq[String], universe: DataFrame, step: Long,
              fromSec: Long, untilSec: Long,
@@ -855,24 +839,16 @@ object GraphiteTarget {
                          maxDataPoints: Option[Int]): Seq[DataFrame] = {
     require(targets.nonEmpty, "render needs at least one target")
     val ctx = Some(RenderContext(fromSec, untilSec, nowSec))
-    def clamp(df: DataFrame, lo: Long, hi: Long): DataFrame = df.where(
-      col("bucket") >= timestamp_seconds(lit(lo)) &&
-        col("bucket") < timestamp_seconds(lit(hi)))
-    val clamped = clamp(universe, fromSec, untilSec)
     targets.map { t =>
-      val node = parse(t)
-      val (loShift, hiShift) = shiftSpan(node)
-      val set =
-        if (loShift == 0L && hiShift == 0L) evalNode(node, clamped, step, ctx)
-        else {
-          // input buckets land at bucket+shift: fetch the union of
-          // [from−s, until−s) over every leaf shift s (and 0), then
-          // re-clamp the evaluated output to the asked-for window
-          val widened = clamp(universe,
-            fromSec - math.max(hiShift, 0L), untilSec - math.min(loShift, 0L))
-          val ev = evalNode(node, widened, step, ctx)
-          ev.copy(df = clamp(ev.df, fromSec, untilSec))
-        }
+      // the universe passes RAW: each leaf fetches its own ctx window
+      // ([[ctxClamp]]; timeShift/timeStack hand their subtree a
+      // SHIFTED ctx, so shifted leaves reach back exactly as far as
+      // graphite's per-target widened fetch did, and shifted output
+      // lands back inside [from, until) by construction). No blanket
+      // output clamp: graphite keeps re-bucketed labels that fall
+      // before `from` (summarize's epoch grid, smartSummarize's
+      // truncated origins).
+      val set = evalNode(parse(t), universe, step, ctx)
       maxDataPoints.map(consolidate(set, fromSec, untilSec, _))
         .getOrElse(set).df
     }
@@ -964,7 +940,8 @@ object GraphiteTarget {
 
     node match {
       case Glob(pat) =>
-        SeriesSet(universe.where(col("series").rlike(globToRegex(pat))), step)
+        SeriesSet(ctxClamp(universe, ctx)
+          .where(col("series").rlike(globToRegex(pat))), step)
 
       case c @ Call(fn, args) =>
         val name = lit(text(c))
@@ -985,25 +962,39 @@ object GraphiteTarget {
               name, col("v")), in.head.step)
 
           // ---- cross-series product: graphite's contract is one series
-          // per input (divideSeries' sibling); evaluated as a fold of
-          // per-bucket broadcast joins in ARGUMENT order, so the float
-          // multiply order is pinned by the target text, never by
-          // partitioning
+          // per input (divideSeries' sibling). Graphite multiplies with
+          // safeMul, which POISONS on None — unlike the None-SKIPPING
+          // safeSum family — so a bucket where ANY factor is null or
+          // MISSING yields null, not a dropped row and not a one-sided
+          // product (the powSeries None-grid parity, extended here by
+          // the r12 advice sweep; the old inner-join fold silently
+          // dropped missing-factor buckets). One hash agg per bucket
+          // over the union of present rows; expected member count is
+          // the argument count (each operand is one series), so no
+          // broadcast frame is needed. The fold is sorted by argIdx —
+          // float multiply order pinned by the target text — with q6
+          // per step (the division-output contract, mirrored by the
+          // oracles).
           case "multiplySeries" =>
             val in = args.map { case TargetArg(t) => ev(t)
                                 case a => throw new IllegalArgumentException(s"$fn: $a") }
             require(in.nonEmpty, "multiplySeries needs at least one target")
             require(in.map(_.step).distinct.size == 1, s"$fn: mixed steps")
-            val first = oneSeries(in.head.df, "multiplySeries operand")
-            val prod = in.tail.zipWithIndex.foldLeft(first) { case (acc, (s2, i)) =>
-              acc.join(broadcast(oneSeries(s2.df, "multiplySeries operand")
-                  .withColumnRenamed("value", s"__m$i")), Seq("bucket"), "inner")
-                // q6 per fold step: a raw double product lands on
-                // .xxxxxx5 often enough that the engines' ROUND(x, 6)
-                // disagree — same contract as the division outputs
-                .select(col("bucket"),
-                  q6(col("value") * col(s"__m$i")).as("value"))
-            }
+            val u = in.zipWithIndex.map { case (s0, i) =>
+              oneSeries(s0.df, "multiplySeries operand")
+                .select(lit(i).as("__ai"), col("bucket"), col("value")) }
+              .reduce(_ unionByName _)
+            val prod = u.groupBy(col("bucket"))
+              .agg(array_sort(collect_list(struct(
+                col("__ai").as("i"), col("value").as("v")))).as("__a"))
+              .select(col("bucket"),
+                when(exists(col("__a"), x => x.getField("v").isNull) ||
+                     size(col("__a")) < lit(in.size),
+                  lit(null))
+                  .otherwise(aggregate(
+                    slice(col("__a"), 2, 1000000),
+                    element_at(col("__a"), 1).getField("v"),
+                    (acc, x) => q6(acc * x.getField("v")))).as("value"))
             SeriesSet(out(prod, name, col("value")), in.head.step)
 
           case "group" =>
@@ -1164,8 +1155,23 @@ object GraphiteTarget {
             in.copy(df = out(in.df, col("series"),
               last(col("value"), ignoreNulls = true).over(w)))
           case "timeShift" =>
-            val in = one(args)
+            // the inner target evaluates under a ctx shifted by −sec
+            // (graphite-web moves the inner requestContext's window):
+            // its leaves fetch [from−sec, until−sec) — exactly the
+            // data that lands in [from, until) after the +sec shift —
+            // and its xff denominators / time() grids anchor there.
+            // Nested shifts compose through the recursion. (r12
+            // advice: the unshifted ctx clamped boundary summarize
+            // denominators to the wrong window and dropped leading
+            // time() ticks.)
             val sec = parseDuration(str(args(1)))
+            val sctx = ctx.map(c => c.copy(fromSec = c.fromSec - sec,
+              untilSec = c.untilSec - sec))
+            val in = args.head match {
+              case TargetArg(t) => evalNode(t, universe, step, sctx)
+              case a => throw new IllegalArgumentException(
+                s"timeShift: expected a target, got $a")
+            }
             in.copy(df = out(in.df, col("series"),
               col("value")).withColumn("bucket",
               timestamp_seconds(unix_timestamp(col("bucket")) + lit(sec))))
@@ -1346,7 +1352,16 @@ object GraphiteTarget {
           // driver-side count. Bucket semantics follow the engine's
           // own divideSeries/diffSeries contracts: the first list's
           // buckets survive, an absent divisor/factor nulls, an
-          // absent subtrahend counts 0.
+          // absent subtrahend counts 0. None-grid audit (r13 sweep):
+          // aggregateSeriesLists' named folds are graphite's
+          // None-SKIPPING safe* aggregators, so folding each pair's
+          // union-of-present buckets already matches (a one-sided
+          // bucket folds the present side alone — graphite's
+          // safeSum([None, x]) = x); multiplySeriesLists poisons a
+          // null factor through its per-pair q6 product; only the
+          // first-list-grid convention itself deviates (an a-missing
+          // bucket is absent, graphite shows None) — by the same
+          // documented sparse-frame stance as divideSeries.
           case "divideSeriesLists" | "multiplySeriesLists" |
                "subtractSeriesLists" | "diffSeriesLists" |
                "aggregateSeriesLists" =>
@@ -1357,16 +1372,30 @@ object GraphiteTarget {
             }
             require(a.step == b.step, s"$fn: mixed steps")
             val func = if (fn == "aggregateSeriesLists") str(args(2)) else ""
-            def ranked(df: DataFrame, c: String) = {
-              val ss = df.sparkSession
-              // localCheckpoint the one-row-per-series name frame
-              // BEFORE zipWithIndex: its startIndices job and the
-              // downstream join would otherwise each re-execute the
-              // whole upstream universe aggregation (measured 3× the
-              // query wall at the sf100 step); the checkpointed frame
-              // is series-count-bounded
-              val rows = df.select(col("series")).distinct()
-                .orderBy(col("series")).localCheckpoint().rdd
+            // ONE materialized one-row-per-series frame covers BOTH
+            // sides (r12 checkpointed each side's
+            // distinct().orderBy() separately, and each checkpoint
+            // re-executed its side's whole upstream universe
+            // aggregation — 2 of the 4 upstream passes the r12
+            // verdict measured at 10.4→28.0 s on sf100e's narrow
+            // universe. One union job materializes both name sets —
+            // Catalyst's ReuseExchange dedupes identical subplans
+            // within the single job — and each side's rank is then a
+            // sort + zipWithIndex of the series-count-bounded
+            // checkpoint, never of the upstream.)
+            val ss = a.df.sparkSession
+            val names = a.df.select(col("series"), lit(0).as("__side"))
+              .unionByName(b.df.select(col("series"), lit(1).as("__side")))
+              .distinct().localCheckpoint()
+            def ranked(side: Int, c: String) = {
+              // distributed range sort + zipWithIndex over the
+              // checkpointed names (one bounded extra job:
+              // per-partition counts to the driver, O(#partitions)
+              // longs) — NOT a partitionless row_number window, which
+              // would single-task-sort (the shape r11 evicted;
+              // PlanShapeSpec's inventory sweep pins it out)
+              val rows = names.where(col("__side") === side)
+                .select(col("series")).orderBy(col("series")).rdd
                 .zipWithIndex.map { case (r, i) =>
                   org.apache.spark.sql.Row(r.getString(0), i + 1L) }
               ss.createDataFrame(rows,
@@ -1376,8 +1405,8 @@ object GraphiteTarget {
                   org.apache.spark.sql.types.StructField("__rk",
                     org.apache.spark.sql.types.LongType))))
             }
-            val pairs = ranked(a.df, "__sa")
-              .join(ranked(b.df, "__sb"), Seq("__rk"), "full_outer")
+            val pairs = ranked(0, "__sa")
+              .join(ranked(1, "__sb"), Seq("__rk"), "full_outer")
               .select(col("__rk"),
                 when(col("__sa").isNull || col("__sb").isNull, raise_error(
                   lit(s"$fn: the two series lists must be the same length")))
@@ -1495,7 +1524,7 @@ object GraphiteTarget {
           case "seriesByTag" =>
             require(args.nonEmpty, "seriesByTag needs at least one expression")
             val pred = args.map(a => tagPredicate(str(a))).reduce(_ && _)
-            SeriesSet(universe.where(pred), step)
+            SeriesSet(ctxClamp(universe, ctx).where(pred), step)
 
           case "aliasByTags" =>
             val in = one(args)
@@ -1654,6 +1683,13 @@ object GraphiteTarget {
             val nodeV = element_at(parts, nodeIdx + 1)
             val filtered = in.df.where(nodeV.isin(matchers: _*))
             val outName = concat(col("__pre"), lit(s".reduce.$func"))
+            // None-grid audit (r13 sweep): the pivot groups each
+            // prefix's union-of-present buckets and max(when(...))
+            // leaves a missing matcher's slot NULL, so asPercent /
+            // divideSeries emit present-with-null exactly where
+            // graphite's None-filled grid does; the symmetric folds
+            // below are the None-SKIPPING safe* family. Already
+            // parity — no sparse-frame deviation here.
             func match {
               case "asPercent" | "divideSeries" | "diffSeries" =>
                 val aggs = matchers.zipWithIndex.map { case (m, i) =>
@@ -1780,7 +1816,7 @@ object GraphiteTarget {
               .select(regexp_replace(col("series"),
                 java.util.regex.Pattern.quote(search),
                 java.util.regex.Matcher.quoteReplacement(repl)).as("series"))
-            SeriesSet(universe
+            SeriesSet(ctxClamp(universe, ctx)
               .select(col("series"), col("bucket"), col("value"))
               .join(broadcast(keep), Seq("series"), "left_semi"), step)
 
@@ -2123,7 +2159,7 @@ object GraphiteTarget {
           // IS the universe): identity = the timestamp as the value,
           // constantLine/threshold = a flat line
           case "identity" =>
-            SeriesSet(universe.select(col("bucket")).distinct()
+            SeriesSet(ctxClamp(universe, ctx).select(col("bucket")).distinct()
               .select(lit(str(args.head)).as("series"), col("bucket"),
                 unix_timestamp(col("bucket")).cast("double").as("value")), step)
           // identity with graphite's optional coarser step: the bucket
@@ -2156,7 +2192,7 @@ object GraphiteTarget {
             val v = num(args.head)
             val nm = if (fn == "threshold" && args.length > 1) str(args(1))
                      else text(c)
-            SeriesSet(universe.select(col("bucket")).distinct()
+            SeriesSet(ctxClamp(universe, ctx).select(col("bucket")).distinct()
               .select(lit(nm).as("series"), col("bucket"),
                 lit(v).cast("double").as("value")), step)
 
@@ -2168,14 +2204,34 @@ object GraphiteTarget {
           // drawn earlier. Labels carry the MULTIPLIER index the way
           // graphite-web does (timeShift(name, i)), so aliasSub
           // patterns written for graphite dashboards keep matching.
-          // The render() fetch window widens by the stack's span
-          // (see shiftSpan).
+          // The inner fetch window widens by the stack's span (the
+          // union ctx below).
           case "timeStack" =>
-            val in = one(args)
             val sec = timeStackSec(str(args(1)))
             val start = if (args.length > 2) num(args(2)).toInt else 0
             val end = if (args.length > 3) num(args(3)).toInt else 7
             require(end > start, "timeStack: end must exceed start")
+            // the inner target evaluates ONCE under a ctx widened to
+            // the union of every copy's window — copy i needs input
+            // [from + i·sec, until + i·sec) — and each copy then
+            // shifts out of the shared eval (graphite-web instead
+            // re-evaluates the inner target per copy with that copy's
+            // shifted context; one eval per copy would multiply the
+            // scan end−start times, so this DEVIATES for
+            // window-sensitive inner folds: a summarize/xff boundary
+            // denominator inside a stacked target sees the union
+            // window, not its copy's. Documented trade; the stacked
+            // COPIES themselves are exact — the outer render clamp
+            // trims each to [from, until)).
+            val shifts = (start until end).map(i => i.toLong * sec)
+            val sctx = ctx.map(c => c.copy(
+              fromSec = c.fromSec + shifts.min,
+              untilSec = c.untilSec + shifts.max))
+            val in = args.head match {
+              case TargetArg(t) => evalNode(t, universe, step, sctx)
+              case a => throw new IllegalArgumentException(
+                s"timeStack: expected a target, got $a")
+            }
             val shifted = (start until end).map { i =>
               out(in.df,
                 concat(lit("timeShift("), col("series"), lit(s",$i)")),
@@ -2183,7 +2239,11 @@ object GraphiteTarget {
                 .withColumn("bucket", timestamp_seconds(
                   unix_timestamp(col("bucket")) - lit(i * sec)))
             }
-            SeriesSet(shifted.reduce(_ unionByName _), in.step)
+            // each copy drew from the UNION window; the request ctx
+            // trims every copy back to [from, until) here (the only
+            // place a subtree intentionally over-fetches)
+            SeriesSet(ctxClamp(shifted.reduce(_ unionByName _), ctx),
+              in.step)
 
           // ---- display-only attributes: accepted and ignored so real
           // dashboard target strings evaluate — color/linewidth/stack

@@ -549,6 +549,10 @@ object GraphiteQueries {
          |       ROUND(SQRT(MAX(value) - MIN(value)), 6) AS value
          |FROM u GROUP BY bucket ORDER BY series, bucket""".stripMargin,
 
+    // graphite's safeMul POISONS on None: the grid is the union of the
+    // two factors' present buckets, and a bucket missing (or null) on
+    // EITHER side is null — not dropped, not one-sided (the powSeries
+    // None-grid parity, extended to multiplySeries in r13)
     "g11_target" ->
       s"""WITH $U,
          |a AS (
@@ -556,11 +560,15 @@ object GraphiteQueries {
          |         CASE WHEN value <> 0 THEN ROUND(1.0 / value * 1e6) / 1e6 END
          |           AS v
          |  FROM u WHERE series = 'events.click'),
-         |b AS (SELECT bucket, value FROM u WHERE series = 'events.view')
+         |b AS (SELECT bucket, value FROM u WHERE series = 'events.view'),
+         |g AS (SELECT bucket FROM a UNION SELECT bucket FROM b)
          |SELECT 'multiplySeries(invert(events.click),events.view)' AS series,
-         |       CAST(a.bucket AS VARCHAR) AS bucket,
-         |       ROUND(ROUND(a.v * b.value * 1e6) / 1e6, 6) AS value
-         |FROM a JOIN b ON a.bucket = b.bucket
+         |       CAST(g.bucket AS VARCHAR) AS bucket,
+         |       CASE WHEN a.v IS NULL OR b.value IS NULL THEN NULL
+         |            ELSE ROUND(ROUND(a.v * b.value * 1e6) / 1e6, 6) END
+         |         AS value
+         |FROM g LEFT JOIN a ON g.bucket = a.bucket
+         |       LEFT JOIN b ON g.bucket = b.bucket
          |ORDER BY series, bucket""".stripMargin,
 
     "g12_target" ->

@@ -1026,15 +1026,18 @@ object PipelineQueries {
       // incremental corpus update: dedup an INCOMING batch (odd
       // doc_id) against the EXISTING corpus (even doc_id) WITHOUT
       // enumerating existing×existing pairs — the "add today's crawl
-      // to a 100 TB corpus" path. The existing side's band keys are
-      // exactly what a production pipeline keeps as its persisted LSH
-      // index; the candidate join is cross-side only, so per-update
-      // work is O(incoming + collided buckets), independent of corpus
-      // pair count. Candidates are exactly verified (τ=0.7, the
-      // integer-exact 17·i >= 7·(ni+ne) form), which makes the output
-      // hash-independent — the all-pairs oracle proves no cross-side
-      // pair >= τ is lost. Output: one row per matched incoming doc
-      // with its match count and best witness.
+      // to a 100 TB corpus" path. The existing side's rarest-token
+      // windows + frozen df table are exactly what a production
+      // pipeline keeps as its persisted dedup index; the candidate
+      // probe is cross-side only (adaptive counting/prefix generator,
+      // both provably complete — r12 replaced the banded-LSH
+      // candidates whose ~1.5%/pair recall term dropped 3 docs at
+      // sf10), so per-update work is O(incoming + collided
+      // occurrences), independent of corpus pair count. Candidates
+      // are exactly verified (τ=0.7, the integer-exact
+      // 17·i >= 7·(ni+ne) form) — the all-pairs oracle proves no
+      // cross-side pair >= τ is lost. Output: one row per matched
+      // incoming doc with its match count and best witness.
       val ids = TextOps.shinglesOfText(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
         .distinct()
@@ -1063,13 +1066,9 @@ object PipelineQueries {
       // the persisted index side: existing (even) docs, built ONCE and
       // checkpointed — every micro-batch reuses it (the production
       // shape: the index is a maintained table, not a per-batch build)
-      val exIndex = {
-        val ix = IncrementalDedup.buildIndex(shingleIds(
-          s.read.parquet(path).where(pmod(col("doc_id"), lit(2)) === 0)),
-          "doc_id")
-        IncrementalDedup.Index(ix.window.localCheckpoint(true),
-          ix.ids.localCheckpoint(true), ix.sizes.localCheckpoint(true))
-      }
+      val exIndex = IncrementalDedup.buildIndex(shingleIds(
+        s.read.parquet(path).where(pmod(col("doc_id"), lit(2)) === 0)),
+        "doc_id").checkpointed
       val out = java.nio.file.Files
         .createTempDirectory("graft-s4-out").toString
       val ckpt = java.nio.file.Files

@@ -102,13 +102,23 @@ object GraphiteStress {
       (runOne("glob one-of-1M",
         s"movingAverage(web.s${math.max(0L, n - 1)}.cpu*, 4)",
         "bound: 24"), 24L, 24L),
-      // positional list pairing at n/4-vs-n/4 series: the rank frames
+      // positional list pairing at ~n/4-vs-n/4 series: the rank frames
       // are distributed sorted zipWithIndex (r12 — no single-task
       // row_number sort of the matched universe), the pair map
-      // broadcasts, output = the first list's rows
-      (runOne("divideSeriesLists",
-        "divideSeriesLists(seriesByTag('dc=dc0'), seriesByTag('dc=dc1'))",
-        s"bound: n/4 x 24 = ${n / 4 * 24}"), n / 4 * 24, n / 4 * 24))
+      // broadcasts, output = the first list's rows. The two dc
+      // residues are chosen so BOTH lists have equal length at ANY n
+      // (ids ≡ r (mod 4) count ⌊(n−r+3)/4⌋, one extra for r < n%4;
+      // the operator raises on unequal lists by graphite contract, so
+      // a fixed (0,1) pairing went spuriously red for odd n — r12
+      // advice): residues (1,2) are equal unless n%4 == 2, where
+      // (0,1) are.
+      {
+        val (da, db) = if (n % 4 == 2) (0, 1) else (1, 2)
+        val dcCnt = (n - da + 3) / 4
+        (runOne("divideSeriesLists",
+          s"divideSeriesLists(seriesByTag('dc=dc$da'), seriesByTag('dc=dc$db'))",
+          s"bound: $dcCnt x 24 = ${dcCnt * 24}"), dcCnt * 24, dcCnt * 24)
+      })
 
     // /metrics/find over the full-name catalog: aggregate, never collect
     val names = universe.select("series").distinct()

@@ -131,10 +131,8 @@ object PipelineStress {
             "doc_id", "text", 3)
           .select(col("doc_id"), xxhash64(col("shingle")).as("vid"))
           .distinct()
-        val ix = graft.pipeline.IncrementalDedup.buildIndex(exIds, "doc_id")
-        graft.pipeline.IncrementalDedup.Index(
-          ix.window.localCheckpoint(true), ix.ids.localCheckpoint(true),
-          ix.sizes.localCheckpoint(true))
+        graft.pipeline.IncrementalDedup.buildIndex(exIds, "doc_id")
+          .checkpointed
       }
       timed("p23 incr (ex=kx)") {
         val inIds = TextOps.shinglesOfText(

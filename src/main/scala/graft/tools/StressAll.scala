@@ -108,6 +108,43 @@ object StressAll {
         java.nio.file.Paths.get(path).toAbsolutePath.getParent)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
       println(s"[stressall] record: $path")
+      // round-over-round suite-wall comparison (r12 verdict #6: the
+      // automation must make envelope DRIFT visible, not just the
+      // boolean): when this run writes STRESS_r{N}.json, find the
+      // latest prior STRESS_r{k}.json and append per-suite
+      // prev→now walls to BENCH_NOTES.md
+      for (m <- "STRESS_r(\\d+)\\.json$".r.findFirstMatchIn(path)) {
+        val n = m.group(1).toInt
+        val dir = Option(java.nio.file.Paths.get(path).toAbsolutePath
+          .getParent).getOrElse(java.nio.file.Paths.get("."))
+        val prior = Option(dir.toFile.listFiles())
+          .getOrElse(Array.empty[java.io.File]).toSeq
+          .flatMap(f => "^STRESS_r(\\d+)\\.json$".r
+            .findFirstMatchIn(f.getName)
+            .map(mm => (mm.group(1).toInt, f)))
+          .filter(_._1 < n).sortBy(-_._1).headOption
+        for ((k, pf) <- prior) {
+          val ptxt = java.nio.file.Files.readString(pf.toPath)
+          val pw = "\"([A-Za-z]+)\":\\{\"ok\":(true|false),\"wall_sec\":([0-9.]+)".r
+            .findAllMatchIn(ptxt)
+            .map(mm => mm.group(1) -> (mm.group(2), mm.group(3).toDouble))
+            .toMap
+          val cmp = results.map { case (name, ok, wall) =>
+            pw.get(name) match {
+              case Some((_, w0)) => f"$name $w0%.1f->$wall%.1f s"
+              case None          => f"$name NEW $wall%.1f s"
+            }
+          }.mkString(", ")
+          val noteLine = s"- [auto stress r$n vs r$k] " +
+            s"${if (failed.isEmpty) "all green" else
+              s"FAILED ${failed.mkString("/")}"}: $cmp\n"
+          println(s"[stressall] $noteLine")
+          val notes = dir.resolve("BENCH_NOTES.md")
+          if (java.nio.file.Files.isRegularFile(notes))
+            java.nio.file.Files.writeString(notes, noteLine,
+              java.nio.file.StandardOpenOption.APPEND)
+        }
+      }
     }.failed.foreach(e => println(s"[stressall] record failed: $e"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -214,4 +214,75 @@ class GraphiteContextSpec extends SparkTestBase {
     assert(got2.map(r => (r._2, r._3)) ==
       Seq((0L, Some(4.0)), (4 * 3600L, None)))
   }
+
+  test("multiplySeries poisons missing-or-null factor buckets (safeMul)") {
+    // graphite multiplies with safeMul — None POISONS (unlike the
+    // None-skipping safeSum family): a bucket where any factor is
+    // null OR has no row at all yields a present null row, never a
+    // dropped bucket and never a one-sided product (r12 advice sweep;
+    // the old inner-join fold dropped bucket 1h entirely)
+    val sparse = Seq(
+      ("m.a", ts(0), Some(2.0)), ("m.a", ts(1), Some(3.0)),
+      ("m.a", ts(2), None),
+      ("m.b", ts(0), Some(5.0)), ("m.b", ts(2), Some(7.0))
+    ).toDF("series", "bucket", "value")
+    val got = run("multiplySeries(m.a, m.b)", sparse)
+    assert(got.map(r => (r._2, r._3)) ==
+      Seq((0L, Some(10.0)), (3600L, None), (7200L, None)))
+    // aggregateSeriesLists' named folds stay None-SKIPPING (safeSum):
+    // the one-sided bucket folds the present side alone
+    val agg = run("aggregateSeriesLists(m.a, m.b, 'sum')", sparse)
+    assert(agg.map(r => (r._2, r._3)) ==
+      Seq((0L, Some(7.0)), (3600L, Some(3.0)), (7200L, Some(7.0))))
+  }
+
+  test("reduceSeries asPercent emits null where a matcher side is missing") {
+    val deep = Seq(
+      ("p.h0", ts(0), 50.0), ("p.h0", ts(1), 30.0),
+      ("p.h1", ts(0), 100.0)
+    ).toDF("series", "bucket", "value")
+    val got = run("reduceSeries(mapSeries(p.*, 0), 'asPercent', 1, 'h0', 'h1')",
+      deep)
+    assert(got == Seq(
+      ("p.reduce.asPercent", 0L, Some(50.0)),
+      ("p.reduce.asPercent", 3600L, None)))
+  }
+
+  test("timeShift evaluates its subtree under the SHIFTED context") {
+    // graphite-web shifts the inner requestContext: under
+    // timeShift('4h') the inner summarize's xff denominators clamp to
+    // [from−4h, until−4h) — the window the data was FETCHED on — not
+    // the request window (r12 advice). Data: dense [0h, 6h); request
+    // [4h, 10h); shift +4h ⇒ inner window [0h, 6h). Inner coarse
+    // buckets: 0h (4/4 slots, sum 4) and 4h (2 of 2 IN-WINDOW slots,
+    // sum 2 — kept at xff .75 because the shifted window clamps the
+    // denominator to 2). Shifted out: (4h, 4.0), (8h, 2.0).
+    val dense = (0 until 6).map(h => ("m.a", ts(h), 1.0))
+      .toDF("series", "bucket", "value")
+    val got = renderRows(
+      Seq("timeShift(summarize(setXFilesFactor(m.a, 0.75), '4h', 'sum'), '4h')"),
+      dense, from = 4 * 3600L, until = 10 * 3600L)
+    assert(got.map(r => (r._2, r._3)) ==
+      Seq((4 * 3600L, Some(4.0)), (8 * 3600L, Some(2.0))))
+    // the genuinely sparse shifted boundary still nulls under the
+    // shifted denominator (1 of 2 in-window slots)
+    val sparse = dense.where(col("bucket") =!= ts(5))
+    val got2 = renderRows(
+      Seq("timeShift(summarize(setXFilesFactor(m.a, 0.75), '4h', 'sum'), '4h')"),
+      sparse, from = 4 * 3600L, until = 10 * 3600L)
+    assert(got2.map(r => (r._2, r._3)) ==
+      Seq((4 * 3600L, Some(4.0)), (8 * 3600L, None)))
+  }
+
+  test("timeShift(time(...)) keeps the leading ticks") {
+    // the generated grid anchors on the SHIFTED window [0h, 4h) and
+    // shifts forward — all four ticks land in the request window
+    // [2h, 6h). The unshifted-ctx form generated on [2h, 6h), shifted
+    // to [4h, 8h) and re-clamped, silently dropping the ticks in
+    // [2h, 4h) (r12 advice).
+    val got = renderRows(Seq("timeShift(time('tick'), '2h')"), uni,
+      from = 2 * 3600L, until = 6 * 3600L)
+    assert(got == (2 to 5).map(h =>
+      ("tick", h * 3600L, Some((h - 2) * 3600.0))))
+  }
 }

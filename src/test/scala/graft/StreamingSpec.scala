@@ -162,6 +162,42 @@ class StreamingSpec extends SparkTestBase {
     assert(brute.nonEmpty, "fixture produced no qualifying pairs")
     assert(got == brute,
       s"missed: ${(brute -- got).take(5)} extra: ${(got -- brute).take(5)}")
+    // BOTH generators are complete and must agree with brute force —
+    // the adaptive choice (r13: the thresholdPairs dual-generator
+    // pattern, cross-side) can never change the answer, only the plan
+    val index = IncrementalDedup.buildIndex(ex, "doc_id")
+    for (g <- Seq("counting", "prefix")) {
+      val forced = IncrementalDedup
+        .crossMatches(in, index, "doc_id", forceGenerator = Some(g))
+        .select("id_in", "id_ex").as[(Long, Long)].collect().toSet
+      assert(IncrementalDedup.lastGenerator.get().startsWith(g + ":"),
+        s"forced generator '$g' not taken: " +
+          IncrementalDedup.lastGenerator.get())
+      assert(forced == brute, s"generator '$g' diverged — " +
+        s"missed: ${(brute -- forced).take(5)} " +
+        s"extra: ${(forced -- brute).take(5)}")
+    }
+    // incoming tokens UNSEEN at index build (frozen df = 0) order
+    // first in the shared total order — the prefix path must stay
+    // complete for a batch full of them: re-probe with every incoming
+    // doc carrying 3 extra never-indexed tokens (J drops but the
+    // >=tau pairs that remain must all survive)
+    val inNoisy = in.unionByName(in.select("doc_id").distinct()
+      .crossJoin(Seq(900001L, 900002L, 900003L).toDF("vid")))
+    val bruteN = inNoisy.select(col("doc_id").as("id_in"), col("vid"))
+      .join(ex.select(col("doc_id").as("id_ex"), col("vid")), "vid")
+      .groupBy("id_in", "id_ex").agg(count(lit(1)).as("i"))
+      .join(inNoisy.groupBy(col("doc_id").as("id_in"))
+        .agg(count(lit(1)).as("ni")), "id_in")
+      .join(ex.groupBy(col("doc_id").as("id_ex"))
+        .agg(count(lit(1)).as("ne")), "id_ex")
+      .where(col("i") * 17 >= (col("ni") + col("ne")) * 7)
+      .select("id_in", "id_ex").as[(Long, Long)].collect().toSet
+    val gotN = IncrementalDedup
+      .crossMatches(inNoisy, index, "doc_id", Some("prefix"))
+      .select("id_in", "id_ex").as[(Long, Long)].collect().toSet
+    assert(gotN == bruteN, s"prefix generator under unseen tokens — " +
+      s"missed: ${(bruteN -- gotN).take(5)} extra: ${(gotN -- bruteN).take(5)}")
   }
 
   test("incremental dedup composes across micro-batches (two-file source == batch answer)") {
@@ -177,12 +213,9 @@ class StreamingSpec extends SparkTestBase {
     def shingleIds(d: org.apache.spark.sql.DataFrame) =
       TextOps.shinglesOfText(d, "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("vid")).distinct()
-    val exIndex = {
-      val ix = IncrementalDedup.buildIndex(
-        shingleIds(docs.where(pmod(col("doc_id"), lit(2)) === 0)), "doc_id")
-      IncrementalDedup.Index(ix.window.localCheckpoint(true),
-        ix.ids.localCheckpoint(true), ix.sizes.localCheckpoint(true))
-    }
+    val exIndex = IncrementalDedup.buildIndex(
+      shingleIds(docs.where(pmod(col("doc_id"), lit(2)) === 0)), "doc_id")
+      .checkpointed
 
     // stage the odd docs as two parquet files in one source dir
     val odd = docs.where(pmod(col("doc_id"), lit(2)) === 1)

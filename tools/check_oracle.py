@@ -216,9 +216,18 @@ def main(sf_dir, out_dir, opts):
                                    timeout=8 * opts["timeout"])
                 line = next((l for l in r.stdout.splitlines()
                              if l.startswith(name)), "")
-                status = (line[len(name):].strip() or
-                          f"CHUNKED CHILD DIED rc={r.returncode}: "
-                          f"{r.stderr.strip()[-300:]}")
+                # branch on the exit code FIRST: a nonzero rc with a
+                # partial name line is a crash (the line may be stale),
+                # and rc=0 without a name line is a protocol break, not
+                # a "DIED rc=0" (r12 advice)
+                if r.returncode != 0:
+                    status = (f"CHUNKED CHILD DIED rc={r.returncode}: "
+                              f"{r.stderr.strip()[-300:]}")
+                elif not line:
+                    status = ("CHUNKED CHILD NO STATUS LINE: "
+                              f"{r.stdout.strip()[-300:]}")
+                else:
+                    status = line[len(name):].strip()
             except subprocess.TimeoutExpired:
                 status = f"CHUNKED ORACLE TIMEOUT >{8 * opts['timeout']}s"
             import shutil

@@ -154,6 +154,13 @@ def setup_for(name):
         return [TOKS, SH3,
                 "CREATE TEMP TABLE t_sizes AS "
                 "SELECT doc_id, COUNT(*) AS n FROM t_sh GROUP BY doc_id"]
+    if name in EDGE_FINAL:
+        # the edge-consumer family shares p10's shingle/sizes frames,
+        # plus the empty edge table the chunk loop fills
+        return [TOKS, SH3,
+                "CREATE TEMP TABLE t_sizes AS "
+                "SELECT doc_id, COUNT(*) AS n FROM t_sh GROUP BY doc_id"
+                ] + EDGE_SETUP
     if name in ("p23_increment", "s4_streamincrement"):
         return [TOKS, SH3,
                 "CREATE TEMP TABLE t_shx AS "
@@ -337,6 +344,171 @@ SORT_KEYS = {
     "s4_streamincrement": ["doc_id"],
     "p8_annlsh": ["query_id", "rnk"],
     "p13_annkmeans": ["query_id", "rnk"],
+    "p18_components": ["doc_id"],
+    "p31_priority": ["doc_id"],
+    "p42_leaksafesplit": ["doc_id"],
+    "p58_dupgraph": ["degree"],
+    "p43_dupmatrix": ["src_lo", "src_hi"],
+    "p12_curation": ["lang_pred"],
+    "p64_funnelreport": ["source"],
+}
+
+# ---------------------------------------------------------------------
+# Edge-consumer family (r13, OracleCoverageSpec): seven declared
+# queries embed the SAME all-pairs shingle self-join (`inter` +
+# 17i >= 7(na+nb) threshold) and differ only in a LINEAR tail
+# (components, degree stats, source matrix, curation report). The
+# superlinear stage is the join, so the chunked replay materializes
+# the >= tau EDGE list residue class by residue class into t_edges
+# (bounded output: the true near-dup pair set is linear in N), then
+# runs each query's tail ONCE. Tail SQL is verbatim from the oracle
+# with edges/dropped rewritten against t_edges and toks against
+# t_toks.
+EDGE_SETUP = [
+    "CREATE TEMP TABLE t_edges (id_a BIGINT, id_b BIGINT)"]
+
+
+def edge_chunk_sql(k, K):
+    return f"""INSERT INTO t_edges
+WITH inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM t_sh a JOIN t_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {K} = {k}
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b FROM inter
+ JOIN t_sizes sa ON sa.doc_id = id_a
+ JOIN t_sizes sb ON sb.doc_id = id_b
+WHERE i * 17 >= (sa.n + sb.n) * 7"""
+
+
+_COMPONENTS = """WITH RECURSIVE
+sym AS (SELECT id_a AS a, id_b AS b FROM t_edges
+        UNION ALL SELECT id_b, id_a FROM t_edges),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, re.r FROM reach re JOIN sym s ON s.a = re.id),
+comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+         FROM reach GROUP BY id)"""
+
+_QUAL12 = """qual AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+      AS est_bpe_tokens,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+    ROUND(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+          * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' '))), 6) AS quality
+  FROM documents)"""
+
+_SCORES = """scores AS (
+  SELECT doc_id,
+   CAST(SUM(CASE WHEN token IN ('der','die','und','das','ein') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+   CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+   CAST(SUM(CASE WHEN token IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+   CAST(SUM(CASE WHEN token IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+   CAST(SUM(CASE WHEN token IN ('的','是','了','在','和') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+  FROM t_toks GROUP BY doc_id)"""
+
+EDGE_FINAL = {
+    "p18_components": _COMPONENTS + """
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+       doc_id = component_id AS keep
+FROM comp ORDER BY doc_id""",
+
+    "p31_priority": _COMPONENTS + """,
+lab AS (
+  SELECT c.doc_id, c.component_id, d.source,
+         CAST(substr(d.source, 4) AS BIGINT) % 3 AS tier
+  FROM comp c JOIN documents d USING (doc_id))
+SELECT doc_id, component_id, source, tier,
+       first_value(doc_id) OVER (PARTITION BY component_id
+         ORDER BY tier, doc_id) AS keeper_id,
+       doc_id = first_value(doc_id) OVER (PARTITION BY component_id
+         ORDER BY tier, doc_id) AS keep
+FROM lab ORDER BY doc_id""",
+
+    "p42_leaksafesplit": _COMPONENTS + """,
+banded AS (
+  SELECT doc_id, component_id,
+         CAST(('0x' || substr(md5('split-' ||
+           CAST(component_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
+           AS band
+  FROM comp)
+SELECT doc_id, component_id,
+       CASE WHEN band < 8 THEN 'train'
+            WHEN band = 8 THEN 'val' ELSE 'test' END AS split
+FROM banded ORDER BY doc_id""",
+
+    "p58_dupgraph": """WITH sym AS (
+  SELECT id_a AS doc_id FROM t_edges
+  UNION ALL SELECT id_b FROM t_edges),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM sym GROUP BY doc_id),
+alld AS (
+  SELECT d.doc_id, COALESCE(g.degree, 0) AS degree
+  FROM documents d LEFT JOIN deg g USING (doc_id))
+SELECT degree, COUNT(*) AS n_docs
+FROM alld GROUP BY degree ORDER BY degree""",
+
+    "p43_dupmatrix": """SELECT LEAST(da.source, db.source) AS src_lo,
+       GREATEST(da.source, db.source) AS src_hi,
+       COUNT(*) AS n_pairs
+FROM t_edges
+ JOIN documents da ON da.doc_id = id_a
+ JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2 ORDER BY src_lo, src_hi""",
+
+    "p12_curation": "WITH dropped AS (SELECT DISTINCT id_b AS doc_id"
+                    " FROM t_edges),\n" + _QUAL12 + ",\n" + _SCORES + """,
+lang AS (
+  SELECT doc_id,
+    CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+         WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+         WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred,
+    GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+  FROM scores)
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(est_bpe_tokens) AS BIGINT) AS budget_tokens,
+       CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens
+FROM qual
+ JOIN lang USING (doc_id)
+WHERE quality >= 0.5 AND n_tokens >= 5 AND lang_score > 0
+  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang_pred ORDER BY lang_pred""",
+
+    "p64_funnelreport": "WITH dropped AS (SELECT DISTINCT id_b AS doc_id"
+                        " FROM t_edges),\n" + """qual AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ROUND(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+          * (CAST(len(list_distinct(string_split(text, ' ')))
+               AS DOUBLE)
+             / len(string_split(text, ' '))), 6) AS quality
+  FROM documents),\n""" + _SCORES + """,
+lang AS (
+  SELECT doc_id,
+    GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+  FROM scores),
+staged AS (
+  SELECT d.source,
+    CASE WHEN q.quality >= 0.5 AND q.n_tokens >= 5
+         THEN 1 ELSE 0 END AS pq,
+    CASE WHEN l.lang_score > 0 THEN 1 ELSE 0 END AS pl,
+    CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         THEN 1 ELSE 0 END AS pd
+  FROM documents d
+   JOIN qual q ON q.doc_id = d.doc_id
+   JOIN lang l ON l.doc_id = d.doc_id)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(pq) AS BIGINT) AS n_quality,
+       CAST(SUM(pq * pl) AS BIGINT) AS n_lang,
+       CAST(SUM(pq * pl * pd) AS BIGINT) AS n_final,
+       ROUND(CAST(SUM(pq * pl * pd) AS DOUBLE) / COUNT(*) * 1e6)
+         / 1e6 AS retention
+FROM staged GROUP BY source ORDER BY source""",
 }
 
 # global top-k queries: each chunk emits ITS top-k, pandas re-ranks the
@@ -345,17 +517,27 @@ TOPK = {"p4_jaccard": ("jaccard", 50), "p14_sparsecos": ("cosine", 50)}
 
 SUPPORTED = ["p4_jaccard", "p45_containment", "p10_lshdedup",
              "p23_increment", "s4_streamincrement", "p60_lshrecall",
-             "p8_annlsh", "p13_annkmeans", "p14_sparsecos"]
+             "p8_annlsh", "p13_annkmeans", "p14_sparsecos",
+             "p12_curation", "p18_components", "p31_priority",
+             "p42_leaksafesplit", "p43_dupmatrix", "p58_dupgraph",
+             "p64_funnelreport"]
 
 
 def run_one(con, name, K, out_dir):
     import pandas as pd
     for stmt in setup_for(name):
         con.execute(stmt)
-    parts = [con.execute(chunk_sql(name, k, K)).df() for k in range(K)]
+    if name in EDGE_FINAL:
+        # fill the edge table residue class by residue class (the only
+        # superlinear stage), then the query's linear tail runs once
+        for k in range(K):
+            con.execute(edge_chunk_sql(k, K))
+        parts = [con.execute(EDGE_FINAL[name]).df()]
+    else:
+        parts = [con.execute(chunk_sql(name, k, K)).df() for k in range(K)]
     for t in ["t_toks", "t_big", "t_sh", "t_shx", "t_sid", "t_sizes",
               "t_cands", "t_bk", "t_tf", "t_n2", "t_u", "t_pr",
-              "t_assign", "t_probes"]:
+              "t_assign", "t_probes", "t_edges"]:
         con.execute(f"DROP TABLE IF EXISTS {t}")
     if name in TOPK:
         scoreCol, topN = TOPK[name]
