@@ -43,28 +43,8 @@ object PpjoinHeapStress {
 
   /** Launch [[main]] in a child JVM with a capped heap; true iff the
     * child exits 0 (an OOM-killed or heap-exhausted child does not).
-    * The child inherits this JVM's classpath; the JDK-17 add-opens set
-    * matches build.sbt's.
     */
-  def runCapped(dir: String, xmx: String = "8g", cores: Int = 4): Boolean = {
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin, s"-Xmx$xmx") ++ addOpens ++ Seq(
-      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.PpjoinHeapStress", dir, cores.toString)
-    println(s"[ppjoin-heap] child: -Xmx$xmx local[$cores] over $dir")
-    val pb = new ProcessBuilder(cmd: _*).inheritIO()
-    val rc = pb.start().waitFor()
-    if (rc != 0) println(s"[ppjoin-heap] CHILD EXIT $rc (OOM or crash)")
-    rc == 0
-  }
+  def runCapped(dir: String, xmx: String = "8g", cores: Int = 4): Boolean =
+    ChildJvm.runCapped("graft.tools.PpjoinHeapStress",
+      Seq(dir, cores.toString), xmx, "ppjoin-heap")
 }

@@ -4,8 +4,9 @@ package graft.tools
   * scale-stress envelope — hot-duplicate dedup (DupStress), hot-key /
   * flash-crowd skew (SkewStress), wide-universe render facade
   * (GraphiteStress), optimistic-commit contention (ManifestStress),
-  * and the ppjoin capped-heap gate (PpjoinHeapStress: thresholdPairs
-  * over a Heaps-mode ~100k-doc corpus in a CHILD JVM at -Xmx8g /
+  * and the capped-heap gates (PpjoinHeapStress: thresholdPairs, and
+  * IncrementalHeapStress: the streaming dedup index+probe, each over
+  * a Heaps-mode ~100k-doc corpus in a CHILD JVM at -Xmx8g /
   * local[4] — the 8 GB-executor shape the sf10h OOM made a standing
   * question) — and ASSERTS each tool's recorded envelope instead of
   * printing numbers for a human to eyeball. A regression in any
@@ -66,7 +67,12 @@ object StressAll {
         "version consistent, no lost batch"),
       "PpjoinCappedHeap" -> ("thresholdPairs over a 100k-doc heaps " +
         "corpus completes in a -Xmx8g local[4] CHILD JVM (the 8 GB " +
-        "executor shape): the generator must spill, never OOM"))
+        "executor shape): the generator must spill, never OOM"),
+      "IncrementalCappedHeap" -> ("incremental dedup over the same " +
+        "100k-doc heaps corpus (index the 90% existing split, probe " +
+        "the 10% incoming batch) completes in a -Xmx8g local[4] " +
+        "CHILD JVM: index build and cross-side probe must spill, " +
+        "never OOM"))
 
     val suites: Seq[(String, () => Boolean)] = Seq(
       ("DupStress", () => DupStress.run(spark, n)),
@@ -75,7 +81,9 @@ object StressAll {
       ("ManifestStress", () => ManifestStress.run(spark, writers = 4,
         batches = 3)),
       ("PpjoinCappedHeap", () =>
-        PpjoinHeapStress.runCapped(ppjoinFixture(spark))))
+        PpjoinHeapStress.runCapped(ppjoinFixture(spark))),
+      ("IncrementalCappedHeap", () =>
+        IncrementalHeapStress.runCapped(ppjoinFixture(spark))))
 
     val results = suites.map { case (name, body) =>
       val t0 = System.nanoTime()
