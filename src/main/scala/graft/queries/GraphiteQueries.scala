@@ -421,7 +421,29 @@ object GraphiteQueries {
       import s.implicits._
       GraphiteTarget.functionInventory.toDF("family", "fn")
         .orderBy("family", "fn")
-    })
+    }),
+
+    // the chart-generator/annotation quartet (r12 verdict missing #3,
+    // formerly "unmapped by intent"): sinFunction is amplitude·sin(t)
+    // on the request grid (deterministic — only randomWalk is not),
+    // verticalLine a two-point 1.0 annotation at its parsed timestamp,
+    // events() the matching event stream as 1.0 spikes on the bucket
+    // spine, and aliasQuery renames a series by the LAST value of the
+    // series its regex-rewritten name points at (one distributed
+    // lookup join, never a per-series re-render)
+    "g42_annotations" -> ((s, dir) =>
+      GraphiteTarget.render(
+        Seq("sinFunction('sine', 100, 86400)",
+          "verticalLine('1704672000', 'deploy')",
+          "events('click', 'signup')",
+          "aliasQuery(events.click, 'click', 'view', " +
+            "'click (views last: %d)')"),
+        universe(s, dir), step = 3600,
+        fromSec = 1704067200L, untilSec = 1706745600L,
+        maxDataPoints = None)
+        .select(col("series"), col("bucket").cast("string").as("bucket"),
+          round(col("value"), 6).as("value"))
+        .orderBy("series", "bucket"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1152,6 +1174,39 @@ object GraphiteQueries {
     "g41_inventory" -> ("SELECT * FROM (VALUES " +
       GraphiteTarget.functionInventory
         .map { case (f, n) => s"('$f', '$n')" }.mkString(", ") +
-      ") AS t(family, fn) ORDER BY family, fn")
+      ") AS t(family, fn) ORDER BY family, fn"),
+
+    "g42_annotations" ->
+      s"""WITH $U,
+         |sine AS (
+         |  SELECT 'sine' AS series,
+         |         CAST(make_timestamp(e * 1000000) AS VARCHAR) AS bucket,
+         |         ROUND(ROUND(SIN(CAST(e AS DOUBLE)) * 100 * 1e6) / 1e6,
+         |               6) AS value
+         |  FROM range(1704067200, 1706745600, 86400) t(e)),
+         |vline AS (
+         |  SELECT 'deploy' AS series,
+         |         CAST(make_timestamp(e * 1000000) AS VARCHAR) AS bucket,
+         |         1.0 AS value
+         |  FROM range(1704672000, 1704672002, 1) t(e)),
+         |ev AS (
+         |  SELECT DISTINCT 'events' AS series,
+         |         CAST(bucket AS VARCHAR) AS bucket, 1.0 AS value
+         |  FROM u WHERE series IN ('events.click', 'events.signup')
+         |    AND value IS NOT NULL),
+         |lastv AS (
+         |  SELECT value AS lv FROM u
+         |  WHERE series = 'events.view' AND value IS NOT NULL
+         |  ORDER BY bucket DESC LIMIT 1),
+         |aq AS (
+         |  SELECT printf('click (views last: %d)',
+         |           CAST(TRUNC((SELECT lv FROM lastv)) AS BIGINT))
+         |           AS series,
+         |         CAST(bucket AS VARCHAR) AS bucket,
+         |         ROUND(value, 6) AS value
+         |  FROM u WHERE series = 'events.click')
+         |SELECT * FROM (SELECT * FROM sine UNION ALL SELECT * FROM vline
+         |  UNION ALL SELECT * FROM ev UNION ALL SELECT * FROM aq)
+         |ORDER BY series, bucket""".stripMargin
   )
 }

@@ -491,6 +491,43 @@ class GraphiteTailSpec extends SparkTestBase {
     assert(outOfDomain.forall(_._3.isEmpty))
   }
 
+  test("annotation quartet: sinFunction grid, verticalLine bounds, " +
+      "events spikes, aliasQuery rename") {
+    def rrun(t: String, u: DataFrame = uni) =
+      GraphiteTarget.render(Seq(t), u, 3600, fromSec = 0L,
+          untilSec = 4 * 3600L, maxDataPoints = None)
+        .select(col("series"), col("bucket").cast("long"), col("value"))
+        .as[(String, Long, Option[Double])].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+    // sinFunction: amplitude·sin(bucket epoch) on the request grid —
+    // a pure function of the window (graphite's chart-generator
+    // family, but deterministic; only randomWalk stays unmapped)
+    assert(rrun("sinFunction('s', 2, 7200)").map(r => (r._2, r._3.get)) ==
+      Seq((0L, 0.0), (7200L, 2 * math.sin(7200.0))))
+    // verticalLine: two 1.0 points at ts and ts+1; graphite's
+    // out-of-window ValueError becomes a loud require
+    assert(rrun("verticalLine('3600', 'vl')") ==
+      Seq(("vl", 3600L, Some(1.0)), ("vl", 3601L, Some(1.0))))
+    assertThrows[IllegalArgumentException] {
+      rrun("verticalLine('99999', 'vl')")
+    }
+    // events: ONE `events` series with a 1.0 spike per bucket where a
+    // matching events.<tag> series carries a point; no tags = all
+    val evUni = Seq(("events.a", ts(0), 1.0), ("events.a", ts(2), 5.0),
+      ("events.b", ts(1), 2.0)).toDF("series", "bucket", "value")
+    assert(rrun("events('a')", evUni) ==
+      Seq(("events", 0L, Some(1.0)), ("events", 7200L, Some(1.0))))
+    assert(rrun("events()", evUni).size == 3)
+    // aliasQuery: renamed by the LAST value of the rewritten-name
+    // series (%d truncates like python's); a rewrite that matches no
+    // universe series DROPS the series (graphite raises mid-render —
+    // a declarative plan can't throw on data, documented deviation)
+    val aq = rrun("aliasQuery(m.a, 'a$', 'b', 'a (b last: %d)')")
+    assert(aq.map(_._1).distinct == Seq("a (b last: 40)"))
+    assert(aq.map(_._3.get) == Seq(1.0, 2.0, 4.0, 3.0))
+    assert(rrun("aliasQuery(m.a, 'a$', 'zzz', 'x %d')").isEmpty)
+  }
+
   test("every inventory function EVALUATES its declared probe — not just dispatches") {
     // r11 advice: "any error other than unknown-function" let a broken
     // handler pass. Now every inventory entry must carry a known-valid
