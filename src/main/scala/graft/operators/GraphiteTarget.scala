@@ -762,9 +762,64 @@ object GraphiteTarget {
           s"$what must evaluate to exactly one series")))
           .otherwise(col("value")).as("value"))
 
+  /** Number of universe-fetch sites a parsed target will evaluate: every
+    * Glob leaf and seriesByTag/useSeriesAbove selection re-reads the
+    * universe frame, and applyByNode re-probes it once per matched
+    * prefix (capped, but many). When a target carries MORE than one
+    * fetch site, each site's subtree would re-run the caller's whole
+    * universe plan — for the render facade that plan is the lww
+    * aggregate over RAW events, i.e. the dominant corpus-sized pass —
+    * so [[eval]] materializes the universe once and lets every site
+    * read the materialized frame (r13 optimization; the g36 shared
+    * name frame was the same fix for one function's internals).
+    */
+  /** Facade functions that consume their input SeriesSet TWICE (a
+    * per-series/per-bucket score aggregate plus a join back onto the
+    * input): each doubles its subtree's universe fetches. The list is
+    * a superset check, not a contract — a missed name only forgoes the
+    * sharing, a false positive only shares one fetch early.
+    */
+  private val TwoPassFns: Set[String] = Set(
+    "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
+    "averageAbove", "averageBelow", "currentAbove", "currentBelow",
+    "highestAverage", "highestMax", "highestCurrent",
+    "lowestAverage", "lowestCurrent", "highest", "lowest", "mostDeviant",
+    "nPercentile", "removeAbovePercentile", "removeBelowPercentile",
+    "removeBetweenPercentile", "averageOutsidePercentile",
+    "asPercent", "filterSeries", "removeEmptySeries", "limit",
+    "sortByMaxima", "sortByMinima", "sortByTotal", "sortByName",
+    "multiplySeries", "divideSeries", "diffSeries")
+
+  private def universeFetches(n: Node): Int = n match {
+    case Glob(_) => 1
+    case Call(fn, args) =>
+      val sub = args.collect { case TargetArg(t) => universeFetches(t) }.sum
+      fn match {
+        case "seriesByTag" | "useSeriesAbove" => sub + 1
+        case "applyByNode" => MaxApplyByNodePrefixes // per-prefix re-probe
+        case f if TwoPassFns(f) => sub * 2
+        case _ => sub
+      }
+  }
+
+  /** Materialize `universe` once when the parsed targets will fetch it
+    * more than once (bounded by the series×bucket frame — the lww
+    * AGGREGATE, never raw events). Bare-eval targets only: the ctx'd
+    * render path clamps each leaf to its own (possibly shifted) request
+    * window and pushes that clamp into the universe scan, which a
+    * pre-clamp materialization would forfeit — documented trade in
+    * OPTIMIZATION_r13.md. Streaming universes can't checkpoint.
+    */
+  private def shareUniverse(nodes: Seq[Node], universe: DataFrame): DataFrame =
+    if (!universe.isStreaming && nodes.map(universeFetches).sum > 1)
+      universe.localCheckpoint(true)
+    else universe
+
   /** Evaluate `target` over `universe` (see class doc for its shape). */
-  def eval(target: String, universe: DataFrame, step: Long): DataFrame =
-    evalNode(parse(target), universe, step).df
+  def eval(target: String, universe: DataFrame, step: Long): DataFrame = {
+    val node = parse(target)
+    evalNode(node, shareUniverse(Seq(node), universe), step).df
+  }
 
   /** The render request context threaded through [[evalNode]] for the
     * functions that need graphite-web's request state: smartSummarize

@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * P7/P8/P9/P13's ANN family).
   *
   * Scale shape (the reason this is NOT a generic "search engine"):
-  * the query term set is O(10), so every corpus-sized intermediate is
-  * either a per-doc partial aggregate (doc length) or a partial
-  * aggregate over `tokens ⋉ queryTerms` (term frequencies after a
-  * codegen'd `isin` filter at the scan). The document-frequency table
-  * and the corpus stats (N, avgdl) are O(|terms|) and O(1) and join
-  * back by broadcast — nothing corpus-sized ever shuffles twice, and
-  * the final top-k is a TakeOrderedAndProject, not a global sort.
+  * the query term set is O(10), so doc length AND every per-term
+  * frequency ride ONE map-side-combined per-doc aggregate — the
+  * corpus token stream is touched exactly once, and the only
+  * corpus-sized shuffle carries one row per doc. The
+  * document-frequency table and the corpus stats (N, avgdl) are
+  * O(|terms|) and O(1) over that per-doc frame and join back by
+  * broadcast; the final top-k is a TakeOrderedAndProject, not a
+  * global sort.
   *
   * Determinism across engines: per-term scores are rounded to 1e-6
   * and summed as DECIMAL, so the only float ops are ln / div / mul on
@@ -30,17 +31,35 @@ object Bm25 {
     */
   def score(toks: DataFrame, idCol: String, terms: Seq[String],
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // ONE corpus pass (r13 optimization): the old shape aggregated the
+    // token stream separately for doc length (dl), corpus stats (via
+    // dl, recomputed), and term frequencies (tf, recomputed again for
+    // df) — four tokenize+scan passes for one query. Since |terms| is
+    // O(10) by contract, per-term tf rides the SAME map-side-combined
+    // aggregate as dl (one conditional counter per term), and the
+    // materialized per-doc frame (doc-count-sized, the smallest frame
+    // in the pipeline) feeds stats, df and scoring without touching
+    // the corpus again. The tf>0 unpivot reproduces the old inner-tf
+    // row set exactly, and dl now travels ON the tf row, deleting the
+    // old tf⋈dl exchange as well.
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, lit(1L)).otherwise(lit(0L))).as(s"__tf$i") }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint(true)
     // O(1) corpus stats: exact integer totals, then one IEEE division
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.where(col("token").isin(terms: _*))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = perDoc.select(col(idCol), col("dl"),
+        explode(array(terms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("token"), col(s"__tf$i").as("tf")) }: _*)).as("s"))
+      .select(col(idCol), col("dl"), col("s.token").as("token"),
+        col("s.tf").as("tf"))
+      .where(col("tf") > 0)
     // O(|terms|) document frequencies; broadcast back onto tf
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df), "token")
-      .join(dl, idCol) // both sides already hash-partitioned by idCol
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))

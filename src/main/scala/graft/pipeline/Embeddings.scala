@@ -309,7 +309,14 @@ object Embeddings {
       .select(col("vec_id").as("query_id"), col("cell"), col("uv").as("qn"))
     val c = v.join(assign, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("uv").as("cn"))
-    val scored = q.join(c, Seq("cell"))
+    // r13: BROADCAST the probe side. It is bounded by contract (Q
+    // queries × nprobe rows — scale callers must pass a fixed probe
+    // set, see above), while `c` is the whole indexed corpus; without
+    // the hint the planner sort-merge-joins on `cell`, whose domain is
+    // only K values — the corpus side would shuffle into K hot
+    // partitions (max skew at any parallelism). With the hint the
+    // corpus side never shuffles at all on the probe path.
+    val scored = broadcast(q).join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cell"),
         round(unitCosine("qn", "cn"), 6).as("sim"))

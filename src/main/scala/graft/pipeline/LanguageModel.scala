@@ -60,9 +60,18 @@ object LanguageModel {
     */
   def train(ref: DataFrame, idCol: String, textCol: String): Lm = {
     val st = bigramStream(ref, idCol, textCol)
+    // The count tables are the MODEL a production pipeline persists;
+    // materialize them once (vocab- / bigram-vocab-bounded — never
+    // corpus-sized). Without this, every consumer of `uni` (the two
+    // broadcast projections + totals) re-ran the reference tokenize+agg
+    // — p24's plan carried 10 reference/corpus scans, 3 of them from
+    // uni alone (r13 optimization; scans now: uni + bi = 2 over the
+    // reference slice).
     val uni = st.groupBy(col("vid")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val bi = st.where(col("pvid").isNotNull)
       .groupBy(col("pvid"), col("vid")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val totals = uni.agg(sum(col("c1")).as("t"), (count(lit(1)) + 1).as("v"))
     Lm(uni, bi, totals)
   }
@@ -82,7 +91,12 @@ object LanguageModel {
     val uw = lm.uni.select(col("vid"), col("c1").as("c1w"))
     val scored = st
       .join(broadcast(up), Seq("pvid"), "left")
-      .join(lm.bi, Seq("pvid", "vid"), "left")
+      // bi is explicitly broadcast: the checkpointed model table carries
+      // no Catalyst stats (r9 lesson), and without the hint the planner
+      // falls back to shuffling the full token stream by (pvid, vid) —
+      // the declared contract is "LM count tables are vocab-bounded
+      // broadcasts", so the hint pins the executed plan to it
+      .join(broadcast(lm.bi), Seq("pvid", "vid"), "left")
       .join(broadcast(uw), Seq("vid"), "left")
       .crossJoin(broadcast(lm.totals))
     val p = when(col("c1p").isNotNull,
@@ -107,10 +121,16 @@ object LanguageModel {
     * same cutpoint contract), broadcast back as 1-row cutpoints.
     */
   def buckets(scores: DataFrame): DataFrame = {
-    val cuts = scores.agg(
+    // `scores` is consumed twice (the cutpoint aggregate and the
+    // bucketing pass). It is the per-DOC score frame — bounded by doc
+    // count, the smallest frame in the pipeline — while its lineage is
+    // the full scoring pipeline (corpus tokenize + 3 LM joins), so
+    // materialize once instead of running that pipeline twice (r13).
+    val once = scores.localCheckpoint(true)
+    val cuts = once.agg(
       expr("percentile(avg_llp, cast(1 as double)/3)").as("c_lo"),
       expr("percentile(avg_llp, cast(2 as double)/3)").as("c_hi"))
-    scores.crossJoin(broadcast(cuts))
+    once.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when(col("avg_llp") >= col("c_hi"), "head")
           .when(col("avg_llp") >= col("c_lo"), "middle")

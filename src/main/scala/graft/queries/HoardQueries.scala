@@ -1558,10 +1558,13 @@ object HoardQueries {
       // join on the bucket keeps slots either series missed (graphite
       // emits None there — ratio/diff stay null, and a 0 divisor also
       // nulls the ratio rather than inf). The two series are filters
-      // over the SAME hourly lww aggregate, so one scan + one shuffle
-      // feeds both sides; diff rides a decimal subtract (2-decimal
-      // inputs, exact), ratio is one IEEE division tie-safe rounded.
-      val h = hourlyByType(s, dir)
+      // over the SAME hourly lww aggregate, MATERIALIZED once (r13:
+      // the two join sides are separate subtree copies to Catalyst, so
+      // without the checkpoint each re-ran the raw-events scan+agg —
+      // the checkpoint is the bounded series×bucket frame); diff rides
+      // a decimal subtract (2-decimal inputs, exact), ratio is one
+      // IEEE division tie-safe rounded.
+      val h = hourlyByType(s, dir).localCheckpoint(true)
       val e = h.where(col("event_type") === "error")
         .select(col("bucket"), col("value").as("err_v"))
       val c = h.where(col("event_type") === "click")

@@ -113,7 +113,13 @@ object PipelineQueries {
     * the two paths cannot drift. See p54 for the exact-arithmetic
     * derivation.
     */
-  private def jsdOverCounts(cnt: DataFrame): DataFrame = {
+  private def jsdOverCounts(cnt0: DataFrame): DataFrame = {
+    // the (source, token) count table is vocab-bounded (sublinear by
+    // Heaps' law) but its lineage is the corpus tokenize+agg, and this
+    // function consumes it THREE times (totals + both pair sides) —
+    // materialize once so the corpus is touched once (r13; the p53/p24
+    // stat-frame pattern)
+    val cnt = cnt0.localCheckpoint(true)
     val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val a = cnt.select(col("source").as("sa"), col("token"),
       col("c").as("ca"))
@@ -1157,8 +1163,9 @@ object PipelineQueries {
     "p27_bm25" -> ((s, dir) => {
       // exact Okapi BM25 top-20 for a fixed term query — the lexical
       // retrieval path next to the dense ANN family. Corpus-sized work
-      // is two partial aggregates (doc length; tf over an isin-filtered
-      // scan); df + corpus stats broadcast back; top-k is
+      // is ONE partial aggregate (doc length + per-term tf in the same
+      // map-side-combined pass — r13: the old dl/tf/df trio tokenized
+      // the corpus 4x); df + corpus stats broadcast back; top-k is
       // TakeOrderedAndProject. Per-term scores round to 1e-6 and sum
       // as DECIMAL so ranking is engine-stable.
       val scored = Bm25.score(toks(s, dir), "doc_id",
@@ -2175,8 +2182,15 @@ object PipelineQueries {
       // of the same table by summing the per-source cumulatives.
       val d = docs(s, dir).select(col("source"),
         size(split(col("text"), " ")).cast("long").as("len"))
+      // (source, len) counts are the metadata-sized stat frame every
+      // later step derives from, but FOUR consumers (both grid axes,
+      // the fill join, the totals) made Catalyst re-run the corpus
+      // scan+agg per consumer — 8 document scans in the r13-baseline
+      // plan. Materialize it once; same for the grid-sized cumulative
+      // frame (2 consumers). One corpus scan total (r13 optimization).
       val cnt = d.groupBy(col("source"), col("len"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val grid = cnt.select("source").distinct()
         .crossJoin(broadcast(cnt.select("len").distinct()))
       val filled = grid.join(cnt, Seq("source", "len"), "left")
@@ -2185,6 +2199,7 @@ object PipelineQueries {
         .partitionBy(col("source")).orderBy(col("len"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val cum = filled.withColumn("cum", sum(col("c")).over(wc))
+        .localCheckpoint(true)
       val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
       val cumAll = cum.groupBy(col("len")).agg(sum(col("cum")).as("cum_all"))
       val nTot = tot.agg(sum(col("n_s")).as("n"))

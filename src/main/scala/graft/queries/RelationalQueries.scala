@@ -377,18 +377,30 @@ object RelationalQueries {
       // no window ever touches the raw stream. Timestamps emit as
       // epoch micros — integers on both engines.
       val e = t(s, dir, "events")
+      // each stage frame is user-count-bounded but feeds TWO consumers
+      // (the next stage's join and the final report), so without
+      // materialization Catalyst re-ran every upstream stage per
+      // consumer — 6 events scans in the r13-baseline plan, 3 after
+      // (one filtered scan per stage, the theoretical floor for a
+      // 3-stage strictly-after funnel)
       val fv = e.where(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+        .localCheckpoint(true)
       val fc = e.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"))
-        .join(fv, "user_id").where(col("ts") > col("fv"))
+        // explicit broadcasts below: checkpointed stage frames carry no
+        // Catalyst stats, and the planner would otherwise shuffle each
+        // event stream by user_id — the pre-checkpoint plan broadcast
+        // every stage frame (estimator-chosen), so the hints pin that
+        .join(broadcast(fv), "user_id").where(col("ts") > col("fv"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+        .localCheckpoint(true)
       val fp = e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"))
-        .join(fc, "user_id").where(col("ts") > col("fc"))
+        .join(broadcast(fc), "user_id").where(col("ts") > col("fc"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
-      fv.join(fc.drop("fv"), Seq("user_id"), "left")
-        .join(fp.drop("fc"), Seq("user_id"), "left")
+      fv.join(broadcast(fc.drop("fv")), Seq("user_id"), "left")
+        .join(broadcast(fp.drop("fc")), Seq("user_id"), "left")
         .select(col("user_id"),
           unix_micros(col("fv")).as("first_view_us"),
           unix_micros(col("fc")).as("first_click_us"),
@@ -407,13 +419,20 @@ object RelationalQueries {
       // shuffle key); no window touches the raw event stream, so the
       // plan is two map-side-combinable aggs at any event volume.
       val e = t(s, dir, "events")
+      // first-click frame: user-count-bounded, two consumers (the
+      // purchase join and the final report) — materialized once so the
+      // click scan+agg runs once, not per consumer (r13, q42's pattern)
       val fc = e.where(col("event_type") === "click")
         .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+        .localCheckpoint(true)
       val fp = e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"))
-        .join(fc, "user_id").where(col("ts") > col("first_click"))
+        // explicit broadcast: the checkpointed fc has no stats, and the
+        // planner would otherwise shuffle the purchase stream by
+        // user_id — the pre-checkpoint plan broadcast the stage frame
+        .join(broadcast(fc), "user_id").where(col("ts") > col("first_click"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
-      fc.join(fp.drop("first_click"), Seq("user_id"), "left")
+      fc.join(broadcast(fp.drop("first_click")), Seq("user_id"), "left")
         .select(col("user_id"),
           unix_micros(col("first_click")).as("first_click_us"),
           unix_micros(col("first_purchase")).as("first_purchase_us"),
