@@ -18,6 +18,60 @@ object Bench {
     val spark: SparkSession = Graft.session(cores = cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // r13 verdict item 8: hardware fingerprint + calibration, so PERF
+    // round-over-round comparisons can DETECT box changes (BENCH_r12 and
+    // BENCH_r13 came from different machines and the geomean read as a
+    // 0.36x code regression that was mostly hardware). Measured once on
+    // the idle box before the warm-up: core count, physical RAM, this
+    // JVM's heap, a fixed single-thread spin (CPU speed), and a 512 MB
+    // fsync'd sequential write to the scratch dir (the disk every spill
+    // and state-store commit pays). Printed now AND re-printed just
+    // before the JSON line so it rides the driver's 2000-char tail
+    // (head-truncation can only clip the fingerprint, never the JSON
+    // line, which stays <= 1900 chars + sbt's ~74-char trailer).
+    val hwfp: String =
+      if (sys.env.get("SPARK_GRAFT_BENCH_HWFP").contains("off")) ""
+      else scala.util.Try {
+        val cores = Runtime.getRuntime.availableProcessors
+        val memGb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .collectFirst { case l if l.startsWith("MemTotal:") =>
+            "\\d+".r.findFirstIn(l).get.toLong / (1024 * 1024) }
+          .getOrElse(-1L)
+        val heapGb = Runtime.getRuntime.maxMemory >> 30
+        var x = 88172645463325252L
+        var i = 0L
+        val t0 = System.nanoTime()
+        while (i < 400000000L) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        val spinMs = (System.nanoTime() - t0) / 1e6
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+        val f = java.io.File.createTempFile("graft-hwfp", ".bin", dir)
+        val buf = new Array[Byte](8 << 20)
+        java.util.Arrays.fill(buf, x.toByte) // also keeps the spin live
+        val t1 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        try {
+          var j = 0; while (j < 64) { out.write(buf); j += 1 }
+          out.getFD.sync()
+        } finally out.close()
+        val wMbps = 512.0 / ((System.nanoTime() - t1) / 1e9)
+        f.delete()
+        f"[bench] hwfp cores=$cores mem=${memGb}g heap=${heapGb}g " +
+          f"spin_ms=$spinMs%.0f wr_mbps=$wMbps%.0f"
+      }.getOrElse("[bench] hwfp failed")
+    if (hwfp.nonEmpty) {
+      System.err.println(hwfp)
+      scala.util.Try {
+        val notes = java.nio.file.Paths.get("BENCH_NOTES.md")
+        if (java.nio.file.Files.isRegularFile(notes))
+          java.nio.file.Files.writeString(notes,
+            s"- [auto hwfp] sf=${new java.io.File(sfDir).getName} " +
+              s"cpus=$cpus ${hwfp.stripPrefix("[bench] hwfp ")}\n",
+            java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+
     // partial-results insurance for multi-hour scale-step sweeps: every
     // completed measurement rides stderr immediately, and a shutdown
     // hook dumps the partial map if the JVM dies before the JSON line.
@@ -472,6 +526,7 @@ object Bench {
     completedNormally = true
     spark.stop()
     launchStress()
+    if (hwfp.nonEmpty) System.err.println(hwfp)
     System.err.println(line)
     println(line)
   }
@@ -514,20 +569,52 @@ object Bench {
             val setsid =
               if (new java.io.File("/usr/bin/setsid").exists)
                 Seq("/usr/bin/setsid") else Seq.empty
+            // r13 verdict item 3: java.class.path under sbt points into
+            // target/bg-jobs/sbt_* — a directory sbt DELETES on exit, so
+            // the detached child died in SparkContext.<init> on a
+            // vanished hadoop jar both r13 runs (target/stressall-r13/
+            // r14.log) and STRESS_r13.json was never written. Build a
+            // STABLE classpath instead: the compiled classes dir + the
+            // image's pinned spark-jars dir (build.sbt unmanagedBase);
+            // fall back to the live classpath only when those are
+            // missing (non-repo CWD), where the old behavior applies.
+            val classes = new java.io.File("target/scala-2.13/classes")
+            val sparkJars = new java.io.File("/opt/spark/jars")
+            val cp =
+              if (classes.isDirectory && sparkJars.isDirectory)
+                classes.getPath + ":" + sparkJars.getPath + "/*"
+              else System.getProperty("java.class.path")
             val cmd = setsid ++ Seq("java", "-Xmx8g") ++ addOpens ++ Seq(
               "-Dspark.ui.enabled=false",
               "-Dspark.sql.session.timeZone=UTC",
-              "-cp", System.getProperty("java.class.path"),
+              // inherit the bench's scratch placement (build.sbt picks
+              // tmpfs over the throttled sandbox disk when available)
+              s"-Djava.io.tmpdir=${System.getProperty("java.io.tmpdir")}",
+              "-cp", cp,
               "graft.tools.StressAll")
             java.nio.file.Files.createDirectories(
               java.nio.file.Paths.get("target"))
             val pb = new ProcessBuilder(cmd: _*)
             pb.environment().put("SPARK_GRAFT_STRESS_JSON", out)
             pb.redirectErrorStream(true)
-            pb.redirectOutput(new java.io.File(s"target/stressall-r$n.log"))
-            pb.start()
-            System.err.println(s"[bench] stress artifact child " +
-              s"launched -> $out (log: target/stressall-r$n.log)")
+            val log = new java.io.File(s"target/stressall-r$n.log")
+            pb.redirectOutput(log)
+            val child = pb.start()
+            // fail LOUDLY when the child dies on arrival (the r13 mode):
+            // an instant crash surfaces here instead of darkening the
+            // stress gate for a whole round. 5s is spawn+classload; a
+            // healthy child runs minutes and is NOT waited for.
+            if (child.waitFor(5, java.util.concurrent.TimeUnit.SECONDS) &&
+                child.exitValue() != 0) {
+              val tail = scala.util.Try(
+                java.nio.file.Files.readString(log.toPath).takeRight(400))
+                .getOrElse("<no log>")
+              System.err.println(s"[bench] STRESS CHILD DIED within 5s " +
+                s"(exit ${child.exitValue()}) — $out will NOT be " +
+                s"written. Log tail: $tail")
+            } else
+              System.err.println(s"[bench] stress artifact child " +
+                s"launched -> $out (log: target/stressall-r$n.log)")
           }
         }
       }.failed.foreach(e =>

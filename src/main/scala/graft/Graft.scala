@@ -11,6 +11,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
 
+  /** Row gate for broadcasting a `localCheckpoint`'d frame (r13 verdict
+    * item 4). A checkpoint truncates Catalyst stats, so the planner
+    * can't size-check a join against it — but an UNCONDITIONAL
+    * broadcast() hint on a per-user/per-entity frame removes the
+    * planner's escape hatch and OOMs at corpus scale where the
+    * estimator would have degraded to a shuffle join. The honest gate
+    * is the frame's materialized row count (one cheap job over the
+    * checkpointed blocks): at or below this many rows the executed
+    * plan keeps the broadcast the pre-checkpoint estimator chose; above
+    * it the hint is withheld and the planner shuffles. 2M rows of a
+    * narrow (key, value) frame build a ~100-200 MB hash relation —
+    * comfortably inside executor memory and far under the 8 GB /
+    * 512M-row broadcast hard cap, while any growing-with-the-corpus
+    * frame at 100 TB blows straight past it and degrades safely.
+    */
+  val BroadcastRowGate: Long = 2L * 1024 * 1024
+
   def session(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -790,30 +790,220 @@ object GraphiteTarget {
     "sortByMaxima", "sortByMinima", "sortByTotal", "sortByName",
     "multiplySeries", "divideSeries", "diffSeries")
 
-  private def universeFetches(n: Node): Int = n match {
+  /** Universe-fetch sites in the parsed tree. `ctxMode`: under a render
+    * context the time()/timeFunction/sinFunction grids are spark.range
+    * leaves (no universe read); a bare eval falls back to the
+    * universe's bucket spine, which IS a fetch. The generated-spine and
+    * annotation functions (identity/constantLine/threshold/events/
+    * aliasQuery) read the universe in both modes — r13's count missed
+    * them, so e.g. g42's three fetch sites went unshared.
+    */
+  private[graft] def universeFetches(n: Node, ctxMode: Boolean): Int = n match {
     case Glob(_) => 1
     case Call(fn, args) =>
-      val sub = args.collect { case TargetArg(t) => universeFetches(t) }.sum
+      def f(a: Arg): Int = a match {
+        case TargetArg(t) => universeFetches(t, ctxMode)
+        case _ => 0
+      }
+      val sub = args.map(f).sum
       fn match {
         case "seriesByTag" | "useSeriesAbove" => sub + 1
         case "applyByNode" => MaxApplyByNodePrefixes // per-prefix re-probe
-        case f if TwoPassFns(f) => sub * 2
+        case "identity" | "constantLine" | "threshold" => sub + 1 // spine
+        case "events" | "aliasQuery" => sub + 1 // annotation/lookup read
+        case "time" | "timeFunction" | "sinFunction" =>
+          sub + (if (ctxMode) 0 else 1)
+        case "fallbackSeries" =>
+          // the presence probe (cnt) and keepA each re-consume the
+          // primary subtree on top of its own evaluation
+          args.headOption.map(f).getOrElse(0) + sub
+        case f0 if TwoPassFns(f0) => sub * 2
         case _ => sub
+      }
+  }
+
+  /** True when every universe fetch under `n` is a plain Glob — the
+    * precondition for [[globLeaves]]' useSeriesAbove/applyByNode
+    * pattern-level over-approximations to COVER the subtree's fetch
+    * set (a nested seriesByTag/spine/annotation fetch would escape
+    * them).
+    */
+  private def globOnlyFetches(n: Node): Boolean = n match {
+    case Glob(_) => true
+    case Call(fn, args) =>
+      !Set("seriesByTag", "identity", "constantLine", "threshold",
+        "time", "timeFunction", "sinFunction", "events",
+        "aliasQuery")(fn) &&
+        args.collect { case TargetArg(t) => t }.forall(globOnlyFetches)
+  }
+
+  /** Every fetch site's pushable name predicate, or None when some
+    * consumer is not name-bounded (generated spines read every series'
+    * buckets; an untagged events() reads everything). Pushing the
+    * disjunction into the shared universe BEFORE the checkpoint
+    * restores the per-leaf scan pruning materialization otherwise
+    * forfeits (r13 advice: a selective single glob under a TwoPassFns
+    * wrapper paid a whole-universe materialization). Sound because
+    * every consumer re-applies its own predicate on top of the shared
+    * frame, and the rewrite-fetchers (useSeriesAbove / applyByNode /
+    * aliasQuery) are covered by the same pattern-level
+    * over-approximations [[globLeaves]] documents.
+    */
+  private[graft] def namePreds(n: Node, ctxMode: Boolean): Option[Seq[Column]] = {
+    def globPreds(node: Node): Option[Seq[Column]] =
+      if (globOnlyFetches(node))
+        Some(globLeaves(node).map(g => col("series").rlike(globToRegex(g))))
+      else None
+    n match {
+      case Glob(p) => Some(Seq(col("series").rlike(globToRegex(p))))
+      case Call("seriesByTag", args) =>
+        scala.util.Try(args.map {
+          case StrArg(s0) => tagPredicate(s0)
+          case a => throw new IllegalArgumentException(a.toString)
+        }.reduce(_ && _)).toOption.map(Seq(_))
+      case c @ Call("useSeriesAbove" | "applyByNode", _) => globPreds(c)
+      case Call("events", args) =>
+        if (args.nonEmpty && args.forall(_.isInstanceOf[StrArg]))
+          Some(Seq(col("series").isin(
+            args.collect { case StrArg(s0) => "events." + s0 }: _*)))
+        else None // tagless events() spikes on every series' buckets
+      case Call("aliasQuery", args) =>
+        // the lasts lookup reads series named search→replace over the
+        // input names; the rewrite is a REGEX, so the pattern-level
+        // over-approximation is only sound when each inner glob is
+        // wildcard-free (it then matches exactly itself and the regex
+        // applies to the concrete name)
+        (args.headOption, args.lift(1), args.lift(2)) match {
+          case (Some(TargetArg(t)), Some(StrArg(search)), Some(StrArg(repl)))
+              if globOnlyFetches(t) =>
+            val inner = globLeaves(t)
+            if (inner.exists(_.exists("{}*?[]".contains(_)))) None
+            else scala.util.Try {
+              val repl0 = repl.replaceAll("\\\\(\\d)", "\\$$1")
+              val rewritten = inner.map(_.replaceAll(search, repl0))
+              ((inner ++ rewritten).distinct)
+                .map(g => col("series").rlike(globToRegex(g)))
+            }.toOption
+          case _ => None
+        }
+      case Call(fn, _)
+          if Set("time", "timeFunction", "sinFunction")(fn) =>
+        if (ctxMode) Some(Nil) else None // ctx grids are spark.range
+      case Call(fn, _)
+          if Set("identity", "constantLine", "threshold")(fn) => None
+      case Call(_, args) =>
+        val subs = args.collect { case TargetArg(t) => namePreds(t, ctxMode) }
+        if (subs.exists(_.isEmpty)) None else Some(subs.flatten.flatten)
+    }
+  }
+
+  /** OR of all targets' fetch predicates, when every fetch site is
+    * name-bounded. */
+  private def universeNamePred(nodes: Seq[Node],
+                               ctxMode: Boolean): Option[Column] = {
+    val per = nodes.map(namePreds(_, ctxMode))
+    if (per.exists(_.isEmpty)) None
+    else {
+      val preds = per.flatten.flatten
+      if (preds.isEmpty) None else Some(preds.reduce(_ || _))
+    }
+  }
+
+  /** Bounds (minOff, maxOff) on the ctx-window offsets any fetch site
+    * under `n` can see, relative to the node's own request window:
+    * timeShift hands its subtree a ctx moved by −sec, timeStack the
+    * union of its copies' windows; every fetching function reads at
+    * its own (already offset) ctx, contributing 0. Throws when the
+    * fetch window cannot be bounded statically (applyByNode parses its
+    * template per prefix at eval time) — callers then share without
+    * the window clamp.
+    */
+  private[graft] def shiftRange(n: Node): (Long, Long) = n match {
+    case Glob(_) => (0L, 0L)
+    case Call(fn, args) =>
+      val subs = args.collect { case TargetArg(t) => shiftRange(t) }
+      val here = fn match {
+        case "seriesByTag" | "useSeriesAbove" | "identity" |
+             "constantLine" | "threshold" | "events" | "aliasQuery" |
+             "time" | "timeFunction" | "sinFunction" => Seq((0L, 0L))
+        case "applyByNode" => throw new IllegalArgumentException(
+          "applyByNode: template windows resolve per prefix at eval")
+        case _ => Nil
+      }
+      val all = subs ++ here
+      val base =
+        if (all.isEmpty) (0L, 0L)
+        else (all.map(_._1).min, all.map(_._2).max)
+      fn match {
+        case "timeShift" =>
+          val sec = args.lift(1) match {
+            case Some(StrArg(s0)) => parseDuration(s0)
+            case a => throw new IllegalArgumentException(s"timeShift: $a")
+          }
+          (base._1 - sec, base._2 - sec)
+        case "timeStack" =>
+          val sec = args.lift(1) match {
+            case Some(StrArg(s0)) => timeStackSec(s0)
+            case a => throw new IllegalArgumentException(s"timeStack: $a")
+          }
+          val start = args.lift(2) match {
+            case Some(NumArg(v)) => v.toInt
+            case _ => 0
+          }
+          val end = args.lift(3) match {
+            case Some(NumArg(v)) => v.toInt
+            case _ => 7
+          }
+          val shifts = (start until end).map(_.toLong * sec)
+          (base._1 + shifts.min, base._2 + shifts.max)
+        case _ => base
       }
   }
 
   /** Materialize `universe` once when the parsed targets will fetch it
     * more than once (bounded by the series×bucket frame — the lww
-    * AGGREGATE, never raw events). Bare-eval targets only: the ctx'd
-    * render path clamps each leaf to its own (possibly shifted) request
-    * window and pushes that clamp into the universe scan, which a
-    * pre-clamp materialization would forfeit — documented trade in
-    * OPTIMIZATION_r13.md. Streaming universes can't checkpoint.
+    * AGGREGATE, never raw events), pre-filtered to the disjunction of
+    * the targets' name predicates when every fetch site is
+    * name-bounded, so the selective-glob pushdown the r13 sharing
+    * forfeited survives the materialization (r13 advice item 4).
+    * Streaming universes can't checkpoint.
     */
   private def shareUniverse(nodes: Seq[Node], universe: DataFrame): DataFrame =
-    if (!universe.isStreaming && nodes.map(universeFetches).sum > 1)
-      universe.localCheckpoint(true)
+    if (!universe.isStreaming &&
+        nodes.map(universeFetches(_, ctxMode = false)).sum > 1)
+      universeNamePred(nodes, ctxMode = false)
+        .map(universe.where).getOrElse(universe)
+        .localCheckpoint(true)
     else universe
+
+  /** The ctx'd-render sharing (r13 verdict item 5): each leaf clamps to
+    * its own (possibly shifted) request window, so a naive pre-clamp
+    * materialization would forfeit window pushdown — instead clamp to
+    * the UNION of every fetch site's window ([from+minOff,
+    * until+maxOff) from the statically-bounded shift offsets), filter
+    * to the targets' name predicates when available, and materialize
+    * THAT. Every leaf's exact ctxClamp still applies on top of the
+    * shared frame, so rows outside its own window never matter. When
+    * the offsets can't be bounded statically the clamp is skipped and
+    * the universe is shared unclamped (still one scan instead of one
+    * per fetch site).
+    */
+  private def shareRenderUniverse(nodes: Seq[Node], universe: DataFrame,
+                                  fromSec: Long, untilSec: Long): DataFrame =
+    if (universe.isStreaming ||
+        nodes.map(universeFetches(_, ctxMode = true)).sum <= 1) universe
+    else {
+      val clamped = scala.util.Try {
+        val rs = nodes.map(shiftRange)
+        val lo = fromSec + rs.map(_._1).min
+        val hi = untilSec + rs.map(_._2).max
+        universe.where(col("bucket") >= timestamp_seconds(lit(lo)) &&
+          col("bucket") < timestamp_seconds(lit(hi)))
+      }.getOrElse(universe)
+      universeNamePred(nodes, ctxMode = true)
+        .map(clamped.where).getOrElse(clamped)
+        .localCheckpoint(true)
+    }
 
   /** Evaluate `target` over `universe` (see class doc for its shape). */
   def eval(target: String, universe: DataFrame, step: Long): DataFrame = {
@@ -902,16 +1092,19 @@ object GraphiteTarget {
                          maxDataPoints: Option[Int]): Seq[DataFrame] = {
     require(targets.nonEmpty, "render needs at least one target")
     val ctx = Some(RenderContext(fromSec, untilSec, nowSec))
-    targets.map { t =>
-      // the universe passes RAW: each leaf fetches its own ctx window
-      // ([[ctxClamp]]; timeShift/timeStack hand their subtree a
-      // SHIFTED ctx, so shifted leaves reach back exactly as far as
-      // graphite's per-target widened fetch did, and shifted output
-      // lands back inside [from, until) by construction). No blanket
-      // output clamp: graphite keeps re-bucketed labels that fall
-      // before `from` (summarize's epoch grid, smartSummarize's
-      // truncated origins).
-      val set = evalNode(parse(t), universe, step, ctx)
+    val nodes = targets.map(parse)
+    // multi-fetch renders share ONE union-window materialization of the
+    // universe ([[shareRenderUniverse]]); each leaf still fetches its
+    // own ctx window on top ([[ctxClamp]]; timeShift/timeStack hand
+    // their subtree a SHIFTED ctx, so shifted leaves reach back exactly
+    // as far as graphite's per-target widened fetch did, and shifted
+    // output lands back inside [from, until) by construction). No
+    // blanket output clamp: graphite keeps re-bucketed labels that
+    // fall before `from` (summarize's epoch grid, smartSummarize's
+    // truncated origins).
+    val shared = shareRenderUniverse(nodes, universe, fromSec, untilSec)
+    nodes.map { node =>
+      val set = evalNode(node, shared, step, ctx)
       maxDataPoints.map(consolidate(set, fromSec, untilSec, _))
         .getOrElse(set).df
     }

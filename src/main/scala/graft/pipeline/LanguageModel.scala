@@ -89,14 +89,20 @@ object LanguageModel {
     val st = bigramStream(docs, idCol, textCol)
     val up = lm.uni.select(col("vid").as("pvid"), col("c1").as("c1p"))
     val uw = lm.uni.select(col("vid"), col("c1").as("c1w"))
+    // bi's broadcast is SIZE-GATED (r14, verdict item 4): the
+    // checkpointed model table carries no Catalyst stats (r9 lesson),
+    // and without a hint the planner falls back to shuffling the full
+    // token stream by (pvid, vid). The declared contract is "LM count
+    // tables are vocab-bounded broadcasts", but the bigram table is
+    // vocab^2-bounded in the worst case, so the hint is applied only
+    // while the materialized count stays broadcast-sized; past the gate
+    // the (pvid, vid) shuffle is the honest fallback (its pair-key
+    // frequency is far flatter than per-word keys — class doc).
+    val bi = if (lm.bi.count() <= graft.Graft.BroadcastRowGate)
+      broadcast(lm.bi) else lm.bi
     val scored = st
       .join(broadcast(up), Seq("pvid"), "left")
-      // bi is explicitly broadcast: the checkpointed model table carries
-      // no Catalyst stats (r9 lesson), and without the hint the planner
-      // falls back to shuffling the full token stream by (pvid, vid) —
-      // the declared contract is "LM count tables are vocab-bounded
-      // broadcasts", so the hint pins the executed plan to it
-      .join(broadcast(lm.bi), Seq("pvid", "vid"), "left")
+      .join(bi, Seq("pvid", "vid"), "left")
       .join(broadcast(uw), Seq("vid"), "left")
       .crossJoin(broadcast(lm.totals))
     val p = when(col("c1p").isNotNull,

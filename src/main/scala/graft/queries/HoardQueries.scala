@@ -1131,9 +1131,19 @@ object HoardQueries {
           val bh = batch.select(col("event_type"),
             conv(substring(md5(col("user_id").cast("string")), 1, 15),
               16, 10).cast("long").as("h")).distinct()
-          surv = surv.unionByName(bh).distinct()
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") <= k).drop("rn")
+          // min-k as ONE aggregate (r13 verdict item 9): the old
+          // distinct + row_number re-cut shuffled every survivor to its
+          // group's single window task and sorted there each batch; a
+          // collect_set -> array_sort -> slice aggregate computes the
+          // same k smallest DISTINCT hashes per group (collect_set
+          // dedups, so the separate distinct() is subsumed) with
+          // map-side partial aggregation and no window sort. The
+          // buffer is bounded: <= k survivors + the batch's distinct
+          // hashes per group.
+          surv = surv.unionByName(bh)
+            .groupBy(col("event_type"))
+            .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
+            .select(col("event_type"), explode(col("hs")).as("h"))
             .localCheckpoint(true)
           ()
         }

@@ -386,21 +386,30 @@ object RelationalQueries {
       val fv = e.where(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
         .localCheckpoint(true)
+      // size-gated broadcasts (r14, verdict item 4): checkpointed stage
+      // frames carry no Catalyst stats, so the planner can't pick the
+      // broadcast the pre-checkpoint estimator chose — but stage-frame
+      // cardinality is DISTINCT USERS, which grows with the corpus, so
+      // an unconditional hint would OOM at scale. Gate on the
+      // materialized |fv| once: |fc| <= |fv| and |fp| <= |fc| by
+      // construction (each stage semi-filters the previous stage's
+      // users), so one count covers every stage frame. Above the gate
+      // the hints are withheld and the planner shuffles — the honest
+      // degradation the estimator would have chosen.
+      val bcast: DataFrame => DataFrame =
+        if (fv.count() <= graft.Graft.BroadcastRowGate) broadcast _
+        else identity _
       val fc = e.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"))
-        // explicit broadcasts below: checkpointed stage frames carry no
-        // Catalyst stats, and the planner would otherwise shuffle each
-        // event stream by user_id — the pre-checkpoint plan broadcast
-        // every stage frame (estimator-chosen), so the hints pin that
-        .join(broadcast(fv), "user_id").where(col("ts") > col("fv"))
+        .join(bcast(fv), "user_id").where(col("ts") > col("fv"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
         .localCheckpoint(true)
       val fp = e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"))
-        .join(broadcast(fc), "user_id").where(col("ts") > col("fc"))
+        .join(bcast(fc), "user_id").where(col("ts") > col("fc"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
-      fv.join(broadcast(fc.drop("fv")), Seq("user_id"), "left")
-        .join(broadcast(fp.drop("fc")), Seq("user_id"), "left")
+      fv.join(bcast(fc.drop("fv")), Seq("user_id"), "left")
+        .join(bcast(fp.drop("fc")), Seq("user_id"), "left")
         .select(col("user_id"),
           unix_micros(col("fv")).as("first_view_us"),
           unix_micros(col("fc")).as("first_click_us"),
@@ -425,14 +434,18 @@ object RelationalQueries {
       val fc = e.where(col("event_type") === "click")
         .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
         .localCheckpoint(true)
+      // size-gated broadcast (r14, verdict item 4 — q42's pattern): one
+      // materialized count gates both stage-frame hints (|fp| <= |fc|
+      // since fp's users semi-filter through fc); above the gate the
+      // planner shuffles instead of OOMing on an unbounded broadcast
+      val bcast: DataFrame => DataFrame =
+        if (fc.count() <= graft.Graft.BroadcastRowGate) broadcast _
+        else identity _
       val fp = e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"))
-        // explicit broadcast: the checkpointed fc has no stats, and the
-        // planner would otherwise shuffle the purchase stream by
-        // user_id — the pre-checkpoint plan broadcast the stage frame
-        .join(broadcast(fc), "user_id").where(col("ts") > col("first_click"))
+        .join(bcast(fc), "user_id").where(col("ts") > col("first_click"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
-      fc.join(broadcast(fp.drop("first_click")), Seq("user_id"), "left")
+      fc.join(bcast(fp.drop("first_click")), Seq("user_id"), "left")
         .select(col("user_id"),
           unix_micros(col("first_click")).as("first_click_us"),
           unix_micros(col("first_purchase")).as("first_purchase_us"),
