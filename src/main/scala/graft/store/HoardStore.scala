@@ -593,8 +593,35 @@ final class HoardStore private (val spark: SparkSession, val root: String,
   private val CompactThreshold = 16
 
   private def compactMonthsOver(ar: Archive, months: Seq[String],
-                                maxFiles: Int): Unit =
-    months.foreach { m =>
+                                maxFiles: Int): Unit = {
+    // Month partitions are independent (separate dirs, separate file
+    // sets, non-destructive write-new/move-in/delete-read protocol), so
+    // fold them as OVERLAPPING Spark jobs from a small pool (guide
+    // §2.6: each month's fold is a tiny job whose tail would otherwise
+    // leave the box idle between sequential months; r13 verdict item 6
+    // named the serial month loop as the store-ingest lever). Pool of
+    // 4: enough to fill stragglers, not enough to thrash the scheduler
+    // — and 1 for a single month keeps the old sequential behavior.
+    val todo = months.filter { m =>
+      val pdir = Paths.get(levelPath(root, ar.step)).resolve(s"p_month=$m")
+      Files.exists(pdir) &&
+        listDir(pdir).count(_.endsWith(".parquet")) > maxFiles
+    }
+    if (todo.size <= 1) todo.foreach(compactOneMonth(ar, _, maxFiles))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, todo.size))
+      try {
+        val fs = todo.map(m => pool.submit(new Runnable {
+          def run(): Unit = compactOneMonth(ar, m, maxFiles)
+        }))
+        fs.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
+    }
+  }
+
+  private def compactOneMonth(ar: Archive, m: String,
+                              maxFiles: Int): Unit = {
       val pdir = Paths.get(levelPath(root, ar.step)).resolve(s"p_month=$m")
       if (Files.exists(pdir)) {
         // transactional shape (the catalog-compaction pattern): list
@@ -620,7 +647,7 @@ final class HoardStore private (val spark: SparkSession, val root: String,
           deleteRecursively(tmpDir)
         }
       }
-    }
+  }
 
   // ---- series catalog ------------------------------------------------
 
