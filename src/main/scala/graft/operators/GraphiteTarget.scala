@@ -966,7 +966,12 @@ object GraphiteTarget {
     * the targets' name predicates when every fetch site is
     * name-bounded, so the selective-glob pushdown the r13 sharing
     * forfeited survives the materialization (r13 advice item 4).
-    * Streaming universes can't checkpoint.
+    * Streaming universes can't checkpoint. The checkpoint is LOCAL
+    * (single-JVM executor blocks, not fault-tolerant): executor loss
+    * mid-query fails the evaluation instead of recomputing — the
+    * documented trade for this bounded frame (r13 advice item 5); a
+    * cluster deployment needing replay swaps persist/reliable
+    * checkpointing here.
     */
   private def shareUniverse(nodes: Seq[Node], universe: DataFrame): DataFrame =
     if (!universe.isStreaming &&

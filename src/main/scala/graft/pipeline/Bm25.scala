@@ -27,10 +27,21 @@ object Bm25 {
   /** (doc_id, score, n_hit) for every document matching ≥1 query term.
     *
     * @param toks  (idCol, token) one row per token occurrence
-    * @param terms the query's terms (deduplicated by the caller)
+    * @param terms0 the query's terms (deduplicated here; must be
+    *               non-empty)
     */
-  def score(toks: DataFrame, idCol: String, terms: Seq[String],
+  def score(toks: DataFrame, idCol: String, terms0: Seq[String],
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // r13 advice: the one-pass rewrite would double-count a duplicated
+    // query term (the old isin+groupBy deduped) and explode(array())
+    // fails analysis on an empty list — dedup here and fail loudly so
+    // the latent degenerate inputs stay impossible. The checkpointed
+    // per-doc frame below is a LOCAL checkpoint: single-JVM blocks, not
+    // fault-tolerant — executor loss mid-query fails the query instead
+    // of recomputing (acceptable for this bounded frame; a cluster
+    // deployment that needs replay swaps persist/reliable checkpoint).
+    val terms = terms0.distinct
+    require(terms.nonEmpty, "BM25 needs at least one query term")
     // ONE corpus pass (r13 optimization): the old shape aggregated the
     // token stream separately for doc length (dl), corpus stats (via
     // dl, recomputed), and term frequencies (tf, recomputed again for

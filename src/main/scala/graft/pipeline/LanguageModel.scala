@@ -62,7 +62,12 @@ object LanguageModel {
     val st = bigramStream(ref, idCol, textCol)
     // The count tables are the MODEL a production pipeline persists;
     // materialize them once (vocab- / bigram-vocab-bounded — never
-    // corpus-sized). Without this, every consumer of `uni` (the two
+    // corpus-sized). NOTE (r13 advice): localCheckpoint blocks live
+    // only in executor storage — lineage is truncated and executor
+    // loss mid-query fails the job instead of recomputing. That is the
+    // deliberate single-JVM/local-mode trade for these bounded model
+    // tables; a cluster deployment that needs replay persists the
+    // tables (they ARE the model) or uses reliable checkpointing. Without this, every consumer of `uni` (the two
     // broadcast projections + totals) re-ran the reference tokenize+agg
     // — p24's plan carried 10 reference/corpus scans, 3 of them from
     // uni alone (r13 optimization; scans now: uni + bi = 2 over the
